@@ -1,0 +1,224 @@
+"""PetroFrame — Spark DataFrame + unit-state metadata wrapper.
+
+The reference rides unit state on ``pd.DataFrame.attrs`` (``petro_units``,
+``petro_n_oxygens``, ``petro_n_cations``, per-row ``petro_total`` —
+``_accessors.py:507-510``, consumed ``_calc.py:88-116``).  Spark DataFrames
+carry no attrs, so the engine wraps the DataFrame with that metadata; the
+per-row ``petro_total`` becomes a real hidden column ``__petro_total``
+(SURVEY.md §1.2).
+
+All transformations are *lazy*: methods build a ``sqlgen.Plan`` from the
+current schema (driver-side only) and apply it as chained ``selectExpr``
+projections — Catalyst collapses / constant-folds / codegens the chain;
+nothing executes until an action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from petropandas_spark import core, minerals
+from petropandas_spark.functions.conversions import (
+    add_from_apfu,
+    add_normalize,
+    add_to_apfu,
+    add_to_moles,
+    add_to_oxides,
+)
+from petropandas_spark.sqlgen import Plan, add_chain
+
+TOTAL_COL = "__petro_total"
+
+
+def clean_plan(cols: list[str]) -> tuple[Plan, list[str], list[str]]:
+    """P1 clean-on-access (ref ``_accessors.py:101-129``): strip whitespace
+    from names, apply ALIASES, ``coalesce(c,0)`` + ``greatest(c,0)`` on
+    formula columns only; other columns pass through untouched.
+
+    Returns ``(plan, formula_cols, all_out_cols)``.
+    """
+    renames: dict[str, str] = {}
+    for c in cols:
+        name = c.strip()
+        name = core.ALIASES.get(name, name)
+        renames[c] = name
+    plan = Plan()
+    st = plan.stage()
+    out, fcols = [], []
+    for c in cols:
+        name = renames[c]
+        if core.is_formula(name):
+            st.add(
+                name,
+                lambda q, c=c: f"GREATEST(COALESCE({q(c)}, 0e0), 0e0)",
+            )
+            fcols.append(name)
+        else:
+            st.add(name, lambda q, c=c: q(c))
+        out.append(name)
+    return plan, fcols, out
+
+
+@dataclass(frozen=True)
+class PetroFrame:
+    """Immutable wrapper: Spark DataFrame + unit metadata.
+
+    ``units`` ∈ {"wt%", "moles", "apfu"}; ``n_oxygens``/``n_cations`` are
+    set after an APFU conversion; ``meta_cols`` are non-formula columns
+    carried through every transformation.
+    """
+
+    df: object  # pyspark.sql.DataFrame
+    units: str = "wt%"
+    n_oxygens: float | None = None
+    n_cations: float | None = None
+    has_total: bool = False
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def ingest(df) -> "PetroFrame":
+        """Clean a raw analysis table (P1) and tag it ``wt%``."""
+        plan, _f, _out = clean_plan(df.columns)
+        return PetroFrame(plan.apply(df), units="wt%")
+
+    # -- helpers -------------------------------------------------------------
+
+    @property
+    def formula_cols(self) -> list[str]:
+        return core.formula_cols(self.df.columns)
+
+    @property
+    def oxide_cols(self) -> list[str]:
+        return core.oxide_cols(self.df.columns)
+
+    @property
+    def meta_cols(self) -> list[str]:
+        hidden = {TOTAL_COL}
+        return [
+            c for c in self.df.columns
+            if not core.is_formula(c) and c not in hidden
+        ]
+
+    def _carry(self) -> list[str]:
+        carry = self.meta_cols
+        if self.has_total:
+            carry = carry + [TOTAL_COL]
+        return carry
+
+    # -- projections / filters (P2-P8) ---------------------------------------
+
+    def select_rows(self, arg, on: str) -> "PetroFrame":
+        """P5/P6 row select: substring match (str) or membership (list)
+        on a metadata column (ref ``_accessors.py:380-426``)."""
+        col = self.df[on]
+        if isinstance(arg, (list, tuple, set)):
+            return replace(self, df=self.df.filter(col.isin(list(arg))))
+        return replace(self, df=self.df.filter(col.contains(arg)))
+
+    def reframe(self, columns: list[str]) -> "PetroFrame":
+        """P8: restrict/reorder to *columns*, missing ones zero-filled
+        (ref ``_accessors.py:112-117,539-552``)."""
+        from pyspark.sql import functions as F
+
+        exprs = [
+            (self.df[c] if c in self.df.columns else F.lit(0.0)).alias(c)
+            for c in columns
+        ]
+        return replace(self, df=self.df.select(*exprs))
+
+    def petro_sorted(self) -> "PetroFrame":
+        """P4: canonical petrological column order."""
+        return replace(self, df=self.df.select(*core.petro_sorted(self.df.columns)))
+
+    # -- unit conversions (U1-U10) --------------------------------------------
+
+    def _apply(self, plan: Plan, **meta) -> "PetroFrame":
+        return replace(self, df=plan.apply(self.df), **meta)
+
+    def to_moles(self) -> "PetroFrame":
+        plan = Plan()
+        add_to_moles(plan, self.df.columns, carry=self._carry())
+        return self._apply(plan, units="moles")
+
+    def oxides(self) -> "PetroFrame":
+        """wt% oxide projection (dispatcher ref ``_calc.py:85-194``)."""
+        plan = Plan()
+        cols = list(self.df.columns)
+        if self.units == "moles":
+            add_to_oxides(plan, cols, carry=self._carry())
+        elif self.units == "apfu":
+            add_from_apfu(
+                plan, cols,
+                n_oxygens=self.n_oxygens,
+                n_cations=None if self.n_oxygens is not None else self.n_cations,
+                total=TOTAL_COL if self.has_total else None,
+                carry=self.meta_cols,
+            )
+        else:
+            ox = core.oxide_cols(cols)
+            st = plan.stage()
+            st.passthrough(self._carry() + ox)
+        pf = self._apply(plan, units="wt%", has_total=False)
+        # restrict to oxide columns (+meta)
+        keep = pf.meta_cols + core.oxide_cols(pf.df.columns)
+        return replace(pf, df=pf.df.select(*keep))
+
+    def cations(
+        self, n_oxygens: float | None = None, n_cations: float | None = None
+    ) -> "PetroFrame":
+        """APFU conversion; stamps basis metadata and the per-row analytical
+        total as ``__petro_total`` for the documented round-trip
+        ``pf.cations(n_oxygens=N).oxides()`` (ref README.md:139-141)."""
+        plan = Plan()
+        cols = list(self.df.columns)
+        fcols = core.formula_cols(cols)
+        # stamp per-row total of formula columns before conversion
+        st = plan.stage()
+        st.passthrough(self.meta_cols + fcols)
+        st.add(TOTAL_COL, lambda q: add_chain([q(c) for c in fcols]))
+        add_to_apfu(
+            plan, fcols,
+            n_oxygens=n_oxygens, n_cations=n_cations,
+            units=self.units,
+            carry=self.meta_cols + [TOTAL_COL],
+        )
+        return self._apply(
+            plan, units="apfu",
+            n_oxygens=n_oxygens, n_cations=n_cations, has_total=True,
+        )
+
+    def normalize(self) -> "PetroFrame":
+        plan = Plan()
+        add_normalize(plan, self.df.columns, carry=self._carry())
+        return self._apply(plan)
+
+    # -- mineral pipeline (M*, E*) --------------------------------------------
+
+    def mineral_apfu(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+        plan = Plan()
+        minerals.add_apfu(
+            plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
+        )
+        return self._apply(plan, units="apfu", n_oxygens=mineral.n_oxygens,
+                           has_total=False)
+
+    def site_allocations(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+        plan = Plan()
+        minerals.add_site_allocations_flat(
+            plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
+        )
+        return self._apply(plan, has_total=False)
+
+    def end_members(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+        builder = minerals.END_MEMBER_BUILDERS[mineral.name]
+        plan = Plan()
+        builder(plan, self.formula_cols, self.units, carry=self.meta_cols)
+        return self._apply(plan, has_total=False)
+
+    def check_stoichiometry(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+        plan = Plan()
+        minerals.add_check_stoichiometry(
+            plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
+        )
+        return self._apply(plan, has_total=False)

@@ -1,0 +1,109 @@
+"""Valence-splitting operators V4-V6 (SURVEY.md §2.4) as expression stages.
+
+Droop (1987) and Schumacher (1991) Fe³⁺ (or Mn³⁺/Ti³⁺) estimates —
+row-sum + clip arithmetic, pure Catalyst expressions.
+
+Reference semantics: ``/root/reference/src/petropandas/_calc.py:701-842``.
+"""
+
+from __future__ import annotations
+
+from petropandas_spark import core
+from petropandas_spark.sqlgen import Plan, add_chain, clip_lower, flit
+
+VALENCE_PAIRS: dict[str, dict[str, int]] = {
+    "Fe": {"low_charge": 2, "high_charge": 3},
+    "Mn": {"low_charge": 2, "high_charge": 3},
+    "Ti": {"low_charge": 4, "high_charge": 3},
+}
+
+
+def _droop_high(q, cols, total_col, n_oxygens, ideal_cations):
+    """Droop (1987): F = 2·n_oxy·(1 − ideal/S), high = total − clip(total − clip(F,0), 0)."""
+    S = add_chain([q(c) for c in cols])
+    F = f"2e0 * {flit(float(n_oxygens))} * (1e0 - {flit(float(ideal_cations))} / {S})"
+    high = clip_lower(F, 0.0)
+    low = clip_lower(f"({q(total_col)} - {high})", 0.0)
+    return f"({q(total_col)} - {low})"
+
+
+def _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations):
+    """Schumacher (1991) high-charge APFU (ref ``_calc.py:734-780``)."""
+    S = add_chain([q(c) for c in cols])
+    # oxygens demanded per cation (charge/2), from ion charge or oxide ratio
+    opc: dict[str, float] = {}
+    for c in cols:
+        ion = core.parse_ion(c)
+        if ion is not None:
+            opc[c] = ion[1] / 2.0
+        elif core.is_oxide(c):
+            opc[c] = (2.0 * core.oxygens_per(c)) / core.cations_per(c) / 2.0
+    present = [c for c in cols if c in opc]
+    # norm = ideal/S; oxy_from_cations = Σ (apfu·norm·opc)
+    norm = f"({flit(float(ideal_cations))} / {S})"
+    oxy = add_chain([f"({q(c)} * {norm}) * {flit(opc[c])}" for c in present])
+    high_apfu = clip_lower(f"2e0 * ({flit(float(n_oxygens))} - {oxy})", 0.0)
+    high_scaled = f"({high_apfu} / {norm})"
+    high = clip_lower(high_scaled, 0.0)
+    low = clip_lower(f"({q(total_col)} - {high})", 0.0)
+    return f"({q(total_col)} - {low})"
+
+
+def add_split_valence(
+    plan: Plan,
+    cols: list[str],
+    element: str,
+    method: str,
+    n_oxygens: float,
+    ideal_cations: float,
+    carry: list[str] = (),
+) -> list[str]:
+    """V6 ``split_valence``: replace the total-element column with low- and
+    high-charge ion columns, high inserted right after low
+    (ref ``_calc.py:783-842``).
+
+    Idempotent: if both ion columns already exist the stage is a
+    passthrough (decided here on the driver from the column set).
+    Raises ``KeyError`` if no column contains *element* — callers of
+    the mineral pipeline skip the split in that case
+    (ref ``_minerals.py:179-189``).
+    """
+    method = method.lower()
+    if element not in VALENCE_PAIRS:
+        raise ValueError(f"Unknown element {element!r}")
+    if method not in {"droop", "schumacher"}:
+        raise ValueError(f"Unknown method {method!r}")
+    cols = list(cols)
+    pair = VALENCE_PAIRS[element]
+    low_ion = core.ion_name(element, pair["low_charge"])
+    high_ion = core.ion_name(element, pair["high_charge"])
+    if low_ion in cols and high_ion in cols:
+        st = plan.stage()
+        st.passthrough(list(carry) + cols)
+        return cols
+
+    total_col = core.detect_col(cols, element)
+
+    def high(q):
+        if method == "droop":
+            return _droop_high(q, cols, total_col, n_oxygens, ideal_cations)
+        return _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations)
+
+    def low(q):
+        return clip_lower(f"({q(total_col)} - {high(q)})", 0.0)
+
+    out = []
+    st = plan.stage()
+    st.passthrough(list(carry))
+    for c in cols:
+        if c == total_col:
+            # low-charge replaces the total column in place …
+            st.add(low_ion, lambda q: low(q))
+            out.append(low_ion)
+            # … and high-charge = total − low is inserted right after
+            st.add(high_ion, lambda q: f"({q(total_col)} - {low(q)})")
+            out.append(high_ion)
+        else:
+            st.add(c, lambda q, c=c: q(c))
+            out.append(c)
+    return out

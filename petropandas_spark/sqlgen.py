@@ -1,0 +1,184 @@
+"""Dual-dialect SQL expression generation.
+
+The engine's scalar layer is built from SQL expression strings that are
+valid in BOTH Spark SQL and DuckDB.  The Spark engine executes them with
+``DataFrame.selectExpr`` (they become ordinary Catalyst expressions —
+whole-stage-codegen'd, constant-folded, collapsed across stages by
+``CollapseProject``), and the *same* builder emits the DuckDB oracle SQL
+for the driver's correctness gate.  Because both engines then evaluate
+the identical IEEE-754 expression tree, per-row results are bitwise
+identical — no tolerance games.
+
+Rules for portability (verified against Spark 4.1 / DuckDB 1.0):
+  * float literals must carry an exponent (``0.01`` is DECIMAL in both
+    dialects; ``1e-2`` / ``0.01e0`` is DOUBLE) — use :func:`flit`;
+  * identifiers are quoted per dialect (backticks vs double quotes);
+  * stick to ANSI scalar functions present in both: CASE WHEN, LEAST,
+    GREATEST, ABS, EXP, LN, SQRT, POWER, COALESCE, ROUND.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+def flit(x: float) -> str:
+    """Render a Python float as a DOUBLE literal in both dialects."""
+    x = float(x)
+    if math.isnan(x):
+        return "(0e0/0e0)"
+    if math.isinf(x):
+        return "(1e0/0e0)" if x > 0 else "(-1e0/0e0)"
+    s = repr(x)
+    if "e" in s or "E" in s:
+        return s
+    return s + "e0"
+
+
+@dataclass(frozen=True)
+class Dialect:
+    """Identifier quoting for one engine."""
+
+    name: str
+    qchar_open: str
+    qchar_close: str
+
+    def quote(self, ident: str) -> str:
+        return f"{self.qchar_open}{ident}{self.qchar_close}"
+
+
+SPARK = Dialect("spark", "`", "`")
+DUCKDB = Dialect("duckdb", '"', '"')
+
+
+# ---------------------------------------------------------------------------
+# Expression helpers (plain string combinators)
+# ---------------------------------------------------------------------------
+
+
+def add_chain(terms: list[str]) -> str:
+    """Left-fold addition — textual order fixes FP evaluation order."""
+    if not terms:
+        return "0e0"
+    return "(" + " + ".join(terms) + ")"
+
+
+def clip_lower(e: str, lo: float | str = 0.0) -> str:
+    lo_s = lo if isinstance(lo, str) else flit(lo)
+    return f"GREATEST({e}, {lo_s})"
+
+
+def clip_upper(e: str, hi: float | str) -> str:
+    hi_s = hi if isinstance(hi, str) else flit(hi)
+    return f"LEAST({e}, {hi_s})"
+
+
+def clip(e: str, lo: float | str, hi: float | str) -> str:
+    return clip_upper(clip_lower(e, lo), hi)
+
+
+def safe_denom(e: str) -> str:
+    """The reference's ``replace(0, 1)`` zero-denominator guard."""
+    return f"(CASE WHEN {e} = 0e0 THEN 1e0 ELSE {e} END)"
+
+
+def where_positive(value: str, cond_subject: str, otherwise: float = 0.0) -> str:
+    """``value.where(cond_subject > 0, otherwise)`` (pandas semantics)."""
+    return (
+        f"(CASE WHEN {cond_subject} > 0e0 THEN {value} ELSE {flit(otherwise)} END)"
+    )
+
+
+def trapezoid(value: str, lo: float, hi: float, margin: float = 1.5) -> str:
+    """Trapezoidal 0-1 score (ref ``_calc.py:451-471``) as one expression."""
+    lo_s, hi_s, m_s = flit(lo), flit(hi), flit(margin)
+    return (
+        f"(CASE WHEN {value} >= {lo_s} AND {value} <= {hi_s} THEN 1e0 "
+        f"WHEN {value} < {lo_s} THEN GREATEST(0e0, ({value} - ({lo_s} - {m_s})) / {m_s}) "
+        f"ELSE GREATEST(0e0, (({hi_s} + {m_s}) - {value}) / {m_s}) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Staged projection pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Stage:
+    """One full projection: ordered ``(alias, expression)`` pairs.
+
+    Expressions reference the aliases of the previous stage via the
+    dialect's :meth:`Dialect.quote`.  Builders are dialect-parameterized
+    callables ``quote -> expr`` so the same stage renders for Spark and
+    for DuckDB.
+    """
+
+    items: list[tuple[str, object]] = field(default_factory=list)
+
+    def add(self, alias: str, expr) -> None:
+        """``expr`` is a string (dialect-independent) or ``quote -> str``."""
+        self.items.append((alias, expr))
+
+    def passthrough(self, names: list[str]) -> None:
+        for n in names:
+            self.add(n, (lambda q, n=n: q(n)))
+
+    def render(self, dialect: Dialect) -> list[tuple[str, str]]:
+        out = []
+        for alias, expr in self.items:
+            s = expr if isinstance(expr, str) else expr(dialect.quote)
+            out.append((alias, s))
+        return out
+
+    @property
+    def aliases(self) -> list[str]:
+        return [a for a, _ in self.items]
+
+
+@dataclass
+class Plan:
+    """A chain of stages over a named base relation.
+
+    * Spark: ``apply(df)`` → chained ``selectExpr`` (Catalyst collapses
+      the chain into a single projection).
+    * DuckDB: ``to_sql(base)`` → nested sub-selects for the oracle.
+    """
+
+    stages: list[Stage] = field(default_factory=list)
+    filters: dict[int, list] = field(default_factory=dict)  # after-stage-i preds
+
+    def stage(self) -> Stage:
+        s = Stage()
+        self.stages.append(s)
+        return s
+
+    def add_filter(self, pred) -> None:
+        """Predicate applied after the most recent stage (string or quote->str)."""
+        self.filters.setdefault(len(self.stages) - 1, []).append(pred)
+
+    def _render_pred(self, pred, dialect: Dialect) -> str:
+        return pred if isinstance(pred, str) else pred(dialect.quote)
+
+    def apply(self, df):
+        """Run the plan on a Spark DataFrame."""
+        q = SPARK.quote
+        for i, st in enumerate(self.stages):
+            rendered = st.render(SPARK)
+            df = df.selectExpr(*[f"{e} AS {q(a)}" for a, e in rendered])
+            for pred in self.filters.get(i, []):
+                df = df.filter(self._render_pred(pred, SPARK))
+        return df
+
+    def to_sql(self, base: str, dialect: Dialect = DUCKDB) -> str:
+        """Render the full plan as one nested SELECT over *base*."""
+        q = dialect.quote
+        sql = base
+        for i, st in enumerate(self.stages):
+            rendered = st.render(dialect)
+            select = ", ".join(f"{e} AS {q(a)}" for a, e in rendered)
+            preds = [self._render_pred(p, dialect) for p in self.filters.get(i, [])]
+            where = f" WHERE {' AND '.join(preds)}" if preds else ""
+            sql = f"SELECT {select} FROM ({sql}){where}"
+        return sql

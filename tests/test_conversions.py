@@ -1,0 +1,85 @@
+"""Golden tests for U*/V* conversions on ideal compositions (parity with
+reference ``tests/test_calc.py`` strategy: exact APFU on ideal diopside)."""
+
+import pandas as pd
+import pytest
+
+from petropandas_spark.frame import PetroFrame
+
+
+def _pf(spark, pdf: pd.DataFrame) -> PetroFrame:
+    return PetroFrame.ingest(spark.createDataFrame(pdf))
+
+
+def test_diopside_apfu(spark, diopside):
+    out = _pf(spark, diopside).cations(n_oxygens=6).df.toPandas()
+    assert out["Si{4+}"].iloc[0] == pytest.approx(2.0, abs=1e-9)
+    assert out["Ca{2+}"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+    assert out["Mg{2+}"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_diopside_cation_basis(spark, diopside):
+    out = _pf(spark, diopside).cations(n_cations=4).df.toPandas()
+    assert out["Si{4+}"].iloc[0] == pytest.approx(2.0, abs=1e-9)
+    assert out["Ca{2+}"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_apfu_roundtrip(spark, diopside):
+    """cations(n_oxygens=6).oxides() restores the original wt% values."""
+    pf = _pf(spark, diopside)
+    back = pf.cations(n_oxygens=6).oxides().df.toPandas()
+    for ox, want in diopside.iloc[0].items():
+        assert back[ox].iloc[0] == pytest.approx(want, abs=1e-9), ox
+
+
+def test_to_moles(spark, diopside):
+    from petropandas_spark import core
+
+    out = _pf(spark, diopside).to_moles().df.toPandas()
+    for ox in diopside.columns:
+        assert out[ox].iloc[0] == pytest.approx(
+            diopside[ox].iloc[0] / core.MW(ox), abs=1e-12
+        )
+
+
+def test_normalize(spark):
+    pdf = pd.DataFrame([{"SiO2": 30.0, "MgO": 20.0, "Sample": "a"}])
+    out = _pf(spark, pdf).normalize().df.toPandas()
+    assert out["SiO2"].iloc[0] == pytest.approx(60.0)
+    assert out["MgO"].iloc[0] == pytest.approx(40.0)
+    assert out["Sample"].iloc[0] == "a"
+
+
+def test_ingest_cleans_negatives_and_nans(spark):
+    pdf = pd.DataFrame([{"SiO2": -1.0, "MgO": None, "Sample": "x"}])
+    out = PetroFrame.ingest(spark.createDataFrame(pdf)).df.toPandas()
+    assert out["SiO2"].iloc[0] == 0.0
+    assert out["MgO"].iloc[0] == 0.0
+    assert out["Sample"].iloc[0] == "x"
+
+
+def test_ingest_applies_aliases(spark):
+    pdf = pd.DataFrame([{"FeO*": 10.0, " SiO2 ": 50.0}])
+    out = PetroFrame.ingest(spark.createDataFrame(pdf)).df
+    assert "FeO" in out.columns
+    assert "SiO2" in out.columns
+
+
+def test_select_rows(spark):
+    pdf = pd.DataFrame(
+        [
+            {"SiO2": 40.0, "Mineral": "Garnet"},
+            {"SiO2": 55.0, "Mineral": "Cpx"},
+        ]
+    )
+    pf = _pf(spark, pdf)
+    assert pf.select_rows("Grt", on="Mineral").df.count() == 0
+    assert pf.select_rows("Garnet", on="Mineral").df.count() == 1
+    assert pf.select_rows(["Garnet", "Cpx"], on="Mineral").df.count() == 2
+
+
+def test_reframe(spark):
+    pdf = pd.DataFrame([{"SiO2": 40.0, "MgO": 10.0}])
+    out = _pf(spark, pdf).reframe(["SiO2", "CaO"]).df.toPandas()
+    assert list(out.columns) == ["SiO2", "CaO"]
+    assert out["CaO"].iloc[0] == 0.0
