@@ -90,9 +90,14 @@ def add_stoichiometry_scores(
             [f"{q(alias_of[c])} * {flit(float(charges[c]))}" for c in apfu_cols]
         )
 
+    # ROUND(...,10): EXP is the one libm-backed function here, and Spark
+    # (Java Math.exp) vs DuckDB (C libm) may differ in the last ULP; both
+    # engines' ROUND produce the correctly-rounded double of the 10-decimal
+    # value, collapsing the ULP divergence.  Scores are in [0,1], so 10
+    # decimals loses nothing meaningful.
     st.add(
         "charge_balance",
-        lambda q: f"EXP(-ABS({total_charge(q)} - {expected}) / 0.5e0)",
+        lambda q: f"ROUND(EXP(-ABS({total_charge(q)} - {expected}) / 0.5e0), 10)",
     )
     out.append("charge_balance")
 

@@ -1,0 +1,699 @@
+"""Query registry — the driver-facing surface of the engine.
+
+Three query families, all returning ``(spark_fn, oracle_sql)`` pairs:
+
+1. **Domain plans** (petropandas operators, SURVEY.md §2): a dual-dialect
+   ``sqlgen.Plan`` over a deterministic pseudo-mineral projection of the
+   TPC-H-ish testdata.  Spark executes chained ``selectExpr``; the oracle is
+   the same plan rendered as nested DuckDB sub-selects — bitwise-identical
+   IEEE-754 results by construction.
+2. **Relational SQL** (joins/aggs/windows/top-k): one SQL text valid in both
+   dialects, run via ``spark.sql`` over temp views.  Aggregates use the
+   decimal-sum pattern — ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)``
+   — so sums are exact and independent of row order/partitioning (a double
+   sum would drift between engines and between partition counts).
+3. **Pipeline ops** (LLM-data-pipeline extension): dedup, minhash,
+   text analysis, embedding similarity on documents/embeddings/events.
+   Where Spark and DuckDB need different surface syntax (LATERAL vs
+   LATERAL VIEW explode), the two texts are written separately but compute
+   the same relation.
+
+Scale notes (100 TB design stance):
+- every aggregate is a partial-aggregatable SUM/COUNT/MIN/MAX — map-side
+  combine applies; no ``collect``-and-loop anywhere;
+- joins keep dimension tables on the build side (``/*+ BROADCAST() */``
+  hints, which DuckDB parses as comments);
+- top-k is expressed as ``row_number() <= k`` so Spark plans a
+  ``WindowGroupLimit`` (rank-limit pushdown) instead of a global sort;
+- the domain plans are pure narrow projections — they scale linearly and
+  shuffle nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from petropandas_spark import minerals
+from petropandas_spark.functions.conversions import (
+    add_feo_to_fe2o3,
+    add_normalize,
+    add_oxidize_moles,
+    add_to_apfu,
+    add_to_apfu_by_charge,
+    add_to_moles,
+)
+from petropandas_spark.functions.valence import add_split_valence
+from petropandas_spark.sqlgen import DUCKDB, PLAIN, SPARK, Plan
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark_fn: Callable  # (spark, sf_dir) -> DataFrame
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+
+
+def _load(spark, sf_dir: str, table: str):
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as raw BIGINT nanoseconds instead.  All
+        # events queries are written against integer-ns arithmetic (exact
+        # and engine-portable); the DuckDB oracle converts via epoch_ns().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Pseudo-mineral projections (deterministic, integer-arithmetic noise —
+#    identical in both dialects; no FP-order hazards)
+# ---------------------------------------------------------------------------
+
+# One EMPA-like garnet analysis per lineitem row.
+PSEUDO_GARNET = [
+    ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+    ("SiO2", "36.5e0 + (l_partkey % 10) * 0.11e0"),
+    ("TiO2", "(l_orderkey % 3) * 0.04e0"),
+    ("Al2O3", "20.4e0 + (l_suppkey % 7) * 0.12e0"),
+    ("Cr2O3", "(l_partkey % 4) * 0.06e0"),
+    ("FeO", "26.0e0 + (l_linenumber % 5) * 0.8e0"),
+    ("MnO", "0.4e0 + (l_orderkey % 5) * 0.35e0"),
+    ("MgO", "2.5e0 + (l_partkey % 8) * 0.45e0"),
+    ("CaO", "0.8e0 + (l_suppkey % 6) * 0.5e0"),
+]
+
+# One clinopyroxene-like analysis per lineitem row.
+PSEUDO_CPX = [
+    ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+    ("SiO2", "50.0e0 + (l_partkey % 9) * 0.3e0"),
+    ("TiO2", "0.2e0 + (l_orderkey % 4) * 0.1e0"),
+    ("Al2O3", "2.0e0 + (l_suppkey % 8) * 0.5e0"),
+    ("Cr2O3", "(l_partkey % 3) * 0.15e0"),
+    ("FeO", "5.0e0 + (l_linenumber % 6) * 0.9e0"),
+    ("MnO", "(l_orderkey % 4) * 0.05e0"),
+    ("MgO", "14.0e0 + (l_partkey % 6) * 0.4e0"),
+    ("CaO", "20.0e0 + (l_suppkey % 5) * 0.5e0"),
+    ("Na2O", "0.3e0 + (l_orderkey % 5) * 0.25e0"),
+]
+
+# One feldspar-like analysis per order row.
+PSEUDO_FSP = [
+    ("id", "CAST(o_orderkey AS BIGINT)"),
+    ("SiO2", "63.0e0 + (o_orderkey % 9) * 0.3e0"),
+    ("Al2O3", "22.0e0 + (o_custkey % 5) * 0.2e0"),
+    ("CaO", "3.0e0 + (o_orderkey % 7) * 0.3e0"),
+    ("Na2O", "6.0e0 + (o_custkey % 6) * 0.4e0"),
+    ("K2O", "1.0e0 + (o_orderkey % 4) * 0.5e0"),
+]
+
+
+def _base_stage(plan: Plan, mapping: list[tuple[str, str]]) -> list[str]:
+    st = plan.stage()
+    for alias, expr in mapping:
+        st.add(alias, expr)
+    return [a for a, _ in mapping if a != "id"]
+
+
+def plan_query(table: str, mapping: list[tuple[str, str]], build) -> QuerySpec:
+    """Domain query: pseudo-mineral base stage + operator stages.
+
+    ``build(plan, formula_cols)`` appends the operator stages (carry=["id"]).
+    """
+    plan = Plan()
+    fcols = _base_stage(plan, mapping)
+    build(plan, fcols)
+
+    def fn(spark, sf_dir, plan=plan, table=table):
+        return plan.apply(_load(spark, sf_dir, table))
+
+    return QuerySpec(fn, plan.to_sql(f"SELECT * FROM {table}", DUCKDB))
+
+
+def sql_query(tables: list[str], sql: str, duck_sql: str | None = None) -> QuerySpec:
+    """Relational/pipeline query from (mostly shared) SQL text."""
+
+    def fn(spark, sf_dir, sql=sql, tables=tuple(tables)):
+        for t in tables:
+            _load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return QuerySpec(fn, duck_sql or sql)
+
+
+# Aggregate helpers: exact, order-independent sums (see module docstring).
+# The final DOUBLE is produced via a VARCHAR round-trip, not a direct
+# decimal→double cast: DuckDB's wide-decimal (int128) → double conversion is
+# not correctly rounded (observed 5e-8 drift at sf0.01), while string→double
+# parsing is correctly rounded in both engines, so both sides recover the
+# identical double from the identical exact decimal.
+def dsum(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR(50)) AS DOUBLE)"
+    )
+
+
+def dmean(expr: str) -> str:
+    return f"({dsum(expr)} / COUNT(*))"
+
+
+# ---------------------------------------------------------------------------
+# Domain query builders
+# ---------------------------------------------------------------------------
+
+
+def _q_garnet_end_members() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: minerals.add_garnet_end_members(plan, f, carry=["id"]),
+    )
+
+
+def _q_cpx_end_members() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_CPX,
+        lambda plan, f: minerals.add_cpx_end_members(plan, f, carry=["id"]),
+    )
+
+
+def _q_feldspar_end_members() -> QuerySpec:
+    return plan_query(
+        "orders", PSEUDO_FSP,
+        lambda plan, f: minerals.add_feldspar_end_members(plan, f, carry=["id"]),
+    )
+
+
+def _q_garnet_apfu() -> QuerySpec:
+    def build(plan, fcols):
+        minerals.add_apfu(plan, fcols, minerals.GARNET, carry=["id"])
+
+    return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+def _q_garnet_site_allocation() -> QuerySpec:
+    def build(plan, fcols):
+        minerals.add_site_allocations_flat(
+            plan, fcols, minerals.GARNET, carry=["id"]
+        )
+
+    return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+def _q_garnet_stoichiometry() -> QuerySpec:
+    def build(plan, fcols):
+        minerals.add_check_stoichiometry(
+            plan, fcols, minerals.GARNET, carry=["id"]
+        )
+
+    return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+def _q_to_moles() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_to_moles(plan, f, carry=["id"]),
+    )
+
+
+def _q_normalize() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_normalize(plan, f, carry=["id"]),
+    )
+
+
+def _q_apfu_oxygen_basis() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_to_apfu(plan, f, n_oxygens=12, carry=["id"]),
+    )
+
+
+def _q_apfu_cation_basis() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_to_apfu(plan, f, n_cations=8, carry=["id"]),
+    )
+
+
+def _q_apfu_by_charge() -> QuerySpec:
+    # chlorite's 28-charge convention (ref ``_calc.py:313-345``)
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_to_apfu_by_charge(
+            plan, f, target_charges=28.0, carry=["id"]
+        ),
+    )
+
+
+def _q_feo_to_fe2o3() -> QuerySpec:
+    return plan_query(
+        "lineitem", PSEUDO_GARNET,
+        lambda plan, f: add_feo_to_fe2o3(plan, f, carry=["id"]),
+    )
+
+
+def _q_oxidize_moles() -> QuerySpec:
+    def build(plan, fcols):
+        cols = add_to_moles(plan, fcols, carry=["id"])
+        add_oxidize_moles(plan, cols, o_excess=2.0, carry=["id"])
+
+    return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+def _q_split_valence_schumacher() -> QuerySpec:
+    def build(plan, fcols):
+        ions = add_to_apfu(plan, fcols, n_oxygens=23, carry=["id"])
+        add_split_valence(
+            plan, ions, element="Fe", method="schumacher",
+            n_oxygens=23, ideal_cations=15, carry=["id"],
+        )
+
+    return plan_query("lineitem", PSEUDO_CPX, build)
+
+
+def _q_oxide_means_grouped() -> QuerySpec:
+    """A2 grouped oxide mean — the reference's only shuffling operator
+    (ref ``_accessors.py:283-288``), here over the pseudo-garnet table."""
+    inner = _pseudo_sql(PSEUDO_GARNET, PLAIN)
+    cols = [a for a, _ in PSEUDO_GARNET if a != "id"]
+    aggs = ", ".join(f"{dmean(c)} AS {c}_mean" for c in cols)
+    sql = (
+        f"SELECT l_returnflag, COUNT(*) AS n, {aggs} "
+        f"FROM (SELECT l_returnflag, {inner} FROM lineitem) t "
+        f"GROUP BY l_returnflag"
+    )
+    return sql_query(["lineitem"], sql)
+
+
+def _q_weighted_mean() -> QuerySpec:
+    """A3 weighted mean Σ(x·w)/Σw with l_quantity as weights
+    (ref ``_accessors.py:675-722``)."""
+    cols = [a for a, _ in PSEUDO_GARNET if a != "id"]
+    inner = _pseudo_sql(PSEUDO_GARNET, PLAIN)
+    aggs = ", ".join(
+        f"({dsum(f'{c} * l_quantity')} / {dsum('l_quantity')}) AS {c}_wmean"
+        for c in cols
+    )
+    sql = (
+        f"SELECT l_returnflag, {aggs} "
+        f"FROM (SELECT l_returnflag, l_quantity, {inner} FROM lineitem) t "
+        f"GROUP BY l_returnflag"
+    )
+    return sql_query(["lineitem"], sql)
+
+
+def _pseudo_sql(mapping: list[tuple[str, str]], dialect) -> str:
+    """Render a pseudo-mineral mapping as a SELECT-list fragment."""
+    return ", ".join(f"{e} AS {dialect.quote(a)}" for a, e in mapping)
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (TPC-H-ish; shared SQL text)
+# ---------------------------------------------------------------------------
+
+Q1_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')} AS sum_qty,
+       {dsum('l_extendedprice')} AS sum_base_price,
+       {dsum('l_extendedprice * (1e0 - l_discount)')} AS sum_disc_price,
+       {dsum('l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)')} AS sum_charge,
+       {dmean('l_quantity')} AS avg_qty,
+       {dmean('l_extendedprice')} AS avg_price,
+       {dmean('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_TOPK = f"""
+SELECT * FROM (
+  SELECT o_orderkey, o_orderdate, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
+  FROM (
+    SELECT /*+ BROADCAST(customer) */ o_orderkey, o_orderdate,
+           {dsum('l_extendedprice * (1e0 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey AND o_orderdate < DATE '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate
+  ) r
+) ranked WHERE rk <= 10
+"""
+
+Q5_LOCAL_SUPPLIER = f"""
+SELECT /*+ BROADCAST(region, nation, supplier, customer) */ n_name,
+       {dsum('l_extendedprice * (1e0 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+Q6_REVENUE = f"""
+SELECT {dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount >= 0.03e0 AND l_discount <= 0.07e0 AND l_quantity < 24e0
+"""
+
+Q10_RETURNS = f"""
+SELECT /*+ BROADCAST(nation) */ c_custkey, c_name, n_name,
+       {dsum('l_extendedprice * (1e0 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+"""
+
+PART_BRAND_STATS = f"""
+SELECT /*+ BROADCAST(part) */ p_brand, p_type,
+       COUNT(*) AS n_items,
+       {dsum('l_quantity')} AS total_qty,
+       {dsum('l_extendedprice')} AS total_price,
+       CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+TOPK_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) t WHERE rk <= 20
+"""
+
+# ---------------------------------------------------------------------------
+# Events: windows / sessionization (Structured-Streaming-shaped, batch-checked)
+#
+# Spark reads ts as BIGINT nanoseconds (see _load); the DuckDB source is
+# wrapped so its ts is the same BIGINT.  All time math is integer ns —
+# exact, order-independent, and identical across engines.  {div} is the
+# integer-division operator (Spark `DIV`, DuckDB `//`; both floor for
+# positive operands).
+# ---------------------------------------------------------------------------
+
+_EVENTS_SRC_DUCK = (
+    "(SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, "
+    "event_type, value, props FROM events) events"
+)
+
+# DuckDB reads parquet TIMESTAMP(NANOS) at microsecond precision (floor);
+# Spark's raw BIGINT keeps full nanos — truncate to match.
+_EVENTS_SRC_SPARK = (
+    "(SELECT event_id, (ts DIV 1000) * 1000 AS ts, user_id, "
+    "event_type, value, props FROM events) events"
+)
+
+_HOUR_NS = str(3600 * 10**9)
+_GAP_NS = str(30 * 60 * 10**9)  # 30-minute session gap
+
+
+def _events_sql(tmpl: str) -> QuerySpec:
+    return sql_query(
+        ["events"],
+        tmpl.format(src=_EVENTS_SRC_SPARK, div="DIV"),
+        tmpl.format(src=_EVENTS_SRC_DUCK, div="//"),
+    )
+
+
+EVENTS_HOURLY = f"""
+SELECT (ts {{div}} {_HOUR_NS}) AS hour_bucket, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dsum('value')} AS total_value
+FROM {{src}}
+GROUP BY (ts {{div}} {_HOUR_NS}), event_type
+"""
+
+EVENTS_RUNNING = """
+SELECT event_id, user_id, ts AS ts_ns,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS VARCHAR(50)) AS DOUBLE) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq_in_user
+FROM {src}
+"""
+
+EVENTS_SESSIONS = f"""
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start_ns,
+       MAX(ts) AS session_end_ns
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1
+                WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {_GAP_NS} THEN 1
+                ELSE 0 END AS is_new
+    FROM {{src}}
+  ) flagged
+) sessions
+GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+# token count = whitespace-separated tokens (single-space convention of the
+# synthetic corpus); occurrence counting via the replace-length identity.
+_TOKENS = "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)"
+
+
+def _count_occurrences(needle: str) -> str:
+    n = len(needle)
+    return f"((length(lower(text)) - length(replace(lower(text), '{needle}', ''))) / {n})"
+
+
+DOC_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS chars,
+       CAST({_TOKENS} AS BIGINT) AS tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space_chars,
+       CAST({_count_occurrences('e')} AS BIGINT) AS count_e,
+       CAST((CASE WHEN {_TOKENS} = 0 THEN 0e0
+             ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE) / {_TOKENS}
+             END) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+# language-ID heuristic: argmax of per-language stopword hit counts
+_EN = f"({_count_occurrences(' the ')} + {_count_occurrences(' and ')} + {_count_occurrences(' of ')})"
+_DE = f"({_count_occurrences(' der ')} + {_count_occurrences(' und ')} + {_count_occurrences(' die ')})"
+_FR = f"({_count_occurrences(' le ')} + {_count_occurrences(' et ')} + {_count_occurrences(' la ')})"
+
+DOC_LANG_GUESS = f"""
+SELECT doc_id, lang,
+       CAST({_EN} AS BIGINT) AS en_hits,
+       CAST({_DE} AS BIGINT) AS de_hits,
+       CAST({_FR} AS BIGINT) AS fr_hits,
+       CASE WHEN {_EN} >= {_DE} AND {_EN} >= {_FR} AND {_EN} > 0 THEN 'en'
+            WHEN {_DE} >= {_FR} AND {_DE} > 0 THEN 'de'
+            WHEN {_FR} > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+# quality scoring: length band + alpha ratio + repetition proxy
+DOC_QUALITY = f"""
+SELECT doc_id,
+       CAST((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1e0
+             WHEN length(text) < 100 THEN length(text) / 100e0
+             ELSE 20000e0 / length(text) END) AS DOUBLE) AS length_score,
+       CAST((CASE WHEN length(text) = 0 THEN 0e0
+             ELSE CAST({_TOKENS} AS DOUBLE) / (length(text) / 5e0 + 1e0)
+             END) AS DOUBLE) AS token_density,
+       CAST({_count_occurrences('. ')} AS BIGINT) AS sentences
+FROM documents
+"""
+
+DOC_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       substr(md5(lower(trim(text))), 1, 8) AS band
+FROM documents
+"""
+
+# MinHash signatures: 5-gram shingles at stride 4 over the first 400 chars;
+# one md5 per shingle; 4 independent hash views = disjoint 8-hex windows of
+# the digest; signature = per-view minimum (lexicographic on hex strings —
+# identical ordering in both engines).  Docs shorter than 5 chars hash the
+# whole text.
+_MH_SIG = ", ".join(
+    f"MIN(substr(h, {1 + 8 * j}, 8)) AS sig{j}" for j in range(4)
+)
+
+DOC_MINHASH_SPARK = f"""
+SELECT doc_id, {_MH_SIG}
+FROM (
+  SELECT doc_id, md5(substr(substr(text, 1, 400), i, 5)) AS h
+  FROM documents
+  LATERAL VIEW explode(sequence(1, greatest(length(substr(text, 1, 400)) - 4, 1), 4)) t AS i
+) shingles
+GROUP BY doc_id
+"""
+
+DOC_MINHASH_DUCK = f"""
+SELECT doc_id, {_MH_SIG}
+FROM (
+  SELECT d.doc_id, md5(substr(substr(d.text, 1, 400), u.i, 5)) AS h
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(substr(d.text, 1, 400)) - 4, 1), 4)) AS i
+  ) u
+) shingles
+GROUP BY doc_id
+"""
+
+# near-dup candidate pairs: equal full minhash signature (banded join)
+DOC_NEARDUP_SPARK = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({DOC_MINHASH_SPARK}) a JOIN ({DOC_MINHASH_SPARK}) b
+  ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.sig3 = b.sig3
+  AND a.doc_id < b.doc_id
+"""
+
+DOC_NEARDUP_DUCK = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({DOC_MINHASH_DUCK}) a JOIN ({DOC_MINHASH_DUCK}) b
+  ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.sig3 = b.sig3
+  AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search (brute-force cosine top-k baseline)
+# ---------------------------------------------------------------------------
+
+# dot product unrolled as an ordered left-fold — both engines evaluate the
+# same sequential double additions (verified bitwise in tests).
+EMB_KNN_SPARK = """
+SELECT vec_id, label, cosine FROM (
+  SELECT e.vec_id, e.label,
+         aggregate(zip_with(CAST(e.embedding AS ARRAY<DOUBLE>),
+                            CAST(q.embedding AS ARRAY<DOUBLE>),
+                            (x, y) -> x * y),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(CAST(e.embedding AS ARRAY<DOUBLE>),
+                           CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))
+            * sqrt(aggregate(CAST(q.embedding AS ARRAY<DOUBLE>),
+                             CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)))
+         AS cosine
+  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+  WHERE e.vec_id <> 1
+) scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+EMB_KNN_DUCK = """
+SELECT vec_id, label, cosine FROM (
+  SELECT e.vec_id, e.label,
+         list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+         AS cosine
+  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+  WHERE e.vec_id <> 1
+) scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+# per-label centroid distance: aggregation over vector norms
+EMB_NORMS_SPARK = """
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) AS DECIMAL(28,10)))
+            AS DOUBLE) AS sum_norm
+FROM embeddings
+GROUP BY label
+"""
+
+EMB_NORMS_DUCK = """
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS DECIMAL(28,10))) AS DOUBLE) AS sum_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# The registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry() -> dict[str, QuerySpec]:
+    r: dict[str, QuerySpec] = {}
+    # domain operators (SURVEY.md §2.3-2.6)
+    r["garnet_end_members"] = _q_garnet_end_members()
+    r["cpx_end_members"] = _q_cpx_end_members()
+    r["feldspar_end_members"] = _q_feldspar_end_members()
+    r["garnet_apfu_site_filtered"] = _q_garnet_apfu()
+    r["garnet_site_allocation"] = _q_garnet_site_allocation()
+    r["garnet_stoichiometry"] = _q_garnet_stoichiometry()
+    r["to_moles"] = _q_to_moles()
+    r["normalize_100"] = _q_normalize()
+    r["apfu_oxygen_basis"] = _q_apfu_oxygen_basis()
+    r["apfu_cation_basis"] = _q_apfu_cation_basis()
+    r["apfu_by_charge"] = _q_apfu_by_charge()
+    r["feo_to_fe2o3"] = _q_feo_to_fe2o3()
+    r["oxidize_moles"] = _q_oxidize_moles()
+    r["split_valence_schumacher"] = _q_split_valence_schumacher()
+    # aggregations (§2.8)
+    r["oxide_means_grouped"] = _q_oxide_means_grouped()
+    r["weighted_mean_grouped"] = _q_weighted_mean()
+    # relational surface
+    r["q1_pricing_summary"] = sql_query(["lineitem"], Q1_PRICING)
+    r["q3_shipping_topk"] = sql_query(["customer", "orders", "lineitem"], Q3_TOPK)
+    r["q5_local_supplier"] = sql_query(
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+        Q5_LOCAL_SUPPLIER,
+    )
+    r["q6_forecast_revenue"] = sql_query(["lineitem"], Q6_REVENUE)
+    r["q10_returned_items"] = sql_query(
+        ["customer", "orders", "lineitem", "nation"], Q10_RETURNS
+    )
+    r["part_brand_stats"] = sql_query(["lineitem", "part"], PART_BRAND_STATS)
+    r["topk_customers"] = sql_query(["customer"], TOPK_CUSTOMERS)
+    # events
+    r["events_hourly"] = _events_sql(EVENTS_HOURLY)
+    r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
+    r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
+    # documents / text pipeline
+    r["doc_stats"] = sql_query(["documents"], DOC_STATS)
+    r["doc_lang_guess"] = sql_query(["documents"], DOC_LANG_GUESS)
+    r["doc_quality"] = sql_query(["documents"], DOC_QUALITY)
+    r["dedup_exact"] = sql_query(["documents"], DOC_DEDUP_EXACT)
+    r["doc_fingerprint"] = sql_query(["documents"], DOC_FINGERPRINT)
+    r["minhash_signatures"] = sql_query(
+        ["documents"], DOC_MINHASH_SPARK, DOC_MINHASH_DUCK
+    )
+    r["neardup_minhash_pairs"] = sql_query(
+        ["documents"], DOC_NEARDUP_SPARK, DOC_NEARDUP_DUCK
+    )
+    # embeddings
+    r["knn_cosine_topk"] = sql_query(["embeddings"], EMB_KNN_SPARK, EMB_KNN_DUCK)
+    r["embedding_norms_by_label"] = sql_query(
+        ["embeddings"], EMB_NORMS_SPARK, EMB_NORMS_DUCK
+    )
+    return r

@@ -50,6 +50,9 @@ class Dialect:
 
 SPARK = Dialect("spark", "`", "`")
 DUCKDB = Dialect("duckdb", '"', '"')
+# For SQL text shared verbatim between engines; only safe for identifiers
+# that need no quoting in either dialect (plain alphanumerics).
+PLAIN = Dialect("plain", "", "")
 
 
 # ---------------------------------------------------------------------------
