@@ -139,20 +139,33 @@ def sql_query(tables: list[str], sql: str, duck_sql: str | None = None) -> Query
     return QuerySpec(fn, duck_sql or sql)
 
 
-# Aggregate helpers: exact, order-independent sums (see module docstring).
-# The final DOUBLE is produced via a VARCHAR round-trip, not a direct
-# decimal→double cast: DuckDB's wide-decimal (int128) → double conversion is
-# not correctly rounded (observed 5e-8 drift at sf0.01), while string→double
-# parsing is correctly rounded in both engines, so both sides recover the
-# identical double from the identical exact decimal.
-def dsum(expr: str) -> str:
+# Aggregate helpers: exact, order-independent sums via fixed-point BIGINT.
+#
+# A plain double SUM is partition-order-dependent, so it can never hash-match
+# an independent engine.  Candidates benchmarked at sf0.1 (6 aggs, 600k rows):
+# DECIMAL(28,10) 2.28s, DECIMAL(18,s) 1.6s, scaled BIGINT 0.66s — the decimal
+# accumulator defeats codegen's primitive fast path, the long one doesn't.
+# Scaled BIGINT is also the only variant with agreeing tie semantics: both
+# engines' ROUND(double) round half away from zero, whereas double→decimal
+# casts differ (Spark HALF_UP vs DuckDB round-half-even), and DuckDB's wide
+# decimal→double cast isn't even correctly rounded (observed 5e-8 drift).
+#
+# Exactness bound: summands quantized to `scale` decimals must satisfy
+# |x|·10^scale < 2^53 (ROUND exact) and the group total < 2^63/10^scale
+# (Spark wraps int64; DuckDB promotes to HUGEINT).  At scale=6 that is a
+# ±9.2e12 group total — fine for TPC-H-style measures well past sf1000; for
+# wider totals drop `scale`.  The final BIGINT→DOUBLE cast and the division
+# are correctly rounded in both engines, so determinism survives any
+# magnitude; only sub-quantum precision degrades.
+def dsum(expr: str, scale: int = 6) -> str:
+    q = 10**scale
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR(50)) AS DOUBLE)"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {q}e0) AS BIGINT)) AS DOUBLE) / {q}e0)"
     )
 
 
-def dmean(expr: str) -> str:
-    return f"({dsum(expr)} / COUNT(*))"
+def dmean(expr: str, scale: int = 6) -> str:
+    return f"({dsum(expr, scale)} / COUNT(*))"
 
 
 # ---------------------------------------------------------------------------
@@ -432,10 +445,10 @@ GROUP BY (ts {{div}} {_HOUR_NS}), event_type
 
 EVENTS_RUNNING = """
 SELECT event_id, user_id, ts AS ts_ns,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+       (CAST(SUM(CAST(ROUND(value * 1000000e0) AS BIGINT))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS VARCHAR(50)) AS DOUBLE) AS running_value,
+            AS DOUBLE) / 1000000e0) AS running_value,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS seq_in_user
 FROM {src}
@@ -619,19 +632,17 @@ LIMIT 10
 """
 
 # per-label centroid distance: aggregation over vector norms
-EMB_NORMS_SPARK = """
+EMB_NORMS_SPARK = f"""
 SELECT label, COUNT(*) AS n,
-       CAST(SUM(CAST(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
-                 CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) AS DECIMAL(28,10)))
-            AS DOUBLE) AS sum_norm
+       {dsum('''sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))''', scale=10)} AS sum_norm
 FROM embeddings
 GROUP BY label
 """
 
-EMB_NORMS_DUCK = """
+EMB_NORMS_DUCK = f"""
 SELECT label, COUNT(*) AS n,
-       CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                 AS DECIMAL(28,10))) AS DOUBLE) AS sum_norm
+       {dsum("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))", scale=10)} AS sum_norm
 FROM embeddings
 GROUP BY label
 """
