@@ -89,19 +89,19 @@ def add_split_valence(
             return _droop_high(q, cols, total_col, n_oxygens, ideal_cations)
         return _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations)
 
-    def low(q):
-        return clip_lower(f"({q(total_col)} - {high(q)})", 0.0)
-
     out = []
     st = plan.stage()
     st.passthrough(list(carry))
     for c in cols:
         if c == total_col:
-            # low-charge replaces the total column in place …
-            st.add(low_ion, lambda q: low(q))
+            # Reference parity quirk (``_calc.py:825-841``): the low-charge
+            # column is the total column *renamed* — `low` is computed there
+            # but never assigned, so Fe{2+} keeps the TOTAL element APFU —
+            # and the high-charge estimate is inserted right after it.
+            # Verified against the reference via the tools/refshim oracle.
+            st.add(low_ion, lambda q: q(total_col))
             out.append(low_ion)
-            # … and high-charge = total − low is inserted right after
-            st.add(high_ion, lambda q: f"({q(total_col)} - {low(q)})")
+            st.add(high_ion, lambda q: high(q))
             out.append(high_ion)
         else:
             st.add(c, lambda q, c=c: q(c))

@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from petropandas_spark import minerals
+from petropandas_spark import minerals, minerals_ext
 from petropandas_spark.functions.conversions import (
     add_feo_to_fe2o3,
     add_normalize,
@@ -93,6 +93,141 @@ PSEUDO_CPX = [
     ("MgO", "14.0e0 + (l_partkey % 6) * 0.4e0"),
     ("CaO", "20.0e0 + (l_suppkey % 5) * 0.5e0"),
     ("Na2O", "0.3e0 + (l_orderkey % 5) * 0.25e0"),
+]
+
+# Pseudo-analyses for the extended mineral set (E2, E5-E16).  Values are
+# near-ideal compositions with deterministic integer-arithmetic noise keyed
+# on the host table's keys — identical in both dialects, no FP-order hazard.
+PSEUDO_OPX = [
+    ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+    ("SiO2", "54.0e0 + (l_partkey % 8) * 0.25e0"),
+    ("TiO2", "(l_orderkey % 3) * 0.06e0"),
+    ("Al2O3", "1.2e0 + (l_suppkey % 6) * 0.3e0"),
+    ("Cr2O3", "(l_partkey % 4) * 0.08e0"),
+    ("FeO", "12.5e0 + (l_linenumber % 5) * 0.7e0"),
+    ("MnO", "0.2e0 + (l_orderkey % 4) * 0.1e0"),
+    ("MgO", "27.5e0 + (l_partkey % 6) * 0.4e0"),
+    ("CaO", "0.3e0 + (l_suppkey % 5) * 0.15e0"),
+]
+
+PSEUDO_MS = [
+    ("id", "CAST(o_orderkey AS BIGINT)"),
+    ("SiO2", "45.8e0 + (o_orderkey % 8) * 0.2e0"),
+    ("TiO2", "0.2e0 + (o_custkey % 4) * 0.1e0"),
+    ("Al2O3", "33.8e0 + (o_custkey % 6) * 0.25e0"),
+    ("FeO", "1.0e0 + (o_orderkey % 5) * 0.2e0"),
+    ("MgO", "0.6e0 + (o_custkey % 3) * 0.15e0"),
+    ("CaO", "(o_orderkey % 3) * 0.05e0"),
+    ("Na2O", "0.6e0 + (o_custkey % 5) * 0.15e0"),
+    ("K2O", "9.8e0 + (o_orderkey % 4) * 0.2e0"),
+]
+
+PSEUDO_BT = [
+    ("id", "CAST(o_orderkey AS BIGINT)"),
+    ("SiO2", "36.2e0 + (o_orderkey % 7) * 0.2e0"),
+    ("TiO2", "1.6e0 + (o_custkey % 5) * 0.25e0"),
+    ("Al2O3", "17.0e0 + (o_custkey % 4) * 0.3e0"),
+    ("FeO", "17.5e0 + (o_orderkey % 6) * 0.4e0"),
+    ("MnO", "0.2e0 + (o_custkey % 3) * 0.08e0"),
+    ("MgO", "10.4e0 + (o_orderkey % 5) * 0.3e0"),
+    ("Na2O", "(o_custkey % 4) * 0.08e0"),
+    ("K2O", "9.0e0 + (o_orderkey % 4) * 0.2e0"),
+]
+
+PSEUDO_ST = [
+    ("id", "CAST(c_custkey AS BIGINT)"),
+    ("SiO2", "27.0e0 + (c_custkey % 6) * 0.15e0"),
+    ("TiO2", "0.3e0 + (c_nationkey % 4) * 0.1e0"),
+    ("Al2O3", "53.2e0 + (c_nationkey % 5) * 0.3e0"),
+    ("FeO", "12.2e0 + (c_custkey % 5) * 0.3e0"),
+    ("MnO", "0.1e0 + (c_custkey % 3) * 0.1e0"),
+    ("MgO", "1.3e0 + (c_nationkey % 4) * 0.15e0"),
+    ("ZnO", "0.4e0 + (c_custkey % 4) * 0.2e0"),
+]
+
+PSEUDO_CHL = [
+    ("id", "CAST(c_custkey AS BIGINT)"),
+    ("SiO2", "25.0e0 + (c_custkey % 7) * 0.2e0"),
+    ("TiO2", "(c_nationkey % 3) * 0.05e0"),
+    ("Al2O3", "21.0e0 + (c_nationkey % 5) * 0.25e0"),
+    ("FeO", "21.8e0 + (c_custkey % 6) * 0.3e0"),
+    ("MnO", "0.1e0 + (c_custkey % 4) * 0.06e0"),
+    ("MgO", "17.0e0 + (c_nationkey % 6) * 0.25e0"),
+]
+
+PSEUDO_EP = [
+    ("id", "CAST(o_orderkey AS BIGINT)"),
+    ("SiO2", "37.4e0 + (o_orderkey % 6) * 0.15e0"),
+    ("TiO2", "(o_custkey % 3) * 0.06e0"),
+    ("Al2O3", "24.2e0 + (o_custkey % 6) * 0.3e0"),
+    ("FeO", "8.8e0 + (o_orderkey % 5) * 0.35e0"),
+    ("MnO", "0.1e0 + (o_custkey % 4) * 0.1e0"),
+    ("CaO", "22.8e0 + (o_orderkey % 4) * 0.2e0"),
+]
+
+PSEUDO_AMP = [
+    ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+    ("SiO2", "43.0e0 + (l_partkey % 8) * 0.2e0"),
+    ("TiO2", "1.0e0 + (l_orderkey % 4) * 0.2e0"),
+    ("Al2O3", "11.0e0 + (l_suppkey % 6) * 0.25e0"),
+    ("FeO", "13.2e0 + (l_linenumber % 5) * 0.3e0"),
+    ("MnO", "0.2e0 + (l_orderkey % 3) * 0.1e0"),
+    ("MgO", "11.8e0 + (l_partkey % 6) * 0.2e0"),
+    ("CaO", "11.0e0 + (l_suppkey % 5) * 0.2e0"),
+    ("Na2O", "1.8e0 + (l_orderkey % 5) * 0.2e0"),
+    ("K2O", "0.5e0 + (l_partkey % 4) * 0.1e0"),
+]
+
+PSEUDO_TTN = [
+    ("id", "CAST(p_partkey AS BIGINT)"),
+    ("SiO2", "30.0e0 + (p_partkey % 5) * 0.12e0"),
+    ("TiO2", "36.0e0 + (p_size % 8) * 0.2e0"),
+    ("Al2O3", "1.2e0 + (p_partkey % 4) * 0.3e0"),
+    ("FeO", "0.5e0 + (p_size % 5) * 0.15e0"),
+    ("CaO", "27.8e0 + (p_partkey % 6) * 0.12e0"),
+]
+
+PSEUDO_CLD = [
+    ("id", "CAST(p_partkey AS BIGINT)"),
+    ("SiO2", "24.1e0 + (p_partkey % 6) * 0.12e0"),
+    ("TiO2", "(p_size % 3) * 0.05e0"),
+    ("Al2O3", "39.8e0 + (p_size % 6) * 0.2e0"),
+    ("FeO", "23.2e0 + (p_partkey % 5) * 0.3e0"),
+    ("MnO", "0.3e0 + (p_size % 4) * 0.12e0"),
+    ("MgO", "2.2e0 + (p_partkey % 4) * 0.2e0"),
+]
+
+PSEUDO_CRD = [
+    ("id", "CAST(o_orderkey AS BIGINT)"),
+    ("SiO2", "48.4e0 + (o_orderkey % 7) * 0.15e0"),
+    ("Al2O3", "32.4e0 + (o_custkey % 5) * 0.2e0"),
+    ("FeO", "7.2e0 + (o_orderkey % 5) * 0.3e0"),
+    ("MnO", "0.1e0 + (o_custkey % 3) * 0.08e0"),
+    ("MgO", "8.0e0 + (o_orderkey % 4) * 0.25e0"),
+    ("Na2O", "0.2e0 + (o_custkey % 4) * 0.08e0"),
+    ("K2O", "(o_orderkey % 3) * 0.04e0"),
+]
+
+PSEUDO_ILM = [
+    ("id", "CAST(p_partkey AS BIGINT)"),
+    ("TiO2", "49.8e0 + (p_partkey % 7) * 0.2e0"),
+    ("Al2O3", "(p_size % 3) * 0.1e0"),
+    ("Cr2O3", "(p_partkey % 4) * 0.08e0"),
+    ("FeO", "43.6e0 + (p_size % 6) * 0.3e0"),
+    ("MnO", "1.5e0 + (p_partkey % 5) * 0.3e0"),
+    ("MgO", "0.4e0 + (p_size % 4) * 0.15e0"),
+]
+
+PSEUDO_SPL = [
+    ("id", "CAST(c_custkey AS BIGINT)"),
+    ("TiO2", "(c_nationkey % 3) * 0.08e0"),
+    ("Al2O3", "57.5e0 + (c_custkey % 7) * 0.3e0"),
+    ("Cr2O3", "1.5e0 + (c_nationkey % 5) * 0.4e0"),
+    ("Fe2O3", "1.2e0 + (c_custkey % 4) * 0.25e0"),
+    ("FeO", "16.8e0 + (c_custkey % 6) * 0.3e0"),
+    ("MnO", "0.1e0 + (c_nationkey % 4) * 0.06e0"),
+    ("MgO", "16.5e0 + (c_custkey % 5) * 0.3e0"),
+    ("ZnO", "0.3e0 + (c_nationkey % 3) * 0.15e0"),
 ]
 
 # One feldspar-like analysis per order row.
@@ -217,6 +352,36 @@ def _q_garnet_stoichiometry() -> QuerySpec:
         )
 
     return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+# Extended mineral set: (query_name, table, mapping, emitter)
+_EXT_MINERALS = [
+    ("garnetfe3_end_members", "lineitem", PSEUDO_GARNET,
+     minerals_ext.add_garnetfe3_end_members),
+    ("opx_end_members", "lineitem", PSEUDO_OPX, minerals_ext.add_opx_end_members),
+    ("muscovite_end_members", "orders", PSEUDO_MS,
+     minerals_ext.add_muscovite_end_members),
+    ("biotite_end_members", "orders", PSEUDO_BT,
+     minerals_ext.add_biotite_end_members),
+    ("staurolite_end_members", "customer", PSEUDO_ST,
+     minerals_ext.add_staurolite_end_members),
+    ("chlorite_end_members", "customer", PSEUDO_CHL,
+     minerals_ext.add_chlorite_end_members),
+    ("epidote_end_members", "orders", PSEUDO_EP,
+     minerals_ext.add_epidote_end_members),
+    ("amphibole_end_members", "lineitem", PSEUDO_AMP,
+     minerals_ext.add_amphibole_end_members),
+    ("titanite_end_members", "part", PSEUDO_TTN,
+     minerals_ext.add_titanite_end_members),
+    ("chloritoid_end_members", "part", PSEUDO_CLD,
+     minerals_ext.add_chloritoid_end_members),
+    ("cordierite_end_members", "orders", PSEUDO_CRD,
+     minerals_ext.add_cordierite_end_members),
+    ("ilmenite_end_members", "part", PSEUDO_ILM,
+     minerals_ext.add_ilmenite_end_members),
+    ("spinel_end_members", "customer", PSEUDO_SPL,
+     minerals_ext.add_spinel_end_members),
+]
 
 
 def _q_to_moles() -> QuerySpec:
@@ -662,6 +827,11 @@ def build_registry() -> dict[str, QuerySpec]:
     r["garnet_apfu_site_filtered"] = _q_garnet_apfu()
     r["garnet_site_allocation"] = _q_garnet_site_allocation()
     r["garnet_stoichiometry"] = _q_garnet_stoichiometry()
+    for qname, table, mapping, emitter in _EXT_MINERALS:
+        r[qname] = plan_query(
+            table, mapping,
+            lambda plan, f, emitter=emitter: emitter(plan, f, carry=["id"]),
+        )
     r["to_moles"] = _q_to_moles()
     r["normalize_100"] = _q_normalize()
     r["apfu_oxygen_basis"] = _q_apfu_oxygen_basis()
