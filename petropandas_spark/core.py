@@ -88,18 +88,40 @@ def parse_formula(col: str) -> tuple[tuple[tuple[str, int], ...], int] | None:
         s = s[: m.start()]
     if not s:
         return None
+    atoms = _parse_atoms(s)
+    if not atoms:
+        return None
+    return tuple(atoms), charge
+
+
+def _parse_atoms(s: str) -> list[tuple[str, int]] | None:
+    """Tokenize a formula body, supporting parenthesized groups like
+    ``Ca5(PO4)3F`` (needed for normative-mineral MWs)."""
     pos = 0
     atoms: list[tuple[str, int]] = []
     while pos < len(s):
+        if s[pos] == "(":
+            depth, j = 1, pos + 1
+            while j < len(s) and depth:
+                depth += {"(": 1, ")": -1}.get(s[j], 0)
+                j += 1
+            if depth:
+                return None
+            inner = _parse_atoms(s[pos + 1 : j - 1])
+            if not inner:
+                return None
+            m = re.match(r"\d*", s[j:])
+            mult = int(m.group(0)) if m.group(0) else 1
+            atoms.extend((el, n * mult) for el, n in inner)
+            pos = j + m.end()
+            continue
         m = _TOKEN_RE.match(s, pos)
         if not m or not m.group(1) or m.group(1) not in ATOMIC_WEIGHTS:
             return None
         count = int(m.group(2)) if m.group(2) else 1
         atoms.append((m.group(1), count))
         pos = m.end()
-    if not atoms:
-        return None
-    return tuple(atoms), charge
+    return atoms
 
 
 @lru_cache(maxsize=None)

@@ -222,3 +222,50 @@ class PetroFrame:
             plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
         )
         return self._apply(plan, has_total=False)
+
+    # -- bulk-rock layer (B1-B5) ----------------------------------------------
+
+    def alumina_saturation(self, classify: bool = False) -> "PetroFrame":
+        """B1/B2 molar A/NK, A/CNK (+ Shand class)."""
+        from petropandas_spark.functions.bulk import add_alumina_saturation
+
+        plan = Plan()
+        add_alumina_saturation(
+            plan, self.formula_cols, classify=classify, carry=self.meta_cols
+        )
+        return self._apply(plan, has_total=False)
+
+    def oxide_ratios(self) -> "PetroFrame":
+        """B3 FeOT / Mg# / alkali ratios (schema-driven)."""
+        from petropandas_spark.functions.bulk import add_oxide_ratios
+
+        plan = Plan()
+        add_oxide_ratios(plan, self.formula_cols, carry=self.meta_cols)
+        return self._apply(plan, has_total=False)
+
+    def apatite_correction(self) -> "PetroFrame":
+        """B4 fluorapatite CaO correction."""
+        from petropandas_spark.functions.bulk import add_apatite_correction
+
+        plan = Plan()
+        add_apatite_correction(plan, self.df.columns, carry=[])
+        return self._apply(plan)
+
+    def cipw_norm_simple(self, drop_zero: bool = True) -> "PetroFrame":
+        """B5 simplified CIPW norm.  ``drop_zero`` replicates the
+        reference's zero-only column drop (A4) — a two-pass
+        ``agg(max(abs(c)))`` action then a driver-side ``select``."""
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.functions.bulk import add_cipw_norm_simple
+
+        plan = Plan()
+        out = add_cipw_norm_simple(plan, self.formula_cols, carry=self.meta_cols)
+        pf = self._apply(plan, has_total=False)
+        if drop_zero:
+            maxes = pf.df.agg(
+                *[F.max(F.abs(F.col(f"`{c}`"))).alias(c) for c in out]
+            ).collect()[0]
+            keep = self.meta_cols + [c for c in out if (maxes[c] or 0.0) != 0.0]
+            pf = replace(pf, df=pf.df.select(*[f"`{c}`" for c in keep]))
+        return pf

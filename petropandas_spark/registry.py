@@ -230,6 +230,24 @@ PSEUDO_SPL = [
     ("ZnO", "0.3e0 + (c_nationkey % 3) * 0.15e0"),
 ]
 
+# Granite-like bulk composition per supplier row (all oxides present so
+# every bulk-operator branch is active).
+PSEUDO_GRANITE = [
+    ("id", "CAST(s_suppkey AS BIGINT)"),
+    ("SiO2", "70.5e0 + (s_suppkey % 8) * 0.4e0"),
+    ("TiO2", "0.2e0 + (s_nationkey % 4) * 0.06e0"),
+    ("Al2O3", "13.6e0 + (s_nationkey % 5) * 0.2e0"),
+    ("Fe2O3", "0.9e0 + (s_suppkey % 4) * 0.2e0"),
+    ("FeO", "1.4e0 + (s_suppkey % 5) * 0.25e0"),
+    ("MnO", "(s_nationkey % 3) * 0.03e0"),
+    ("MgO", "0.5e0 + (s_suppkey % 4) * 0.15e0"),
+    ("CaO", "1.4e0 + (s_nationkey % 6) * 0.2e0"),
+    ("Na2O", "2.9e0 + (s_suppkey % 5) * 0.15e0"),
+    ("K2O", "4.1e0 + (s_nationkey % 4) * 0.25e0"),
+    ("P2O5", "0.08e0 + (s_suppkey % 3) * 0.04e0"),
+    ("Cr2O3", "(s_suppkey % 4) * 0.02e0"),
+]
+
 # One feldspar-like analysis per order row.
 PSEUDO_FSP = [
     ("id", "CAST(o_orderkey AS BIGINT)"),
@@ -352,6 +370,32 @@ def _q_garnet_stoichiometry() -> QuerySpec:
         )
 
     return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
+from petropandas_spark.functions import bulk as _bulk  # noqa: E402
+
+
+def _bulk_queries() -> dict[str, QuerySpec]:
+    qs: dict[str, QuerySpec] = {}
+    qs["bulk_alumina_saturation"] = plan_query(
+        "supplier", PSEUDO_GRANITE,
+        lambda plan, f: _bulk.add_alumina_saturation(
+            plan, f, classify=True, carry=["id"]
+        ),
+    )
+    qs["bulk_oxide_ratios"] = plan_query(
+        "supplier", PSEUDO_GRANITE,
+        lambda plan, f: _bulk.add_oxide_ratios(plan, f, carry=["id"]),
+    )
+    qs["bulk_apatite_correction"] = plan_query(
+        "supplier", PSEUDO_GRANITE,
+        lambda plan, f: _bulk.add_apatite_correction(plan, f, carry=["id"]),
+    )
+    qs["cipw_norm_simple"] = plan_query(
+        "supplier", PSEUDO_GRANITE,
+        lambda plan, f: _bulk.add_cipw_norm_simple(plan, f, carry=["id"]),
+    )
+    return qs
 
 
 # Extended mineral set: (query_name, table, mapping, emitter)
@@ -840,6 +884,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["feo_to_fe2o3"] = _q_feo_to_fe2o3()
     r["oxidize_moles"] = _q_oxidize_moles()
     r["split_valence_schumacher"] = _q_split_valence_schumacher()
+    # bulk-rock layer (§2.10)
+    r.update(_bulk_queries())
     # aggregations (§2.8)
     r["oxide_means_grouped"] = _q_oxide_means_grouped()
     r["weighted_mean_grouped"] = _q_weighted_mean()
