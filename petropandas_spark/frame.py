@@ -251,6 +251,48 @@ class PetroFrame:
         add_apatite_correction(plan, self.df.columns, carry=[])
         return self._apply(plan)
 
+    def cipw_norm(
+        self, *, hb: bool = False, normsum: bool = False,
+        cancrinite: bool = False, spinel: bool = False,
+        complete_results: bool = False,
+    ) -> "PetroFrame":
+        """B6/B7 GCDkit-faithful CIPW norm (vectorized mapInPandas stage).
+
+        ``complete_results=False`` replicates the reference runner
+        (``_calc.py:1738-1767``): drop the sub-mineral split columns, drop
+        all-zero columns (a Spark agg action), and drop NaN-Total rows.
+        """
+        from pyspark.sql import functions as F
+
+        from petropandas_spark import cipw as _cipw
+
+        out_df = _cipw.cipw_norm_df(
+            self.df, hb=hb, normsum=normsum, cancrinite=cancrinite,
+            spinel=spinel, id_cols=self.meta_cols,
+        )
+        pf = replace(self, df=out_df, units="wt%", has_total=False)
+        if complete_results:
+            return pf
+        drop = {"En", "Fs", "Fo", "Fa", "MgDi", "FeDi"}
+        if hb:
+            drop |= {"MgBi", "FeBi", "Act", "FeAct", "MgAct",
+                     "Ed", "FeEd", "MgEd"}
+        names = [c for c in (_cipw.CIPWHB_NAMES if hb else _cipw.CIPW_NAMES)
+                 if c not in drop]
+        kept = pf.df.select(*self.meta_cols, *[f"`{c}`" for c in names])
+        # all-zero column drop over non-NaN rows (reference counts `== 0`)
+        counts = kept.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum((F.col(f"`{c}`") == 0.0).cast("long")).alias(c)
+              for c in names],
+        ).collect()[0]
+        keep = [c for c in names if (counts[c] or 0) != counts["__n"]]
+        return replace(
+            pf,
+            df=kept.select(*self.meta_cols, *[f"`{c}`" for c in keep])
+            .filter(F.col("Total").isNotNull()),
+        )
+
     def cipw_norm_simple(self, drop_zero: bool = True) -> "PetroFrame":
         """B5 simplified CIPW norm.  ``drop_zero`` replicates the
         reference's zero-only column drop (A4) — a two-pass

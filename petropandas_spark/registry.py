@@ -395,6 +395,22 @@ def _bulk_queries() -> dict[str, QuerySpec]:
         "supplier", PSEUDO_GRANITE,
         lambda plan, f: _bulk.add_cipw_norm_simple(plan, f, carry=["id"]),
     )
+
+    # B6/B7 full GCDkit CIPW: branching per-row cascade → vectorized
+    # mapInPandas; not SQL-expressible, so the driver records the weaker
+    # rows-only check (reference parity is covered by tests/test_bulk.py).
+    def cipw_fn(spark, sf_dir, hb=False):
+        from petropandas_spark.cipw import cipw_norm_df
+
+        df = _load(spark, sf_dir, "supplier").selectExpr(
+            *[f"{e} AS {a}" for a, e in PSEUDO_GRANITE]
+        )
+        return cipw_norm_df(df, hb=hb, id_cols=["id"])
+
+    qs["cipw_norm_full"] = QuerySpec(cipw_fn, None)
+    qs["cipw_norm_hornblende"] = QuerySpec(
+        lambda spark, sf_dir: cipw_fn(spark, sf_dir, hb=True), None
+    )
     return qs
 
 

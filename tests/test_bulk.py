@@ -87,3 +87,55 @@ def test_cipw_simple_granite_quartz_feldspar(spark):
     got = _run(spark, GRANITE, "cipw_norm_simple")
     assert got["Q"].iloc[0] > 20.0
     assert got["Or"].iloc[0] + got["Ab"].iloc[0] + got["An"].iloc[0] > 40.0
+
+
+# ---------------------------------------------------------------------------
+# B6/B7 full CIPW norms (vectorized mapInPandas) vs reference
+# ---------------------------------------------------------------------------
+
+# silica-deficient alkaline composition to exercise the deficiency cascade
+NEPHELINITE = {
+    "SiO2": [40.5], "TiO2": [2.8], "Al2O3": [11.5], "Fe2O3": [5.5],
+    "FeO": [8.0], "MnO": [0.2], "MgO": [12.5], "CaO": [12.0],
+    "Na2O": [4.8], "K2O": [1.2], "P2O5": [0.9],
+}
+CIPW_ALL = {k: GRANITE[k] + BASALT[k] + DIORITE[k] + NEPHELINITE[k]
+            for k in GRANITE}
+
+
+def _run_cipw(spark, data, **kw) -> pd.DataFrame:
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", range(len(pdf)))
+    pf = PetroFrame.ingest(spark.createDataFrame(pdf).repartition(2))
+    out = pf.cipw_norm(**kw).df.toPandas()
+    return out.sort_values("id").reset_index(drop=True).drop(columns=["id"])
+
+
+@pytest.mark.parametrize("kw", [
+    dict(complete_results=True),
+    dict(complete_results=True, normsum=True),
+    dict(complete_results=False),
+    dict(complete_results=True, hb=True),
+    dict(complete_results=False, hb=True),
+])
+def test_cipw_norm_matches_reference(spark, kw):
+    hb = kw.get("hb", False)
+    ref_fn = ref_calc.cipw_norm_hb if hb else ref_calc.cipw_norm
+    ref_kw = {k: v for k, v in kw.items() if k != "hb"}
+    expected = ref_fn(pd.DataFrame(CIPW_ALL), **ref_kw).reset_index(drop=True)
+    got = _run_cipw(spark, CIPW_ALL, **kw)
+    assert list(got.columns) == list(expected.columns)
+    pd.testing.assert_frame_equal(got, expected, atol=1e-9, rtol=1e-9)
+
+
+def test_cipw_granite_sanity(spark):
+    # ref tests/test_bulk.py: granite → quartz + feldspars, sum ≈ 100
+    got = _run_cipw(spark, GRANITE)
+    assert got["Q"].iloc[0] > 20.0
+    assert got["Total"].iloc[0] == pytest.approx(100.0, abs=1.5)
+
+
+def test_cipw_nephelinite_undersaturated(spark):
+    got = _run_cipw(spark, NEPHELINITE, complete_results=True)
+    assert got["Q"].iloc[0] == 0.0
+    assert got["Ne"].iloc[0] > 0.0  # deficiency cascade reached nepheline
