@@ -1,0 +1,452 @@
+"""Metapelite phase set (White, Powell, Holland, Johnson & Green 2014 +
+Mn additions; Holland, Green & Powell 2021 feldspars; Holland & Powell 2011
+epidote) — THERMOCALC axfile tc-mp51MnNCKFMASHTO.txt.
+
+The polynomial blocks are public THERMOCALC axfile data (the same compiled
+notation the reference transcribes, ``/root/reference/src/petropandas/
+hpxeos/metapelite/*.py``); variables are the phases' documented bulk
+mass-balance recoveries.  All eleven phases share the single data-driven
+:class:`~petropandas_spark.hpxeos.PhaseSpec` machinery — no per-phase code.
+"""
+
+from __future__ import annotations
+
+from petropandas_spark.hpxeos import PhaseSpec
+from petropandas_spark.minerals import MineralConfig
+from petropandas_spark.sqlgen import add_chain, safe_denom
+
+_MG, _FE2, _FE3, _MN, _CA, _NA, _K = (
+    "Mg{2+}", "Fe{2+}", "Fe{3+}", "Mn{2+}", "Ca{2+}", "Na{+}", "K{+}",
+)
+_SI, _AL, _TI = "Si{4+}", "Al{3+}", "Ti{4+}"
+
+
+def _ratio(a, b):
+    """a / (a + b) with the reference's bare division (NaN on 0/0)."""
+    return lambda q: f"({a(q)} / ({a(q)} + {b(q)}))"
+
+
+# -- garnet 'g' ---------------------------------------------------------------
+
+_G_P = """
+p(py)      3 1    1  4  -1  f  -1  m  -1  x  -1  z
+             2    0  1  1  m    0  1  1  x
+             2    0  1  1  x    0  1  1  z
+p(alm)     3 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  z
+p(spss)    1 1    0  1  1  m
+p(gr)      1 1    0  1  1  z
+p(kho)     1 1    0  1  1  f
+"""
+
+
+def _g_vars(ctx, ic):
+    ctx.let([
+        ("__Xt", lambda q: add_chain(
+            [ic(_MG)(q), ic(_FE2)(q), ic(_MN)(q), ic(_CA)(q)])),
+        ("__Yt", lambda q: f"({ic(_AL)(q)} + {ic(_FE3)(q)})"),
+    ])
+    ctx.let([
+        ("__xFeX", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+        ("__xMgX", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
+        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
+        ("z", lambda q: f"({ic(_CA)(q)} / {q('__Xt')})"),
+        ("f", lambda q: f"({ic(_FE3)(q)} / {q('__Yt')})"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({q('__xFeX')} / ({q('__xFeX')} + {q('__xMgX')}))"),
+    ])
+
+
+GARNET = PhaseSpec(
+    name="Garnet", abbreviation="g",
+    end_members=("py", "alm", "spss", "gr", "kho"),
+    p_block=_G_P,
+    mineral=MineralConfig(
+        name="TC_g", n_oxygens=12, ideal_cations=8,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _MN, _CA, _AL),
+    build_variables=_g_vars,
+)
+
+# -- biotite 'bi' -------------------------------------------------------------
+
+_BI_P = """
+p(phl)     5 1    1  6  -1  f  -1  m  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  3  m    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(annm)    1 1    0  2  -1/3  Q   1  x
+p(obi)     5 1    0  1   1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -3  m    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(east)    1 1    0  1  1  y
+p(tbi)     1 1    0  1  1  t
+p(fbi)     1 1    0  1  1  f
+p(mmbi)    1 1    0  1  1  m
+"""
+
+
+def _bi_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("m", lambda q: f"({ic(_MN)(q)} / 3e0)"),
+        ("y", lambda q: f"({ic(_AL)(q)} - (4e0 - {ic(_SI)(q)}))"),
+        ("f", ic(_FE3)),
+        ("t", ic(_TI)),
+    ])
+
+
+BIOTITE = PhaseSpec(
+    name="Biotite", abbreviation="bi",
+    end_members=("phl", "annm", "obi", "east", "tbi", "fbi", "mmbi"),
+    p_block=_BI_P,
+    mineral=MineralConfig(name="TC_bi", n_oxygens=11),
+    required=(_MG, _FE2, _MN, _TI, _AL, _SI),
+    build_variables=_bi_vars,
+    order_parameters=("Q",),
+)
+
+# -- dioctahedral micas 'mu' / 'ma' ------------------------------------------
+
+_MU_P = """
+p(mu)      1 1    0  4  -1  c  -1  f  -1  n   1  y
+p(cel)     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+p(fcel)    2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+p(pa)      1 1    0  1  1  n
+p(mat)      1 1    0  1  1  c
+p(fmu)     1 1    0  1  1  f
+"""
+
+_MA_P = """
+p(mut)      1 1    0  4  -1  c  -1  f  -1  n   1  y
+p(celt)     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+p(fcelt)    2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+p(pat)      1 1    0  1  1  n
+p(ma)      1 1    0  1  1  c
+p(fmu)     1 1    0  1  1  f
+"""
+
+
+def _mica_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_K)(q), ic(_NA)(q), ic(_CA)(q)])),
+    ])
+    ctx.let([
+        ("c", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("n", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("f", ic(_FE3)),
+    ])
+    ctx.let([
+        ("y", lambda q: f"((4e0 - {ic(_SI)(q)}) - {q('c')})"),
+    ])
+
+
+_MICA_MIN = MineralConfig(
+    name="TC_mica", n_oxygens=13, ideal_cations=5,
+    valence_splits=({"element": "Fe", "method": "droop"},),
+)
+_MICA_REQ = (_K, _NA, _CA, _MG, _FE2, _SI, _AL)
+
+MUSCOVITE = PhaseSpec(
+    name="Muscovite", abbreviation="mu",
+    end_members=("mu", "cel", "fcel", "pa", "mat", "fmu"),
+    p_block=_MU_P, mineral=_MICA_MIN, required=_MICA_REQ,
+    build_variables=_mica_vars,
+)
+
+MARGARITE = PhaseSpec(
+    name="Margarite", abbreviation="ma",
+    end_members=("mut", "celt", "fcelt", "pat", "ma", "fmu"),
+    p_block=_MA_P, mineral=_MICA_MIN, required=_MICA_REQ,
+    build_variables=_mica_vars,
+)
+
+# -- chlorite 'chl' (28-charge APFU basis) ------------------------------------
+
+_CHL_P = """
+p(clin)    11 1    0  4  -1/4  Q1  -1  m  2  QAl  -5/4  Q4
+             2    0  1  1/4  m    0  1  1  Q1
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -1/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  1  m    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(afchl)   10 1    1  6  -1  f  -1  QAl  -1  y  -2  x  5/4  Q1  9/4  Q4
+             2    0  1  -5/4  m    0  1  1  Q1
+             2    0  1  -9/4  f    0  1  1  Q4
+             2    0  1  5/4  Q1    0  1  1  QAl
+             2    0  1  -9/4  Q4    0  1  1  QAl
+             2    0  1  2  f    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -5/4  Q1    0  1  1  y
+             2    0  1  -9/4  Q4    0  1  1  y
+             2    0  1  3  x    0  1  1  y
+p(ames)    1 1    0  2  -1  QAl   1  y
+p(daph)    11 1    0  2  1/4  Q1  5/4  Q4
+             2    0  1  -1/4  m    0  1  1  Q1
+             2    0  1  -5/4  f    0  1  1  Q4
+             2    0  1  1/4  Q1    0  1  1  QAl
+             2    0  1  -5/4  Q4    0  1  1  QAl
+             2    0  1  1  f    0  1  1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -1/4  Q1    0  1  1  y
+             2    0  1  -5/4  Q4    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+p(ochl1)   7 1    0  2  -1  Q4   1  x
+             2    0  1  1  f    0  1  1  Q4
+             2    0  1  1  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(ochl4)   9 1    0  3   1  x  -5/4  Q1  -5/4  Q4
+             2    0  1  5/4  m    0  1  1  Q1
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -5/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  5/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -2  x    0  1  1  y
+p(f3clin)   1 1    0  1  1  f
+p(mmchl)   1 1    0  1  1  m
+"""
+
+
+def _chl_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"(({ic(_AL)(q)} - (4e0 - {ic(_SI)(q)})) / 2e0)"),
+        ("f", ic(_FE3)),
+        ("m", lambda q: f"({ic(_MN)(q)} / 5e0)"),
+    ])
+
+
+CHLORITE = PhaseSpec(
+    name="Chlorite", abbreviation="chl",
+    end_members=("clin", "afchl", "ames", "daph", "ochl1", "ochl4",
+                 "f3clin", "mmchl"),
+    p_block=_CHL_P,
+    mineral=MineralConfig(name="TC_chl", n_oxygens=14),
+    required=(_MG, _FE2, _MN, _AL, _SI),
+    build_variables=_chl_vars,
+    order_parameters=("QAl", "Q1", "Q4"),
+    charge_basis=28.0,
+)
+
+# -- chloritoid 'ctd' ---------------------------------------------------------
+
+_CTD_P = """
+p(mctd)    2 1    1  3  -1  f  -1  m  -1  x
+             2    0  1  1  m    0  1  1  x
+p(fctd)    2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+p(mnct)    1 1    0  1  1  m
+p(ctdo)    1 1    0  1  1  f
+"""
+
+
+def _ctd_vars(ctx, ic):
+    ctx.let([
+        ("__Bt", lambda q: add_chain([ic(_FE2)(q), ic(_MG)(q), ic(_MN)(q)])),
+    ])
+    ctx.let([
+        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Bt')})"),
+        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Bt')})"),
+        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Bt')})"),
+        ("f", lambda q: f"({ic(_FE3)(q)} / 0.5e0)"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+    ])
+
+
+CHLORITOID = PhaseSpec(
+    name="Chloritoid", abbreviation="ctd",
+    end_members=("mctd", "fctd", "mnct", "ctdo"),
+    p_block=_CTD_P,
+    mineral=MineralConfig(
+        name="TC_ctd", n_oxygens=8, ideal_cations=2,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_FE2, _MG, _MN, _AL),
+    build_variables=_ctd_vars,
+)
+
+# -- cordierite 'cd' ----------------------------------------------------------
+
+_CD_P = """
+p(crd)      2 1    1  3  -1  h  -1  m  -1  x
+              2    0  1  1  m    0  1  1  x
+p(fcrd)     2 1    0  1   1  x
+              2    0  1  -1  m    0  1  1  x
+p(hcrd)     1 1    0  1  1  h
+p(mncd)     1 1    0  1  1  m
+"""
+
+
+def _cd_vars(ctx, ic):
+    ctx.let([
+        ("__Xt", lambda q: add_chain([ic(_FE2)(q), ic(_MG)(q), ic(_MN)(q)])),
+    ])
+    ctx.let([
+        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
+        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+    ])
+
+
+CORDIERITE = PhaseSpec(
+    name="Cordierite", abbreviation="cd",
+    end_members=("crd", "fcrd", "hcrd", "mncd"),
+    p_block=_CD_P,
+    mineral=MineralConfig(name="TC_cd", n_oxygens=18),
+    required=(_FE2, _MG, _MN),
+    build_variables=_cd_vars,
+    order_parameters=("h",),
+)
+
+# -- staurolite 'st' ----------------------------------------------------------
+
+_ST_P = """
+p(mstm)    2 1    1  4  -1  f  -1  m  -1  x  -4/3  t
+             2    0  1  1  m    0  1  1  x
+p(fst)     2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+p(mnstm)   1 1    0  1  1  m
+p(msto)    1 1    0  1  1  f
+p(mstt)    1 1    0  1  4/3  t
+"""
+
+
+def _st_vars(ctx, ic):
+    ctx.let([
+        ("__Xt", lambda q: add_chain([ic(_MG)(q), ic(_FE2)(q), ic(_MN)(q)])),
+    ])
+    ctx.let([
+        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
+        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
+        ("f", lambda q: f"({ic(_FE3)(q)} / 2e0)"),
+        ("t", lambda q: f"({ic(_TI)(q)} / 2e0)"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+    ])
+
+
+STAUROLITE = PhaseSpec(
+    name="Staurolite", abbreviation="st",
+    end_members=("mstm", "fst", "mnstm", "msto", "mstt"),
+    p_block=_ST_P,
+    mineral=MineralConfig(
+        name="TC_st", n_oxygens=48, ideal_cations=6,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _MN, _AL, _TI),
+    build_variables=_st_vars,
+)
+
+# -- epidote 'ep' -------------------------------------------------------------
+
+_EP_P = """
+p(cz)    1  1    1  2 -1  f  -1  Q
+p(ep)    1  1    0  1  2  Q
+p(fep)   1  1    0  2  1  f  -1  Q
+"""
+
+
+def _ep_vars(ctx, ic):
+    ctx.let([("f", lambda q: f"({ic(_FE3)(q)} / 2e0)")])
+
+
+EPIDOTE = PhaseSpec(
+    name="Epidote", abbreviation="ep",
+    end_members=("cz", "ep", "fep"),
+    p_block=_EP_P,
+    mineral=MineralConfig(
+        name="TC_ep", n_oxygens=12.5, preprocess="feo_to_fe2o3",
+    ),
+    required=(_AL,),
+    build_variables=_ep_vars,
+    order_parameters=("Q",),
+)
+
+# -- feldspars 'pl4tr' / 'k4tr' ----------------------------------------------
+
+_PL_P = """
+p(ab)   1 1    1 2 -1 k -1 ca
+p(an)   1 1    0 1  1 ca
+p(san)  1 1    0 1  1 k
+"""
+
+_KSP_P = """
+p(ab)   1 1    0 1  1 na
+p(an)   1 1    0 1  1 ca
+p(san)  1 1    1 2 -1 na -1 ca
+"""
+
+
+def _pl_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
+    ])
+    ctx.let([
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+    ])
+
+
+def _ksp_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
+    ])
+    ctx.let([
+        ("na", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+    ])
+
+
+_FSP_MIN = MineralConfig(name="TC_fsp", n_oxygens=8)
+_FSP_REQ = (_NA, _CA, _K, _AL, _SI)
+
+PLAGIOCLASE = PhaseSpec(
+    name="Plagioclase", abbreviation="pl4tr",
+    end_members=("ab", "an", "san"),
+    p_block=_PL_P, mineral=_FSP_MIN, required=_FSP_REQ,
+    build_variables=_pl_vars,
+)
+
+KFELDSPAR = PhaseSpec(
+    name="KFeldspar", abbreviation="k4tr",
+    end_members=("ab", "an", "san"),
+    p_block=_KSP_P, mineral=_FSP_MIN, required=_FSP_REQ,
+    build_variables=_ksp_vars,
+)
+
+PHASES: dict[str, PhaseSpec] = {
+    s.abbreviation: s
+    for s in (
+        GARNET, BIOTITE, MUSCOVITE, MARGARITE, CHLORITE, CHLORITOID,
+        CORDIERITE, STAUROLITE, EPIDOTE, PLAGIOCLASE, KFELDSPAR,
+    )
+}

@@ -414,6 +414,32 @@ def _bulk_queries() -> dict[str, QuerySpec]:
     return qs
 
 
+from petropandas_spark.hpxeos import add_phase_end_members as _add_phase  # noqa: E402
+from petropandas_spark.hpxeos import metapelite as _mp  # noqa: E402
+
+
+def _hpxeos_queries() -> dict[str, QuerySpec]:
+    """X1-X9: THERMOCALC a-x phases as compiled Catalyst expressions."""
+    cases = [
+        ("tc_garnet_proportions", "lineitem", PSEUDO_GARNET, "g", None),
+        ("tc_biotite_proportions", "orders", PSEUDO_BT, "bi", {"Q": 0.25}),
+        ("tc_chlorite_proportions", "customer", PSEUDO_CHL, "chl",
+         {"QAl": 0.3, "Q1": 0.1, "Q4": 0.05}),
+        ("tc_plagioclase_proportions", "orders", PSEUDO_FSP, "pl4tr", None),
+        ("tc_muscovite_proportions", "orders", PSEUDO_MS, "mu", None),
+        ("tc_staurolite_proportions", "customer", PSEUDO_ST, "st", None),
+    ]
+    out = {}
+    for qname, table, mapping, abbrev, op in cases:
+        out[qname] = plan_query(
+            table, mapping,
+            lambda plan, f, abbrev=abbrev, op=op: _add_phase(
+                plan, f, _mp.PHASES[abbrev], order_parameters=op, carry=["id"]
+            ),
+        )
+    return out
+
+
 # Extended mineral set: (query_name, table, mapping, emitter)
 _EXT_MINERALS = [
     ("garnetfe3_end_members", "lineitem", PSEUDO_GARNET,
@@ -902,6 +928,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["split_valence_schumacher"] = _q_split_valence_schumacher()
     # bulk-rock layer (§2.10)
     r.update(_bulk_queries())
+    # hpxeos a-x phases (§2.7)
+    r.update(_hpxeos_queries())
     # aggregations (§2.8)
     r["oxide_means_grouped"] = _q_oxide_means_grouped()
     r["weighted_mean_grouped"] = _q_weighted_mean()

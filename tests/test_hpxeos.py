@@ -1,0 +1,106 @@
+"""hpxeos compiled-expression engine parity vs the reference (tools/refshim).
+
+Each metapelite PhaseSpec's end-members are compared at 1e-9 against the
+reference ``TC_*`` phases on the reference suite's own compositions
+(``/root/reference/tests/test_tc_minerals.py:36-560``), including non-zero
+order parameters (X6) where the phase accepts them.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = "/root/repo"
+for p in (f"{REPO}/tools/refshim", "/root/reference/src"):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+ref_mp = pytest.importorskip("petropandas.hpxeos.metapelite")
+
+from petropandas_spark.frame import clean_plan  # noqa: E402
+from petropandas_spark.hpxeos import add_phase_end_members  # noqa: E402
+from petropandas_spark.hpxeos.metapelite import PHASES  # noqa: E402
+from petropandas_spark.sqlgen import Plan  # noqa: E402
+
+FIXTURES = {
+    "g": {"SiO2": [38.5, 38.0, 42.0], "Al2O3": [22.1, 21.5, 23.0],
+          "FeO": [28.3, 32.0, 10.0], "MgO": [5.2, 3.0, 20.0],
+          "CaO": [3.8, 4.0, 4.0], "MnO": [1.5, 1.0, 0.5]},
+    "bi": {"SiO2": [35.0], "Al2O3": [18.0], "FeO": [22.0], "MgO": [10.0],
+           "TiO2": [3.0], "MnO": [0.3], "K2O": [9.0], "Na2O": [0.3]},
+    "mu": {"SiO2": [45.0], "Al2O3": [35.0], "FeO": [3.0], "MgO": [1.0],
+           "CaO": [0.2], "Na2O": [1.0], "K2O": [10.0]},
+    "ma": {"SiO2": [30.0], "Al2O3": [50.0], "FeO": [2.0], "MgO": [0.5],
+           "CaO": [12.0], "Na2O": [0.5], "K2O": [0.1]},
+    "chl": {"SiO2": [25.0, 30.0], "Al2O3": [22.0, 20.0],
+            "FeO": [18.0, 5.0], "MgO": [18.0, 25.0], "MnO": [0.3, 0.1]},
+    "ctd": {"SiO2": [25.0], "Al2O3": [40.0], "FeO": [22.0], "MgO": [5.0],
+            "MnO": [0.5]},
+    "cd": {"SiO2": [48.0, 48.0], "Al2O3": [34.0, 34.0], "FeO": [10.0, 3.0],
+           "MgO": [8.0, 12.0], "MnO": [0.0, 0.1]},
+    "st": {"SiO2": [28.0], "Al2O3": [53.0], "FeO": [13.0], "MgO": [2.0],
+           "MnO": [0.3], "TiO2": [0.8]},
+    "ep": {"SiO2": [38.0], "Al2O3": [25.0], "FeO": [10.0], "CaO": [23.0]},
+    "pl4tr": {"SiO2": [60.0, 55.0], "Al2O3": [25.0, 28.0],
+              "CaO": [7.0, 12.0], "Na2O": [7.0, 4.0], "K2O": [1.0, 0.5]},
+    "k4tr": {"SiO2": [60.0], "Al2O3": [25.0], "CaO": [7.0],
+             "Na2O": [7.0], "K2O": [1.0]},
+}
+
+ORDER_PARAMS = {
+    "bi": {"Q": 0.25}, "chl": {"QAl": 0.3, "Q1": 0.1, "Q4": 0.05},
+    "cd": {"h": 0.4}, "ep": {"Q": 0.2},
+}
+
+REF_PHASE = {
+    "g": "TC_g", "bi": "TC_bi", "mu": "TC_mu", "ma": "TC_ma",
+    "chl": "TC_chl", "ctd": "TC_ctd", "cd": "TC_cd", "st": "TC_st",
+    "ep": "TC_ep", "pl4tr": "TC_pl4tr", "k4tr": "TC_k4tr",
+}
+
+
+def _run_phase(spark, data: dict, abbrev: str, order_parameters=None):
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    plan, fcols, _ = clean_plan(df.columns)
+    add_phase_end_members(
+        plan, fcols, PHASES[abbrev],
+        order_parameters=order_parameters, carry=["id"],
+    )
+    out = plan.apply(df).toPandas()
+    return out.sort_values("id").reset_index(drop=True).drop(columns=["id"])
+
+
+@pytest.mark.parametrize("abbrev", list(FIXTURES))
+def test_phase_matches_reference(spark, abbrev):
+    ref_phase = getattr(ref_mp, REF_PHASE[abbrev])
+    expected = ref_phase.end_members(pd.DataFrame(FIXTURES[abbrev]))
+    got = _run_phase(spark, FIXTURES[abbrev], abbrev)
+    assert list(got.columns) == list(expected.columns)
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("abbrev", list(ORDER_PARAMS))
+def test_phase_with_order_parameters(spark, abbrev):
+    op = ORDER_PARAMS[abbrev]
+    ref_phase = getattr(ref_mp, REF_PHASE[abbrev])
+    expected = ref_phase.end_members(
+        pd.DataFrame(FIXTURES[abbrev]), order_parameters=op
+    )
+    got = _run_phase(spark, FIXTURES[abbrev], abbrev, order_parameters=op)
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+    )
+
+
+def test_proportions_sum_to_100(spark):
+    for abbrev, data in FIXTURES.items():
+        got = _run_phase(spark, data, abbrev)
+        for s in got.sum(axis=1):
+            assert s == pytest.approx(100.0, abs=0.01), abbrev
