@@ -900,6 +900,64 @@ GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# Pipeline extension operators (dedup / similarity modules)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_queries() -> dict[str, QuerySpec]:
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline import similarity as _sim
+
+    out: dict[str, QuerySpec] = {}
+
+    def docs(spark, sf_dir):
+        return _load(spark, sf_dir, "documents")
+
+    # xxhash64-based signatures are Spark-native (no DuckDB equivalent) →
+    # rows-only driver check; correctness is covered by tests/test_pipeline.py
+    out["simhash_signatures"] = QuerySpec(
+        lambda spark, sf_dir: _dd.simhash(docs(spark, sf_dir)), None
+    )
+    out["simhash_neardup_pairs"] = QuerySpec(
+        lambda spark, sf_dir: _dd.simhash_neardup_pairs(
+            docs(spark, sf_dir), max_hamming=6
+        ),
+        None,
+    )
+    out["lsh_candidate_pairs"] = QuerySpec(
+        lambda spark, sf_dir: _dd.lsh_candidate_pairs(docs(spark, sf_dir)), None
+    )
+    out["jaccard_verified_neardups"] = QuerySpec(
+        lambda spark, sf_dir: _dd.jaccard_verify(
+            docs(spark, sf_dir),
+            _dd.lsh_candidate_pairs(docs(spark, sf_dir)),
+            threshold=0.8,
+        ),
+        None,
+    )
+
+    # exact cosine near-dup pairs on a key-bounded subset (all-pairs is the
+    # verify stage, not the scale path) — dual-engine exact oracle
+    def cosine_pairs(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings").filter("vec_id <= 200")
+        return _sim.cosine_neardup_pairs(emb, threshold=0.2)
+
+    duck = """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND a.vec_id <= 200 AND b.vec_id <= 200
+) t WHERE cosine >= 0.2e0
+"""
+    out["cosine_neardup_pairs"] = QuerySpec(cosine_pairs, duck)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # The registry
 # ---------------------------------------------------------------------------
 
@@ -962,6 +1020,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["neardup_minhash_pairs"] = sql_query(
         ["documents"], DOC_NEARDUP_SPARK, DOC_NEARDUP_DUCK
     )
+    # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
+    r.update(_pipeline_queries())
     # embeddings
     r["knn_cosine_topk"] = sql_query(["embeddings"], EMB_KNN_SPARK, EMB_KNN_DUCK)
     r["embedding_norms_by_label"] = sql_query(

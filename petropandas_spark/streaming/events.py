@@ -1,0 +1,117 @@
+"""Structured Streaming operators over the ``events`` table (SURVEY.md §2.13,
+§7.2 milestone 8 — an extension; the reference has zero streaming surface).
+
+Design: every operator takes a *streaming* DataFrame with the events schema
+(``event_id ts user_id event_type value props``, ``ts`` = BIGINT epoch
+nanoseconds as the parquet TIMESTAMP(NANOS) is read with ``nanosAsLong``)
+and returns a transformed streaming DataFrame.  Watermarks bound state so
+the same topology runs unbounded on a real source at 100 TB/day: windowed
+aggregation state is dropped ``delay`` behind the max event time, and
+``dropDuplicatesWithinWatermark`` keeps only the dedup keys inside the
+watermark horizon instead of an ever-growing set.
+
+All operators also accept a *batch* DataFrame unchanged (same code path,
+minus the watermark no-op) — the tests exercise both and cross-check the
+streaming results against the batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-source stream over an events parquet directory/file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(path)
+
+
+def with_event_time(df):
+    """Derive a TIMESTAMP event-time column from the BIGINT nanoseconds."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def _maybe_watermark(df, delay: str):
+    if df.isStreaming:
+        return df.withWatermark("event_time", delay)
+    return df
+
+
+def tumbling_counts(df, window: str = "1 hour", delay: str = "30 minutes"):
+    """Tumbling-window per-type counts and value sums with a watermark."""
+    d = _maybe_watermark(with_event_time(df), delay)
+    return (
+        d.groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sliding_value(df, window: str = "1 hour", slide: str = "15 minutes",
+                  delay: str = "30 minutes"):
+    """Sliding-window mean value per type."""
+    d = _maybe_watermark(with_event_time(df), delay)
+    return (
+        d.groupBy(F.window("event_time", window, slide), F.col("event_type"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "avg_value", "n",
+        )
+    )
+
+
+def sessionize(df, gap: str = "30 minutes", delay: str = "30 minutes"):
+    """Session windows per user (native session_window state store)."""
+    d = _maybe_watermark(with_event_time(df), delay)
+    return (
+        d.groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id", "n_events", "session_value",
+        )
+    )
+
+
+def dedup_events(df, delay: str = "30 minutes"):
+    """Exactly-once event stream on ``event_id`` with bounded state."""
+    d = _maybe_watermark(with_event_time(df), delay)
+    if d.isStreaming:
+        return d.dropDuplicatesWithinWatermark(["event_id"])
+    return d.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df, name: str, output_mode: str = "complete"):
+    """Drain a bounded stream with availableNow into an in-memory table and
+    return the result DataFrame (test/driver harness path)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,138 @@
+"""Pipeline extension operators: dedup, similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from petropandas_spark.pipeline import dedup, multimodal, similarity
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark, docs):
+        out = dedup.exact_duplicates(docs).cache()
+        total = out.agg(F.sum("n_copies")).collect()[0][0]
+        assert total == docs.count()
+        assert out.filter(F.col("n_copies") > 1).count() >= 0
+
+    def test_minhash_lsh_finds_exact_dups(self, spark, docs):
+        pairs = dedup.lsh_candidate_pairs(docs).cache()
+        # every exact-duplicate pair must be an LSH candidate
+        dup_groups = (
+            docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.collect_list("doc_id").alias("ids"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        ).collect()
+        cand = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        for g in dup_groups:
+            ids = sorted(g.ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    assert (ids[i], ids[j]) in cand
+        # and verified pairs at threshold 0.99 include them too
+        verified = dedup.jaccard_verify(docs, pairs, threshold=0.99).collect()
+        vset = {(r.doc_a, r.doc_b) for r in verified}
+        for g in dup_groups:
+            ids = sorted(g.ids)
+            assert (ids[0], ids[1]) in vset
+
+    def test_simhash_identical_texts_same_signature(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps", "the quick brown fox jumps",
+                     "a completely different document body entirely"],
+        })
+        sig = dedup.simhash(spark.createDataFrame(pdf)).toPandas()
+        sig = sig.set_index("doc_id")["simhash64"]
+        assert sig[1] == sig[2]
+        assert sig[1] != sig[3]
+
+    def test_simhash_neardup_pairs(self, spark):
+        # SimHash needs enough tokens for stable bit votes: 60-token docs
+        # differing in one token sit at Hamming ~2; unrelated docs ~30.
+        base = " ".join(f"tok{i}" for i in range(60))
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [base, base.replace("tok59", "tok59x"),
+                     " ".join(f"other{i}" for i in range(60))],
+        })
+        out = dedup.simhash_neardup_pairs(
+            spark.createDataFrame(pdf), max_hamming=3
+        ).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in out}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_registry_query(self, spark, emb):
+        qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+        got = similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 1), list(qv), k=5
+        ).collect()
+        assert len(got) == 5
+        scores = [r.cosine for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_ivf_recall_vs_brute_force(self, spark, emb):
+        qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+        corpus = emb.filter(F.col("vec_id") != 1)
+        exact = {r.vec_id for r in
+                 similarity.brute_force_topk(corpus, list(qv), k=10).collect()}
+        index = similarity.IVFIndex(k=8)
+        assigned = index.build(corpus).cache()
+        approx = {r.vec_id for r in
+                  index.search(assigned, list(qv), k=10, n_probe=4).collect()}
+        recall = len(exact & approx) / 10
+        assert recall >= 0.5  # probing half the centroids
+
+    def test_cosine_neardup_pairs_symmetry(self, spark):
+        pdf = pd.DataFrame({
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]],
+        })
+        out = similarity.cosine_neardup_pairs(
+            spark.createDataFrame(pdf), threshold=0.99
+        ).collect()
+        pairs = {(r.id_a, r.id_b) for r in out}
+        assert pairs == {(1, 2)}
+
+
+class TestMultimodal:
+    def test_decode_and_featurize(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "content": [b"\x00\x01\x02fakeimagebytes", b""],
+        })
+        df = multimodal.attach_media_metadata(spark.createDataFrame(pdf))
+        assert "media" in df.columns
+        out = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "n_bytes"] == 17
+        assert len(out.loc[1, "feat"]) == 8
+        # deterministic fake: same bytes → same features
+        again = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
+        assert list(out.loc[1, "feat"]) == list(again.loc[1, "feat"])
+
+    def test_sample_frames(self, spark):
+        pdf = pd.DataFrame({"doc_id": [7], "content": [bytes(range(64))]})
+        out = multimodal.sample_frames(
+            spark.createDataFrame(pdf), n_frames=4
+        ).toPandas()
+        assert len(out) == 4
+        assert sorted(out["frame_idx"]) == [0, 1, 2, 3]
+        assert all(len(b) == 16 for b in out["frame_bytes"])
