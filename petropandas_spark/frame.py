@@ -293,6 +293,61 @@ class PetroFrame:
             .filter(F.col("Total").isNotNull()),
         )
 
+    # -- aggregations (A1-A3) --------------------------------------------------
+
+    def mean(self, groupby: str | None = None,
+             weights: str | None = None) -> "PetroFrame":
+        """A1/A2/A3 oxide means: overall, grouped, or weighted
+        (ref ``_accessors.py:270-293,675-722``)."""
+        from pyspark.sql import functions as F
+
+        cols = self.formula_cols
+        if groupby is not None and groupby not in self.df.columns:
+            raise ValueError(f"Groupby column {groupby!r} not found")
+        if weights is not None and weights not in self.df.columns:
+            raise ValueError(f"Weights column {weights!r} not found")
+        if weights is None:
+            aggs = [F.avg(f"`{c}`").alias(c) for c in cols]
+        else:
+            w = F.col(f"`{weights}`")
+            aggs = [
+                (F.sum(F.col(f"`{c}`") * w) / F.sum(w)).alias(c) for c in cols
+            ]
+        if groupby is not None:
+            out = self.df.groupBy(groupby).agg(*aggs)
+        else:
+            out = self.df.agg(*aggs)
+        return replace(self, df=out, has_total=False)
+
+    # -- thermodynamic bulk prep + sinks (B8/B9, S6) ---------------------------
+
+    def thermo_bulk_prep(self, system_cols: list[str], **kw) -> "PetroFrame":
+        from petropandas_spark.functions.thermo import add_thermo_bulk_prep
+
+        plan = Plan()
+        add_thermo_bulk_prep(
+            plan, self.formula_cols, system_cols, carry=self.meta_cols, **kw
+        )
+        return self._apply(plan, units="moles", has_total=False)
+
+    def tc_bulk(self, **kw):
+        from petropandas_spark.functions import thermo
+
+        out = thermo.tc_bulk(self, **kw)
+        return replace(self, df=out) if kw.get("dataframe") else out
+
+    def perplex_bulk(self, **kw):
+        from petropandas_spark.functions import thermo
+
+        out = thermo.perplex_bulk(self, **kw)
+        return replace(self, df=out) if kw.get("dataframe") else out
+
+    def magemin_bulk(self, **kw):
+        from petropandas_spark.functions import thermo
+
+        out = thermo.magemin_bulk(self, **kw)
+        return replace(self, df=out) if kw.get("dataframe") else out
+
     def cipw_norm_simple(self, drop_zero: bool = True) -> "PetroFrame":
         """B5 simplified CIPW norm.  ``drop_zero`` replicates the
         reference's zero-only column drop (A4) — a two-pass

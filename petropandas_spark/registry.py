@@ -396,6 +396,19 @@ def _bulk_queries() -> dict[str, QuerySpec]:
         lambda plan, f: _bulk.add_cipw_norm_simple(plan, f, carry=["id"]),
     )
 
+    # B8 thermodynamic bulk prep (Fe2O3→FeO → apatite corr → H2O deficit →
+    # moles → rescale → O column → reframe) — pure dual-dialect plan
+    from petropandas_spark.functions.thermo import TC_SYSTEMS, add_thermo_bulk_prep
+
+    qs["thermo_bulk_prep_tc"] = plan_query(
+        "supplier", PSEUDO_GRANITE,
+        lambda plan, f: add_thermo_bulk_prep(
+            plan, f, TC_SYSTEMS["MnNCKFMASHTO"], oxygen_key="O",
+            oxygen_mult=1, use_molprop=True, oxygen=0.01, H2O=-1.0,
+            carry=["id"],
+        ),
+    )
+
     # B6/B7 full GCDkit CIPW: branching per-row cascade → vectorized
     # mapInPandas; not SQL-expressible, so the driver records the weaker
     # rows-only check (reference parity is covered by tests/test_bulk.py).
