@@ -1,0 +1,180 @@
+"""Plotting layer: compute in Spark, render in matplotlib (SURVEY.md §2.11).
+
+The compute parts — the pandas-``eval``-dialect expression rewriter (P10/G1)
+and the ternary barycentric projection (G2) — are Spark expressions; only
+the final (small) plotted projection is collected.  Rendering is gated on a
+matplotlib import so the compute layer works headless.
+
+Reference semantics: ``/root/reference/src/petropandas/_plotting.py``
+(_eval :210-250, _referenced_names :26-68, _project :321-346).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SINGLE_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$|^`[^`]+`$")
+_NAME_TOKEN_RE = re.compile(r"`([^`]+)`|\b([A-Za-z_][A-Za-z0-9_]*)\b")
+
+# pandas-eval function names the rewriter must leave alone (mapped to the
+# Spark SQL spelling where it differs).
+_FUNC_MAP = {
+    "abs": "abs", "sqrt": "sqrt", "log": "ln", "log10": "log10",
+    "log1p": "log1p", "exp": "exp", "sin": "sin", "cos": "cos",
+    "tan": "tan", "arcsin": "asin", "arccos": "acos", "arctan": "atan",
+    "arctan2": "atan2", "sinh": "sinh", "cosh": "cosh", "tanh": "tanh",
+    "where": "if",
+}
+_RESERVED = set(_FUNC_MAP) | {
+    "and", "or", "not", "in", "is", "if", "else", "True", "False", "None",
+}
+
+
+def referenced_names(expr: str) -> set[str]:
+    """Column names referenced by a pandas-eval-dialect expression."""
+    names = set()
+    for backtick, ident in _NAME_TOKEN_RE.findall(expr):
+        name = backtick or ident
+        if backtick or name not in _RESERVED:
+            names.add(name)
+    return names
+
+
+def rewrite_eval_expr(expr: str, columns: list[str]) -> str:
+    """P10: pandas ``DataFrame.eval`` dialect → Spark SQL expression text.
+
+    * a bare column reference that is missing raises (KeyError);
+    * names missing from *columns* inside a multi-term expression are
+      substituted with ``0.0`` (the reference's cross-group default);
+    * backtick quoting carries over unchanged (same syntax both dialects);
+    * numpy function names map to Spark SQL spellings (arcsin → asin, …).
+    """
+    stripped = expr.strip()
+    colset = set(columns)
+    if stripped in colset:
+        return f"`{stripped}`"
+    if _SINGLE_NAME_RE.fullmatch(stripped):
+        name = stripped.strip("`")
+        if name not in colset:
+            raise KeyError(f"column {name!r} not found")
+        return f"`{name}`"
+    missing = referenced_names(expr) - colset
+
+    def sub(m: re.Match) -> str:
+        backtick, ident = m.groups()
+        name = backtick or ident
+        if backtick:
+            return "(0.0)" if name in missing else f"`{name}`"
+        if name in _FUNC_MAP:
+            return _FUNC_MAP[name]
+        if name in _RESERVED:
+            return name
+        return "(0.0)" if name in missing else f"`{name}`"
+
+    return _NAME_TOKEN_RE.sub(sub, expr)
+
+
+def eval_expr(df: DataFrame, expr: str) -> Column:
+    """G1: evaluate a plot-axis expression against a DataFrame."""
+    return F.expr(rewrite_eval_expr(expr, df.columns))
+
+
+_X_SCALE = 1.0 / math.sqrt(3.0)
+
+
+def ternary_xy(df: DataFrame, top: str, left: str, right: str) -> DataFrame:
+    """G2: barycentric → Cartesian projection, scale-invariant
+    (x = (fr − fl)/√3, y = ft after row-normalization)."""
+    t, l, r = (eval_expr(df, e) for e in (top, left, right))
+    denom = t + l + r
+    return df.withColumns({
+        "__tern_x": (r / denom - l / denom) * F.lit(_X_SCALE),
+        "__tern_y": t / denom,
+    })
+
+
+class BasePlot:
+    """Accumulate (DataFrame, label, style) groups; compute lazily in
+    Spark, collect only the plotted projection, render via matplotlib
+    (ref ``_plotting.py:81-264``)."""
+
+    def __init__(self, **kwargs):
+        self._groups: list[tuple[DataFrame, str | None, dict]] = []
+        self.kwargs = kwargs
+
+    def add(self, df, label: str | None = None, **style) -> "BasePlot":
+        from petropandas_spark.frame import PetroFrame
+
+        if isinstance(df, PetroFrame):
+            df = df.df
+        self._groups.append((df, label, style))
+        return self
+
+    def _collected(self, exprs: list[str]):
+        """Per group: select the axis expressions and collect to pandas."""
+        out = []
+        for df, label, style in self._groups:
+            cols = [
+                eval_expr(df, e).alias(f"__ax{i}") for i, e in enumerate(exprs)
+            ]
+            out.append((df.select(*cols).toPandas(), label, style))
+        return out
+
+    def render(self, ax=None):  # pragma: no cover - needs matplotlib
+        raise NotImplementedError
+
+
+class ScatterPlot(BasePlot):
+    """x/y scatter; expressions in the pandas-eval dialect."""
+
+    def __init__(self, x: str, y: str, **kwargs):
+        super().__init__(**kwargs)
+        self.x, self.y = x, y
+
+    def collect(self):
+        """Compute the plotted values (driver-side list of group frames)."""
+        return self._collected([self.x, self.y])
+
+    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _fig, ax = plt.subplots()
+        for pdf, label, style in self.collect():
+            ax.scatter(pdf["__ax0"], pdf["__ax1"], label=label, **style)
+        ax.set_xlabel(self.x)
+        ax.set_ylabel(self.y)
+        if any(lbl for _, lbl, _ in self._groups):
+            ax.legend(loc="center left", bbox_to_anchor=(1.02, 0.5))
+        return ax
+
+
+class TernaryPlot(BasePlot):
+    """Ternary plot: three axis expressions projected barycentrically."""
+
+    def __init__(self, top: str, left: str, right: str, **kwargs):
+        super().__init__(**kwargs)
+        self.top, self.left, self.right = top, left, right
+
+    def collect(self):
+        out = []
+        for df, label, style in self._groups:
+            proj = ternary_xy(df, self.top, self.left, self.right)
+            pdf = proj.select(
+                F.col("__tern_x").alias("x"), F.col("__tern_y").alias("y")
+            ).toPandas()
+            out.append((pdf, label, style))
+        return out
+
+    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _fig, ax = plt.subplots()
+        for pdf, label, style in self.collect():
+            ax.scatter(pdf["x"], pdf["y"], label=label, **style)
+        ax.set_aspect("equal")
+        return ax

@@ -1,0 +1,145 @@
+"""PetroDB REST source: auth/retry/read-only client semantics, the
+records pivot, the partition-per-sample DataSource, and the CRUD sink —
+all offline via an injectable mock transport."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from petropandas_spark.sources import petrodb
+
+
+class FakeResponse:
+    def __init__(self, payload, status=200):
+        self.status_code = status
+        self.ok = 200 <= status < 300
+        self._payload = payload
+
+    def json(self):
+        return self._payload
+
+
+class FakeTransport:
+    """Scriptable transport: records calls, serves token + data routes."""
+
+    def __init__(self, data=None, expire_after: int | None = None):
+        self.calls = []
+        self.data = data or {}
+        self.expire_after = expire_after
+        self.tokens = 0
+
+    def __call__(self, method, url, **kw):
+        self.calls.append((method, url, kw))
+        if url.endswith("/token"):
+            self.tokens += 1
+            return FakeResponse({"access_token": f"tok{self.tokens}"})
+        n_data_calls = sum(1 for m, u, _ in self.calls if "/api" in u)
+        if self.expire_after is not None and n_data_calls == self.expire_after:
+            return FakeResponse({"detail": "expired"}, status=401)
+        return FakeResponse(self.data.get(url.split("/api")[-1], []))
+
+
+SPOTS = [
+    {"id": 2, "sample": "S1", "label": "b", "mineral": "Grt",
+     "values": {"SiO2": 37.0, "FeO": 28.0}},
+    {"id": 1, "sample": "S1", "label": "a", "mineral": "Grt",
+     "values": {"SiO2": 38.0, "FeO": 27.0}},
+    {"id": 3, "sample": "S1", "label": "c", "mineral": "Cpx",
+     "values": {"SiO2": 52.0, "FeO": 8.0}},
+]
+
+
+def _api(**kw):
+    return petrodb.PetroAPI(
+        "http://db", "u", "p", transport=kw.pop("transport"), **kw
+    )
+
+
+class TestClient:
+    def test_login_and_get(self):
+        t = FakeTransport(data={"/projects/1/spots": SPOTS})
+        api = _api(transport=t)
+        out = api.get_json("/projects/1/spots")
+        assert len(out) == 3
+        # bearer header attached
+        method, url, kw = t.calls[-1]
+        assert kw["headers"]["Authorization"] == "Bearer tok1"
+
+    def test_reauth_on_401(self):
+        t = FakeTransport(data={"/x": [1]}, expire_after=1)
+        api = _api(transport=t)
+        out = api.get_json("/x")
+        assert out == [1]
+        assert t.tokens == 2  # re-authenticated once
+
+    def test_read_only_guard(self):
+        api = _api(transport=FakeTransport())
+        with pytest.raises(petrodb.ReadOnlyError):
+            api.request("POST", "/samples/S1/spots", payload=[])
+
+    def test_bad_login(self):
+        class Bad(FakeTransport):
+            def __call__(self, method, url, **kw):
+                return FakeResponse({}, status=403)
+
+        with pytest.raises(petrodb.AuthError):
+            _api(transport=Bad())
+
+
+class TestRecordsDF:
+    def test_pivot_filter_sort(self, spark):
+        t = FakeTransport(data={"/projects/1/spots": SPOTS})
+        api = _api(transport=t)
+        df = petrodb.records_df(spark, api, "/projects/1/spots")
+        pdf = df.toPandas()
+        assert list(pdf["id"]) == [1, 2, 3]  # sorted by id
+        assert set(pdf.columns) >= {"SiO2", "FeO", "sample", "label", "mineral"}
+        grt = petrodb.records_df(
+            spark, api, "/projects/1/spots", mineral="Grt"
+        ).toPandas()
+        assert list(grt["id"]) == [1, 2]
+
+
+@pytest.mark.skipif(not petrodb.HAS_DATASOURCE, reason="needs Spark 4 datasource")
+class TestDataSource:
+    def test_partition_per_sample(self, spark):
+        mock = {
+            "S1": [{"id": 1, "label": "a", "mineral": "Grt", "values": {}}],
+            "S2": [{"id": 2, "label": "b", "mineral": "Grt", "values": {}},
+                   {"id": 3, "label": "c", "mineral": "Cpx", "values": {}}],
+        }
+        spark.dataSource.register(petrodb.PetroDBDataSource)
+        df = (
+            spark.read.format("petrodb")
+            .option("samples", json.dumps(["S1", "S2"]))
+            .option("mock_data", json.dumps(mock))
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 2
+        pdf = df.toPandas().sort_values("id")
+        assert list(pdf["sample"]) == ["S1", "S2", "S2"]
+
+
+class TestSink:
+    def test_write_spots_scrubs_and_batches(self, spark):
+        import pandas as pd
+
+        t = FakeTransport()
+        api = _api(transport=t, read_only=False)
+        pdf = pd.DataFrame({
+            "label": ["p1", "p2", "p3"],
+            "SiO2": [37.0, -1.0, 38.0],
+            "FeO": [28.0, float("nan"), 27.0],
+        })
+        n = petrodb.write_spots(
+            spark.createDataFrame(pdf), api, "S1", batch_size=2
+        )
+        assert n == 3
+        posts = [c for c in t.calls if c[0] == "POST" and "/api" in c[1]]
+        assert len(posts) == 2  # 2 + 1 batches
+        first_batch = posts[0][2]["json"]
+        # scrub: negative/NaN values dropped from the payload
+        assert first_batch[1]["values"] == {}
+        assert first_batch[0]["values"] == {"SiO2": 37.0, "FeO": 28.0}

@@ -1,0 +1,94 @@
+"""Plotting compute layer: eval-dialect rewriter (P10/G1) + ternary (G2).
+
+Expression-eval semantics ported from the reference
+(``_plotting.py:210-250``): missing-name-defaults-to-0 in multi-term
+expressions, single missing name raises, backtick quoting for exotic
+column names like ion notation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from petropandas_spark import plotting
+
+
+@pytest.fixture(scope="module")
+def garnet_df(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "Prp": [10.0, 20.0], "Alm": [60.0, 50.0], "Grs": [30.0, 30.0],
+        "Al{3+}": [2.0, 1.9], "Si{4+}": [3.0, 3.1],
+    }))
+
+
+class TestEvalRewriter:
+    def test_plain_column(self, spark, garnet_df):
+        out = garnet_df.select(plotting.eval_expr(garnet_df, "Prp").alias("v"))
+        assert sorted(r.v for r in out.collect()) == [10.0, 20.0]
+
+    def test_multi_term(self, spark, garnet_df):
+        out = garnet_df.select(
+            plotting.eval_expr(garnet_df, "Prp + Grs").alias("v")
+        )
+        assert sorted(r.v for r in out.collect()) == [40.0, 50.0]
+
+    def test_missing_in_multi_term_defaults_zero(self, spark, garnet_df):
+        # ref _plotting.py:219-227: "Sps+Grs" across groups without Sps
+        out = garnet_df.select(
+            plotting.eval_expr(garnet_df, "Sps + Grs").alias("v")
+        )
+        assert sorted(r.v for r in out.collect()) == [30.0, 30.0]
+
+    def test_single_missing_raises(self, garnet_df):
+        with pytest.raises(KeyError):
+            plotting.eval_expr(garnet_df, "Sps")
+
+    def test_backtick_names(self, spark, garnet_df):
+        out = garnet_df.select(
+            plotting.eval_expr(garnet_df, "`Al{3+}` + `Si{4+}`").alias("v")
+        )
+        assert sorted(round(r.v, 6) for r in out.collect()) == [5.0, 5.0]
+
+    def test_numpy_function_names(self, spark, garnet_df):
+        out = garnet_df.select(
+            plotting.eval_expr(garnet_df, "sqrt(Prp) + arctan(0)").alias("v")
+        )
+        assert sorted(round(r.v, 6) for r in out.collect()) == [
+            round(math.sqrt(10), 6), round(math.sqrt(20), 6)
+        ]
+
+
+class TestTernary:
+    def test_projection(self, spark, garnet_df):
+        proj = plotting.ternary_xy(garnet_df, "Prp", "Alm", "Grs").toPandas()
+        # row 0: t=10, l=60, r=30, sum=100 → y=0.1, x=(0.3-0.6)/√3
+        row = proj.sort_values("Prp").iloc[0]
+        assert row["__tern_y"] == pytest.approx(0.1)
+        assert row["__tern_x"] == pytest.approx((0.3 - 0.6) / math.sqrt(3))
+
+    def test_scale_invariance(self, spark):
+        a = spark.createDataFrame(pd.DataFrame(
+            {"t": [1.0], "l": [2.0], "r": [3.0]}))
+        b = spark.createDataFrame(pd.DataFrame(
+            {"t": [10.0], "l": [20.0], "r": [30.0]}))
+        pa = plotting.ternary_xy(a, "t", "l", "r").toPandas()
+        pb = plotting.ternary_xy(b, "t", "l", "r").toPandas()
+        assert pa["__tern_x"][0] == pytest.approx(pb["__tern_x"][0])
+        assert pa["__tern_y"][0] == pytest.approx(pb["__tern_y"][0])
+
+
+class TestPlots:
+    def test_scatter_collect(self, spark, garnet_df):
+        p = plotting.ScatterPlot("Prp", "Alm + Sps").add(garnet_df, "grp")
+        (pdf, label, _style), = p.collect()
+        assert label == "grp"
+        assert sorted(pdf["__ax1"]) == [50.0, 60.0]  # Sps defaults to 0
+
+    def test_ternary_collect(self, spark, garnet_df):
+        p = plotting.TernaryPlot("Prp", "Alm", "Grs").add(garnet_df)
+        (pdf, _label, _style), = p.collect()
+        assert len(pdf) == 2
+        assert (pdf["y"] <= 1.0).all()
