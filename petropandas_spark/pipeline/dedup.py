@@ -18,6 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source arrives
+    in too few input splits (a single small parquet file reads as ONE
+    partition, serializing the expensive narrow shingle/hash work).  At
+    real scale the source has many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 groupBy keeping the lowest id per content hash."""
@@ -47,14 +58,38 @@ def _src_sql(text_col: str, prefix: int | None) -> str:
     return f"substr(`{text_col}`, 1, {prefix})" if prefix else f"`{text_col}`"
 
 
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str,
+                       n: int, stride: int, prefix: int | None) -> DataFrame:
+    """(id, shingle) rows via explode-then-substr.
+
+    Deliberately NOT ``transform(sequence, i -> substr)``: Spark evaluates
+    higher-order-function lambdas interpreted (outside whole-stage
+    codegen), ~10× slower.  Exploding the index sequence first keeps the
+    per-row ``substr`` a codegen'd scalar."""
+    src = _src_sql(text_col, prefix)
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(sequence(1, greatest(length({src}) - {n - 1}, 1), "
+            f"{stride}))"
+        ).alias("__i"),
+        F.expr(src).alias("__s"),
+    ).select(id_col, F.expr(f"substr(__s, __i, {n})").alias("sh"))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        shingle: int = 5, prefix: int = 400) -> DataFrame:
     """MinHash signature: xxhash64 of each shingle salted per hash index,
-    per-index minimum.  One narrow pass + one groupBy on the id."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=shingle, prefix=prefix)
-    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
-    sigs = exploded.groupBy(id_col).agg(
+    per-index minimum.  Explode → codegen'd hash → partial-aggregatable
+    per-index MIN (map-side combine; the only shuffle carries the id +
+    n_hashes longs).  MIN over the shingle multiset equals MIN over the
+    distinct set, so no dedup pass is needed."""
+    sh = _exploded_shingles(
+        _spread(df.select(id_col, text_col), id_col),
+        text_col, id_col, shingle, 1, prefix,
+    )
+    sigs = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("sh"))))
             .alias(f"mh{i}")
@@ -71,7 +106,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     """LSH banding: signature rows → (band, hash-of-band-rows) keys →
     self-join per band bucket → distinct candidate pairs."""
     rows_per_band = n_hashes // bands
+    # signatures are tiny (n_hashes longs/doc) but expensive to derive —
+    # persist so the self-join's two sides don't re-shingle the corpus
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, prefix)
+    sigs = sigs.persist()
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
                      for r in range(rows_per_band)]).alias(f"band{b}")
@@ -100,9 +138,22 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle: int = 3,
                    threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (broadcast-sized pair lists
-    join back to the corpus; set ops on distinct shingle arrays)."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=shingle).select(
-        F.col(id_col), F.col("shingles")
+    join back to the corpus; set ops on distinct shingle arrays).
+
+    Only candidate documents are shingled (semi-join first): the verify
+    stage touches the LSH survivors, never the full corpus."""
+    pairs = pairs.persist()
+    cand_ids = pairs.select(F.col("doc_a").alias(id_col)).unionByName(
+        pairs.select(F.col("doc_b").alias(id_col))
+    ).distinct()
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "semi")
+    sh = (
+        _exploded_shingles(
+            cand_docs.select(id_col, text_col), text_col, id_col, shingle, 1, None
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("shingles"))
+        .persist()
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "doc_a")
@@ -123,28 +174,37 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    xxhash64 token hashes — pure built-in expressions (no UDF): token
-    hashes → per-bit ±1 votes via aggregate over the token array."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_exprs = []
-    for bit in range(64):
-        # vote_bit = Σ tokens (hash>>bit & 1 ? 1 : -1) > 0
-        vote = F.aggregate(
-            token_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1),
-        )
-        bit_exprs.append(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(0).alias(f"b{bit}")
-        )
-    with_bits = df.select(id_col, *bit_exprs)
-    sig = with_bits.select(
+    xxhash64 token hashes — pure built-in expressions (no UDF).
+
+    The token-hash array is materialized as a real column first, so each
+    token is hashed exactly once; the 64 bit votes then fold over the
+    hashed array (not the raw tokens)."""
+    # Explode tokens (codegen'd split+explode+hash), then 64 conditional
+    # SUMs in one partial-aggregatable groupBy — NOT aggregate() lambdas,
+    # which Spark evaluates interpreted (~10× slower).
+    hashed = (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"))
+        .select(id_col, F.xxhash64("__t").alias("__h"))
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("__h", bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    sig = votes.select(
         id_col,
         sum(
-            (F.col(f"b{bit}") * F.lit(1 << bit) for bit in range(63)),
+            (
+                F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
+                .otherwise(0)
+                for bit in range(63)
+            ),
             F.lit(0).cast("long"),
         ).alias("simhash64"),
     )
@@ -157,7 +217,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash Hamming distance.  Blocked on 16-bit
     quarters (a pair within distance ≤3 shares at least one identical
     quarter — pigeonhole), so the join key is a short block, not O(n²)."""
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col).persist()
     blocks = sig.select(
         id_col, "simhash64",
         F.explode(F.array(*[

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _cosine(a, b):
+    """Higher-order-function cosine (interpreted — fine for small inputs;
+    hot paths use the unrolled codegen variant below)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -25,6 +27,20 @@ def _cosine(a, b):
     n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (n1 * n2)
+
+
+def _dot_unrolled(a: str, b: str, dim: int):
+    """Dot product as `dim` element_at terms — whole-stage-codegen'd,
+    unlike aggregate()/zip_with() lambdas which Spark interprets (~10×
+    slower in the all-pairs hot path)."""
+    return sum(
+        (F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)),
+        F.lit(0.0),
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col).alias("d")).first()["d"]
 
 
 def _as_double(col):
@@ -46,14 +62,25 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
     """All-pairs cosine above a threshold (exact; for modest n or as the
-    verify stage after IVF/LSH blocking)."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  _as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  _as_double(vec_col).alias("vb"))
+    verify stage after IVF/LSH blocking).  Norms are precomputed per
+    vector (narrow pass) and the per-pair dot product is unrolled to
+    codegen'd element_at terms."""
+    dim = _vec_dim(df, vec_col)
+    normed = df.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(_dot_unrolled("v", "v", dim))
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                      F.col("nrm").alias("na"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                      F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine", _dot_unrolled("va", "vb", dim) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
