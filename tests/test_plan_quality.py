@@ -1,0 +1,110 @@
+"""Physical-plan quality gates (the 100 TB checklist, SURVEY.md §4).
+
+These tests read `.explain`-style plan text and assert the properties that
+matter at scale: column pruning reaching the parquet scan, predicate
+pushdown, no shuffles in narrow domain pipelines, broadcast joins for
+dimension tables, and rank-limit pushdown for top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from petropandas_spark.registry import build_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return build_registry()
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_domain_query_prunes_scan_columns(spark, registry):
+    """The garnet pipeline projects 4 lineitem key columns — the parquet
+    ReadSchema must contain only those, not all 16."""
+    df = registry["garnet_end_members"].spark_fn(spark, SF)
+    plan = _plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    line = read_schema[0]
+    for needed in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert needed in line
+    for pruned in ("l_extendedprice", "l_comment", "l_shipdate", "l_quantity"):
+        assert pruned not in line
+
+
+def test_domain_query_is_shuffle_free(spark, registry):
+    """The whole clean→APFU→Droop→allocate→end-members chain must collapse
+    into scan + project — zero exchanges (SURVEY §4.2 CollapseProject)."""
+    df = registry["garnet_end_members"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # one whole-stage-codegen span over the scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter("l_quantity < 10")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_topk_uses_rank_limit_not_global_sort(spark, registry):
+    """row_number() <= k must avoid a full global sort: Spark plans either
+    WindowGroupLimit (partitioned rank limit) or, for a global window,
+    TakeOrderedAndProject feeding the window — both bound the sort to k."""
+    df = registry["topk_customers"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_dimension_joins_broadcast(spark, registry):
+    """q5 joins region/nation/supplier/customer — all must be broadcast
+    (build-side dims), never sort-merge."""
+    df = registry["q5_local_supplier"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hpxeos_compiles_to_single_projection(spark, registry):
+    """The THERMOCALC polynomial evaluation is pure expressions — one
+    codegen'd projection over the scan, no UDFs, no exchanges."""
+    df = registry["tc_garnet_proportions"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cipw_is_single_arrow_stage(spark, registry):
+    """Full CIPW runs as exactly one Arrow-batched python stage (the one
+    pandas-UDF stage in the engine) with no shuffle."""
+    df = registry["cipw_norm_full"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_minhash_shuffles_only_signatures(spark):
+    """The minhash groupBy must be a partial aggregation (map-side
+    combine): plan shows HashAggregate before and after the exchange."""
+    from petropandas_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.minhash_signatures(docs), "simple")
+    assert plan.count("HashAggregate") >= 2
+    # exactly the aggregation exchanges (repartition spread + final agg)
+    assert "SortAggregate" not in plan
