@@ -105,6 +105,10 @@ class PhaseSpec:
     order_parameters: tuple[str, ...] = ()
     charge_basis: float | None = None  # e.g. chlorite's 28 charges
     sf_block: str | None = None
+    #: expression-valued defaults for order parameters not supplied by the
+    #: caller (e.g. magnetite's random-inversion Q = 2x/(2+x)); a builder
+    #: ``q -> expr`` over already-defined variable columns.
+    order_defaults: dict = field(default_factory=dict)
 
 
 def add_phase_end_members(
@@ -148,13 +152,19 @@ def add_phase_end_members(
 
     spec.build_variables(ctx, c)
     # order parameters: scalar literals, default 0 (fully disordered) —
-    # ref ``hpxeos/base.py:26-44``
+    # ref ``hpxeos/base.py:26-44`` — unless the phase declares an
+    # expression-valued default (magnetite's Q_random).
     op = order_parameters or {}
     if spec.order_parameters:
-        ctx.let([
-            (name, lambda q, v=flit(float(op.get(name, 0.0))): v)
-            for name in spec.order_parameters
-        ])
+        defs = []
+        for name in spec.order_parameters:
+            if name in op:
+                defs.append((name, lambda q, v=flit(float(op[name])): v))
+            elif name in spec.order_defaults:
+                defs.append((name, spec.order_defaults[name]))
+            else:
+                defs.append((name, lambda q: "0e0"))
+        ctx.let(defs)
 
     polys = parse_block(spec.p_block)
     st = plan.stage()

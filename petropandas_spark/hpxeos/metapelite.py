@@ -450,3 +450,180 @@ PHASES: dict[str, PhaseSpec] = {
         CORDIERITE, STAUROLITE, EPIDOTE, PLAGIOCLASE, KFELDSPAR,
     )
 }
+
+# -- orthopyroxene 'opx' ------------------------------------------------------
+
+_OPX_P = """
+p(en)      5 1    1  6  -1/2  Q  -1  c  -1  f  -1  m  -1  x  -1  y
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  1/2  m    0  1  1  Q
+             2    0  1  1  c    0  1  1  x
+             2    0  1  1  m    0  1  1  x
+p(fs)      6 1    0  2  -1/2  Q   1  x
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  1/2  m    0  1  1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(fm)      6 1    0  1   1  Q
+             2    0  1  -1  c    0  1  1  Q
+             2    0  1  -1  m    0  1  1  Q
+             2    0  1  -1  c    0  1  1  x
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(mgts)    1 1    0  1  1  y
+p(fopx)    1 1    0  1  1  f
+p(mnopx)   1 1    0  1  1  m
+p(odi)     1 1    0  1  1  c
+"""
+
+
+def _opx_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("m", lambda q: f"({ic(_MN)(q)} / 2e0)"),
+        ("y", lambda q: f"({ic(_AL)(q)} - (2e0 - {ic(_SI)(q)}))"),
+        ("f", ic(_FE3)),
+        ("c", ic(_CA)),
+    ])
+
+
+ORTHOPYROXENE = PhaseSpec(
+    name="Orthopyroxene", abbreviation="opx",
+    end_members=("en", "fs", "fm", "mgts", "fopx", "mnopx", "odi"),
+    p_block=_OPX_P,
+    mineral=MineralConfig(
+        name="TC_opx", n_oxygens=6, ideal_cations=4,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _MN, _CA, _AL, _SI),
+    build_variables=_opx_vars,
+    order_parameters=("Q",),
+)
+
+# -- ilmenite 'ilm' (FTO model) ----------------------------------------------
+
+_ILM_P = """
+p(oilm)  1 1    0  1  1  Q
+p(dilm)  1 1    0  2  1  x -1  Q
+p(dhem)  1 1    1  1 -1  x
+"""
+
+
+def _ilm_vars(ctx, ic):
+    ctx.let([("x", lambda q: f"(1e0 - {ic(_FE3)(q)} / 2e0)")])
+
+
+ILMENITE = PhaseSpec(
+    name="Ilmenite", abbreviation="ilm",
+    end_members=("oilm", "dilm", "dhem"),
+    p_block=_ILM_P,
+    mineral=MineralConfig(
+        name="TC_ilm", n_oxygens=3, ideal_cations=2,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_FE2, _TI),
+    build_variables=_ilm_vars,
+    order_parameters=("Q",),
+)
+
+# -- ilmenite-hematite 'ilmm' (Mg/Mn-bearing) --------------------------------
+
+_ILMM_P = """
+p(oilm)    1 1    0  1  1  Q
+p(dilm)    1 1    0  4  -1  g   1  i  -1  m  -1  Q
+p(dhem)    1 1    1  1  -1  i
+p(geik)    1 1    0  1  1  g
+p(pnt)     1 1    0  1  1  m
+"""
+
+
+def _ilmm_vars(ctx, ic):
+    ctx.let([
+        ("i", lambda q: f"(1e0 - {ic(_FE3)(q)} / 2e0)"),
+        ("g", ic(_MG)),
+        ("m", ic(_MN)),
+    ])
+
+
+ILMENITE_MIXED = PhaseSpec(
+    name="IlmeniteMixed", abbreviation="ilmm",
+    end_members=("oilm", "dilm", "dhem", "geik", "pnt"),
+    p_block=_ILMM_P,
+    mineral=MineralConfig(name="TC_ilmm", n_oxygens=3, ideal_cations=2),
+    required=(_FE2, _TI, _MG, _MN),
+    build_variables=_ilmm_vars,
+    order_parameters=("Q",),
+)
+
+# -- spinel 'sp' --------------------------------------------------------------
+
+_SP_P = """
+p(herc)  2 1    0  1   1  y
+             2   -1  1   1  x    1  1   1  z
+p(sp)    1 2    1  1  -1  x    1  1   1  z
+p(mt)    1 1    1  2  -1  y -1  z
+p(usp)   1 1    0  1   1  z
+"""
+
+
+def _sp_vars(ctx, ic):
+    ctx.let([
+        ("__p2", lambda q: (
+            f"({ic(_AL)(q)} + {ic(_FE3)(q)} + 2e0 * {ic(_TI)(q)})"
+        )),
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+    ])
+    ctx.let([
+        ("y", lambda q: f"({ic(_AL)(q)} / {q('__p2')})"),
+        ("z", lambda q: f"(2e0 * {ic(_TI)(q)} / {q('__p2')})"),
+    ])
+
+
+SPINEL = PhaseSpec(
+    name="Spinel", abbreviation="sp",
+    end_members=("herc", "sp", "mt", "usp"),
+    p_block=_SP_P,
+    mineral=MineralConfig(
+        name="TC_sp", n_oxygens=4, ideal_cations=3,
+        preprocess="fe2o3_to_feo",
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _AL, _TI),
+    build_variables=_sp_vars,
+)
+
+# -- magnetite 'mt1' ----------------------------------------------------------
+
+_MT_P = """
+p(imt)  1 1    0  2 -2  x  3  Q
+p(dmt)  1 1    0  2  3  x -3  Q
+p(usp)  1 1    1  1 -1  x
+"""
+
+
+def _mt_vars(ctx, ic):
+    ctx.let([("x", lambda q: f"(1e0 - {ic(_TI)(q)})")])
+
+
+MAGNETITE = PhaseSpec(
+    name="Magnetite", abbreviation="mt1",
+    end_members=("imt", "dmt", "usp"),
+    p_block=_MT_P,
+    mineral=MineralConfig(
+        name="TC_mt1", n_oxygens=4, ideal_cations=3,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_FE2, _TI),
+    build_variables=_mt_vars,
+    order_parameters=("Q",),
+    # Q=0 here would mean fully-NORMAL spinel, not disordered; the truly
+    # random inversion is Q = 2x/(2+x) (the axfile's own dmt check value),
+    # so that is the default when the caller supplies nothing.
+    order_defaults={"Q": lambda q: f"(2e0 * {q('x')} / (2e0 + {q('x')}))"},
+)
+
+PHASES.update({
+    s.abbreviation: s
+    for s in (ORTHOPYROXENE, ILMENITE, ILMENITE_MIXED, SPINEL, MAGNETITE)
+})

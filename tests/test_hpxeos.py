@@ -48,17 +48,31 @@ FIXTURES = {
               "CaO": [7.0, 12.0], "Na2O": [7.0, 4.0], "K2O": [1.0, 0.5]},
     "k4tr": {"SiO2": [60.0], "Al2O3": [25.0], "CaO": [7.0],
              "Na2O": [7.0], "K2O": [1.0]},
+    "opx": {"SiO2": [52.0, 50.0], "Al2O3": [3.5, 6.0], "FeO": [15.0, 20.0],
+            "MgO": [27.0, 20.0], "CaO": [1.0, 2.0], "MnO": [0.4, 0.6],
+            "TiO2": [0.2, 0.3]},
+    "ilm": {"TiO2": [50.0, 48.0], "FeO": [47.0, 49.0], "MnO": [0.5, 0.3],
+            "MgO": [0.3, 0.2]},
+    "ilmm": {"TiO2": [50.0, 48.0], "FeO": [44.0, 46.0], "MnO": [2.0, 1.0],
+             "MgO": [1.5, 0.8]},
+    "sp": {"Al2O3": [55.0, 30.0], "FeO": [15.0, 30.0], "Fe2O3": [4.0, 8.0],
+           "MgO": [20.0, 8.0], "TiO2": [1.0, 5.0]},
+    # magnetite: Q defaults to the random-inversion expression 2x/(2+x)
+    "mt1": {"FeO": [85.0, 80.0], "TiO2": [8.0, 12.0]},
 }
 
 ORDER_PARAMS = {
     "bi": {"Q": 0.25}, "chl": {"QAl": 0.3, "Q1": 0.1, "Q4": 0.05},
-    "cd": {"h": 0.4}, "ep": {"Q": 0.2},
+    "cd": {"h": 0.4}, "ep": {"Q": 0.2}, "opx": {"Q": 0.2},
+    "ilm": {"Q": 0.3}, "ilmm": {"Q": 0.4},
 }
 
 REF_PHASE = {
     "g": "TC_g", "bi": "TC_bi", "mu": "TC_mu", "ma": "TC_ma",
     "chl": "TC_chl", "ctd": "TC_ctd", "cd": "TC_cd", "st": "TC_st",
     "ep": "TC_ep", "pl4tr": "TC_pl4tr", "k4tr": "TC_k4tr",
+    "opx": "TC_opx", "ilm": "TC_ilm", "ilmm": "TC_ilmm", "sp": "TC_sp",
+    "mt1": "TC_mt1",
 }
 
 
