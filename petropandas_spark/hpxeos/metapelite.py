@@ -627,3 +627,97 @@ PHASES.update({
     s.abbreviation: s
     for s in (ORTHOPYROXENE, ILMENITE, ILMENITE_MIXED, SPINEL, MAGNETITE)
 })
+
+# -- sapphirine 'sa' ----------------------------------------------------------
+
+_SA_P = """
+p(spr4)    1 1    1  4  -1/4  Q  -1  f  -1  x  -1  y
+p(spr5)    1 1    0  1  1  y
+p(fspm)    3 1    0  2   1  x  -3/4  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(spro)    3 1    0  1   1  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(ospr)    1 1    0  1  1  f
+"""
+
+
+def _sa_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("f", ic(_FE3)),
+        ("y", lambda q: f"(({ic(_AL)(q)} + {ic(_SI)(q)}) - 10e0)"),
+    ])
+
+
+SAPPHIRINE = PhaseSpec(
+    name="Sapphirine", abbreviation="sa",
+    end_members=("spr4", "spr5", "fspm", "spro", "ospr"),
+    p_block=_SA_P,
+    mineral=MineralConfig(
+        name="TC_sa", n_oxygens=20, ideal_cations=5,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _AL, _SI),
+    build_variables=_sa_vars,
+    order_parameters=("Q",),
+)
+
+# -- legacy Cbar1 feldspars 'plc' / 'ksp' (Holland & Powell 2003) -------------
+
+_PLC_P = """
+p(abh)    1 1    1 2 -1 k -1 ca
+p(anC)    1 1    0 1  1 ca
+p(san)    1 1    0 1  1 k
+"""
+
+_KSP_C_P = """
+p(san)     1 1    1  2  -1  ca  -1  na
+p(abh)     1 1    0  1  1  na
+p(anC)     1 1    0  1  1  ca
+"""
+
+
+def _plc_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
+    ])
+    ctx.let([
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+    ])
+
+
+def _ksp_c_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
+    ])
+    ctx.let([
+        ("na", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+    ])
+
+
+PLAGIOCLASE_CBAR1 = PhaseSpec(
+    name="PlagioclaseCbar1", abbreviation="plc",
+    end_members=("abh", "anC", "san"),
+    p_block=_PLC_P,
+    mineral=MineralConfig(name="TC_plc", n_oxygens=8),
+    required=(_NA, _CA, _K),
+    build_variables=_plc_vars,
+)
+
+KFELDSPAR_CBAR1 = PhaseSpec(
+    name="KFeldsparCbar1", abbreviation="ksp",
+    end_members=("san", "abh", "anC"),
+    p_block=_KSP_C_P,
+    mineral=MineralConfig(name="TC_ksp", n_oxygens=8),
+    required=(_NA, _CA, _K),
+    build_variables=_ksp_c_vars,
+)
+
+PHASES.update({
+    s.abbreviation: s
+    for s in (SAPPHIRINE, PLAGIOCLASE_CBAR1, KFELDSPAR_CBAR1)
+})

@@ -118,3 +118,56 @@ def test_proportions_sum_to_100(spark):
         got = _run_phase(spark, data, abbrev)
         for s in got.sum(axis=1):
             assert s == pytest.approx(100.0, abs=0.01), abbrev
+
+
+# -- cross-set phases (metapelite extras, metabasite, igneous) ----------------
+
+ref_mb = pytest.importorskip("petropandas.hpxeos.metabasite")
+ref_ig = pytest.importorskip("petropandas.hpxeos.igneous")
+
+from petropandas_spark.hpxeos import igneous as my_ig  # noqa: E402
+from petropandas_spark.hpxeos import metabasite as my_mb  # noqa: E402
+
+EXTRA_CASES = [
+    (PHASES["sa"], ref_mp.TC_sa,
+     {"SiO2": [13.0, 14.0], "Al2O3": [60.0, 57.0], "FeO": [8.0, 12.0],
+      "MgO": [16.0, 13.0]}, {"Q": 0.1}),
+    (PHASES["plc"], ref_mp.TC_plc,
+     {"SiO2": [60.0], "Al2O3": [25.0], "CaO": [7.0], "Na2O": [7.0],
+      "K2O": [1.0]}, None),
+    (PHASES["ksp"], ref_mp.TC_ksp,
+     {"SiO2": [64.0], "Al2O3": [19.0], "CaO": [0.5], "Na2O": [3.0],
+      "K2O": [12.0]}, None),
+    (my_mb.PHASES["ol"], ref_mb.TC_ol,
+     {"SiO2": [39.0, 36.0], "MgO": [45.0, 25.0], "FeO": [14.0, 38.0]}, None),
+    (my_ig.PHASES["g_W24"], ref_ig.TC_g_W24,
+     {"SiO2": [38.5, 38.0], "Al2O3": [22.1, 20.0], "Cr2O3": [0.5, 2.0],
+      "TiO2": [0.3, 1.0], "FeO": [25.0, 20.0], "MgO": [6.0, 10.0],
+      "CaO": [3.8, 5.0]}, None),
+]
+
+
+@pytest.mark.parametrize(
+    "spec,ref_phase,data,op", EXTRA_CASES,
+    ids=[c[0].abbreviation for c in EXTRA_CASES],
+)
+def test_cross_set_phases_match_reference(spark, spec, ref_phase, data, op):
+    for params in ({}, op) if op else ({},):
+        expected = ref_phase.end_members(
+            pd.DataFrame(data), order_parameters=params or None
+        )
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        add_phase_end_members(
+            plan, fcols, spec, order_parameters=params or None, carry=["id"]
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        assert list(got.columns) == list(expected.columns)
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )
