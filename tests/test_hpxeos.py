@@ -171,3 +171,46 @@ def test_cross_set_phases_match_reference(spark, spec, ref_phase, data, op):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+MB_CASES = [
+    (lambda: my_mb.PHASES["hb"], "TC_hb",
+     {"SiO2": [43.0, 50.0], "TiO2": [1.5, 0.5], "Al2O3": [11.0, 6.0],
+      "FeO": [12.0, 10.0], "MgO": [13.0, 16.0], "CaO": [11.5, 12.0],
+      "Na2O": [1.5, 1.0], "K2O": [0.8, 0.2]},
+     {"z": 0.1, "a": 0.3, "k": 0.2, "Q1": 0.05, "Q2": 0.1}),
+    (lambda: my_mb.PHASES["aug"], "TC_aug",
+     {"SiO2": [52.0, 50.0], "Al2O3": [3.0, 5.0], "FeO": [7.0, 9.0],
+      "MgO": [15.0, 13.0], "CaO": [20.0, 19.0], "Na2O": [0.8, 1.2]},
+     {"Qfm": 0.1, "Qal": 0.2}),
+    (lambda: my_mb.PHASES["dio"], "TC_dio",
+     {"SiO2": [55.5, 55.0], "Al2O3": [9.0, 7.0], "FeO": [5.0, 6.0],
+      "MgO": [8.0, 9.0], "CaO": [13.0, 14.0], "Na2O": [6.0, 5.0]},
+     {"Q": 0.2, "Qaf": 0.1, "Qfm": 0.05}),
+]
+
+
+@pytest.mark.parametrize(
+    "spec_fn,ref_name,data,op", MB_CASES, ids=["hb", "aug", "dio"]
+)
+def test_metabasite_phases_match_reference(spark, spec_fn, ref_name, data, op):
+    ref_phase = getattr(ref_mb, ref_name)
+    for params in ({}, op):
+        expected = ref_phase.end_members(
+            pd.DataFrame(data), order_parameters=params or None
+        )
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        add_phase_end_members(
+            plan, fcols, spec_fn(), order_parameters=params or None,
+            carry=["id"],
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )
