@@ -54,3 +54,314 @@ GARNET_W24 = PhaseSpec(
 )
 
 PHASES: dict[str, PhaseSpec] = {s.abbreviation: s for s in (GARNET_W24,)}
+
+_NA_, _K_ = "Na{+}", "K{+}"
+_MN_ = "Mn{2+}"
+
+
+def _rat(a, b):
+    return lambda q: f"({a(q)} / ({a(q)} + {b(q)}))"
+
+
+# -- olivine 'ol_H18' (CFMS, monticellite + Fe/Mg ordering) -------------------
+
+_OL_H18_P = """
+p(mont)    1 1    0  1  1  c
+p(fa)      1 1    0  2  -1  Q   1  x
+p(fo)      2 1    1  3  -1  c  -1  Q  -1  x
+             2    0  1  1  c    0  1  1  x
+p(cfm)     2 1    0  1  2  Q
+             2    0  1  -1  c    0  1  1  x
+"""
+
+
+def _ol_h18_vars(ctx, ic):
+    ctx.let([
+        ("x", _rat(ic(_FE2), ic(_MG))),
+        ("c", ic(_CA)),
+    ])
+
+
+OLIVINE_H18 = PhaseSpec(
+    name="OlivineH18", abbreviation="ol_H18",
+    end_members=("mont", "fa", "fo", "cfm"),
+    p_block=_OL_H18_P,
+    mineral=MineralConfig(name="TC_ol_H18", n_oxygens=4, ideal_cations=3),
+    required=(_MG, _FE2, _CA),
+    build_variables=_ol_h18_vars,
+    order_parameters=("Q",),
+)
+
+# -- cordierite 'cd_G25' (Mn-free) --------------------------------------------
+
+_CD_G25_P = """
+p(crd)     1 1    1  2  -1  h  -1  x
+p(fcrd)    1 1    0  1  1  x
+p(hcrd)    1 1    0  1  1  h
+"""
+
+
+def _cd_g25_vars(ctx, ic):
+    ctx.let([
+        ("__Xt", lambda q: f"({ic(_FE2)(q)} + {ic(_MG)(q)})"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+    ])
+
+
+CORDIERITE_G25 = PhaseSpec(
+    name="CordieriteG25", abbreviation="cd_G25",
+    end_members=("crd", "fcrd", "hcrd"),
+    p_block=_CD_G25_P,
+    mineral=MineralConfig(name="TC_cd_G25", n_oxygens=18),
+    required=(_MG, _FE2),
+    build_variables=_cd_g25_vars,
+    order_parameters=("h",),
+)
+
+# -- ilmenite 'ilm_W24' (geikielite-bearing, Q/Qt) ---------------------------
+
+_ILM_W24_P = """
+p(oilm)    1 1    0  1  1  Q
+p(dilm)    2 1    0  2   1  i  -1  Q
+             2    0  1  -1  i    0  1  1  m
+p(hem)     1 1    1  1  -1  i
+p(ogk)     1 1    0  2  -1  Q   1  Qt
+p(dgk)     2 1    0  2   1  Q  -1  Qt
+             2    0  1  1  i    0  1  1  m
+"""
+
+
+def _ilm_w24_vars(ctx, ic):
+    ctx.let([
+        ("i", lambda q: f"(1e0 - {ic(_FE3)(q)} / 2e0)"),
+        ("m", _rat(ic(_MG), ic(_FE2))),
+    ])
+
+
+ILMENITE_W24 = PhaseSpec(
+    name="IlmeniteW24", abbreviation="ilm_W24",
+    end_members=("oilm", "dilm", "hem", "ogk", "dgk"),
+    p_block=_ILM_W24_P,
+    mineral=MineralConfig(name="TC_ilm_W24", n_oxygens=3, ideal_cations=2),
+    required=(_FE2, _MG, _TI),
+    build_variables=_ilm_w24_vars,
+    order_parameters=("Q", "Qt"),
+)
+
+# -- biotite 'bi_G25' (Mn-free) -----------------------------------------------
+
+_BI_G25_P = """
+p(phl)     4 1    1  5  -1  f  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(annm)    1 1    0  2  -1/3  Q   1  x
+p(obi)     4 1    0  1   1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(est)     1 1    0  1  1  y
+p(tbi)     1 1    0  1  1  t
+p(fbi)     1 1    0  1  1  f
+"""
+
+
+def _bi_g25_vars(ctx, ic):
+    ctx.let([
+        ("x", _rat(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"({ic(_AL)(q)} - (4e0 - {ic(_SI)(q)}))"),
+        ("f", ic(_FE3)),
+        ("t", ic(_TI)),
+    ])
+
+
+BIOTITE_G25 = PhaseSpec(
+    name="BiotiteG25", abbreviation="bi_G25",
+    end_members=("phl", "annm", "obi", "est", "tbi", "fbi"),
+    p_block=_BI_G25_P,
+    mineral=MineralConfig(name="TC_bi_G25", n_oxygens=11),
+    required=(_MG, _FE2, _TI, _AL, _SI),
+    build_variables=_bi_g25_vars,
+    order_parameters=("Q",),
+)
+
+# -- orthopyroxene 'opx_W24' (Cr/Ti/Na-bearing) ------------------------------
+
+_OPX_W24_P = """
+p(en)      6 1    1  5  -1  c  -1  j   1  Q  -1  x  -1  y
+             2    0  1  -1  j    0  1  1  Q
+             2    0  1  1  Q    0  1  1  t
+             2    0  1  1  c    0  1  1  x
+             2    0  1  1  j    0  1  1  x
+             2    0  1  -1  Q    0  1  1  y
+p(fs)      7 1    0  2   1  Q   1  x
+             2    0  1  -1  j    0  1  1  Q
+             2    0  1  1  Q    0  1  1  t
+             2    0  1  -1  j    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  -1  Q    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(fm)      7 1    0  1  -2  Q
+             2    0  1  2  j    0  1  1  Q
+             2    0  1  -2  Q    0  1  1  t
+             2    0  1  -1  c    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  2  Q    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+p(odi)     1 1    0  1  1  c
+p(mgts)    1 1    0  4  -1  cr  -1  f   1  y  -2  t
+p(cren)    1 1    0  1  1  cr
+p(obuf)    1 1    0  1  2  t
+p(mess)    1 1    0  1  1  f
+p(ojd)     1 1    0  1  1  j
+"""
+
+
+def _opx_w24_vars(ctx, ic):
+    ctx.let([
+        ("x", _rat(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"(2e0 - {ic(_SI)(q)})"),
+        ("c", ic(_CA)),
+        ("j", ic(_NA_)),
+        ("f", ic(_FE3)),
+        ("t", ic(_TI)),
+        ("cr", ic(_CR)),
+    ])
+
+
+ORTHOPYROXENE_W24 = PhaseSpec(
+    name="OrthopyroxeneW24", abbreviation="opx_W24",
+    end_members=("en", "fs", "fm", "odi", "mgts", "cren", "obuf", "mess",
+                 "ojd"),
+    p_block=_OPX_W24_P,
+    mineral=MineralConfig(
+        name="TC_opx_W24", n_oxygens=6, ideal_cations=4,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _CA, _NA_, _AL, _SI, _TI, _CR),
+    build_variables=_opx_w24_vars,
+    order_parameters=("Q",),
+)
+
+# -- clinopyroxene 'cpx_W24' (the largest pyroxene model) --------------------
+
+_CPX_W24_P = """
+p(di)      1 1    1  4  -1  k  -1  n  -1  o  -1  y
+p(cfs)     9 1    0  2   1  Q   1  x
+             2    0  1  -1  k    0  1  1  Q
+             2    0  1  -1  n    0  1  1  Q
+             2    0  1  1  Q    0  1  1  t
+             2    0  1  -1  k    0  1  1  x
+             2    0  1  -1  n    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  -1  Q    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(cats)    1 1    0  4  -1  cr  -1  f   1  y  -2  t
+p(crdi)    1 1    0  1  1  cr
+p(cess)    1 1    0  1  1  f
+p(cbuf)     1 1    0  1  2  t
+p(jd)      1 1    0  1  1  n
+p(cen)     6 1    0  2   1  o   1  Q
+             2    0  1  -1  k    0  1  1  Q
+             2    0  1  -1  n    0  1  1  Q
+             2    0  1  1  Q    0  1  1  t
+             2    0  1  -1  o    0  1  1  x
+             2    0  1  -1  Q    0  1  1  y
+p(cfm)     10 1    0  2  -1  x  -2  Q
+             2    0  1  2  k    0  1  1  Q
+             2    0  1  2  n    0  1  1  Q
+             2    0  1  -2  Q    0  1  1  t
+             2    0  1  1  k    0  1  1  x
+             2    0  1  1  n    0  1  1  x
+             2    0  1  1  o    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  2  Q    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+p(kjd)     1 1    0  1  1  k
+"""
+
+
+def _cpx_w24_vars(ctx, ic):
+    ctx.let([
+        ("x", _rat(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"(2e0 - {ic(_SI)(q)})"),
+        ("o", lambda q: (
+            f"(1e0 - {ic(_CA)(q)} - {ic(_NA_)(q)} - {ic(_K_)(q)})"
+        )),
+        ("n", ic(_NA_)),
+        ("f", ic(_FE3)),
+        ("t", ic(_TI)),
+        ("cr", ic(_CR)),
+        ("k", ic(_K_)),
+    ])
+
+
+CLINOPYROXENE_W24 = PhaseSpec(
+    name="ClinopyroxeneW24", abbreviation="cpx_W24",
+    end_members=("di", "cfs", "cats", "crdi", "cess", "cbuf", "jd", "cen",
+                 "cfm", "kjd"),
+    p_block=_CPX_W24_P,
+    mineral=MineralConfig(
+        name="TC_cpx_W24", n_oxygens=6, ideal_cations=4,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _CA, _NA_, _K_, _AL, _SI, _TI, _CR),
+    build_variables=_cpx_w24_vars,
+    order_parameters=("Q",),
+)
+
+# -- spinel 'spl_T21' (Tomiya-style normal/inverse, Q1-Q3) -------------------
+
+_SPL_T21_P = """
+p(nsp)     2 1    1/3  4  1/3  t  -1/3  x  -1  c  2/3  Q1
+             2    0  1  -1/3  t    0  1  1  x
+p(isp)     2 1    2/3  3  -2/3  Q1  2/3  t  -2/3  x
+             2    0  1  -2/3  t    0  1  1  x
+p(nhc)      4 1    0  5  1/3  x  -1/3  y  -1  t  2/3  Q2  2/3  Q3
+             2    0  1  1/3  t    0  1  1  x
+             2    0  1  1/3  c    0  1  1  y
+             2    0  1  1/3  t    0  1  1  y
+p(ihc)     4 1    0  5  -1  t  -2/3  Q2  -2/3  Q3  2/3  x  -2/3  y
+             2    0  1  2/3  t    0  1  1  x
+             2    0  1  2/3  c    0  1  1  y
+             2    0  1  2/3  t    0  1  1  y
+p(nmt)     3 1    0  2  1/3  y  -2/3  Q3
+             2    0  1  -1/3  c    0  1  1  y
+             2    0  1  -1/3  t    0  1  1  y
+p(imt)     3 1    0  2  2/3  Q3  2/3  y
+             2    0  1  -2/3  c    0  1  1  y
+             2    0  1  -2/3  t    0  1  1  y
+p(picr)    1 1    0  1  1  c
+p(usp)     1 1    0  1  1  t
+"""
+
+
+def _spl_t21_vars(ctx, ic):
+    ctx.let([
+        ("x", _rat(ic(_FE2), ic(_MG))),
+        ("y", _rat(ic(_FE3), ic(_AL))),
+        ("c", lambda q: f"({ic(_CR)(q)} / 2e0)"),
+        ("t", ic(_TI)),
+    ])
+
+
+SPINEL_T21 = PhaseSpec(
+    name="SpinelT21", abbreviation="spl_T21",
+    end_members=("nsp", "isp", "nhc", "ihc", "nmt", "imt", "picr", "usp"),
+    p_block=_SPL_T21_P,
+    mineral=MineralConfig(
+        name="TC_spl_T21", n_oxygens=4, ideal_cations=3,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _AL, _CR, _TI),
+    build_variables=_spl_t21_vars,
+    order_parameters=("Q1", "Q2", "Q3"),
+)
+
+PHASES.update({
+    s.abbreviation: s
+    for s in (OLIVINE_H18, CORDIERITE_G25, ILMENITE_W24, BIOTITE_G25,
+              ORTHOPYROXENE_W24, CLINOPYROXENE_W24, SPINEL_T21)
+})

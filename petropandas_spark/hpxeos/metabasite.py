@@ -219,3 +219,61 @@ OMPHACITE = PhaseSpec(
 )
 
 PHASES.update({s.abbreviation: s for s in (AMPHIBOLE, AUGITE, OMPHACITE)})
+
+# -- peristerite 'abc' (low-albite, NaSi<->CaAl coupled unit) ----------------
+
+_ABC_P = """
+p(abm)   1 1    1 1 -1 ca
+p(anm)   1 1    0 1  1 ca
+"""
+
+
+def _abc_vars(ctx, ic):
+    ctx.let([
+        ("__At", lambda q: f"({ic(_NA)(q)} + {ic(_CA)(q)})"),
+    ])
+    ctx.let([
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+    ])
+
+
+PERISTERITE = PhaseSpec(
+    name="Peristerite", abbreviation="abc",
+    end_members=("abm", "anm"),
+    p_block=_ABC_P,
+    mineral=MineralConfig(name="TC_abc", n_oxygens=8),
+    required=(_NA, _CA),
+    build_variables=_abc_vars,
+)
+
+# -- legacy Ibar1 plagioclase 'pli' (Holland & Powell 2003) ------------------
+
+_PLI_P = """
+p(abhI)  1 1    1 2 -1 k -1 ca
+p(an)    1 1    0 1  1 ca
+p(san)   1 1    0 1  1 k
+"""
+
+
+def _pli_vars(ctx, ic):
+    from petropandas_spark.sqlgen import add_chain
+
+    ctx.let([
+        ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
+    ])
+    ctx.let([
+        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+    ])
+
+
+PLAGIOCLASE_IBAR1 = PhaseSpec(
+    name="PlagioclaseIbar1", abbreviation="pli",
+    end_members=("abhI", "an", "san"),
+    p_block=_PLI_P,
+    mineral=MineralConfig(name="TC_pli", n_oxygens=8),
+    required=(_NA, _CA, _K),
+    build_variables=_pli_vars,
+)
+
+PHASES.update({s.abbreviation: s for s in (PERISTERITE, PLAGIOCLASE_IBAR1)})

@@ -214,3 +214,68 @@ def test_metabasite_phases_match_reference(spark, spec_fn, ref_name, data, op):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+IG_CASES = [
+    ("ol_H18", "TC_ol_H18",
+     {"SiO2": [38.0, 35.0], "MgO": [42.0, 25.0], "FeO": [16.0, 33.0],
+      "CaO": [0.3, 1.0]}, {"Q": 0.1}),
+    ("cd_G25", "TC_cd_G25",
+     {"SiO2": [49.0], "Al2O3": [33.0], "FeO": [6.0], "MgO": [10.0]},
+     {"h": 0.3}),
+    ("ilm_W24", "TC_ilm_W24",
+     {"TiO2": [51.0, 49.0], "FeO": [44.0, 46.0], "MgO": [2.0, 1.0]},
+     {"Q": 0.2, "Qt": 0.1}),
+    ("bi_G25", "TC_bi_G25",
+     {"SiO2": [37.0], "Al2O3": [16.0], "FeO": [16.0], "MgO": [13.0],
+      "TiO2": [2.5], "K2O": [9.5]}, {"Q": 0.15}),
+    ("opx_W24", "TC_opx_W24",
+     {"SiO2": [53.0, 51.0], "Al2O3": [3.0, 5.0], "FeO": [14.0, 18.0],
+      "MgO": [27.0, 22.0], "CaO": [1.2, 2.0], "Na2O": [0.1, 0.2],
+      "TiO2": [0.2, 0.4], "Cr2O3": [0.3, 0.5]}, {"Q": 0.2}),
+    ("cpx_W24", "TC_cpx_W24",
+     {"SiO2": [51.0, 49.0], "Al2O3": [4.0, 6.5], "FeO": [7.5, 9.0],
+      "MgO": [15.0, 13.0], "CaO": [19.0, 18.0], "Na2O": [0.8, 1.2],
+      "K2O": [0.05, 0.1], "TiO2": [0.4, 0.8], "Cr2O3": [0.4, 0.2]},
+     {"Q": 0.1}),
+    ("spl_T21", "TC_spl_T21",
+     {"Al2O3": [52.0, 20.0], "FeO": [18.0, 28.0], "MgO": [17.0, 9.0],
+      "Cr2O3": [8.0, 38.0], "TiO2": [1.0, 3.0]},
+     {"Q1": 0.2, "Q2": 0.1, "Q3": 0.05}),
+]
+
+MB2_CASES = [
+    ("abc", "TC_abc", {"SiO2": [64.0, 62.0], "Al2O3": [22.0, 23.0],
+                       "Na2O": [10.0, 8.0], "CaO": [1.0, 3.0]}, None),
+    ("pli", "TC_pli", {"SiO2": [60.0], "Al2O3": [25.0], "CaO": [7.0],
+                       "Na2O": [7.0], "K2O": [1.0]}, None),
+]
+
+
+@pytest.mark.parametrize(
+    "abbrev,ref_name,data,op", IG_CASES + MB2_CASES,
+    ids=[c[0] for c in IG_CASES + MB2_CASES],
+)
+def test_igneous_and_legacy_phases(spark, abbrev, ref_name, data, op):
+    registries = {**my_ig.PHASES, **my_mb.PHASES}
+    ref_mod = ref_ig if hasattr(ref_ig, ref_name) else ref_mb
+    ref_phase = getattr(ref_mod, ref_name)
+    for params in ({}, op) if op else ({},):
+        expected = ref_phase.end_members(
+            pd.DataFrame(data), order_parameters=params or None
+        )
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        add_phase_end_members(
+            plan, fcols, registries[abbrev], order_parameters=params or None,
+            carry=["id"],
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )
