@@ -248,6 +248,30 @@ PSEUDO_GRANITE = [
     ("Cr2O3", "(s_suppkey % 4) * 0.02e0"),
 ]
 
+# W24 clinopyroxene input (needs Cr and K alongside the usual cpx oxides).
+PSEUDO_CPX_W24 = [
+    ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+    ("SiO2", "50.0e0 + (l_partkey % 9) * 0.3e0"),
+    ("TiO2", "0.2e0 + (l_orderkey % 4) * 0.1e0"),
+    ("Al2O3", "3.0e0 + (l_suppkey % 8) * 0.4e0"),
+    ("Cr2O3", "0.1e0 + (l_partkey % 3) * 0.15e0"),
+    ("FeO", "6.0e0 + (l_linenumber % 6) * 0.6e0"),
+    ("MgO", "14.0e0 + (l_partkey % 6) * 0.4e0"),
+    ("CaO", "18.5e0 + (l_suppkey % 5) * 0.4e0"),
+    ("Na2O", "0.4e0 + (l_orderkey % 5) * 0.15e0"),
+    ("K2O", "(l_orderkey % 3) * 0.04e0"),
+]
+
+# T21 spinel input (Cr/Ti-bearing Mg-Al spinel).
+PSEUDO_SPL_T21 = [
+    ("id", "CAST(c_custkey AS BIGINT)"),
+    ("TiO2", "0.5e0 + (c_nationkey % 4) * 0.3e0"),
+    ("Al2O3", "45.0e0 + (c_custkey % 7) * 0.5e0"),
+    ("Cr2O3", "12.0e0 + (c_nationkey % 5) * 0.8e0"),
+    ("FeO", "19.0e0 + (c_custkey % 6) * 0.4e0"),
+    ("MgO", "15.5e0 + (c_custkey % 5) * 0.35e0"),
+]
+
 # One feldspar-like analysis per order row.
 PSEUDO_FSP = [
     ("id", "CAST(o_orderkey AS BIGINT)"),
@@ -433,21 +457,32 @@ from petropandas_spark.hpxeos import metapelite as _mp  # noqa: E402
 
 def _hpxeos_queries() -> dict[str, QuerySpec]:
     """X1-X9: THERMOCALC a-x phases as compiled Catalyst expressions."""
+    from petropandas_spark.hpxeos import igneous as _ig
+    from petropandas_spark.hpxeos import metabasite as _mb
+
     cases = [
-        ("tc_garnet_proportions", "lineitem", PSEUDO_GARNET, "g", None),
-        ("tc_biotite_proportions", "orders", PSEUDO_BT, "bi", {"Q": 0.25}),
-        ("tc_chlorite_proportions", "customer", PSEUDO_CHL, "chl",
+        ("tc_garnet_proportions", "lineitem", PSEUDO_GARNET, _mp, "g", None),
+        ("tc_biotite_proportions", "orders", PSEUDO_BT, _mp, "bi",
+         {"Q": 0.25}),
+        ("tc_chlorite_proportions", "customer", PSEUDO_CHL, _mp, "chl",
          {"QAl": 0.3, "Q1": 0.1, "Q4": 0.05}),
-        ("tc_plagioclase_proportions", "orders", PSEUDO_FSP, "pl4tr", None),
-        ("tc_muscovite_proportions", "orders", PSEUDO_MS, "mu", None),
-        ("tc_staurolite_proportions", "customer", PSEUDO_ST, "st", None),
+        ("tc_plagioclase_proportions", "orders", PSEUDO_FSP, _mp, "pl4tr",
+         None),
+        ("tc_muscovite_proportions", "orders", PSEUDO_MS, _mp, "mu", None),
+        ("tc_staurolite_proportions", "customer", PSEUDO_ST, _mp, "st", None),
+        ("tc_clinoamphibole_proportions", "lineitem", PSEUDO_AMP, _mb, "hb",
+         {"z": 0.05, "a": 0.2, "k": 0.1, "Q1": 0.02, "Q2": 0.05}),
+        ("tc_cpx_w24_proportions", "lineitem", PSEUDO_CPX_W24, _ig,
+         "cpx_W24", {"Q": 0.1}),
+        ("tc_spinel_t21_proportions", "customer", PSEUDO_SPL_T21, _ig,
+         "spl_T21", {"Q1": 0.2, "Q2": 0.1, "Q3": 0.05}),
     ]
     out = {}
-    for qname, table, mapping, abbrev, op in cases:
+    for qname, table, mapping, mod, abbrev, op in cases:
         out[qname] = plan_query(
             table, mapping,
-            lambda plan, f, abbrev=abbrev, op=op: _add_phase(
-                plan, f, _mp.PHASES[abbrev], order_parameters=op, carry=["id"]
+            lambda plan, f, mod=mod, abbrev=abbrev, op=op: _add_phase(
+                plan, f, mod.PHASES[abbrev], order_parameters=op, carry=["id"]
             ),
         )
     return out
