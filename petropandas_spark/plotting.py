@@ -178,3 +178,82 @@ class TernaryPlot(BasePlot):
             ax.scatter(pdf["x"], pdf["y"], label=label, **style)
         ax.set_aspect("equal")
         return ax
+
+
+# ---------------------------------------------------------------------------
+# G3: ternary visible-region geometry (driver-side, data-independent)
+# ---------------------------------------------------------------------------
+
+
+def clip_convex(vertices: list[tuple], axis: int, bound: float,
+                keep_upper: bool) -> list[tuple]:
+    """One Sutherland–Hodgman half-plane pass over barycentric vertices:
+    keep points with ``v[axis] >= bound`` (or ``<=`` when not keep_upper),
+    inserting exact edge intersections (ref ``_plotting.py:361-381``)."""
+    out: list[tuple] = []
+    for i, cur in enumerate(vertices):
+        prev = vertices[i - 1]
+
+        def inside(p):
+            return p[axis] >= bound if keep_upper else p[axis] <= bound
+
+        def cross(a, b):
+            f = (bound - a[axis]) / (b[axis] - a[axis])
+            return tuple(ai + f * (bi - ai) for ai, bi in zip(a, b))
+
+        if inside(cur):
+            if vertices and not inside(prev):
+                out.append(cross(prev, cur))
+            out.append(cur)
+        elif inside(prev):
+            out.append(cross(prev, cur))
+    return out
+
+
+def ternary_region(tlim=None, llim=None, rlim=None,
+                   ternary_sum: float = 100.0) -> list[tuple]:
+    """Exact visible-region polygon of a limit-clipped ternary plot, as
+    (t, left, r) vertices in boundary order (ref ``_plotting.py:384-420``;
+    exact clipping, so mpltern's rectangle-fit bug cannot occur)."""
+    verts = [
+        (ternary_sum, 0.0, 0.0),
+        (0.0, 0.0, ternary_sum),
+        (0.0, ternary_sum, 0.0),
+    ]
+    for axis, lim in ((0, tlim), (1, llim), (2, rlim)):
+        if lim is None:
+            continue
+        lo, hi = lim
+        verts = clip_convex(verts, axis, lo, keep_upper=True)
+        verts = clip_convex(verts, axis, hi, keep_upper=False)
+    return verts
+
+
+# ---------------------------------------------------------------------------
+# G4: dual-axis split-gap compression (pure computation; the matplotlib
+# wiring applies the returned limits)
+# ---------------------------------------------------------------------------
+
+
+def split_gap_limits(lo_data: tuple[float, float], hi_data: tuple[float, float],
+                     lo_lim: tuple[float, float], hi_lim: tuple[float, float],
+                     gap_fraction: float = 0.05):
+    """Compute compressed y-limits for a dual-axis profile plot whose two
+    data ranges do not overlap (ref ``_plotting.py:974-1014``): each axis
+    gets a height band proportional to its autoscaled span, separated by a
+    fixed gap, so the empty middle is compressed.  Returns
+    ``(lo_ylim, hi_ylim)`` or ``None`` when the ranges overlap or an axis
+    span is degenerate (leave autoscale alone)."""
+    if not (lo_data[1] <= hi_data[0]):
+        return None
+    lo_span = lo_lim[1] - lo_lim[0]
+    hi_span = hi_lim[1] - hi_lim[0]
+    if lo_span <= 0 or hi_span <= 0:
+        return None
+    available = 1.0 - gap_fraction
+    lo_frac = available * lo_span / (lo_span + hi_span)
+    hi_frac = available - lo_frac
+    return (
+        (lo_lim[0], lo_lim[0] + lo_span / lo_frac),
+        (hi_lim[1] - hi_span / hi_frac, hi_lim[1]),
+    )

@@ -571,6 +571,25 @@ def _q_oxidize_moles() -> QuerySpec:
     return plan_query("lineitem", PSEUDO_GARNET, build)
 
 
+def _q_from_apfu_roundtrip() -> QuerySpec:
+    """U5→U8 documented round-trip (ref README.md:139-141): wt% → APFU on
+    12 oxygens → back to oxide wt% rescaled to the original row total."""
+    from petropandas_spark.functions.conversions import add_from_apfu
+
+    def build(plan, fcols):
+        st = plan.stage()
+        st.passthrough(["id"] + list(fcols))
+        st.add("__tot", lambda q: "(" + " + ".join(q(c) for c in fcols) + ")")
+        ions = add_to_apfu(
+            plan, fcols, n_oxygens=12, carry=["id", "__tot"]
+        )
+        add_from_apfu(
+            plan, ions, n_oxygens=12, total="__tot", carry=["id"]
+        )
+
+    return plan_query("lineitem", PSEUDO_GARNET, build)
+
+
 def _q_split_valence_schumacher() -> QuerySpec:
     def build(plan, fcols):
         ions = add_to_apfu(plan, fcols, n_oxygens=23, carry=["id"])
@@ -1032,6 +1051,7 @@ def build_registry() -> dict[str, QuerySpec]:
     r["feo_to_fe2o3"] = _q_feo_to_fe2o3()
     r["oxidize_moles"] = _q_oxidize_moles()
     r["split_valence_schumacher"] = _q_split_valence_schumacher()
+    r["from_apfu_roundtrip"] = _q_from_apfu_roundtrip()
     # bulk-rock layer (§2.10)
     r.update(_bulk_queries())
     # hpxeos a-x phases (§2.7)

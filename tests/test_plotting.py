@@ -92,3 +92,54 @@ class TestPlots:
         (pdf, _label, _style), = p.collect()
         assert len(pdf) == 2
         assert (pdf["y"] <= 1.0).all()
+
+
+class TestTernaryGeometry:
+    def test_unclipped_triangle(self):
+        verts = plotting.ternary_region()
+        assert len(verts) == 3
+        assert (100.0, 0.0, 0.0) in verts
+
+    def test_single_axis_clip(self):
+        # t <= 50 slices the top corner off -> quadrilateral
+        verts = plotting.ternary_region(tlim=(0.0, 50.0))
+        assert len(verts) == 4
+        for t, l, r in verts:
+            assert t <= 50.0 + 1e-9
+            assert abs(t + l + r - 100.0) < 1e-9
+
+    def test_three_axis_clip_hexagon(self):
+        # [10,60] on all three axes of the sum-100 triangle: each max-limit
+        # edge has two corners, e.g. (60,30,10)/(60,10,30) → hexagon
+        verts = plotting.ternary_region(
+            tlim=(10.0, 60.0), llim=(10.0, 60.0), rlim=(10.0, 60.0)
+        )
+        assert len({tuple(round(c, 6) for c in v) for v in verts}) == 6
+        for v in verts:
+            assert all(10.0 - 1e-9 <= c <= 60.0 + 1e-9 for c in v)
+
+    def test_empty_region(self):
+        assert plotting.ternary_region(tlim=(90.0, 100.0),
+                                       llim=(90.0, 100.0)) == []
+
+
+class TestSplitGap:
+    def test_non_overlapping_compressed(self):
+        out = plotting.split_gap_limits(
+            lo_data=(0.0, 1.0), hi_data=(10.0, 12.0),
+            lo_lim=(0.0, 1.0), hi_lim=(10.0, 12.0), gap_fraction=0.05,
+        )
+        assert out is not None
+        (lo0, lo1), (hi0, hi1) = out
+        # lo axis occupies the bottom band: its own span over a larger limit
+        assert lo0 == 0.0 and lo1 > 1.0
+        assert hi1 == 12.0 and hi0 < 10.0
+        # band fractions sum to 1 - gap
+        lo_frac = 1.0 / (lo1 - lo0)
+        hi_frac = 2.0 / (hi1 - hi0)
+        assert lo_frac + hi_frac == pytest.approx(0.95)
+
+    def test_overlapping_left_alone(self):
+        assert plotting.split_gap_limits(
+            (0.0, 5.0), (4.0, 9.0), (0.0, 5.0), (4.0, 9.0)
+        ) is None
