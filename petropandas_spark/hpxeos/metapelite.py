@@ -59,6 +59,20 @@ def _g_vars(ctx, ic):
     ])
 
 
+# sf block (X10 transcription self-check surface)
+_G_SF = """
+xMgX       3 1    1  3  -1  m  -1  x  -1  z
+             2    0  1  1  m    0  1  1  x
+             2    0  1  1  x    0  1  1  z
+xFeX       3 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  z
+xMnX       1 1    0  1  1  m
+xCaX       1 1    0  1  1  z
+xAlY       1 1    1  1  -1  f
+xFe3Y      1 1    0  1  1  f
+"""
+
 GARNET = PhaseSpec(
     name="Garnet", abbreviation="g",
     end_members=("py", "alm", "spss", "gr", "kho"),
@@ -69,6 +83,7 @@ GARNET = PhaseSpec(
     ),
     required=(_MG, _FE2, _MN, _CA, _AL),
     build_variables=_g_vars,
+    sf_block=_G_SF,
 )
 
 # -- biotite 'bi' -------------------------------------------------------------
@@ -102,6 +117,28 @@ def _bi_vars(ctx, ic):
     ])
 
 
+_BI_SF = """
+xMgM3      5 1    1  6  -1  f  -1  m  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  3  m    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+xMnM3      1 1    0  1  1  m
+xFeM3      5 1    0  2   1  x  2/3  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -3  m    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+xFe3M3     1 1    0  1  1  f
+xTiM3      1 1    0  1  1  t
+xAlM3      1 1    0  1  1  y
+xMgM12     1 1    1  3  1/3  Q  -1  m  -1  x
+xMnM12     1 1    0  1  1  m
+xFeM12     1 1    0  2  -1/3  Q   1  x
+xSiT       1 1    1/2  2  -1/2  f  -1/2  y
+xAlT       1 1    1/2  2  1/2  f  1/2  y
+"""
+
 BIOTITE = PhaseSpec(
     name="Biotite", abbreviation="bi",
     end_members=("phl", "annm", "obi", "east", "tbi", "fbi", "mmbi"),
@@ -110,6 +147,7 @@ BIOTITE = PhaseSpec(
     required=(_MG, _FE2, _MN, _TI, _AL, _SI),
     build_variables=_bi_vars,
     order_parameters=("Q",),
+    sf_block=_BI_SF,
 )
 
 # -- dioctahedral micas 'mu' / 'ma' ------------------------------------------

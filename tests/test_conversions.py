@@ -83,3 +83,48 @@ def test_reframe(spark):
     out = _pf(spark, pdf).reframe(["SiO2", "CaO"]).df.toPandas()
     assert list(out.columns) == ["SiO2", "CaO"]
     assert out["CaO"].iloc[0] == 0.0
+
+
+def test_split_valence_mn_and_ti(spark):
+    """V6 beyond Fe: the VALENCE_PAIRS table also covers Mn (2/3) and
+    Ti (4/3) — verified against the reference's split on the same APFU."""
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import pandas as pd
+    import pytest as _pt
+    ref_calc = _pt.importorskip("petropandas._calc")
+
+    from petropandas_spark.functions.valence import add_split_valence
+    from petropandas_spark.sqlgen import Plan
+
+    apfu = pd.DataFrame({
+        "Si{4+}": [2.9, 3.0], "Al{3+}": [1.9, 2.0], "Mn{2+}": [1.2, 0.8],
+        "Mg{2+}": [1.5, 1.6], "Ca{2+}": [0.5, 0.6],
+    })
+    for element in ("Mn", "Ti"):
+        if element == "Ti":
+            work = apfu.rename(columns={"Mn{2+}": "Ti{4+}"})
+        else:
+            work = apfu
+        expected = ref_calc.split_valence(
+            work, element=element, method="droop",
+            n_oxygens=12, ideal_cations=8,
+        )
+        pdf = work.copy()
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan = Plan()
+        add_split_valence(
+            plan, list(work.columns), element=element, method="droop",
+            n_oxygens=12, ideal_cations=8, carry=["id"],
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        assert list(got.columns) == list(expected.columns)
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )

@@ -279,3 +279,33 @@ def test_igneous_and_legacy_phases(spark, abbrev, ref_name, data, op):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+def test_site_occupancies_match_reference(spark):
+    """X10: sf-block evaluation — garnet and biotite occupancies equal the
+    reference's ``site_occupancies`` given the same recovered variables."""
+    from petropandas_spark.hpxeos import add_site_occupancies
+
+    for abbrev, ref_name, op in (("g", "TC_g", None),
+                                 ("bi", "TC_bi", {"Q": 0.2})):
+        data = FIXTURES[abbrev]
+        ref_phase = getattr(ref_mp, REF_PHASE[abbrev])
+        raw = ref_phase._raw_apfu(pd.DataFrame(data))
+        sf = ref_phase.site_fractions(raw)
+        v = ref_phase.variables(sf, op)
+        expected = ref_phase.site_occupancies(v)
+
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        add_site_occupancies(
+            plan, fcols, PHASES[abbrev], order_parameters=op, carry=["id"]
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )
