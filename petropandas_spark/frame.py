@@ -293,6 +293,17 @@ class PetroFrame:
             .filter(F.col("Total").isNotNull()),
         )
 
+    # -- set ops (§2.9: the reference's only set operator) --------------------
+
+    def concat(self, *others: "PetroFrame") -> "PetroFrame":
+        """Row-union of fetched frames with schema union (the reference's
+        ``pd.concat`` at ``_database.py:578,882`` →
+        ``unionByName(allowMissingColumns=True)``)."""
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df, allowMissingColumns=True)
+        return replace(self, df=out)
+
     # -- aggregations (A1-A3) --------------------------------------------------
 
     def mean(self, groupby: str | None = None,

@@ -128,3 +128,54 @@ def test_split_valence_mn_and_ti(spark):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+def test_concat_union_by_name(spark):
+    import pandas as pd
+
+    from petropandas_spark.frame import PetroFrame
+
+    a = PetroFrame.ingest(spark.createDataFrame(
+        pd.DataFrame({"SiO2": [50.0], "MgO": [10.0]})))
+    b = PetroFrame.ingest(spark.createDataFrame(
+        pd.DataFrame({"SiO2": [60.0], "CaO": [5.0]})))
+    out = a.concat(b).df.toPandas().sort_values("SiO2").reset_index(drop=True)
+    assert list(out["SiO2"]) == [50.0, 60.0]
+    assert pd.isna(out["CaO"].iloc[0]) and out["CaO"].iloc[1] == 5.0
+    assert out["MgO"].iloc[0] == 10.0 and pd.isna(out["MgO"].iloc[1])
+
+
+def test_oxidize_moles_per_row_o_excess(spark):
+    """V7 with a per-row Series o_excess (the reference accepts both)."""
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import pandas as pd
+    import pytest as _pt
+    ref_calc = _pt.importorskip("petropandas._calc")
+
+    from petropandas_spark.functions.conversions import add_oxidize_moles
+    from petropandas_spark.sqlgen import Plan
+
+    moles = pd.DataFrame({
+        "SiO2": [0.6, 0.7], "FeO": [0.3, 0.2], "MgO": [0.1, 0.15],
+    })
+    o_excess = pd.Series([2.0, 5.0])
+    expected = ref_calc.oxidize_moles(moles, o_excess)
+
+    pdf = moles.copy()
+    pdf.insert(0, "id", range(len(pdf)))
+    pdf["o_x"] = o_excess.values
+    df = spark.createDataFrame(pdf)
+    plan = Plan()
+    st = plan.stage()
+    st.passthrough(["id", "o_x"] + list(moles.columns))
+    add_oxidize_moles(plan, list(moles.columns), o_excess="o_x",
+                      carry=["id"])
+    got = (
+        plan.apply(df).toPandas()
+        .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+    )
+    for c in expected.columns:
+        assert (abs(got[c] - expected[c].reset_index(drop=True)) < 1e-9).all(), c
