@@ -365,3 +365,18 @@ PHASES.update({
     for s in (OLIVINE_H18, CORDIERITE_G25, ILMENITE_W24, BIOTITE_G25,
               ORTHOPYROXENE_W24, CLINOPYROXENE_W24, SPINEL_T21)
 })
+
+
+# Documented reuses in the igneous axfile: metapelite epidote/muscovite/
+# plagioclase and the metabasite clinoamphibole appear verbatim.
+def _register_reuses():
+    from petropandas_spark.hpxeos import metabasite as _mb
+    from petropandas_spark.hpxeos import metapelite as _mp
+
+    PHASES.setdefault("ep", _mp.PHASES["ep"])
+    PHASES.setdefault("mu", _mp.PHASES["mu"])
+    PHASES.setdefault("pl4tr", _mp.PHASES["pl4tr"])
+    PHASES.setdefault("hb", _mb.PHASES["hb"])
+
+
+_register_reuses()

@@ -9,8 +9,7 @@ from __future__ import annotations
 from petropandas_spark.hpxeos import PhaseSpec
 from petropandas_spark.hpxeos.metapelite import (
     _CA, _FE2, _FE3, _K, _MG, _MN, _NA, _SI, _AL, _TI,
-    BIOTITE, CHLORITE, GARNET, ILMENITE_MIXED, MUSCOVITE, ORTHOPYROXENE,
-    _ratio,
+    _mica_vars, _ratio,
 )
 from petropandas_spark.minerals import MineralConfig
 
@@ -41,14 +40,7 @@ OLIVINE = PhaseSpec(
     build_variables=_ol_vars,
 )
 
-PHASES: dict[str, PhaseSpec] = {
-    s.abbreviation: s
-    for s in (
-        OLIVINE,
-        # reused from the metapelite set (same axfile blocks)
-        GARNET, BIOTITE, CHLORITE, MUSCOVITE, ORTHOPYROXENE, ILMENITE_MIXED,
-    )
-}
+PHASES: dict[str, PhaseSpec] = {s.abbreviation: s for s in (OLIVINE,)}
 
 # -- clinoamphibole 'hb' (Green et al. 2016) — the largest model --------------
 
@@ -277,3 +269,247 @@ PLAGIOCLASE_IBAR1 = PhaseSpec(
 )
 
 PHASES.update({s.abbreviation: s for s in (PERISTERITE, PLAGIOCLASE_IBAR1)})
+
+# -- Mn-free metabasite variants of the metapelite models --------------------
+# The tc-mb51 axfile re-derives these in NCKFMASHTO (no Mn): end-member
+# lists and polynomial blocks differ from the metapelite versions (no
+# spss/mmbi/mmchl/mnopx/pnt terms), so they are distinct specs, not reuses.
+
+_G_MB_P = """
+p(py)      2 1    1  3  -1  f  -1  x  -1  z
+             2    0  1  1  x    0  1  1  z
+p(alm)     2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  z
+p(gr)      1 1    0  1  1  z
+p(kho)     1 1    0  1  1  f
+"""
+
+
+def _g_mb_vars(ctx, ic):
+    from petropandas_spark.sqlgen import add_chain
+
+    ctx.let([
+        ("__Xt", lambda q: add_chain(
+            [ic(_MG)(q), ic(_FE2)(q), ic(_CA)(q)])),
+        ("__Yt", lambda q: f"({ic(_AL)(q)} + {ic(_FE3)(q)})"),
+    ])
+    ctx.let([
+        ("__xFeX", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+        ("__xMgX", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
+        ("z", lambda q: f"({ic(_CA)(q)} / {q('__Xt')})"),
+        ("f", lambda q: f"({ic(_FE3)(q)} / {q('__Yt')})"),
+    ])
+    ctx.let([
+        ("x", lambda q: f"({q('__xFeX')} / ({q('__xFeX')} + {q('__xMgX')}))"),
+    ])
+
+
+GARNET_MB = PhaseSpec(
+    name="GarnetMB", abbreviation="g",
+    end_members=("py", "alm", "gr", "kho"),
+    p_block=_G_MB_P,
+    mineral=MineralConfig(
+        name="TC_g_mb", n_oxygens=12, ideal_cations=8,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _CA, _AL),
+    build_variables=_g_mb_vars,
+)
+
+_BI_MB_P = """
+p(phl)     4 1    1  5  -1  f  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(annm)    1 1    0  2  -1/3  Q   1  x
+p(obi)     4 1    0  1   1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(east)    1 1    0  1  1  y
+p(tbi)     1 1    0  1  1  t
+p(fbi)     1 1    0  1  1  f
+"""
+
+
+def _bi_mb_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"({ic(_AL)(q)} - (4e0 - {ic(_SI)(q)}))"),
+        ("f", ic(_FE3)),
+        ("t", ic(_TI)),
+    ])
+
+
+BIOTITE_MB = PhaseSpec(
+    name="BiotiteMB", abbreviation="bi",
+    end_members=("phl", "annm", "obi", "east", "tbi", "fbi"),
+    p_block=_BI_MB_P,
+    mineral=MineralConfig(name="TC_bi_mb", n_oxygens=11),
+    required=(_MG, _FE2, _TI, _AL, _SI),
+    build_variables=_bi_mb_vars,
+    order_parameters=("Q",),
+)
+
+_CHL_MB_P = """
+p(clin)    9 1    0  3  -1/4  Q1  2  QAl  -5/4  Q4
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -1/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(afchl)   9 1    1  6  -1  f  -1  QAl  -1  y  -2  x  5/4  Q1  9/4  Q4
+             2    0  1  -9/4  f    0  1  1  Q4
+             2    0  1  5/4  Q1    0  1  1  QAl
+             2    0  1  -9/4  Q4    0  1  1  QAl
+             2    0  1  2  f    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -5/4  Q1    0  1  1  y
+             2    0  1  -9/4  Q4    0  1  1  y
+             2    0  1  3  x    0  1  1  y
+p(ames)    1 1    0  2  -1  QAl   1  y
+p(daph)    9 1    0  2  1/4  Q1  5/4  Q4
+             2    0  1  -5/4  f    0  1  1  Q4
+             2    0  1  1/4  Q1    0  1  1  QAl
+             2    0  1  -5/4  Q4    0  1  1  QAl
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -1/4  Q1    0  1  1  y
+             2    0  1  -5/4  Q4    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+p(ochl1)   7 1    0  2  -1  Q4   1  x
+             2    0  1  1  f    0  1  1  Q4
+             2    0  1  1  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+p(ochl4)   8 1    0  3   1  x  -5/4  Q1  -5/4  Q4
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -5/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  5/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -2  x    0  1  1  y
+p(f3clin)   1 1    0  1  1  f
+"""
+
+
+def _chl_mb_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"(({ic(_AL)(q)} - (4e0 - {ic(_SI)(q)})) / 2e0)"),
+        ("f", ic(_FE3)),
+    ])
+
+
+CHLORITE_MB = PhaseSpec(
+    name="ChloriteMB", abbreviation="chl",
+    end_members=("clin", "afchl", "ames", "daph", "ochl1", "ochl4",
+                 "f3clin"),
+    p_block=_CHL_MB_P,
+    mineral=MineralConfig(name="TC_chl_mb", n_oxygens=14),
+    required=(_MG, _FE2, _AL, _SI),
+    build_variables=_chl_mb_vars,
+    order_parameters=("QAl", "Q1", "Q4"),
+    charge_basis=28.0,
+)
+
+_OPX_MB_P = """
+p(en)      3 1    1  5  -1/2  Q  -1  c  -1  f  -1  x  -1  y
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  1  c    0  1  1  x
+p(fs)      4 1    0  2  -1/2  Q   1  x
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+p(fm)      5 1    0  1   1  Q
+             2    0  1  -1  c    0  1  1  Q
+             2    0  1  -1  c    0  1  1  x
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+p(mgts)    1 1    0  1  1  y
+p(fopx)    1 1    0  1  1  f
+p(odi)     1 1    0  1  1  c
+"""
+
+
+def _opx_mb_vars(ctx, ic):
+    ctx.let([
+        ("x", _ratio(ic(_FE2), ic(_MG))),
+        ("y", lambda q: f"({ic(_AL)(q)} - (2e0 - {ic(_SI)(q)}))"),
+        ("f", ic(_FE3)),
+        ("c", ic(_CA)),
+    ])
+
+
+ORTHOPYROXENE_MB = PhaseSpec(
+    name="OrthopyroxeneMB", abbreviation="opx",
+    end_members=("en", "fs", "fm", "mgts", "fopx", "odi"),
+    p_block=_OPX_MB_P,
+    mineral=MineralConfig(
+        name="TC_opx_mb", n_oxygens=6, ideal_cations=4,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_MG, _FE2, _CA, _AL, _SI),
+    build_variables=_opx_mb_vars,
+    order_parameters=("Q",),
+)
+
+_ILMM_MB_P = """
+p(oilm)    1 1    0  1  1  Q
+p(dilm)    1 1    0  3  -1  g   1  i  -1  Q
+p(dhem)    1 1    1  1  -1  i
+p(geik)    1 1    0  1  1  g
+"""
+
+
+def _ilmm_mb_vars(ctx, ic):
+    ctx.let([
+        ("i", lambda q: f"(1e0 - {ic(_FE3)(q)} / 2e0)"),
+        ("g", ic(_MG)),
+    ])
+
+
+ILMENITE_MIXED_MB = PhaseSpec(
+    name="IlmeniteMixedMB", abbreviation="ilmm",
+    end_members=("oilm", "dilm", "dhem", "geik"),
+    p_block=_ILMM_MB_P,
+    mineral=MineralConfig(name="TC_ilmm_mb", n_oxygens=3, ideal_cations=2),
+    required=(_FE2, _TI, _MG),
+    build_variables=_ilmm_mb_vars,
+    order_parameters=("Q",),
+)
+
+_MU_MB_P = """
+p(mu)      1 1    0  4  -1  c  -1  f  -1  n   1  y
+p(cel)     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+p(fcel)    2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+p(pa)      1 1    0  1  1  n
+p(mam)      1 1    0  1  1  c
+p(fmu)     1 1    0  1  1  f
+"""
+
+MUSCOVITE_MB = PhaseSpec(
+    name="MuscoviteMB", abbreviation="mu",
+    end_members=("mu", "cel", "fcel", "pa", "mam", "fmu"),
+    p_block=_MU_MB_P,
+    mineral=MineralConfig(
+        name="TC_mu_mb", n_oxygens=13, ideal_cations=5,
+        valence_splits=({"element": "Fe", "method": "droop"},),
+    ),
+    required=(_K, _NA, _CA, _MG, _FE2, _SI, _AL),
+    build_variables=_mica_vars,
+)
+
+PHASES.update({
+    s.abbreviation: s
+    for s in (GARNET_MB, BIOTITE_MB, CHLORITE_MB, ORTHOPYROXENE_MB,
+              ILMENITE_MIXED_MB, MUSCOVITE_MB)
+})

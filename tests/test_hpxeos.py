@@ -309,3 +309,53 @@ def test_site_occupancies_match_reference(spark):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+MB_VARIANT_CASES = [
+    ("g", "TC_g", {"SiO2": [38.5, 38.0], "Al2O3": [22.1, 21.0],
+                   "FeO": [28.3, 25.0], "MgO": [5.2, 8.0],
+                   "CaO": [3.8, 4.0]}, None),
+    ("bi", "TC_bi", {"SiO2": [36.0], "Al2O3": [17.0], "FeO": [18.0],
+                     "MgO": [11.0], "TiO2": [2.0], "K2O": [9.5]},
+     {"Q": 0.2}),
+    ("chl", "TC_chl", {"SiO2": [26.0, 28.0], "Al2O3": [21.0, 20.0],
+                       "FeO": [18.0, 12.0], "MgO": [20.0, 24.0]},
+     {"QAl": 0.2, "Q1": 0.1, "Q4": 0.05}),
+    ("opx", "TC_opx", {"SiO2": [52.0], "Al2O3": [4.0], "FeO": [16.0],
+                       "MgO": [26.0], "CaO": [1.5]}, {"Q": 0.15}),
+    ("ilmm", "TC_ilmm", {"TiO2": [50.0], "FeO": [46.0], "MgO": [1.5]},
+     {"Q": 0.3}),
+    ("mu", "TC_mu", {"SiO2": [46.0], "Al2O3": [34.0], "FeO": [2.5],
+                     "MgO": [1.0], "CaO": [0.3], "Na2O": [1.0],
+                     "K2O": [10.0]}, None),
+]
+
+
+@pytest.mark.parametrize(
+    "abbrev,ref_name,data,op", MB_VARIANT_CASES,
+    ids=[f"mb_{c[0]}" for c in MB_VARIANT_CASES],
+)
+def test_metabasite_mn_free_variants(spark, abbrev, ref_name, data, op):
+    """The tc-mb51 axfile's Mn-free re-derivations (not reuses!): end-member
+    lists and blocks differ from the metapelite versions."""
+    ref_phase = getattr(ref_mb, ref_name)
+    for params in ({}, op) if op else ({},):
+        expected = ref_phase.end_members(
+            pd.DataFrame(data), order_parameters=params or None
+        )
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", range(len(pdf)))
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        add_phase_end_members(
+            plan, fcols, my_mb.PHASES[abbrev],
+            order_parameters=params or None, carry=["id"],
+        )
+        got = (
+            plan.apply(df).toPandas()
+            .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+        )
+        assert list(got.columns) == list(expected.columns)
+        pd.testing.assert_frame_equal(
+            got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+        )
