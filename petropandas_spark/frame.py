@@ -216,6 +216,18 @@ class PetroFrame:
         builder(plan, self.formula_cols, self.units, carry=self.meta_cols)
         return self._apply(plan, has_total=False)
 
+    def phase_end_members(self, spec, order_parameters=None) -> "PetroFrame":
+        """X8: THERMOCALC a-x phase end-member proportions ×100 (hpxeos
+        PhaseSpec path — the analog of ``df.mineral.end_members(TC_g)``)."""
+        from petropandas_spark.hpxeos import add_phase_end_members
+
+        plan = Plan()
+        add_phase_end_members(
+            plan, self.formula_cols, spec,
+            order_parameters=order_parameters, carry=self.meta_cols,
+        )
+        return self._apply(plan, has_total=False)
+
     def check_stoichiometry(self, mineral: minerals.MineralConfig) -> "PetroFrame":
         plan = Plan()
         minerals.add_check_stoichiometry(

@@ -359,3 +359,14 @@ def test_metabasite_mn_free_variants(spark, abbrev, ref_name, data, op):
         pd.testing.assert_frame_equal(
             got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
         )
+
+
+def test_petroframe_phase_api(spark):
+    from petropandas_spark.frame import PetroFrame
+
+    pdf = pd.DataFrame(FIXTURES["g"])
+    pf = PetroFrame.ingest(spark.createDataFrame(pdf))
+    out = pf.phase_end_members(PHASES["g"]).df.toPandas()
+    assert set(out.columns) == {"py", "alm", "spss", "gr", "kho"}
+    for s in out.sum(axis=1):
+        assert s == pytest.approx(100.0, abs=0.01)
