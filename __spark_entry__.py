@@ -11,11 +11,17 @@ only adapts them to the driver's three-function surface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from petropandas_spark.registry import build_registry
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # robust to being imported from any cwd
+    sys.path.insert(0, _REPO)
+
+from petropandas_spark.registry import build_registry  # noqa: E402
 
 _REGISTRY = build_registry()
 

@@ -851,6 +851,25 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-ish subword token count: letter runs greedily chunked into ≤4-char
+# pieces + single digits + punctuation.  The alternatives match disjoint
+# character classes, so Java-regex (Spark, leftmost-first) and RE2 (DuckDB,
+# leftmost-longest) tokenize identically; \s is avoided because the two
+# SQL dialects escape backslashes differently.
+_BPE_PAT = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+DOC_TOKENIZE_BPE_SPARK = (
+    "SELECT doc_id, CAST(size(regexp_extract_all(text, '" + _BPE_PAT
+    + "', 0)) AS BIGINT) AS bpe_tokens, "
+    "CAST(" + _TOKENS + " AS BIGINT) AS ws_tokens FROM documents"
+)
+
+DOC_TOKENIZE_BPE_DUCK = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '" + _BPE_PAT
+    + "')) AS BIGINT) AS bpe_tokens, "
+    "CAST(" + _TOKENS + " AS BIGINT) AS ws_tokens FROM documents"
+)
+
 DOC_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -1080,6 +1099,9 @@ def build_registry() -> dict[str, QuerySpec]:
     r["doc_stats"] = sql_query(["documents"], DOC_STATS)
     r["doc_lang_guess"] = sql_query(["documents"], DOC_LANG_GUESS)
     r["doc_quality"] = sql_query(["documents"], DOC_QUALITY)
+    r["doc_tokenize_bpe"] = sql_query(
+        ["documents"], DOC_TOKENIZE_BPE_SPARK, DOC_TOKENIZE_BPE_DUCK
+    )
     r["dedup_exact"] = sql_query(["documents"], DOC_DEDUP_EXACT)
     r["doc_fingerprint"] = sql_query(["documents"], DOC_FINGERPRINT)
     r["minhash_signatures"] = sql_query(
