@@ -179,3 +179,40 @@ def test_oxidize_moles_per_row_o_excess(spark):
     )
     for c in expected.columns:
         assert (abs(got[c] - expected[c].reset_index(drop=True)) < 1e-9).all(), c
+
+
+def test_cations_oxides_roundtrip_matches_reference(spark):
+    """The documented round-trip ``df.cations(n_oxygens=N).oxides()``
+    (ref README.md:139-141): APFU with stamped per-row total back to the
+    original oxide wt% — compared against the reference accessors."""
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import pandas as pd
+    import pytest as _pt
+    _pt.importorskip("petropandas")  # registers accessors
+
+    from petropandas_spark.frame import PetroFrame
+
+    data = {
+        "SiO2": [38.5, 52.0], "Al2O3": [22.1, 4.5], "FeO": [28.3, 8.5],
+        "MgO": [5.2, 15.0], "CaO": [3.8, 18.0],
+    }
+    ref_df = pd.DataFrame(data)
+    ref_cat = ref_df.cations(n_oxygens=12)
+    ref_round = ref_cat.oxides()
+
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", range(len(pdf)))
+    pf = PetroFrame.ingest(spark.createDataFrame(pdf))
+    cat = pf.cations(n_oxygens=12)
+    got_cat = (cat.df.toPandas().sort_values("id")
+               .reset_index(drop=True))
+    for c in ref_cat.columns:
+        assert (abs(got_cat[c] - ref_cat[c]) < 1e-9).all(), c
+
+    got_round = (cat.oxides().df.toPandas().sort_values("id")
+                 .reset_index(drop=True))
+    for c in ref_round.columns:
+        assert (abs(got_round[c] - ref_round[c]) < 1e-9).all(), c
