@@ -115,3 +115,74 @@ def run_to_memory(stream_df, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def user_value_anomalies(df, threshold_sigma: float = 3.0,
+                         delay: str = "30 minutes"):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running mean/variance (Welford) persisted in the state store; emits
+    events whose value deviates more than ``threshold_sigma`` from the
+    user's running statistics at the time of arrival.
+
+    State per user is three doubles (count, mean, M2) — bounded regardless
+    of stream length; the watermark bounds how late state-updating events
+    can arrive.  On a batch DataFrame the same semantics run via a
+    groupBy-apply over event-time-ordered groups.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, event_id BIGINT, ts BIGINT, value DOUBLE, "
+        "zscore DOUBLE"
+    )
+    state_schema = "count BIGINT, mean DOUBLE, m2 DOUBLE"
+
+    def scan_group(rows: pd.DataFrame, count: int, mean: float, m2: float):
+        """Welford update in arrival (event-time) order; collect anomalies."""
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for _, r in rows.iterrows():
+            v = float(r["value"])
+            if count >= 5:
+                std = (m2 / count) ** 0.5
+                if std > 0 and abs(v - mean) > threshold_sigma * std:
+                    out.append((int(r["user_id"]), int(r["event_id"]),
+                                int(r["ts"]), v, (v - mean) / std))
+            count += 1
+            d = v - mean
+            mean += d / count
+            m2 += d * (v - mean)
+        return out, count, mean, m2
+
+    def update(key, pdfs, state):
+        count, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        collected = []
+        for pdf in pdfs:
+            rows, count, mean, m2 = scan_group(pdf, count, mean, m2)
+            collected.extend(rows)
+        state.update((count, mean, m2))
+        if collected:
+            yield pd.DataFrame(
+                collected,
+                columns=["user_id", "event_id", "ts", "value", "zscore"],
+            )
+
+    d = _maybe_watermark(with_event_time(df), delay)
+    if d.isStreaming:
+        return (
+            d.groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema,
+                "append", GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    # batch path: one pass per user with fresh state
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, *_ = scan_group(pdf, 0, 0.0, 0.0)
+        return pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value", "zscore"]
+        )
+
+    return d.groupBy("user_id").applyInPandas(batch_fn, out_schema)

@@ -136,3 +136,33 @@ class TestMultimodal:
         assert len(out) == 4
         assert sorted(out["frame_idx"]) == [0, 1, 2, 3]
         assert all(len(b) == 16 for b in out["frame_bytes"])
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark):
+        import pandas as pd
+
+        fact = spark.createDataFrame(pd.DataFrame({
+            "k": [1] * 50 + [2] * 3, "v": range(53),
+        }))
+        dim = spark.createDataFrame(pd.DataFrame({
+            "k": [1, 2, 3], "name": ["a", "b", "c"],
+        }))
+        from petropandas_spark.pipeline import skew
+
+        got = skew.salted_join(fact, dim, "k").toPandas()
+        exp = fact.join(dim, "k").toPandas()
+        key = ["k", "v"]
+        got = got.sort_values(key).reset_index(drop=True)
+        exp = exp.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    def test_salted_count(self, spark):
+        import pandas as pd
+
+        from petropandas_spark.pipeline import skew
+
+        df = spark.createDataFrame(pd.DataFrame({"k": [7] * 100 + [8] * 5}))
+        out = {r.k: r["count"] for r in
+               skew.salted_count_by_key(df, "k").collect()}
+        assert out == {7: 100, 8: 5}

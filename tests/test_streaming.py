@@ -66,3 +66,18 @@ def test_watermark_present_in_plan(spark, events_dir):
     stream = ev.read_events_stream(spark, events_dir)
     plan = ev.tumbling_counts(stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_anomaly_detector(spark, events_dir):
+    """applyInPandasWithState custom operator: stream result == batch."""
+    keys = ["user_id", "event_id"]
+    stream = ev.read_events_stream(spark, events_dir)
+    got = _sorted(
+        ev.run_to_memory(
+            ev.user_value_anomalies(stream), "t_anom", output_mode="append"
+        ),
+        keys,
+    )
+    expected = _sorted(ev.user_value_anomalies(_batch_events(spark)), keys)
+    pd.testing.assert_frame_equal(got, expected, atol=1e-9, rtol=1e-9)
+    assert len(got) > 0  # the synthetic stream contains outliers
