@@ -118,3 +118,19 @@ def col_to_cation(col_name: str, n_oxygens: float, total_oxygens):
         * F.lit(float(core.cations_per(col_name)))
         * (F.lit(float(n_oxygens)) / total_oxygens)
     )
+
+
+def write_bucketed(df: DataFrame, path_table: str, bucket_cols: list[str],
+                   n_buckets: int = 64, sort_cols: list[str] | None = None,
+                   fmt: str = "parquet") -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/agg
+    keys, so later equi-joins and groupBys on those keys are co-located
+    and shuffle-free (SURVEY.md §4: 'bucketing for co-located joins').
+    Bucketed writes go through the session catalog (``saveAsTable``)."""
+    writer = (
+        df.write.format(fmt).mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(path_table)

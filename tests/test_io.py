@@ -65,3 +65,25 @@ def test_series_helpers(spark):
     ).collect()
     # one SiO2: 6 oxygens basis on 2 oxygen moles -> Si = 1 * 1 * (6/2) = 3
     assert cat[0]["c"] == pytest.approx(3.0, abs=1e-9)
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": range(100), "v": range(100)})
+    df = spark.createDataFrame(pdf)
+    io.write_bucketed(df, "t_bucketed_a", ["k"], n_buckets=4)
+    io.write_bucketed(df, "t_bucketed_b", ["k"], n_buckets=4)
+    a = spark.table("t_bucketed_a")
+    b = spark.table("t_bucketed_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucket join: no exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
