@@ -518,6 +518,24 @@ _EXT_MINERALS = [
 ]
 
 
+def _q_cpx_stoichiometry() -> QuerySpec:
+    def build(plan, fcols):
+        minerals.add_check_stoichiometry(
+            plan, fcols, minerals.CLINOPYROXENE, carry=["id"]
+        )
+
+    return plan_query("lineitem", PSEUDO_CPX, build)
+
+
+def _q_amphibole_stoichiometry() -> QuerySpec:
+    def build(plan, fcols):
+        minerals.add_check_stoichiometry(
+            plan, fcols, minerals_ext.AMPHIBOLE, carry=["id"]
+        )
+
+    return plan_query("lineitem", PSEUDO_AMP, build)
+
+
 def _q_to_moles() -> QuerySpec:
     return plan_query(
         "lineitem", PSEUDO_GARNET,
@@ -1057,6 +1075,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["garnet_apfu_site_filtered"] = _q_garnet_apfu()
     r["garnet_site_allocation"] = _q_garnet_site_allocation()
     r["garnet_stoichiometry"] = _q_garnet_stoichiometry()
+    r["cpx_stoichiometry"] = _q_cpx_stoichiometry()
+    r["amphibole_stoichiometry"] = _q_amphibole_stoichiometry()
     for qname, table, mapping, emitter in _EXT_MINERALS:
         r[qname] = plan_query(
             table, mapping,

@@ -216,3 +216,26 @@ def test_cations_oxides_roundtrip_matches_reference(spark):
                  .reset_index(drop=True))
     for c in ref_round.columns:
         assert (abs(got_round[c] - ref_round[c]) < 1e-9).all(), c
+
+
+def test_split_valence_idempotent(spark):
+    """V6 idempotence: if both ion columns already exist the split is a
+    passthrough (ref ``_calc.py:820-821``, decided driver-side)."""
+    import pandas as pd
+
+    from petropandas_spark.functions.valence import add_split_valence
+    from petropandas_spark.sqlgen import Plan
+
+    cols = ["Si{4+}", "Fe{2+}", "Fe{3+}", "Mg{2+}"]
+    pdf = pd.DataFrame({c: [1.0, 2.0] for c in cols})
+    pdf.insert(0, "id", range(2))
+    df = spark.createDataFrame(pdf)
+    plan = Plan()
+    out = add_split_valence(
+        plan, cols, element="Fe", method="droop",
+        n_oxygens=12, ideal_cations=8, carry=["id"],
+    )
+    assert out == cols  # unchanged column list
+    got = plan.apply(df).toPandas().sort_values("id").reset_index(drop=True)
+    for c in cols:
+        assert (got[c] == pdf[c].values).all()
