@@ -111,15 +111,10 @@ class PhaseSpec:
     order_defaults: dict = field(default_factory=dict)
 
 
-def add_phase_end_members(
-    plan: Plan,
-    cols: list[str],
-    spec: PhaseSpec,
-    units: str = "wt%",
-    order_parameters: dict[str, float] | None = None,
-    carry: list[str] = (),
-) -> list[str]:
-    """X8: raw APFU → variables → compiled p(...) polynomials × 100."""
+def _phase_variables(plan: Plan, cols: list[str], spec: PhaseSpec,
+                     units: str, carry: list[str]):
+    """Shared X8/X10 front half: raw APFU (oxygen- or charge-basis per the
+    spec), required-column validation, and the variable stages."""
     if spec.charge_basis is not None:
         ox_cols = add_to_apfu_by_charge(
             plan, cols, target_charges=spec.charge_basis, units=units, carry=carry
@@ -151,21 +146,38 @@ def add_phase_end_members(
         return lambda q: "0e0"
 
     spec.build_variables(ctx, c)
-    # order parameters: scalar literals, default 0 (fully disordered) —
-    # ref ``hpxeos/base.py:26-44`` — unless the phase declares an
-    # expression-valued default (magnetite's Q_random).
-    op = order_parameters or {}
-    if spec.order_parameters:
-        defs = []
-        for name in spec.order_parameters:
-            if name in op:
-                defs.append((name, lambda q, v=flit(float(op[name])): v))
-            elif name in spec.order_defaults:
-                defs.append((name, spec.order_defaults[name]))
-            else:
-                defs.append((name, lambda q: "0e0"))
-        ctx.let(defs)
+    return ctx
 
+
+def _add_order_parameters(ctx, spec: PhaseSpec, order_parameters) -> None:
+    """Order parameters: caller-supplied scalars become literals; otherwise
+    an expression-valued default (magnetite's Q_random) or 0 (fully
+    disordered) — ref ``hpxeos/base.py:26-44``."""
+    op = order_parameters or {}
+    if not spec.order_parameters:
+        return
+    defs = []
+    for name in spec.order_parameters:
+        if name in op:
+            defs.append((name, lambda q, v=flit(float(op[name])): v))
+        elif name in spec.order_defaults:
+            defs.append((name, spec.order_defaults[name]))
+        else:
+            defs.append((name, lambda q: "0e0"))
+    ctx.let(defs)
+
+
+def add_phase_end_members(
+    plan: Plan,
+    cols: list[str],
+    spec: PhaseSpec,
+    units: str = "wt%",
+    order_parameters: dict[str, float] | None = None,
+    carry: list[str] = (),
+) -> list[str]:
+    """X8: raw APFU → variables → compiled p(...) polynomials × 100."""
+    ctx = _phase_variables(plan, cols, spec, units, carry)
+    _add_order_parameters(ctx, spec, order_parameters)
     polys = parse_block(spec.p_block)
     st = plan.stage()
     st.passthrough(list(carry))
@@ -186,22 +198,8 @@ def add_site_occupancies(
     """X10: evaluate the sf block (transcription self-check surface)."""
     if spec.sf_block is None:
         raise ValueError(f"{spec.name} has no sf block")
-    # reuse the variable pipeline, then compile sf polynomials
-    ion_cols = add_raw_apfu(plan, cols, spec.mineral, units, carry=carry)
-    ctx = Ctx(plan, list(carry) + list(ion_cols))
-
-    def c(ion: str):
-        if ion in ion_cols:
-            return lambda q, n=ion: q(n)
-        return lambda q: "0e0"
-
-    spec.build_variables(ctx, c)
-    op = order_parameters or {}
-    if spec.order_parameters:
-        ctx.let([
-            (name, lambda q, v=flit(float(op.get(name, 0.0))): v)
-            for name in spec.order_parameters
-        ])
+    ctx = _phase_variables(plan, cols, spec, units, carry)
+    _add_order_parameters(ctx, spec, order_parameters)
     polys = parse_block(spec.sf_block)
     st = plan.stage()
     st.passthrough(list(carry))

@@ -276,6 +276,61 @@ def _chl_vars(ctx, ic):
     ])
 
 
+
+_CHL_SF = """
+xMgM1      7 1    1  5  -1  m   1  Q1   1  QAl  -1  x  -1  y
+             2    0  1  -1  m    0  1  1  Q1
+             2    0  1  1  Q1    0  1  1  QAl
+             2    0  1  1  m    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  -1  Q1    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+xMnM1      1 1    0  1  1  m
+xFeM1      7 1    0  2  -1  Q1   1  x
+             2    0  1  1  m    0  1  1  Q1
+             2    0  1  -1  Q1    0  1  1  QAl
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  1  Q1    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+xAlM1      1 1    0  2  -1  QAl   1  y
+xMgM23     8 1    1  4  -1/4  Q1  -1/4  Q4  -1  m  -1  x
+             2    0  1  1/4  m    0  1  1  Q1
+             2    0  1  1/4  f    0  1  1  Q4
+             2    0  1  -1/4  Q1    0  1  1  QAl
+             2    0  1  1/4  Q4    0  1  1  QAl
+             2    0  1  1  m    0  1  1  x
+             2    0  1  1/4  Q1    0  1  1  y
+             2    0  1  1/4  Q4    0  1  1  y
+xMnM23     1 1    0  1  1  m
+xFeM23     8 1    0  3  1/4  Q1  1/4  Q4   1  x
+             2    0  1  -1/4  m    0  1  1  Q1
+             2    0  1  -1/4  f    0  1  1  Q4
+             2    0  1  1/4  Q1    0  1  1  QAl
+             2    0  1  -1/4  Q4    0  1  1  QAl
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1/4  Q1    0  1  1  y
+             2    0  1  -1/4  Q4    0  1  1  y
+xMgM4      7 1    1  5  -1  f   1  Q4  -1  QAl  -1  x  -1  y
+             2    0  1  -1  f    0  1  1  Q4
+             2    0  1  -1  Q4    0  1  1  QAl
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -1  Q4    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+xFeM4      7 1    0  2  -1  Q4   1  x
+             2    0  1  1  f    0  1  1  Q4
+             2    0  1  1  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+xFe3M4     1 1    0  1  1  f
+xAlM4      1 1    0  2   1  QAl   1  y
+xSiT2      1 1    1  2  -1/2  f  -1  y
+xAlT2      1 1    0  2  1/2  f   1  y
+"""
+
 CHLORITE = PhaseSpec(
     name="Chlorite", abbreviation="chl",
     end_members=("clin", "afchl", "ames", "daph", "ochl1", "ochl4",
@@ -286,6 +341,7 @@ CHLORITE = PhaseSpec(
     build_variables=_chl_vars,
     order_parameters=("QAl", "Q1", "Q4"),
     charge_basis=28.0,
+    sf_block=_CHL_SF,
 )
 
 # -- chloritoid 'ctd' ---------------------------------------------------------

@@ -370,3 +370,31 @@ def test_petroframe_phase_api(spark):
     assert set(out.columns) == {"py", "alm", "spss", "gr", "kho"}
     for s in out.sum(axis=1):
         assert s == pytest.approx(100.0, abs=0.01)
+
+
+def test_chlorite_site_occupancies_match_reference(spark):
+    """X10 on the order-parameter-rich chlorite model (28-charge basis)."""
+    from petropandas_spark.hpxeos import add_site_occupancies
+
+    data = {"SiO2": [26.0, 28.0], "Al2O3": [21.0, 20.0],
+            "FeO": [18.0, 12.0], "MgO": [20.0, 24.0], "MnO": [0.3, 0.1]}
+    op = {"QAl": 0.2, "Q1": 0.1, "Q4": 0.05}
+    ref_phase = ref_mp.TC_chl
+    raw = ref_phase._raw_apfu(pd.DataFrame(data))
+    v = ref_phase.variables(ref_phase.site_fractions(raw), op)
+    expected = ref_phase.site_occupancies(v)
+
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    plan, fcols, _ = clean_plan(df.columns)
+    add_site_occupancies(
+        plan, fcols, PHASES["chl"], order_parameters=op, carry=["id"]
+    )
+    got = (
+        plan.apply(df).toPandas()
+        .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+    )
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+    )
