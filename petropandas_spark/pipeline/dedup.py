@@ -197,15 +197,22 @@ def simhash(df: DataFrame, text_col: str = "text",
             for bit in range(64)
         ]
     )
+    # bits 0-62 accumulate to a non-negative long (≤ 2^63-1); bit 63 is
+    # added LAST as Long.MIN_VALUE so the signature is a true 64-bit
+    # pattern in a signed long with no step ever overflowing (positive +
+    # MIN_VALUE stays in range — safe under ANSI arithmetic).
     sig = votes.select(
         id_col,
-        sum(
-            (
-                F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
-                .otherwise(0)
-                for bit in range(63)
-            ),
-            F.lit(0).cast("long"),
+        (
+            sum(
+                (
+                    F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
+                    .otherwise(0)
+                    for bit in range(63)
+                ),
+                F.lit(0).cast("long"),
+            )
+            + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
         ).alias("simhash64"),
     )
     return sig
@@ -218,12 +225,14 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     quarters (a pair within distance ≤3 shares at least one identical
     quarter — pigeonhole), so the join key is a short block, not O(n²)."""
     sig = simhash(df, text_col, id_col).persist()
+    # shiftrightunsigned: the signature is a full 64-bit pattern (bit 63 =
+    # sign), so quarter extraction must not sign-extend before masking.
     blocks = sig.select(
         id_col, "simhash64",
         F.explode(F.array(*[
             F.struct(
                 F.lit(qi).alias("q"),
-                F.shiftright("simhash64", qi * 16)
+                F.shiftrightunsigned("simhash64", qi * 16)
                 .bitwiseAND(F.lit(0xFFFF)).alias("blk"),
             )
             for qi in range(4)

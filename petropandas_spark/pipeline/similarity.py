@@ -40,7 +40,36 @@ def _dot_unrolled(a: str, b: str, dim: int):
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Fallback only — a ``.first()`` is a driver action (one Spark job per
+    call).  Callers that know the corpus dimension should pass ``dim=``
+    explicitly (the registry does)."""
     return df.select(F.size(vec_col).alias("d")).first()["d"]
+
+
+# Deterministic pseudo-random hyperplanes for sign-sketch (SimHash-for-
+# vectors) LSH.  A plain integer LCG keyed on (plane, dim) gives INTEGER
+# weights any engine can reproduce exactly — the DuckDB correctness oracle
+# embeds the same literals — with no RNG state.  Sign sketches only need
+# weights symmetric about zero and uncorrelated across planes.
+#
+# The projection itself is computed in QUANTIZED INTEGER arithmetic
+# (embedding elements rounded at 1e-9): exact and order-independent, so the
+# Spark side may aggregate however is fastest (explode + broadcast-weight
+# join + pivoted partial-aggregated SUMs — small codegen units, one shuffle
+# carrying id + n_planes longs) while the oracle uses compact unrolled
+# sums, and the resulting sign bits still agree bit-for-bit.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 21
+EMB_QUANT = 10**9  # |emb| ≲ 1, so q·w sums stay ≪ 2^63 at dim 64
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    return [
+        [
+            (_LCG_A * (p * dim + j + 1) + _LCG_C) % _LCG_M - (_LCG_M >> 1)
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def _as_double(col):
@@ -58,14 +87,127 @@ def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
+                             n_planes: int = 32, bands: int = 4,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             dim: int | None = None) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH blocking + exact
+    in-bucket verify — the 100-TB-safe shape (every join is an equi-join;
+    no all-pairs/nested-loop stage anywhere in the plan).
+
+    1. sketch: ``n_planes`` sign bits of deterministic LCG hyperplane
+       projections (one narrow codegen'd pass over the corpus);
+    2. block: bits grouped into ``bands`` keys; candidates = equi-self-join
+       on (band_id, band_key) — only same-bucket vectors ever meet;
+    3. verify: exact unrolled cosine on the candidate pairs only.
+
+    Recall is the standard LSH curve 1-(1-p^r)^b with p = 1 - θ/π; size
+    ``n_planes``/``bands`` for the corpus (more bits per band → smaller
+    buckets at scale, more bands → recall).  At production scale the
+    sketch table is written bucketed by band key so the self-join is
+    shuffle-free.  Deterministic: the DuckDB oracle reproduces the exact
+    result (same weights, same FP order) from independent SQL.
+    """
+    dim = dim or _vec_dim(df, vec_col)
+    rpb = n_planes // bands
+    W = hyperplane_weights(n_planes, dim)
+    e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # quantized projection: explode elements, look each plane's weight up
+    # in a constant-folded literal array (no row-multiplying weight join),
+    # then n_planes plain partial-aggregated integer SUMs — exact, order
+    # independent, every stage codegen'd; the only shuffle carries
+    # id + n_planes longs.
+    ex = e.select(
+        id_col, F.posexplode("v").alias("j", "val")
+    ).select(
+        id_col, "j",
+        F.expr(f"CAST(ROUND(val * {EMB_QUANT}e0) AS BIGINT)").alias("vq"),
+    )
+    warrs = [F.array(*[F.lit(w) for w in W[p]]) for p in range(n_planes)]
+    terms = ex.select(
+        id_col,
+        *[
+            (F.col("vq") * F.element_at(warrs[p], F.col("j") + 1)).alias(f"t{p}")
+            for p in range(n_planes)
+        ],
+    )
+    sums = terms.groupBy(id_col).agg(
+        *[F.sum(f"t{p}").alias(f"s{p}") for p in range(n_planes)]
+    )
+    bits = sums.select(
+        id_col,
+        *[
+            F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"bit{p}")
+            for p in range(n_planes)
+        ],
+    )
+    keys = bits.select(
+        id_col,
+        *[
+            sum(
+                (F.col(f"bit{b * rpb + r}") * F.lit(1 << r) for r in range(1, rpb)),
+                F.col(f"bit{b * rpb}"),
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = keys.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("k"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.k").persist()
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, [F.col("a.band_id") == F.col("b.band_id"),
+                   F.col("a.k") == F.col("b.k"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # Verify-stage dot products use the HOF left-fold (`_cosine`-style)
+    # rather than `_dot_unrolled`: the candidate set is small relative to
+    # the corpus by construction, and measured at sf0.1 the 64-term
+    # unrolled trees cost more in codegen + duplicated isnotnull
+    # evaluation at the join sites (8-22s) than interpreted HOF eval
+    # (1.5-3.4s).  The fold order matches the oracle's left-associated
+    # unrolled sum, so results stay bitwise identical.
+    def hdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
+    na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+    nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"))
+    return (
+        cand.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            hdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
-    """All-pairs cosine above a threshold (exact; for modest n or as the
-    verify stage after IVF/LSH blocking).  Norms are precomputed per
-    vector (narrow pass) and the per-pair dot product is unrolled to
-    codegen'd element_at terms."""
-    dim = _vec_dim(df, vec_col)
+                         id_col: str = "vec_id",
+                         dim: int | None = None) -> DataFrame:
+    """All-pairs cosine above a threshold — the exact VERIFY stage for a
+    pre-blocked candidate set (or tiny corpora).  O(n²): never run this on
+    a full corpus; the registered near-dup query uses
+    :func:`lsh_cosine_neardup_pairs`.  Norms are precomputed per vector
+    (narrow pass) and the per-pair dot product is unrolled to codegen'd
+    element_at terms."""
+    dim = dim or _vec_dim(df, vec_col)
     normed = df.select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),

@@ -101,6 +101,28 @@ class TestSimilarity:
         recall = len(exact & approx) / 10
         assert recall >= 0.5  # probing half the centroids
 
+    def test_lsh_cosine_recall_on_planted_neardups(self, spark):
+        """Every planted high-cosine pair (cos ≈ 0.9999) must survive the
+        LSH blocking — the banding is sized so the miss probability per
+        pair is ~1.6e-6, and the test is fully deterministic (fixed seed,
+        fixed LCG hyperplanes), so this either always passes or the
+        blocking is broken."""
+        import numpy as np
+
+        rs = np.random.RandomState(7)
+        base = rs.normal(size=(40, 16))
+        rows = [(i, base[i].tolist()) for i in range(40)]
+        rows += [
+            (100 + i, (base[i] + rs.normal(scale=1e-3, size=16)).tolist())
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.lsh_cosine_neardup_pairs(
+            df, threshold=0.9, n_planes=32, bands=4, dim=16
+        ).collect()
+        pairs = {(r.id_a, r.id_b) for r in out}
+        assert {(i, 100 + i) for i in range(40)} <= pairs
+
     def test_cosine_neardup_pairs_symmetry(self, spark):
         pdf = pd.DataFrame({
             "vec_id": [1, 2, 3],

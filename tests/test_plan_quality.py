@@ -108,3 +108,26 @@ def test_minhash_shuffles_only_signatures(spark):
     assert plan.count("HashAggregate") >= 2
     # exactly the aggregation exchanges (repartition spread + final agg)
     assert "SortAggregate" not in plan
+
+
+def test_lsh_cosine_pairs_no_nested_loop(spark, registry):
+    """The registered cosine near-dup query must be fully equi-join
+    blocked — no BroadcastNestedLoopJoin / CartesianProduct anywhere
+    (the round-1 all-pairs form planned a nested loop; VERDICT item 2)."""
+    df = registry["cosine_neardup_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
+    """knn_ivf_topk probes top-n_probe cells: the corpus join against the
+    probed labels must be a broadcast join (tiny build side), and the
+    final top-k a rank limit, not a global sort."""
+    df = registry["knn_ivf_topk"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    # (the single-row query-vector cross joins legitimately plan as
+    # broadcast nested loops over one row; what must NOT appear is a
+    # shuffle join on the corpus side or a global sort for the top-k)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
