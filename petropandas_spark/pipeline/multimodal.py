@@ -48,23 +48,84 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content",
     )
 
 
-def _fake_decode(blob: bytes, target: int) -> np.ndarray:
-    """STUB: deterministic fake 'pixels' from the byte content.
+def decode_image(blob: bytes) -> np.ndarray:
+    """REAL pure-Python image decode for the formats this container can
+    handle without external libraries:
 
-    Real implementation would be ``PIL.Image.open(io.BytesIO(blob))`` +
-    resize; not available in this container (NotImplementedError would be
-    the alternative contract — the fake keeps the pipeline testable).
+      * Netpbm P6 (binary PPM), maxval 255 — the standard uncompressed
+        interchange format;
+      * Windows BMP, BITMAPINFOHEADER, 24-bit uncompressed (bottom-up).
+
+    Returns float32 pixels in [0, 1], shape (H, W, 3).  Any other format
+    raises ``NotImplementedError`` — the documented contract: swap in
+    PIL/libvips where available; nothing silently fakes a decode.
     """
+    if blob[:2] == b"P6":
+        # header = "P6" <ws> width <ws> height <ws> maxval <single ws>
+        parts: list[bytes] = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(blob) and blob[i : i + 1].isspace():
+                i += 1
+            if blob[i : i + 1] == b"#":  # comment line
+                while i < len(blob) and blob[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            parts.append(blob[i:j])
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = (int(p) for p in parts)
+        px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i)
+        return px.reshape(h, w, 3).astype(np.float32) / float(maxval)
+    if blob[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", blob, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+        planes, bpp = struct.unpack_from("<HH", blob, 26)
+        compression = struct.unpack_from("<I", blob, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"BMP decode supports 24-bit uncompressed only (bpp={bpp})"
+            )
+        row_bytes = (w * 3 + 3) & ~3  # 4-byte-aligned rows
+        rows = []
+        for r in range(abs(h)):
+            off = data_off + r * row_bytes
+            row = np.frombuffer(blob, dtype=np.uint8, count=w * 3, offset=off)
+            rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+        img = np.stack(rows)
+        if h > 0:  # bottom-up storage
+            img = img[::-1]
+        return img.astype(np.float32) / 255.0
+    raise NotImplementedError(
+        "unsupported image format (PPM P6 and 24-bit BMP are decodable "
+        "in-container; plug PIL/libvips for the rest)"
+    )
+
+
+def _fake_decode(blob: bytes, target: int) -> np.ndarray:
+    """Deterministic fake 'pixels' from the byte content — for exercising
+    the plumbing with non-image payloads (``decoder='fake'``).  Never the
+    default: real decode or a loud NotImplementedError."""
     digest = hashlib.sha256(blob or b"").digest()
     rng = np.frombuffer(digest * ((target * target * 3) // 64 + 1), dtype=np.uint8)
     return rng[: target * target * 3].astype(np.float32) / 255.0
 
 
 def decode_and_featurize(df: DataFrame, content_col: str = "content",
-                         id_col: str = "doc_id", target: int = 8) -> DataFrame:
+                         id_col: str = "doc_id", target: int = 8,
+                         decoder: str = "strict") -> DataFrame:
     """mapInPandas decode → fixed-width feature vector (mean/std/histogram).
 
-    Output schema: id, n_bytes, feat array<float> (8 summary features).
+    ``decoder='strict'`` (default) uses :func:`decode_image` and propagates
+    ``NotImplementedError`` for undecodable payloads; ``decoder='fake'``
+    substitutes the deterministic byte-derived stub (plumbing tests only).
+
+    Output schema: id, n_bytes, feat array<double> (8 summary features).
     """
     schema = f"{id_col} BIGINT, n_bytes BIGINT, feat ARRAY<DOUBLE>"
 
@@ -73,7 +134,10 @@ def decode_and_featurize(df: DataFrame, content_col: str = "content",
             ids, sizes, feats = [], [], []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(blob) if blob is not None else b""
-                px = _fake_decode(raw, target)
+                if decoder == "fake":
+                    px = _fake_decode(raw, target)
+                else:
+                    px = decode_image(raw).ravel()
                 hist, _ = np.histogram(px, bins=4, range=(0.0, 1.0))
                 feats.append(
                     [float(px.mean()), float(px.std()),
@@ -85,6 +149,29 @@ def decode_and_featurize(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "feat": feats})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def media_byte_stats(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Byte-level stats over an opaque binary column through the REAL
+    Arrow-batched mapInPandas path (the same plumbing a decode stage
+    uses): size + content digest per object.  Narrow, shuffle-free; at
+    100 TB this is a linear scan bounded by ``files.maxPartitionBytes``."""
+    schema = f"{id_col} BIGINT, n_bytes BIGINT, content_md5 STRING"
+
+    def run(batches):
+        for pdf in batches:
+            ids, sizes, digests = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(blob) if blob is not None else b""
+                ids.append(i)
+                sizes.append(len(raw))
+                digests.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": sizes, "content_md5": digests}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
 def sample_frames(df: DataFrame, content_col: str = "content",

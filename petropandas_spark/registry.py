@@ -1198,6 +1198,47 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         return _sim.lsh_cosine_neardup_pairs(emb, threshold=0.2, dim=64)
 
     out["cosine_neardup_pairs"] = QuerySpec(cosine_pairs, _lsh_cosine_oracle())
+
+    # Multimodal: the documents' text bytes stand in for opaque media
+    # blobs; the Spark side runs the REAL Arrow-batched mapInPandas
+    # plumbing (schema/batching/partitioning identical to a decode
+    # stage), the oracle recomputes size+digest/frame slices in SQL.
+    from pyspark.sql import functions as F
+
+    from petropandas_spark.pipeline import multimodal as _mm
+
+    def media_stats_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        )
+        return _mm.media_byte_stats(_mm.attach_media_metadata(docs, kind="text"))
+
+    out["media_byte_stats"] = QuerySpec(
+        media_stats_fn,
+        "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
+        "AS n_bytes, md5(text) AS content_md5 FROM documents",
+    )
+
+    def media_frames_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        )
+        frames = _mm.sample_frames(docs, n_frames=4)
+        return frames.select(
+            "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+        )
+
+    # the corpus is ASCII (verified), so VARCHAR substr == byte slicing
+    out["media_frame_checksums"] = QuerySpec(
+        media_frames_fn,
+        """
+SELECT doc_id, fi AS frame_idx,
+       md5(substr(text, fi * step + 1, step)) AS frame_md5
+FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
+      FROM documents) d,
+     (VALUES (0), (1), (2), (3)) t(fi)
+""",
+    )
     return out
 
 
@@ -1226,6 +1267,7 @@ _VERIFY_FIRST = [
     "jaccard_verified_neardups", "cosine_neardup_pairs",
     # embeddings (no r01 row) + new queries
     "knn_cosine_topk", "knn_ivf_topk", "embedding_norms_by_label",
+    "media_byte_stats", "media_frame_checksums",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]

@@ -136,19 +136,86 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_and_featurize(self, spark):
+    @staticmethod
+    def _ppm(w, h):
+        import numpy as np
+
+        px = (np.arange(w * h * 3, dtype=np.uint64) * 17 % 256).astype("uint8")
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes(), px
+
+    @staticmethod
+    def _bmp(w, h, px_rows):
+        """24-bit bottom-up BMP from an (h, w, 3) RGB uint8 array."""
+        import struct
+
+        import numpy as np
+
+        row_bytes = (w * 3 + 3) & ~3
+        body = b"".join(
+            np.ascontiguousarray(px_rows[r, :, ::-1]).tobytes()
+            + b"\x00" * (row_bytes - w * 3)
+            for r in range(h - 1, -1, -1)
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+        return hdr + dib + body
+
+    def test_decode_image_ppm_roundtrip(self):
+        blob, px = self._ppm(6, 4)
+        import numpy as np
+
+        img = multimodal.decode_image(blob)
+        assert img.shape == (4, 6, 3)
+        assert np.allclose(img.ravel(), px.astype("float32") / 255.0)
+
+    def test_decode_image_bmp_roundtrip(self):
+        import numpy as np
+
+        rs = np.random.RandomState(3)
+        px = rs.randint(0, 256, size=(5, 7, 3)).astype("uint8")
+        img = multimodal.decode_image(self._bmp(7, 5, px))
+        assert img.shape == (5, 7, 3)
+        assert np.allclose(img, px.astype("float32") / 255.0)
+
+    def test_decode_image_unsupported_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\nnotdecodable")
+
+    def test_decode_and_featurize_real_images(self, spark):
+        blob1, _ = self._ppm(8, 8)
+        blob2, _ = self._ppm(4, 4)
+        pdf = pd.DataFrame({"doc_id": [1, 2], "content": [blob1, blob2]})
+        df = multimodal.attach_media_metadata(spark.createDataFrame(pdf))
+        assert "media" in df.columns
+        out = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "n_bytes"] == len(blob1)
+        assert len(out.loc[1, "feat"]) == 8
+        assert 0.0 <= out.loc[1, "feat"][0] <= 1.0  # mean pixel in range
+        again = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
+        assert list(out.loc[1, "feat"]) == list(again.loc[1, "feat"])
+
+    def test_decode_and_featurize_fake_plumbing(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2],
             "content": [b"\x00\x01\x02fakeimagebytes", b""],
         })
         df = multimodal.attach_media_metadata(spark.createDataFrame(pdf))
-        assert "media" in df.columns
-        out = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
+        out = multimodal.decode_and_featurize(
+            df, decoder="fake"
+        ).toPandas().set_index("doc_id")
         assert out.loc[1, "n_bytes"] == 17
         assert len(out.loc[1, "feat"]) == 8
-        # deterministic fake: same bytes → same features
-        again = multimodal.decode_and_featurize(df).toPandas().set_index("doc_id")
-        assert list(out.loc[1, "feat"]) == list(again.loc[1, "feat"])
+
+    def test_media_byte_stats(self, spark):
+        import hashlib
+
+        pdf = pd.DataFrame({"doc_id": [1], "content": [b"hello world"]})
+        out = multimodal.media_byte_stats(spark.createDataFrame(pdf)).collect()
+        assert out[0].n_bytes == 11
+        assert out[0].content_md5 == hashlib.md5(b"hello world").hexdigest()
 
     def test_sample_frames(self, spark):
         pdf = pd.DataFrame({"doc_id": [7], "content": [bytes(range(64))]})
