@@ -180,6 +180,207 @@ class TernaryPlot(BasePlot):
         return ax
 
 
+class ProfilePlot(BasePlot):
+    """G5: line plot of columns against a profile index with optional
+    dual-axis split (ref ``_plotting.py:851-1192``).
+
+    Column routing reproduces the reference exactly:
+
+      * ``columns``/``secondary_columns`` select and route columns;
+      * ``split="auto"`` picks the 2-way partition of column means that
+        minimizes summed within-group variance — the optimum is always a
+        contiguous split of the sorted means (1-D k-means property), so
+        only n-1 splits are checked;
+      * the empty band between non-overlapping axis ranges is compressed
+        via :func:`split_gap_limits`.
+
+    The mean/count statistics that drive the auto split are computed IN
+    SPARK (one partial-aggregatable agg per group — never a full collect),
+    so routing a 100-TB profile costs one narrow aggregation; only the
+    plotted projection is collected.
+    """
+
+    _GAP_FRACTION = 0.08
+
+    def __init__(self, *, xlabel=None, ylabel=None, secondary_ylabel=None,
+                 split: str = "off", columns=None, secondary_columns=None,
+                 index_col: str | None = None, **kwargs):
+        super().__init__(**kwargs)
+        self.xlabel = xlabel
+        self.ylabel = ylabel
+        self.secondary_ylabel = secondary_ylabel
+        self.split = split
+        if isinstance(columns, str):
+            columns = [columns]
+        if isinstance(secondary_columns, str):
+            secondary_columns = [secondary_columns]
+        self.columns = list(columns) if columns is not None else None
+        self.secondary_columns = (
+            list(secondary_columns) if secondary_columns is not None else None
+        )
+        self.index_col = index_col
+
+    # -- column routing (pure logic; mirrors the reference line-for-line) --
+
+    def _all_columns(self) -> list[str]:
+        seen: dict[str, None] = {}
+        for df, _label, _style in self._groups:
+            for c in df.columns:
+                if c != self.index_col:
+                    seen.setdefault(c, None)
+        return list(seen)
+
+    def _column_means(self, candidates: list[str] | None) -> dict[str, float]:
+        """Per-column mean across every accumulated group — Spark-side
+        SUM/COUNT aggs (map-side combinable), merged on the driver."""
+        sums: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for df, _label, _style in self._groups:
+            cols = [
+                c for c in df.columns
+                if c != self.index_col
+                and (candidates is None or c in candidates)
+            ]
+            if not cols:
+                continue
+            aggs = []
+            for c in cols:
+                aggs.append(F.sum(c).alias(f"__s_{c}"))
+                aggs.append(F.count(c).alias(f"__c_{c}"))
+            row = df.agg(*aggs).collect()[0]
+            for c in cols:
+                if row[f"__s_{c}"] is not None:
+                    sums[c] = sums.get(c, 0.0) + float(row[f"__s_{c}"])
+                counts[c] = counts.get(c, 0) + int(row[f"__c_{c}"])
+        return {c: sums[c] / counts[c] for c in sums if counts.get(c)}
+
+    @staticmethod
+    def _variance(values: list[float]) -> float:
+        if not values:
+            return 0.0
+        m = sum(values) / len(values)
+        return sum((v - m) ** 2 for v in values) / len(values)
+
+    def _auto_split(self, candidates: list[str] | None = None) -> set[str]:
+        order = candidates if candidates is not None else self._all_columns()
+        means = self._column_means(list(order) if candidates else None)
+        columns = [c for c in order if c in means]
+        if len(columns) < 2:
+            return set()
+        sorted_cols = sorted(columns, key=lambda c: means[c])
+        best_var = None
+        best_b: set[str] = set()
+        for k in range(1, len(sorted_cols)):
+            ga, gb = set(sorted_cols[:k]), set(sorted_cols[k:])
+            var = (self._variance([means[c] for c in ga])
+                   + self._variance([means[c] for c in gb]))
+            if best_var is None or var < best_var:
+                best_var = var
+                best_b = gb if columns[0] in ga else ga
+        return best_b
+
+    def _split_secondary_columns(self, candidates) -> set[str]:
+        if self.split == "off":
+            return set()
+        if self.split == "auto":
+            return self._auto_split(candidates)
+        raise ValueError(f"split must be 'auto' or 'off', got {self.split!r}")
+
+    def resolve_column_routing(self) -> tuple[set[str] | None, set[str]]:
+        """(allowed_columns | None, secondary_axis_columns) — reference
+        ``_resolve_column_routing`` semantics."""
+        if self.columns is None:
+            if self.secondary_columns is not None:
+                return None, set(self.secondary_columns)
+            return None, self._split_secondary_columns(None)
+        selected = set(self.columns)
+        if self.secondary_columns is None:
+            return selected, self._split_secondary_columns(self.columns)
+        secondary = set(self.secondary_columns)
+        return selected | secondary, secondary
+
+    def collect(self):
+        """Compute the plotted projection per group: (pandas frame indexed
+        by the profile position, label, style, secondary-column set)."""
+        allowed, secondary = self.resolve_column_routing()
+        out = []
+        for df, label, style in self._groups:
+            cols = [
+                c for c in df.columns
+                if c != self.index_col and (allowed is None or c in allowed)
+            ]
+            sel = ([self.index_col] if self.index_col else []) + cols
+            pdf = df.select(*sel).toPandas()
+            if self.index_col:
+                pdf = pdf.set_index(self.index_col)
+            out.append((pdf, label, style, secondary))
+        return out
+
+    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+        import itertools
+
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _fig, ax = plt.subplots()
+        groups = self.collect()
+        secondary = groups[0][3] if groups else set()
+        sec_ax = ax.twinx() if secondary else None
+        colors = itertools.cycle(plt.rcParams["axes.prop_cycle"].by_key()["color"])
+        plotted: dict[str, None] = {}
+        for pdf, label, style, _sec in groups:
+            style.pop("color", None)
+            for column in pdf.columns:
+                plotted.setdefault(column, None)
+                target = sec_ax if column in secondary else ax
+                target.plot(
+                    pdf.index, pdf[column],
+                    label=f"{label} ({column})" if label else column,
+                    color=next(colors), **style,
+                )
+        if sec_ax is not None:
+            lims = split_gap_limits(
+                tuple(sorted(ax.dataLim.intervaly)),
+                tuple(sorted(sec_ax.dataLim.intervaly)),
+                ax.get_ylim(), sec_ax.get_ylim(),
+                gap_fraction=self._GAP_FRACTION,
+            )
+            if lims is None:
+                lims = split_gap_limits(
+                    tuple(sorted(sec_ax.dataLim.intervaly)),
+                    tuple(sorted(ax.dataLim.intervaly)),
+                    sec_ax.get_ylim(), ax.get_ylim(),
+                    gap_fraction=self._GAP_FRACTION,
+                )
+                if lims is not None:
+                    sec_ax.set_ylim(*lims[0])
+                    ax.set_ylim(*lims[1])
+            else:
+                ax.set_ylim(*lims[0])
+                sec_ax.set_ylim(*lims[1])
+        if self.xlabel:
+            ax.set_xlabel(self.xlabel)
+        ylabel = self.ylabel
+        sec_ylabel = self.secondary_ylabel
+        if sec_ax is not None:
+            if ylabel is None:
+                ylabel = " ".join(c for c in plotted if c not in secondary)
+            if sec_ylabel is None:
+                sec_ylabel = " ".join(c for c in plotted if c in secondary)
+            if sec_ylabel:
+                sec_ax.set_ylabel(sec_ylabel)
+        if ylabel:
+            ax.set_ylabel(ylabel)
+        handles, labels = ax.get_legend_handles_labels()
+        if sec_ax is not None:
+            h2, l2 = sec_ax.get_legend_handles_labels()
+            handles, labels = handles + h2, labels + l2
+        if handles:
+            ax.legend(handles, labels, loc="center left",
+                      bbox_to_anchor=(1.08, 0.5))
+        return ax
+
+
 # ---------------------------------------------------------------------------
 # G3: ternary visible-region geometry (driver-side, data-independent)
 # ---------------------------------------------------------------------------

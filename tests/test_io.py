@@ -87,3 +87,33 @@ def test_bucketed_write_enables_shuffle_free_join(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_named_datasets_load_with_reference_row_counts(spark):
+    """S7: every reference-bundled dataset loads by name with the
+    reference's row count (ref data/__init__.py:1-33)."""
+    from petropandas_spark import datasets
+
+    for name in datasets.NAMES:
+        df = datasets.load(spark, name)
+        assert df.count() == datasets.ROWS[name], name
+    # unknown names are a loud KeyError, not a blank read
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        datasets.load(spark, "nope")
+
+
+def test_named_dataset_petro_ingest_runs_pipeline(spark):
+    """grt_profile ingests as a PetroFrame and runs the garnet end-member
+    pipeline end-to-end (the reference walkthrough workflow)."""
+    from petropandas_spark import datasets, minerals
+
+    pf = datasets.load_petro(spark, "grt_profile")
+    em = pf.end_members(minerals.GARNET).df.toPandas()
+    assert len(em) == 99
+    # real profile analyses carry minor components (Y2O3, ZnO, Cr2O3…)
+    # outside the four-member model, so sums land just under 100
+    s = em[["Prp", "Alm", "Sps", "Grs"]].sum(axis=1)
+    assert ((s > 90.0) & (s <= 100.0 + 1e-9)).all()
+    assert em[["Prp", "Alm", "Sps", "Grs"]].notna().all().all()

@@ -143,3 +143,54 @@ class TestSplitGap:
         assert plotting.split_gap_limits(
             (0.0, 5.0), (4.0, 9.0), (0.0, 5.0), (4.0, 9.0)
         ) is None
+
+
+class TestProfilePlot:
+    def _df(self, spark):
+        pdf = pd.DataFrame({
+            "pos": range(10),
+            "Alm": [70.0 + i for i in range(10)],
+            "Prp": [12.0 + 0.1 * i for i in range(10)],
+            "Sps": [8.0 - 0.2 * i for i in range(10)],
+            "Grs": [3.0 + 0.05 * i for i in range(10)],
+        })
+        return spark.createDataFrame(pdf)
+
+    def test_split_off_no_secondary(self, spark):
+        p = plotting.ProfilePlot(index_col="pos")
+        p.add(self._df(spark), label="grt")
+        allowed, secondary = p.resolve_column_routing()
+        assert allowed is None and secondary == set()
+
+    def test_explicit_secondary_columns(self, spark):
+        p = plotting.ProfilePlot(index_col="pos", columns=["Alm", "Prp"],
+                                 secondary_columns="Sps")
+        p.add(self._df(spark))
+        allowed, secondary = p.resolve_column_routing()
+        assert allowed == {"Alm", "Prp", "Sps"}
+        assert secondary == {"Sps"}
+
+    def test_auto_split_groups_similar_scales(self, spark):
+        """Alm (~75) belongs alone opposite the small oxides — the
+        variance-minimizing contiguous split; first-seen column stays
+        primary (reference _auto_split semantics)."""
+        p = plotting.ProfilePlot(index_col="pos", split="auto")
+        p.add(self._df(spark))
+        _allowed, secondary = p.resolve_column_routing()
+        assert secondary == {"Prp", "Sps", "Grs"}  # Alm first-seen → primary
+
+    def test_collect_respects_routing(self, spark):
+        p = plotting.ProfilePlot(index_col="pos", columns=["Alm", "Sps"])
+        p.add(self._df(spark), label="g")
+        (pdf, label, _style, secondary), = p.collect()
+        assert list(pdf.columns) == ["Alm", "Sps"]
+        assert pdf.index.name == "pos" and len(pdf) == 10
+        assert label == "g" and secondary == set()
+
+    def test_bad_split_raises(self, spark):
+        p = plotting.ProfilePlot(index_col="pos", split="bogus")
+        p.add(self._df(spark))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            p.resolve_column_routing()
