@@ -513,3 +513,15 @@ PHASES.update({
     for s in (GARNET_MB, BIOTITE_MB, CHLORITE_MB, ORTHOPYROXENE_MB,
               ILMENITE_MIXED_MB, MUSCOVITE_MB)
 })
+
+
+# X10: attach the verbatim axfile sf blocks (site-occupancy self-check
+# surface) to every phase that does not already carry one inline.
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from petropandas_spark.hpxeos.sf_blocks import SF_BLOCKS as _SF_BLOCKS  # noqa: E402
+
+for _ab, _blk in _SF_BLOCKS["metabasite"].items():
+    if PHASES[_ab].sf_block is None:
+        PHASES[_ab] = _dc_replace(PHASES[_ab], sf_block=_blk)
+del _ab, _blk

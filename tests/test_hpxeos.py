@@ -398,3 +398,93 @@ def test_chlorite_site_occupancies_match_reference(spark):
     pd.testing.assert_frame_equal(
         got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
     )
+
+
+# -- X10 full-inventory site-occupancy parity ---------------------------------
+
+IG_REUSE_DATA = {
+    "ep": FIXTURES["ep"], "mu": FIXTURES["mu"], "pl4tr": FIXTURES["pl4tr"],
+    "hb": MB_CASES[0][2],
+}
+
+
+def _x10_cases():
+    """(spec, ref_phase, data, op, id) for EVERY phase in all three sets."""
+    cases = {}
+
+    def put(spec, ref_phase, data, op, cid):
+        cases.setdefault(cid, (spec, ref_phase, data, op, cid))
+
+    for ab in FIXTURES:
+        put(PHASES[ab], getattr(ref_mp, REF_PHASE[ab]), FIXTURES[ab],
+            ORDER_PARAMS.get(ab), f"mp_{ab}")
+    for spec, ref_phase, data, op in EXTRA_CASES:
+        setname = "mp" if spec.abbreviation in PHASES and PHASES.get(
+            spec.abbreviation) is spec else "x"
+        put(spec, ref_phase, data, op, f"{setname}_{spec.abbreviation}")
+    for spec_fn, ref_name, data, op in MB_CASES:
+        put(spec_fn(), getattr(ref_mb, ref_name), data, op,
+            f"mb_{spec_fn().abbreviation}")
+    for ab, ref_name, data, op in MB_VARIANT_CASES:
+        put(my_mb.PHASES[ab], getattr(ref_mb, ref_name), data, op, f"mb_{ab}")
+    for ab, ref_name, data, op in IG_CASES:
+        put(my_ig.PHASES[ab], getattr(ref_ig, ref_name), data, op, f"ig_{ab}")
+    for ab, ref_name, data, op in MB2_CASES:
+        put(my_mb.PHASES[ab], getattr(ref_mb, ref_name), data, op, f"mb_{ab}")
+    for ab, ref_phase in (("ep", ref_ig.TC_ep), ("mu", ref_ig.TC_mu),
+                          ("pl4tr", ref_ig.TC_pl4tr), ("hb", ref_ig.TC_hb)):
+        put(my_ig.PHASES[ab], ref_phase, IG_REUSE_DATA[ab],
+            MB_CASES[0][3] if ab == "hb" else ORDER_PARAMS.get(ab),
+            f"ig_{ab}")
+    # EXTRA_CASES covers mb ol / ig g_W24 under their own registries
+    put(my_mb.PHASES["ol"], ref_mb.TC_ol, EXTRA_CASES[3][2], None, "mb_ol")
+    put(my_ig.PHASES["g_W24"], ref_ig.TC_g_W24, EXTRA_CASES[4][2], None,
+        "ig_g_W24")
+    return list(cases.values())
+
+
+X10_CASES = _x10_cases()
+
+
+def test_x10_covers_every_phase():
+    """The parity inventory below must span all phases in all three sets."""
+    covered = {id(spec) for spec, *_ in X10_CASES}
+    missing = []
+    from petropandas_spark.hpxeos import igneous as ig
+    from petropandas_spark.hpxeos import metabasite as mb
+    from petropandas_spark.hpxeos import metapelite as mp
+
+    for mod, nm in ((mp, "mp"), (mb, "mb"), (ig, "ig")):
+        for ab, spec in mod.PHASES.items():
+            if id(spec) not in covered:
+                missing.append(f"{nm}:{ab}")
+    assert not missing, missing
+
+
+@pytest.mark.parametrize(
+    "spec,ref_phase,data,op,cid", X10_CASES, ids=[c[4] for c in X10_CASES]
+)
+def test_x10_site_occupancies_full_inventory(spark, spec, ref_phase, data,
+                                             op, cid):
+    """X10 for the FULL phase inventory: the compiled sf block's site
+    occupancies equal the reference's ``site_occupancies`` at 1e-9 given
+    the same composition and order parameters — the transcription
+    self-check for every p/sf block in all three model sets."""
+    from petropandas_spark.hpxeos import add_site_occupancies
+
+    raw = ref_phase._raw_apfu(pd.DataFrame(data))
+    v = ref_phase.variables(ref_phase.site_fractions(raw), op)
+    expected = ref_phase.site_occupancies(v)
+
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    plan, fcols, _ = clean_plan(df.columns)
+    add_site_occupancies(plan, fcols, spec, order_parameters=op, carry=["id"])
+    got = (
+        plan.apply(df).toPandas()
+        .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+    )
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+    )
