@@ -171,6 +171,60 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster resolution: label every node with the MINIMUM id
+    reachable through the near-dup pair graph (the canonical "keep" doc).
+
+    Iterative min-label propagation as pure DataFrame joins: per round,
+    each node takes min(own label, neighbours' labels); stop when a round
+    changes nothing.  Rounds needed = graph diameter — near-dup clusters
+    are tiny quasi-cliques (diameter ≲ 3), so this converges in 2-4
+    rounds; for adversarial long-chain graphs switch to the large-star/
+    small-star doubling variant (O(log n) rounds).  The driver loop only
+    coordinates; all data movement is shuffle-bounded joins on the id.
+
+    Returns (id_col, component).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    )
+    sym = sym.persist()
+    for _ in range(max_iter):
+        labels = labels.persist()
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lab").alias("component"))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of

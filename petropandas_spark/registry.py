@@ -474,6 +474,17 @@ def _hpxeos_queries() -> dict[str, QuerySpec]:
     from petropandas_spark.hpxeos import igneous as _ig
     from petropandas_spark.hpxeos import metabasite as _mb
 
+    # X10: compiled sf-block site occupancies (dual-dialect plan → free
+    # oracle); garnet + the order-parameter-rich clinoamphibole cover the
+    # oxygen-basis and charge/ordering paths.
+    from petropandas_spark.hpxeos import add_site_occupancies as _add_sf
+
+    sf_cases = [
+        ("tc_garnet_site_occupancies", "lineitem", PSEUDO_GARNET, _mp, "g",
+         None),
+        ("tc_clinoamphibole_site_occupancies", "lineitem", PSEUDO_AMP, _mb,
+         "hb", {"z": 0.05, "a": 0.2, "k": 0.1, "Q1": 0.02, "Q2": 0.05}),
+    ]
     cases = [
         ("tc_garnet_proportions", "lineitem", PSEUDO_GARNET, _mp, "g", None),
         ("tc_biotite_proportions", "orders", PSEUDO_BT, _mp, "bi",
@@ -496,6 +507,13 @@ def _hpxeos_queries() -> dict[str, QuerySpec]:
         out[qname] = plan_query(
             table, mapping,
             lambda plan, f, mod=mod, abbrev=abbrev, op=op: _add_phase(
+                plan, f, mod.PHASES[abbrev], order_parameters=op, carry=["id"]
+            ),
+        )
+    for qname, table, mapping, mod, abbrev, op in sf_cases:
+        out[qname] = plan_query(
+            table, mapping,
+            lambda plan, f, mod=mod, abbrev=abbrev, op=op: _add_sf(
                 plan, f, mod.PHASES[abbrev], order_parameters=op, carry=["id"]
             ),
         )
@@ -916,6 +934,37 @@ DOC_TOKENIZE_BPE_DUCK = (
     "CAST(" + _TOKENS + " AS BIGINT) AS ws_tokens FROM " + _DOC_PREP
 )
 
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k-gram hashes, MIN
+# per sliding window of w positions, distinct selected values — the
+# standard local document fingerprint.  Window MIN partitioned by doc
+# (one shuffle on doc_id); lexicographic MIN over md5 hex agrees across
+# engines.  k=8, w=4, over the first 200 chars.
+DOC_WINNOW_SPARK = """
+SELECT doc_id, fp FROM (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM (
+    SELECT doc_id, i, md5(substr(t, i, 8)) AS h
+    FROM (SELECT doc_id, substr(text, 1, 200) AS t FROM documents) d
+    LATERAL VIEW explode(sequence(1, greatest(length(t) - 7, 1))) x AS i
+  ) g
+) w GROUP BY doc_id, fp
+"""
+
+DOC_WINNOW_DUCK = """
+SELECT doc_id, fp FROM (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM (
+    SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 8)) AS h
+    FROM (SELECT doc_id, substr(text, 1, 200) AS t FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(d.t) - 7, 1))) AS i) u
+  ) g
+) w GROUP BY doc_id, fp
+"""
+
 DOC_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -1199,6 +1248,30 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
 
     out["cosine_neardup_pairs"] = QuerySpec(cosine_pairs, _lsh_cosine_oracle())
 
+    # duplicate-cluster resolution: connected components over the md5
+    # minhash near-dup graph (Spark: iterative min-label propagation;
+    # oracle: DuckDB recursive CTE — two genuinely different algorithms,
+    # identical fixpoint).
+    def comps_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents")
+        docs.createOrReplaceTempView("documents")
+        pairs = spark.sql(DOC_NEARDUP_SPARK)
+        return _dd.connected_components(docs.select("doc_id"), pairs)
+
+    comps_duck = f"""
+WITH RECURSIVE
+pairs AS ({DOC_NEARDUP_DUCK}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+"""
+    out["dedup_components"] = QuerySpec(comps_fn, comps_duck)
+
     # Multimodal: the documents' text bytes stand in for opaque media
     # blobs; the Spark side runs the REAL Arrow-batched mapInPandas
     # plumbing (schema/batching/partitioning identical to a decode
@@ -1268,6 +1341,8 @@ _VERIFY_FIRST = [
     # embeddings (no r01 row) + new queries
     "knn_cosine_topk", "knn_ivf_topk", "embedding_norms_by_label",
     "media_byte_stats", "media_frame_checksums",
+    "tc_garnet_site_occupancies", "tc_clinoamphibole_site_occupancies",
+    "dedup_components", "doc_winnowed_fingerprints",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1333,6 +1408,9 @@ def build_registry() -> dict[str, QuerySpec]:
     r["doc_fingerprint"] = sql_query(["documents"], DOC_FINGERPRINT)
     r["minhash_signatures"] = sql_query(
         ["documents"], DOC_MINHASH_SPARK, DOC_MINHASH_DUCK
+    )
+    r["doc_winnowed_fingerprints"] = sql_query(
+        ["documents"], DOC_WINNOW_SPARK, DOC_WINNOW_DUCK
     )
     r["neardup_minhash_pairs"] = sql_query(
         ["documents"], DOC_NEARDUP_SPARK, DOC_NEARDUP_DUCK

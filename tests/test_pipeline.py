@@ -255,3 +255,29 @@ class TestSkew:
         out = {r.k: r["count"] for r in
                skew.salted_count_by_key(df, "k").collect()}
         assert out == {7: 100, 8: 5}
+
+
+class TestComponents:
+    def test_connected_components_chain_and_island(self, spark):
+        """A 4-chain, a 2-pair, and two singletons resolve to min-id
+        labels; chain needs >1 propagation round (tests the fixpoint)."""
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "doc_id long"
+        )
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(nodes, edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
+
+    def test_connected_components_no_edges(self, spark):
+        nodes = spark.createDataFrame([(3,), (9,)], "doc_id long")
+        edges = spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(nodes, edges).collect()
+        }
+        assert got == {3: 3, 9: 9}
