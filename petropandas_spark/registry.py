@@ -822,6 +822,96 @@ SELECT event_id, user_id, ts AS ts_ns,
 FROM {src}
 """
 
+# AS-OF / range joins (custom temporal operators; pipeline/temporal.py).
+# The Spark side is the union-tag-window-fill (asof) / bucketized-probe
+# (range) composition; the DuckDB oracle uses native ASOF JOIN and a plain
+# inequality join — different algorithms, identical relation.
+_EVENTS_SRC_DUCK_CTE = (
+    "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, "
+    "event_type, value FROM events"
+)
+
+EVENTS_ASOF_DUCK = f"""
+WITH src AS ({_EVENTS_SRC_DUCK_CTE})
+SELECT e.event_id, e.user_id, e.ts AS ts_ns,
+       p.ts AS purchase_ts, p.purchase_value
+FROM src e ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS purchase_value
+  FROM src WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+_MINUTE_NS = str(60 * 10**9)
+
+EVENTS_RANGE_DUCK = f"""
+WITH src AS ({_EVENTS_SRC_DUCK_CTE})
+SELECT e.event_id, e.user_id, e.ts AS ts_ns,
+       p.ts AS right_ts, p.near_value
+FROM src e JOIN (
+  SELECT user_id, ts, value AS near_value
+  FROM src WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND abs(e.ts - p.ts) <= {_MINUTE_NS}
+"""
+
+
+def _events_spark_base(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    # μs truncation matches DuckDB's parquet TIMESTAMP(NANOS) floor
+    return ev.selectExpr(
+        "event_id", "(ts DIV 1000) * 1000 AS ts", "user_id",
+        "event_type", "value",
+    )
+
+
+def _q_events_asof() -> QuerySpec:
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.pipeline.temporal import asof_join
+
+        ev = _events_spark_base(spark, sf_dir)
+        purch = ev.filter("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        out = asof_join(ev, purch, "ts", "user_id", ["purchase_value"],
+                        right_ts_alias="purchase_ts")
+        return out.select(
+            "event_id", "user_id", F.col("ts").alias("ts_ns"),
+            "purchase_ts", "purchase_value",
+        )
+
+    return QuerySpec(fn, EVENTS_ASOF_DUCK)
+
+
+def _q_events_range() -> QuerySpec:
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.pipeline.temporal import range_join
+
+        ev = _events_spark_base(spark, sf_dir)
+        purch = ev.filter("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("value").alias("near_value")
+        )
+        out = range_join(ev, purch, "ts", "user_id",
+                         bound=60 * 10**9, value_cols=["near_value"])
+        return out.select(
+            "event_id", "user_id", F.col("ts").alias("ts_ns"),
+            "right_ts", "near_value",
+        )
+
+    return QuerySpec(fn, EVENTS_RANGE_DUCK)
+
+
+TOPK_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) t WHERE rk <= 3
+"""
+
 EVENTS_SESSIONS = f"""
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
@@ -1343,6 +1433,8 @@ _VERIFY_FIRST = [
     "media_byte_stats", "media_frame_checksums",
     "tc_garnet_site_occupancies", "tc_clinoamphibole_site_occupancies",
     "dedup_components", "doc_winnowed_fingerprints",
+    "events_asof_last_purchase", "events_near_purchases",
+    "topk_orders_per_customer",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1397,6 +1489,11 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
+    r["events_asof_last_purchase"] = _q_events_asof()
+    r["events_near_purchases"] = _q_events_range()
+    r["topk_orders_per_customer"] = sql_query(
+        ["orders"], TOPK_ORDERS_PER_CUSTOMER
+    )
     # documents / text pipeline
     r["doc_stats"] = sql_query(["documents"], DOC_STATS)
     r["doc_lang_guess"] = sql_query(["documents"], DOC_LANG_GUESS)

@@ -281,3 +281,60 @@ class TestComponents:
             for r in dedup.connected_components(nodes, edges).collect()
         }
         assert got == {3: 3, 9: 9}
+
+
+class TestTemporal:
+    def test_asof_join_backward_inclusive(self, spark):
+        from petropandas_spark.pipeline import temporal
+
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 200), (3, 10, 250), (4, 20, 150)],
+            "event_id long, user_id long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(10, 100, 1.0), (10, 240, 2.0), (20, 160, 9.0)],
+            "user_id long, ts long, v double",
+        )
+        out = {
+            r.event_id: (r.matched_ts, r.v)
+            for r in temporal.asof_join(
+                left, right, "ts", "user_id", ["v"]
+            ).collect()
+        }
+        assert out[1] == (100, 1.0)      # tie at ts=100 matches (inclusive)
+        assert out[2] == (100, 1.0)      # 240 is in the future at ts=200
+        assert out[3] == (240, 2.0)      # latest prior
+        assert out[4] == (None, None)    # user 20 has no purchase <= 150
+
+    def test_range_join_bounds(self, spark):
+        from petropandas_spark.pipeline import temporal
+
+        left = spark.createDataFrame(
+            [(1, 10, 1000), (2, 10, 5000)], "event_id long, user_id long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(10, 1400, 1.0), (10, 2100, 2.0), (11, 1000, 3.0)],
+            "user_id long, ts long, v double",
+        )
+        out = {
+            (r.event_id, r.right_ts)
+            for r in temporal.range_join(
+                left, right, "ts", "user_id", bound=500, value_cols=["v"]
+            ).collect()
+        }
+        # |1000-1400| <= 500 matches; |1000-2100| > 500 and user 11 don't
+        assert out == {(1, 1400)}
+
+    def test_asof_plan_has_no_nested_loop(self, spark):
+        from petropandas_spark.pipeline import temporal
+
+        left = spark.createDataFrame([(1, 10, 100)],
+                                     "event_id long, user_id long, ts long")
+        right = spark.createDataFrame([(10, 90, 1.0)],
+                                      "user_id long, ts long, v double")
+        plan = temporal.asof_join(
+            left, right, "ts", "user_id", ["v"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # union + window: no join at all
