@@ -117,6 +117,46 @@ def run_to_memory(stream_df, name: str, output_mode: str = "complete"):
     return stream_df.sparkSession.table(name)
 
 
+def purchase_attribution(df, attribution: str = "30 minutes",
+                         delay: str = "30 minutes"):
+    """Watermarked stream-stream interval join: attribute every purchase
+    to the same user's clicks in the preceding ``attribution`` window.
+
+    Both sides carry watermarks and the join condition bounds click time
+    to ``[purchase_time - attribution, purchase_time]``, so Spark can
+    expire join state on both sides (the canonical Structured Streaming
+    stream-stream join shape).  On batch inputs the identical topology
+    runs as an ordinary interval join.
+    """
+    d = with_event_time(df)
+    clicks = _maybe_watermark(
+        d.filter(F.col("event_type") == "click"), delay
+    ).select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = _maybe_watermark(
+        d.filter(F.col("event_type") == "purchase"), delay
+    ).select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_time") <= F.col("purchase_time"))
+        & (F.col("click_time")
+           >= F.col("purchase_time") - F.expr(f"INTERVAL {attribution}")),
+    ).select(
+        F.col("purchase_user").alias("user_id"),
+        "purchase_id", "purchase_value", "purchase_time",
+        "click_id", "click_time",
+    )
+
+
 def user_value_anomalies(df, threshold_sigma: float = 3.0,
                          delay: str = "30 minutes"):
     """Custom stateful operator via ``applyInPandasWithState``: per-user

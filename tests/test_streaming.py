@@ -81,3 +81,20 @@ def test_stateful_anomaly_detector(spark, events_dir):
     expected = _sorted(ev.user_value_anomalies(_batch_events(spark)), keys)
     pd.testing.assert_frame_equal(got, expected, atol=1e-9, rtol=1e-9)
     assert len(got) > 0  # the synthetic stream contains outliers
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (purchase attribution):
+    streaming result == batch result, and both stream sides carry
+    watermarks in the plan (bounded join state)."""
+    keys = ["purchase_id", "click_id"]
+    stream = ev.read_events_stream(spark, events_dir)
+    joined = ev.purchase_attribution(stream)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") >= 2
+    got = _sorted(
+        ev.run_to_memory(joined, "t_attr", output_mode="append"), keys
+    )
+    expected = _sorted(ev.purchase_attribution(_batch_events(spark)), keys)
+    pd.testing.assert_frame_equal(got, expected, atol=1e-9, rtol=1e-9)
+    assert len(got) > 0
