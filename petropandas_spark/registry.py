@@ -760,6 +760,88 @@ WHERE l_partkey = p_partkey
 GROUP BY p_brand, p_type
 """
 
+# TPC-H-shaped queries adapted to the driver testdata's column subset
+# (lineitem carries no commit/receipt/shipmode, customer no phone):
+# the STRUCTURAL shapes are preserved — EXISTS subquery (q4), conditional
+# counts over a join (q12), disjunctive pushable predicates (q19), scalar
+# average subquery + NOT EXISTS anti-join (q22).
+Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+Q12_SHIPMODE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                     AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+Q14_PROMO = f"""
+SELECT (100e0 * {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1e0 - l_discount) ELSE 0e0 END")}
+        / {dsum('l_extendedprice * (1e0 - l_discount)')}) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+Q18_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       {dsum('l_quantity')} AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {dsum('l_quantity')} > 250e0
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+"""
+
+Q19_DISJUNCTIVE = f"""
+SELECT {dsum('l_extendedprice * (1e0 - l_discount)')} AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND l_quantity >= 1e0 AND l_quantity <= 11e0
+        AND p_size >= 1 AND p_size <= 5)
+    OR (p_brand = 'Brand#23' AND l_quantity >= 10e0 AND l_quantity <= 20e0
+        AND p_size >= 1 AND p_size <= 10)
+    OR (p_brand = 'Brand#34' AND l_quantity >= 20e0 AND l_quantity <= 30e0
+        AND p_size >= 1 AND p_size <= 15))
+"""
+
+Q22_GLOBAL_SALES = f"""
+SELECT cntrycode, COUNT(*) AS numcust, {dsum('c_acctbal')} AS totacctbal
+FROM (
+  SELECT c_nationkey AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (13, 31, 23, 29, 30, 18, 17)
+    AND c_acctbal > (
+      SELECT ({dsum('c_acctbal')} / COUNT(*)) FROM customer
+      WHERE c_acctbal > 0e0
+        AND c_nationkey IN (13, 31, 23, 29, 30, 18, 17)
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '2001-06-01'
+    )
+) custsale
+GROUP BY cntrycode
+"""
+
 TOPK_CUSTOMERS = """
 SELECT c_custkey, c_name, c_acctbal FROM (
   SELECT c_custkey, c_name, c_acctbal,
@@ -1435,6 +1517,8 @@ _VERIFY_FIRST = [
     "dedup_components", "doc_winnowed_fingerprints",
     "events_asof_last_purchase", "events_near_purchases",
     "topk_orders_per_customer",
+    "q4_order_priority", "q12_shipmode", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1485,6 +1569,14 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["part_brand_stats"] = sql_query(["lineitem", "part"], PART_BRAND_STATS)
     r["topk_customers"] = sql_query(["customer"], TOPK_CUSTOMERS)
+    r["q4_order_priority"] = sql_query(["orders", "lineitem"], Q4_ORDER_PRIORITY)
+    r["q12_shipmode"] = sql_query(["orders", "lineitem"], Q12_SHIPMODE)
+    r["q14_promo_revenue"] = sql_query(["lineitem", "part"], Q14_PROMO)
+    r["q18_large_orders"] = sql_query(
+        ["customer", "orders", "lineitem"], Q18_LARGE_ORDERS
+    )
+    r["q19_disjunctive_pred"] = sql_query(["lineitem", "part"], Q19_DISJUNCTIVE)
+    r["q22_global_sales"] = sql_query(["customer", "orders"], Q22_GLOBAL_SALES)
     # events
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
