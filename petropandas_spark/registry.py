@@ -1054,25 +1054,59 @@ SELECT doc_id,
 FROM {_DOC_PREP}
 """
 
-# language-ID heuristic: argmax of per-language stopword hit counts
+# language-ID heuristic: CJK script detection for zh, then argmax of
+# per-language stopword hit counts for the latin-script languages (the
+# corpus labels en/de/zh/fr/es).  The guess-vs-truth confusion matrix is
+# its own registered aggregate (doc_lang_confusion) — note the synthetic
+# corpus body is English-ish word soup for EVERY label, so the matrix
+# documents heuristic behavior on this data, not real-language accuracy
+# (on real multilingual text the stopword/script signals are standard).
 _EN = f"({_count_lt(' the ')} + {_count_lt(' and ')} + {_count_lt(' of ')})"
 _DE = f"({_count_lt(' der ')} + {_count_lt(' und ')} + {_count_lt(' die ')})"
-_FR = f"({_count_lt(' le ')} + {_count_lt(' et ')} + {_count_lt(' la ')})"
+_FR = f"({_count_lt(' le ')} + {_count_lt(' et ')} + {_count_lt(' les ')})"
+_ES = f"({_count_lt(' el ')} + {_count_lt(' que ')} + {_count_lt(' los ')})"
 
-DOC_LANG_GUESS = f"""
+
+def _lang_guess_sql(duck: bool) -> str:
+    # count of CJK chars = length minus length-with-CJK-removed; DuckDB's
+    # regexp_replace needs the explicit 'g' flag, Spark's is global
+    cjk = (
+        "(length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')))"
+        if duck else
+        "(length(text) - length(regexp_replace(text, '[一-龥]', '')))"
+    )
+    return f"""
 SELECT doc_id, lang,
        CAST(en_hits AS BIGINT) AS en_hits,
        CAST(de_hits AS BIGINT) AS de_hits,
        CAST(fr_hits AS BIGINT) AS fr_hits,
-       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-            WHEN fr_hits > 0 THEN 'fr'
+       CAST(es_hits AS BIGINT) AS es_hits,
+       CAST(zh_hits AS BIGINT) AS zh_hits,
+       CASE WHEN zh_hits > 0 THEN 'zh'
+            WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                 AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                 AND de_hits > 0 THEN 'de'
+            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+            WHEN es_hits > 0 THEN 'es'
             ELSE 'unknown' END AS lang_guess
 FROM (
-  SELECT doc_id, lang, {_EN} AS en_hits, {_DE} AS de_hits, {_FR} AS fr_hits
+  SELECT doc_id, lang, {_EN} AS en_hits, {_DE} AS de_hits,
+         {_FR} AS fr_hits, {_ES} AS es_hits, {cjk} AS zh_hits
   FROM {_DOC_PREP}
 ) hits
 """
+
+
+DOC_LANG_GUESS = _lang_guess_sql(duck=False)
+DOC_LANG_GUESS_DUCK = _lang_guess_sql(duck=True)
+
+
+def _lang_confusion_sql(duck: bool) -> str:
+    return (
+        f"SELECT lang, lang_guess, COUNT(*) AS n FROM ("
+        f"{_lang_guess_sql(duck)}) g GROUP BY lang, lang_guess"
+    )
 
 # quality scoring: length band + alpha ratio + repetition proxy
 DOC_QUALITY = f"""
@@ -1519,6 +1553,7 @@ _VERIFY_FIRST = [
     "topk_orders_per_customer",
     "q4_order_priority", "q12_shipmode", "q14_promo_revenue",
     "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
+    "doc_lang_confusion",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1588,7 +1623,12 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     # documents / text pipeline
     r["doc_stats"] = sql_query(["documents"], DOC_STATS)
-    r["doc_lang_guess"] = sql_query(["documents"], DOC_LANG_GUESS)
+    r["doc_lang_guess"] = sql_query(
+        ["documents"], DOC_LANG_GUESS, DOC_LANG_GUESS_DUCK
+    )
+    r["doc_lang_confusion"] = sql_query(
+        ["documents"], _lang_confusion_sql(False), _lang_confusion_sql(True)
+    )
     r["doc_quality"] = sql_query(["documents"], DOC_QUALITY)
     r["doc_tokenize_bpe"] = sql_query(
         ["documents"], DOC_TOKENIZE_BPE_SPARK, DOC_TOKENIZE_BPE_DUCK
@@ -1615,6 +1655,8 @@ def build_registry() -> dict[str, QuerySpec]:
         ["embeddings"], EMB_NORMS_SPARK, EMB_NORMS_DUCK
     )
     # emit driver-unverified queries first (see _VERIFY_FIRST)
-    head = {k: r[k] for k in _VERIFY_FIRST if k in r}
+    missing = [k for k in _VERIFY_FIRST if k not in r]
+    assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
+    head = {k: r[k] for k in _VERIFY_FIRST}
     tail = {k: v for k, v in r.items() if k not in head}
     return {**head, **tail}
