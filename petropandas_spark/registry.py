@@ -1553,7 +1553,7 @@ _VERIFY_FIRST = [
     "topk_orders_per_customer",
     "q4_order_priority", "q12_shipmode", "q14_promo_revenue",
     "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
-    "doc_lang_confusion",
+    "doc_lang_confusion", "part_brand_stats_salted",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1604,6 +1604,37 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["part_brand_stats"] = sql_query(["lineitem", "part"], PART_BRAND_STATS)
     r["topk_customers"] = sql_query(["customer"], TOPK_CUSTOMERS)
+    # skew-mitigated variant of part_brand_stats: the Spark side routes
+    # through salted_join + a two-phase exact aggregation (integer partial
+    # sums per salt — order-independent, so the salted result is
+    # bit-identical); the oracle is the SAME relation computed plainly.
+    def salted_brand_stats(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.pipeline.skew import salted_join
+
+        li = _load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        pt = _load(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type", "p_size"
+        )
+        joined = salted_join(li, pt, "l_partkey")
+        q = 10**6
+        return (
+            joined.groupBy("p_brand", "p_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                (F.sum(F.expr(f"CAST(ROUND(l_quantity * {q}e0) AS BIGINT)"))
+                 .cast("double") / F.lit(float(q))).alias("total_qty"),
+                (F.sum(F.expr(f"CAST(ROUND(l_extendedprice * {q}e0) AS BIGINT)"))
+                 .cast("double") / F.lit(float(q))).alias("total_price"),
+                F.min("p_size").cast("bigint").alias("min_size"),
+                F.max("p_size").cast("bigint").alias("max_size"),
+            )
+        )
+
+    r["part_brand_stats_salted"] = QuerySpec(salted_brand_stats, PART_BRAND_STATS)
     r["q4_order_priority"] = sql_query(["orders", "lineitem"], Q4_ORDER_PRIORITY)
     r["q12_shipmode"] = sql_query(["orders", "lineitem"], Q12_SHIPMODE)
     r["q14_promo_revenue"] = sql_query(["lineitem", "part"], Q14_PROMO)
