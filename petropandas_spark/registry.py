@@ -985,6 +985,37 @@ def _q_events_range() -> QuerySpec:
     return QuerySpec(fn, EVENTS_RANGE_DUCK)
 
 
+# Exact interpolated percentiles: Spark `percentile` and DuckDB
+# `quantile_cont` both sort-and-interpolate — verified bitwise equal.
+EVENTS_PCT_SPARK = """
+SELECT event_type,
+       percentile(value, 0.5e0) AS p50,
+       percentile(value, 0.9e0) AS p90,
+       percentile(value, 0.99e0) AS p99
+FROM {src}
+GROUP BY event_type
+"""
+
+EVENTS_PCT_DUCK = """
+SELECT event_type,
+       quantile_cont(value, 0.5e0) AS p50,
+       quantile_cont(value, 0.9e0) AS p90,
+       quantile_cont(value, 0.99e0) AS p99
+FROM {src}
+GROUP BY event_type
+"""
+
+# grouping sets: ROLLUP over (returnflag, linestatus) with exact sums —
+# identical syntax and NULL-supergroup semantics in both engines.
+LINEITEM_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dsum('l_quantity')} AS sum_qty,
+       {dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
 TOPK_ORDERS_PER_CUSTOMER = """
 SELECT o_custkey, o_orderkey, o_totalprice FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1554,6 +1585,7 @@ _VERIFY_FIRST = [
     "q4_order_priority", "q12_shipmode", "q14_promo_revenue",
     "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
     "doc_lang_confusion", "part_brand_stats_salted",
+    "events_value_percentiles", "lineitem_rollup",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1649,6 +1681,12 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
     r["events_asof_last_purchase"] = _q_events_asof()
     r["events_near_purchases"] = _q_events_range()
+    r["events_value_percentiles"] = sql_query(
+        ["events"],
+        EVENTS_PCT_SPARK.format(src=_EVENTS_SRC_SPARK),
+        EVENTS_PCT_DUCK.format(src=_EVENTS_SRC_DUCK),
+    )
+    r["lineitem_rollup"] = sql_query(["lineitem"], LINEITEM_ROLLUP)
     r["topk_orders_per_customer"] = sql_query(
         ["orders"], TOPK_ORDERS_PER_CUSTOMER
     )
