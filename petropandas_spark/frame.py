@@ -193,6 +193,66 @@ class PetroFrame:
         add_normalize(plan, self.df.columns, carry=self._carry())
         return self._apply(plan)
 
+    # -- iron / valence (V*) ---------------------------------------------------
+
+    def feo_to_fe2o3(self) -> "PetroFrame":
+        """V1 (ref ``_accessors``/``_calc.py:633-662``)."""
+        from petropandas_spark.functions.conversions import add_feo_to_fe2o3
+
+        plan = Plan()
+        add_feo_to_fe2o3(
+            plan, core.formula_cols(self.df.columns), carry=self._carry()
+        )
+        return self._apply(plan)
+
+    def reduce(self) -> "PetroFrame":
+        """V2/V3 dispatch on units (ref ``_accessors.py:354-364``)."""
+        from petropandas_spark.functions.conversions import (
+            add_fe2o3_to_feo,
+            add_reduce_moles,
+        )
+
+        plan = Plan()
+        fcols = core.formula_cols(self.df.columns)
+        if self.units == "moles":
+            add_reduce_moles(plan, fcols, carry=self._carry())
+        else:
+            add_fe2o3_to_feo(plan, fcols, carry=self._carry())
+        return self._apply(plan)
+
+    def oxidize(self, o_excess: float | str) -> "PetroFrame":
+        """V7: split FeO by excess oxygen mol% — moles units only
+        (ref ``_accessors.py:335-352``)."""
+        from petropandas_spark.functions.conversions import add_oxidize_moles
+
+        if self.units != "moles":
+            raise ValueError("oxidize() requires moles units (call to_moles())")
+        plan = Plan()
+        add_oxidize_moles(
+            plan, core.formula_cols(self.df.columns), o_excess,
+            carry=self.meta_cols,
+        )
+        return self._apply(plan)
+
+    def split_valence(self, element: str = "Fe", method: str = "droop",
+                      n_oxygens: float = 12.0,
+                      ideal_cations: float = 8.0) -> "PetroFrame":
+        """V6: split a total-element APFU column into low/high-charge ions
+        (ref ``_accessors.py:295-333``); requires apfu units."""
+        from petropandas_spark.functions.valence import add_split_valence
+
+        if self.units != "apfu":
+            raise ValueError(
+                "split_valence() requires apfu units (call cations())"
+            )
+        plan = Plan()
+        add_split_valence(
+            plan, core.formula_cols(self.df.columns), element, method,
+            n_oxygens=n_oxygens, ideal_cations=ideal_cations,
+            carry=self.meta_cols + ([TOTAL_COL] if self.has_total else []),
+        )
+        return self._apply(plan)
+
     # -- mineral pipeline (M*, E*) --------------------------------------------
 
     def mineral_apfu(self, mineral: minerals.MineralConfig) -> "PetroFrame":

@@ -72,3 +72,45 @@ def test_detect_col():
     assert core.detect_cols(["SiO2", "FeO", "Fe2O3"], "Fe") == ["FeO", "Fe2O3"]
     with pytest.raises(KeyError):
         core.detect_col(["SiO2"], "Fe")
+
+
+class TestFrameValenceAPI:
+    """Accessor-level V* wrappers (ref _accessors.py:295-364)."""
+
+    def _pf(self, spark):
+        import pandas as pd
+
+        from petropandas_spark.frame import PetroFrame
+
+        pdf = pd.DataFrame({
+            "Sample": ["a", "b"],
+            "SiO2": [38.5, 38.0], "Al2O3": [22.1, 21.5],
+            "FeO": [28.3, 32.0], "MgO": [5.2, 3.0],
+            "CaO": [3.8, 4.0], "MnO": [1.5, 1.0],
+        })
+        return PetroFrame.ingest(spark.createDataFrame(pdf))
+
+    def test_feo_to_fe2o3_roundtrip_via_reduce(self, spark):
+        pf = self._pf(spark)
+        up = pf.feo_to_fe2o3()
+        assert "Fe2O3" in up.df.columns and "FeO" not in up.df.columns
+        back = up.reduce()
+        a = pf.df.toPandas().sort_values("Sample")["FeO"].tolist()
+        b = back.df.toPandas().sort_values("Sample")["FeO"].tolist()
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+    def test_oxidize_requires_moles(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._pf(spark).oxidize(2.0)
+        out = self._pf(spark).to_moles().oxidize(2.0)
+        assert "Fe2O3" in out.df.columns
+
+    def test_split_valence_droop(self, spark):
+        pf = self._pf(spark).cations(n_oxygens=12)
+        out = pf.split_valence("Fe", "droop", n_oxygens=12, ideal_cations=8)
+        cols = out.df.columns
+        assert "Fe{2+}" in cols and "Fe{3+}" in cols
+        with pytest.raises(ValueError):
+            self._pf(spark).split_valence()  # wt% units -> error
