@@ -1,0 +1,80 @@
+"""Top-level export parity with the reference package surface.
+
+The reference exposes mineral configs, plots, config singleton, and the DB
+client from ``petropandas`` directly (ref ``__init__.py:1-70``); a switching
+user's imports must resolve here the same way.
+"""
+
+import petropandas_spark as pp
+
+REF_MINERAL_NAMES = {
+    "Amp": "Amphibole", "Bt": "Biotite", "Chl": "Chlorite",
+    "Cld": "Chloritoid", "Cpx": "Clinopyroxene", "Crd": "Cordierite",
+    "Ep": "Epidote", "Fsp": "Feldspar", "Grt": "Garnet",
+    "GrtFe3": "GarnetFe3", "Ilm": "Ilmenite", "Ms": "Muscovite",
+    "Opx": "Orthopyroxene", "Spl": "Spinel", "St": "Staurolite",
+    "Ttn": "Titanite",
+}
+
+
+def test_all_exports_resolve():
+    for name in pp.__all__:
+        assert getattr(pp, name) is not None
+
+
+def test_mineral_short_names():
+    for short, full in REF_MINERAL_NAMES.items():
+        cfg = getattr(pp, short)
+        assert cfg.name == full
+        assert isinstance(cfg, pp.Mineral)
+
+
+def test_reference_all_covered():
+    """Every name in the reference's __all__ has an equivalent export
+    (accessor classes map to the PetroFrame methods, series accessor to
+    the col_to_* helpers)."""
+    ref_all = {
+        "ALIASES", "Amp", "CationsAccessor", "Bt", "BulkAccessor", "Chl",
+        "Cld", "Cpx", "Crd", "Ep", "Fsp", "Grt", "GrtFe3", "Ilm", "MW",
+        "Mineral", "MineralAccessor", "MineralSeriesAccessor",
+        "MolesAccessor", "Ms", "OxidesAccessor", "Opx", "PPConfig",
+        "PetroDB", "ProfilePlot", "ScatterPlot", "Spl", "St",
+        "TernaryPlot", "Ttn", "ppconfig",
+    }
+    accessor_equiv = {
+        # pandas-accessor classes -> the PetroFrame API
+        "CationsAccessor", "BulkAccessor", "MineralAccessor",
+        "MolesAccessor", "OxidesAccessor", "MineralSeriesAccessor",
+    }
+    ours = set(pp.__all__) | accessor_equiv
+    missing = ref_all - ours
+    assert not missing, f"reference exports without an equivalent: {missing}"
+
+
+def test_ppconfig_roundtrip():
+    pp.ppconfig.default_db = "ig"
+    from petropandas_spark import config
+
+    assert config.get("default_db") == "ig"
+    pp.ppconfig.reset()
+    assert pp.ppconfig.default_db == "mp"
+
+
+def test_ppconfig_rejects_unknown_key():
+    try:
+        pp.ppconfig.not_a_key = 1
+        raise AssertionError("unknown key accepted")
+    except KeyError:
+        pass
+
+
+def test_import_is_lazy():
+    """`import petropandas_spark` must not drag in pyspark."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, petropandas_spark; "
+        "sys.exit(1 if 'pyspark' in sys.modules else 0)"
+    )
+    assert subprocess.run([sys.executable, "-c", code]).returncode == 0
