@@ -120,6 +120,79 @@ def test_lsh_cosine_pairs_no_nested_loop(spark, registry):
     assert "CartesianProduct" not in plan
 
 
+def test_rollup_is_expand_plus_partial_agg(spark, registry):
+    """ROLLUP must plan as Expand → partial HashAggregate → single
+    exchange → final HashAggregate (one shuffle for all grouping sets,
+    map-side combined)."""
+    df = registry["lineitem_rollup"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_salted_join_stays_broadcast_equi(spark, registry):
+    """The salted fact-dim join replicates the dim per salt and joins on
+    (key, __salt) — an equi broadcast join, never sort-merge or nested
+    loop, with the aggregation map-side combined."""
+    df = registry["part_brand_stats_salted"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "__salt" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_union_window_single_shuffle(spark, registry):
+    """The as-of join is a union + last-ignore-nulls window — ONE shuffle
+    on the join key and no join operator at all (the non-equi join a
+    naive formulation would produce plans as a nested loop)."""
+    df = registry["events_asof_last_purchase"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan  # no join operator of any kind
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_simhash_pairs_blocked_equi_join(spark, registry):
+    """SimHash near-dup pairs must join on the 16-bit pigeonhole block —
+    equi join with the Hamming predicate as a post-condition, never a
+    cartesian compare."""
+    df = registry["simhash_neardup_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan  # Hamming stays JVM-side
+
+
+def test_media_decode_single_arrow_stage(spark, registry):
+    """Frame checksums run the decode in exactly one Arrow-batched python
+    stage over a pruned 2-column scan — no shuffle."""
+    df = registry["media_frame_checksums"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_doc_stats_single_pass_projection(spark, registry):
+    """doc_stats must be one codegen'd projection over the scan with
+    lower(text) materialized once (VERDICT r1 item 4: the round-1 form
+    re-lowered the full text per metric)."""
+    df = registry["doc_stats"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert plan.count("lower(text") == 1
+
+
+def test_percentiles_partial_aggregate(spark, registry):
+    """Exact grouped percentiles must still map-side combine
+    (partial_percentile before the exchange)."""
+    df = registry["events_value_percentiles"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "partial_percentile" in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
     """knn_ivf_topk probes top-n_probe cells: the corpus join against the
     probed labels must be a broadcast join (tiny build side), and the
