@@ -1262,6 +1262,101 @@ FROM ({DOC_MINHASH_DUCK}) a JOIN ({DOC_MINHASH_DUCK}) b
 """
 
 # ---------------------------------------------------------------------------
+# Corpus curation: the end-to-end training-data prep operators
+# ---------------------------------------------------------------------------
+#
+# All four are pure integer/string arithmetic shared verbatim across both
+# dialects:
+#  * token counts are BIGINT (exact, order-independent sums);
+#  * "randomness" is a deterministic multiplicative hash
+#    ``(doc_id * 2654435761) % 1000`` (Knuth bucket) — reproducible sampling
+#    and splits with zero cross-engine drift, and at 100 TB it needs no
+#    shuffle at all (a narrow filter the scan evaluates in place);
+#  * shard packing windows PARTITION BY lang, so the cumulative sum
+#    parallelizes per language instead of serializing on one global sort
+#    (at real scale you'd sub-partition by file split the same way);
+#  * FLOOR(x)-then-CAST, never CAST(double AS BIGINT): Spark truncates that
+#    cast while DuckDB rounds it.
+
+_TOKENS_PREP = (
+    "(SELECT doc_id, lang, text, replace(text, ' ', '') AS nospace "
+    "FROM documents) p"
+)
+_HASH_BUCKET = "((doc_id * 2654435761) % 1000)"
+
+# quality filter -> exact dedup (keep lowest doc_id per content hash) ->
+# per-language corpus stats: the canonical curation funnel as ONE query
+# (filter is scan-resident; dedup is one map-combined groupBy on the
+# digest; the keeper join broadcasts only ids).
+CORPUS_CURATION = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(tokens) AS BIGINT) AS max_tokens
+FROM (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  WHERE length(text) >= 100 AND length(text) <= 20000
+  GROUP BY md5(text)
+) keep
+JOIN (
+  SELECT doc_id, lang, CAST({_TOKENS} AS BIGINT) AS tokens
+  FROM {_TOKENS_PREP}
+) t USING (doc_id)
+GROUP BY lang
+"""
+
+# deterministic stratified sampling: per-language keep rates out of 1000
+CORPUS_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, CAST({_HASH_BUCKET} AS BIGINT) AS bucket
+FROM documents
+WHERE {_HASH_BUCKET} < CASE lang WHEN 'en' THEN 300
+                                 WHEN 'de' THEN 500
+                                 WHEN 'fr' THEN 500
+                                 WHEN 'es' THEN 500
+                                 ELSE 1000 END
+"""
+
+# reproducible train/val/test split (80/10/10 by hash bucket), audited as
+# per-(lang, split) doc and token counts
+CORPUS_TRAIN_SPLIT = f"""
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS split_tokens
+FROM (
+  SELECT lang,
+         CASE WHEN {_HASH_BUCKET} < 800 THEN 'train'
+              WHEN {_HASH_BUCKET} < 900 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST({_TOKENS} AS BIGINT) AS tokens
+  FROM {_TOKENS_PREP}
+) s
+GROUP BY lang, split
+"""
+
+# sequence packing: documents stream into fixed token-budget shards
+# (budget 4096) in doc_id order within each language partition; output is
+# the shard manifest a trainer would read
+CORPUS_PACK_SEQUENCES = f"""
+SELECT lang, shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+FROM (
+  SELECT lang, tokens,
+         CAST(FLOOR(COALESCE(SUM(tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) / 4096e0) AS BIGINT) AS shard_id
+  FROM (
+    SELECT doc_id, lang, CAST({_TOKENS} AS BIGINT) AS tokens
+    FROM {_TOKENS_PREP}
+  ) t
+) w
+GROUP BY lang, shard_id
+"""
+
+# ---------------------------------------------------------------------------
 # Embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
 
@@ -1586,6 +1681,8 @@ _VERIFY_FIRST = [
     "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
     "doc_lang_confusion", "part_brand_stats_salted",
     "events_value_percentiles", "lineitem_rollup",
+    "corpus_curation", "corpus_sample_stratified",
+    "corpus_train_split", "corpus_pack_sequences",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1712,6 +1809,15 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["neardup_minhash_pairs"] = sql_query(
         ["documents"], DOC_NEARDUP_SPARK, DOC_NEARDUP_DUCK
+    )
+    # corpus curation funnel (training-data prep)
+    r["corpus_curation"] = sql_query(["documents"], CORPUS_CURATION)
+    r["corpus_sample_stratified"] = sql_query(
+        ["documents"], CORPUS_SAMPLE_STRATIFIED
+    )
+    r["corpus_train_split"] = sql_query(["documents"], CORPUS_TRAIN_SPLIT)
+    r["corpus_pack_sequences"] = sql_query(
+        ["documents"], CORPUS_PACK_SEQUENCES
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())

@@ -193,6 +193,35 @@ def test_percentiles_partial_aggregate(spark, registry):
     assert plan.count("Exchange") == 1
 
 
+def test_corpus_sample_is_scan_resident(spark, registry):
+    """Stratified sampling by multiplicative hash must be a pure narrow
+    filter — zero shuffles, no join, evaluated on the scan."""
+    df = registry["corpus_sample_stratified"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_corpus_curation_broadcasts_keeper_ids(spark, registry):
+    """The curation funnel joins kept doc ids back to the corpus — ids are
+    tiny, so the join must broadcast; dedup and the final agg map-side
+    combine."""
+    df = registry["corpus_curation"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_pack_windows_per_language(spark, registry):
+    """Sequence packing must window PARTITION BY lang (parallel per
+    partition), never a single global-sort window."""
+    df = registry["corpus_pack_sequences"].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan
+    # a global window would plan Exchange SinglePartition before the sort
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
     """knn_ivf_topk probes top-n_probe cells: the corpus join against the
     probed labels must be a broadcast join (tiny build side), and the
