@@ -1356,6 +1356,37 @@ FROM (
 GROUP BY lang, shard_id
 """
 
+# boilerplate n-grams: 12-char shingles (stride 2, first 300 chars) that
+# recur across documents — the C4-style repeated-boilerplate curation
+# signal.  Explode → md5 → one map-combined groupBy on the digest; the
+# shuffle carries (hash, doc_id), never text.
+DOC_BOILERPLATE_SPARK = """
+SELECT h AS shingle_md5,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM (
+  SELECT doc_id, md5(substr(substr(text, 1, 300), i, 12)) AS h
+  FROM documents
+  LATERAL VIEW explode(sequence(1, greatest(length(substr(text, 1, 300)) - 11, 1), 2)) t AS i
+) shingles
+GROUP BY h
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+DOC_BOILERPLATE_DUCK = """
+SELECT h AS shingle_md5,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM (
+  SELECT d.doc_id, md5(substr(substr(d.text, 1, 300), u.i, 12)) AS h
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(substr(d.text, 1, 300)) - 11, 1), 2)) AS i
+  ) u
+) shingles
+GROUP BY h
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
@@ -1683,6 +1714,7 @@ _VERIFY_FIRST = [
     "events_value_percentiles", "lineitem_rollup",
     "corpus_curation", "corpus_sample_stratified",
     "corpus_train_split", "corpus_pack_sequences",
+    "doc_boilerplate_ngrams",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]
@@ -1818,6 +1850,9 @@ def build_registry() -> dict[str, QuerySpec]:
     r["corpus_train_split"] = sql_query(["documents"], CORPUS_TRAIN_SPLIT)
     r["corpus_pack_sequences"] = sql_query(
         ["documents"], CORPUS_PACK_SEQUENCES
+    )
+    r["doc_boilerplate_ngrams"] = sql_query(
+        ["documents"], DOC_BOILERPLATE_SPARK, DOC_BOILERPLATE_DUCK
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())
