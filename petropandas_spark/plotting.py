@@ -101,8 +101,18 @@ class BasePlot:
     Spark, collect only the plotted projection, render via matplotlib
     (ref ``_plotting.py:81-264``)."""
 
-    def __init__(self, **kwargs):
+    #: legend outside the axes to the right, vertically centered — the
+    #: reference's default placement (ref ``_plotting.py:16-19,196-208``);
+    #: constrained_layout makes room when attached via ``Axes.legend``.
+    _LEGEND_OUTSIDE_KWARGS = {
+        "loc": "center left", "bbox_to_anchor": (1.02, 0.5),
+    }
+
+    def __init__(self, legend: bool = True,
+                 legend_kwargs: dict | None = None, **kwargs):
         self._groups: list[tuple[DataFrame, str | None, dict]] = []
+        self.legend = legend
+        self.legend_kwargs = legend_kwargs or {}
         self.kwargs = kwargs
 
     def add(self, df, label: str | None = None, **style) -> "BasePlot":
@@ -112,6 +122,41 @@ class BasePlot:
             df = df.df
         self._groups.append((df, label, style))
         return self
+
+    # -- render lifecycle (ref ``_plotting.py:131-208``) ----------------------
+
+    def _finalize_legend(self, ax) -> None:
+        """Draw the legend once all groups are plotted — only when enabled
+        and at least one group carries a label (unlabeled groups plot but
+        stay out of the legend, matching the reference)."""
+        if self.legend and any(label for _, label, _ in self._groups):
+            ax.legend(**{**self._LEGEND_OUTSIDE_KWARGS, **self.legend_kwargs})
+
+    def figure(self):  # pragma: no cover - matplotlib not in container
+        """Build a (Figure, Axes) pair with constrained layout and render
+        into it (ref ``render() -> tuple[Figure, Axes]``)."""
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(
+            constrained_layout=True,
+            **({"figsize": self.kwargs["figsize"]}
+               if "figsize" in self.kwargs else {}),
+        )
+        self.render(ax=ax)
+        return fig, ax
+
+    def show(self) -> None:  # pragma: no cover - matplotlib not in container
+        """Render and display (ref ``_plotting.py:147-155``)."""
+        import matplotlib.pyplot as plt
+
+        self.figure()
+        plt.show()
+
+    def savefig(self, *args, **kwargs):  # pragma: no cover - no matplotlib
+        """Render and save; same signature as ``Figure.savefig``
+        (ref ``_plotting.py:157-160``)."""
+        fig, _ax = self.figure()
+        fig.savefig(*args, **kwargs)
 
     def _collected(self, exprs: list[str]):
         """Per group: select the axis expressions and collect to pandas."""
@@ -147,8 +192,7 @@ class ScatterPlot(BasePlot):
             ax.scatter(pdf["__ax0"], pdf["__ax1"], label=label, **style)
         ax.set_xlabel(self.x)
         ax.set_ylabel(self.y)
-        if any(lbl for _, lbl, _ in self._groups):
-            ax.legend(loc="center left", bbox_to_anchor=(1.02, 0.5))
+        self._finalize_legend(ax)
         return ax
 
 
@@ -177,6 +221,7 @@ class TernaryPlot(BasePlot):
         for pdf, label, style in self.collect():
             ax.scatter(pdf["x"], pdf["y"], label=label, **style)
         ax.set_aspect("equal")
+        self._finalize_legend(ax)
         return ax
 
 
@@ -375,9 +420,11 @@ class ProfilePlot(BasePlot):
         if sec_ax is not None:
             h2, l2 = sec_ax.get_legend_handles_labels()
             handles, labels = handles + h2, labels + l2
-        if handles:
-            ax.legend(handles, labels, loc="center left",
-                      bbox_to_anchor=(1.08, 0.5))
+        if self.legend and handles:
+            ax.legend(handles, labels,
+                      **{**self._LEGEND_OUTSIDE_KWARGS,
+                         "bbox_to_anchor": (1.08, 0.5),
+                         **self.legend_kwargs})
         return ax
 
 

@@ -194,3 +194,46 @@ class TestProfilePlot:
 
         with _pytest.raises(ValueError):
             p.resolve_column_routing()
+
+
+class _FakeAx:
+    def __init__(self):
+        self.legend_calls = []
+
+    def legend(self, *args, **kwargs):
+        self.legend_calls.append((args, kwargs))
+
+
+class TestRenderLifecycle:
+    """Legend lifecycle parity (ref _plotting.py:16-19,131-208) — the
+    pure-logic part, testable without matplotlib."""
+
+    def test_legend_outside_default_and_kwargs_merge(self):
+        from petropandas_spark.plotting import ScatterPlot
+
+        p = ScatterPlot("SiO2", "MgO", legend_kwargs={"ncol": 2})
+        p._groups = [(None, "grp", {})]
+        ax = _FakeAx()
+        p._finalize_legend(ax)
+        (_, kwargs), = ax.legend_calls
+        assert kwargs["loc"] == "center left"
+        assert kwargs["bbox_to_anchor"] == (1.02, 0.5)
+        assert kwargs["ncol"] == 2
+
+    def test_legend_disabled(self):
+        from petropandas_spark.plotting import ScatterPlot
+
+        p = ScatterPlot("a", "b", legend=False)
+        p._groups = [(None, "g", {})]
+        ax = _FakeAx()
+        p._finalize_legend(ax)
+        assert not ax.legend_calls
+
+    def test_no_labels_no_legend(self):
+        from petropandas_spark.plotting import ScatterPlot
+
+        p = ScatterPlot("a", "b")
+        p._groups = [(None, None, {})]
+        ax = _FakeAx()
+        p._finalize_legend(ax)
+        assert not ax.legend_calls
