@@ -84,7 +84,19 @@ def auto_split(groups: list[DataFrame], candidates: list[str]) -> set[str]:
                 counts[c] = counts.get(c, 0) + row[f"n_{c}"]
 
     means = {c: sums[c] / counts[c] for c in candidates if counts.get(c)}
-    columns = [c for c in candidates if c in means]
+    return best_two_partition(means, order=candidates)
+
+
+def best_two_partition(means: dict[str, float],
+                       order: list[str] | None = None) -> set[str]:
+    """Minimum summed-within-group-variance 2-partition of column means;
+    returns the group NOT containing the first column (the secondary
+    axis).  Only the n-1 contiguous splits of the sorted means are
+    examined — for 1-D squared-error the optimal 2-partition is always
+    contiguous in sorted order (the 1-D k-means property, proven by the
+    exchange argument; property-tested against exhaustive search in
+    ``tests/test_properties.py``)."""
+    columns = [c for c in (order or list(means)) if c in means]
     if len(columns) < 2:
         return set()
     sorted_cols = sorted(columns, key=lambda c: means[c])

@@ -24,12 +24,19 @@ from dataclasses import dataclass, field
 
 
 def flit(x: float) -> str:
-    """Render a Python float as a DOUBLE literal in both dialects."""
+    """Render a Python float as a DOUBLE literal in both dialects.
+
+    Non-finite values use string casts: ``x/0`` division renders NULL in
+    both engines (Spark non-ANSI and DuckDB), whereas ``CAST('NaN' AS
+    DOUBLE)`` / ``CAST('Infinity' AS DOUBLE)`` parse as true IEEE-754
+    specials in both.
+    """
     x = float(x)
     if math.isnan(x):
-        return "(0e0/0e0)"
+        return "CAST('NaN' AS DOUBLE)"
     if math.isinf(x):
-        return "(1e0/0e0)" if x > 0 else "(-1e0/0e0)"
+        return ("CAST('Infinity' AS DOUBLE)" if x > 0
+                else "CAST('-Infinity' AS DOUBLE)")
     s = repr(x)
     if "e" in s or "E" in s:
         return s
