@@ -1,0 +1,119 @@
+"""Corpus sink layout tests: partition pruning, shard determinism, AQE
+skew-join handling."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from petropandas_spark.pipeline import sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_partitioned_write_prunes_on_read(spark, docs, tmp_path):
+    path = str(tmp_path / "by_lang")
+    sinks.write_partitioned(docs, path, ["lang"])
+    # one directory per language
+    langs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    n_langs = docs.select("lang").distinct().count()
+    assert len(langs) == n_langs
+    back = sinks.read_partition_pruned(spark, path, lang="en")
+    plan = _plan(back)
+    # the filter must be a partition filter on the scan, not a row filter
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters:"
+    )[1].splitlines()[0]
+    assert back.count() == docs.filter("lang = 'en'").count()
+
+
+def test_sharded_write_is_deterministic(spark, docs, tmp_path):
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sinks.write_sharded(docs, p1, "doc_id", n_shards=4,
+                        sort_within=["doc_id"])
+    # second run with different session parallelism: same membership
+    sinks.write_sharded(docs.repartition(13), p2, "doc_id", n_shards=4,
+                        sort_within=["doc_id"])
+
+    def membership(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        out = {}
+        for i, f in enumerate(files):
+            for r in spark.read.parquet(os.path.join(path, f)).collect():
+                out[r.doc_id] = i
+        return len(files), out
+
+    n1, m1 = membership(p1)
+    n2, m2 = membership(p2)
+    assert n1 == n2
+    # same doc -> same shard file index regardless of input partitioning
+    assert m1 == m2
+
+
+def test_sharded_write_caps_records_per_file(spark, docs, tmp_path):
+    path = str(tmp_path / "capped")
+    sinks.write_sharded(docs, path, "doc_id", n_shards=2,
+                        max_records_per_file=10)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            n = spark.read.parquet(os.path.join(path, f)).count()
+            assert n <= 10
+
+
+def test_aqe_splits_skewed_join(spark):
+    """With AQE skew handling on, a pathologically skewed sort-merge join
+    must show skew=true partitions in the final adaptive plan."""
+    skew_conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        # ~95% of 200k rows land on key 7 (data-dependent, so the
+        # optimizer cannot constant-fold the join key away)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        # no agg after the join: OptimizeSkewedJoin declines to split a
+        # partition whose output distribution a downstream exchange
+        # still requires (that case needs forceOptimizeSkewedJoin)
+        joined = fact.join(dim, "k").select("k", "v", "w")
+        # drive THIS DataFrame's AdaptiveSparkPlan to its final form
+        # (count()/write would execute a separate QueryExecution)
+        assert len(joined.collect()) == 200_000
+        final = _plan(joined, "simple")
+        assert "skew=true" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
