@@ -1,0 +1,78 @@
+"""Benchmark-contamination detection: token n-gram collisions between a
+training corpus and an evaluation set (the GPT-3 appendix-C / Dolma
+decontamination rule: a training document is contaminated if it shares
+any ≥N-token n-gram with an eval document).
+
+Spark-first shape, sized for a 100 TB corpus vs a small eval set:
+
+  * n-grams are EXPLODED then hashed (explode → codegen'd ``xxhash64``
+    over ``concat_ws(slice(tokens))`` — no interpreted higher-order
+    lambdas in the hot path, mirroring ``dedup.minhash_signatures``);
+  * the shuffle carries ``(id, hash)`` longs, never text;
+  * the eval side is tiny by construction (thousands of documents), so
+    the collision join broadcasts it — the corpus side never shuffles;
+  * output is one row per contaminated corpus document (hash-distinct
+    collision count), ready for an anti-join back onto the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 13) -> DataFrame:
+    """Distinct ``(id, ngram_hash)`` pairs of whitespace-token n-grams.
+
+    Documents shorter than *n* tokens produce no rows (explode of an
+    empty index array), matching the usual decontamination convention.
+    Tokenization is lowercased whitespace splitting — deterministic and
+    cheap; swap in the BPE-ish regex if eval sets are tokenizer-aligned.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    starts = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(starts).alias("__i"), "__toks")
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("__toks", F.col("__i"), n))
+            ).alias("ngram_hash"),
+        )
+        .distinct()
+    )
+
+
+def contaminated_docs(corpus: DataFrame, evalset: DataFrame,
+                      n: int = 13,
+                      corpus_id: str = "doc_id",
+                      eval_id: str = "doc_id") -> DataFrame:
+    """Corpus documents sharing at least one token n-gram with the eval
+    set: ``(doc_id, n_shared_ngrams, n_eval_docs_hit)``."""
+    c = ngram_hashes(corpus, corpus_id, n=n)
+    e = ngram_hashes(evalset, eval_id, n=n).withColumnRenamed(
+        eval_id, "__eval_id"
+    )
+    return (
+        c.join(F.broadcast(e), "ngram_hash")
+        .groupBy(corpus_id)
+        .agg(
+            F.countDistinct("ngram_hash").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def decontaminate(corpus: DataFrame, evalset: DataFrame,
+                  n: int = 13, corpus_id: str = "doc_id") -> DataFrame:
+    """The corpus minus contaminated documents (left-anti join on the
+    broadcast contaminated-id set)."""
+    bad = contaminated_docs(corpus, evalset, n=n, corpus_id=corpus_id)
+    return corpus.join(
+        F.broadcast(bad.select(corpus_id)), corpus_id, "left_anti"
+    )

@@ -1,0 +1,86 @@
+"""Contamination detection: brute-force equivalence + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from petropandas_spark.pipeline import contamination
+
+
+def _plan(df, mode="simple") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely unrelated content about mineral chemistry and spark"),
+    (3, "eval question one asks about the quick brown fox jumps over"),
+    (4, "short doc"),
+]
+EVAL = [
+    (100, "quiz: the quick brown fox jumps over the lazy dog answer"),
+    (101, "what is the capital of france paris obviously everyone knows"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    c = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    e = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    return c, e
+
+
+def test_matches_bruteforce(frames):
+    c, e = frames
+    n = 5
+    eval_grams: dict[int, set[str]] = {
+        i: _py_ngrams(t, n) for i, t in EVAL
+    }
+    expected = {}
+    for i, t in CORPUS:
+        grams = _py_ngrams(t, n)
+        shared = set().union(
+            *[grams & g for g in eval_grams.values()]
+        ) if eval_grams else set()
+        hit = {j for j, g in eval_grams.items() if grams & g}
+        if shared:
+            expected[i] = (len(shared), len(hit))
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs_hit)
+        for r in contamination.contaminated_docs(c, e, n=n).collect()
+    }
+    assert got == expected
+    assert 1 in got and 2 not in got  # planted overlap found, clean doc kept
+
+
+def test_short_docs_produce_no_ngrams(frames):
+    c, _ = frames
+    out = contamination.ngram_hashes(c, n=5)
+    assert out.filter("doc_id = 4").count() == 0
+
+
+def test_decontaminate_removes_only_contaminated(frames):
+    c, e = frames
+    kept = {r.doc_id for r in
+            contamination.decontaminate(c, e, n=5).collect()}
+    bad = {r.doc_id for r in
+           contamination.contaminated_docs(c, e, n=5).collect()}
+    assert kept == {i for i, _ in CORPUS} - bad
+
+
+def test_collision_join_broadcasts_eval_side(frames):
+    c, e = frames
+    plan = _plan(contamination.contaminated_docs(c, e, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # hot path stays codegen'd: no interpreted higher-order lambdas
+    assert "lambdafunction" not in _plan(
+        contamination.ngram_hashes(c, n=5), "formatted"
+    ).lower()
