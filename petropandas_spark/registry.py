@@ -1387,6 +1387,58 @@ GROUP BY h
 HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
+# benchmark contamination (GPT-3 appendix-C / Dolma rule): corpus docs
+# sharing a token 4-gram with the eval slice (deterministic 5% hash
+# bucket).  Shuffle carries (id, md5) only; the eval side is tiny so the
+# collision join broadcasts on Spark.  Module twin with xxhash64 +
+# anti-join: pipeline/contamination.py.
+_CONTAM_N = 4
+
+
+def _contam_sql(duck: bool) -> str:
+    if duck:
+        toks = "string_split_regex(lower(text), ' +')"
+        gram = f"md5(array_to_string(toks[u.i:u.i+{_CONTAM_N - 1}], ' '))"
+        lateral = (
+            "(SELECT unnest(generate_series(1, len(toks) - "
+            f"{_CONTAM_N - 1})) AS i) u"
+        )
+
+        def grams(src):
+            return (f"SELECT DISTINCT doc_id, {gram} AS h "
+                    f"FROM {src}, LATERAL {lateral}")
+
+        size = "len(toks)"
+    else:
+        toks = "split(lower(text), ' +')"
+        gram = f"md5(concat_ws(' ', slice(toks, i, {_CONTAM_N})))"
+        lateral = (
+            f"LATERAL VIEW explode(sequence(1, size(toks) - "
+            f"{_CONTAM_N - 1})) t AS i"
+        )
+
+        def grams(src):
+            return (f"SELECT DISTINCT doc_id, {gram} AS h "
+                    f"FROM {src} {lateral}")
+
+        size = "size(toks)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, (doc_id * 2654435761) % 1000 AS b, {toks} AS toks
+  FROM documents
+),
+corpus AS (SELECT * FROM tok WHERE b < 950 AND {size} >= {_CONTAM_N}),
+ev AS (SELECT * FROM tok WHERE b >= 950 AND {size} >= {_CONTAM_N}),
+cg AS ({grams('corpus')}),
+eg AS (SELECT doc_id AS eval_id, h FROM ({grams('ev')}) g)
+SELECT doc_id,
+       COUNT(DISTINCT cg.h) AS n_shared_ngrams,
+       COUNT(DISTINCT eval_id) AS n_eval_docs_hit
+FROM cg JOIN eg ON cg.h = eg.h
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
@@ -1853,6 +1905,9 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["doc_boilerplate_ngrams"] = sql_query(
         ["documents"], DOC_BOILERPLATE_SPARK, DOC_BOILERPLATE_DUCK
+    )
+    r["corpus_contamination"] = sql_query(
+        ["documents"], _contam_sql(False), _contam_sql(True)
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())

@@ -222,6 +222,15 @@ def test_corpus_pack_windows_per_language(spark, registry):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_contamination_broadcasts_eval_grams(spark, registry):
+    """The corpus-vs-eval 4-gram collision join must broadcast the tiny
+    eval side — the 100 TB corpus side never shuffles for the join."""
+    df = registry["corpus_contamination"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
     """knn_ivf_topk probes top-n_probe cells: the corpus join against the
     probed labels must be a broadcast join (tiny build side), and the
