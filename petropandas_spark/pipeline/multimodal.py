@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
-metadata, with Arrow-batched decode/feature plumbing.
+metadata, with Arrow-batched decode/resize/feature/frame plumbing.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_images`` routes through the real ``mapInPandas``
-machinery — schema, batching, partitioning are genuine — but the pixel
-decode is a deterministic fake derived from the bytes, clearly marked.
-Swapping ``_fake_decode`` for PIL/libvips is a one-function change; the
-Spark-side plumbing (what the judge grades) is real and tested.
+The decode is REAL for the formats a bare container can handle
+(:func:`decode_image`: binary PPM P6 and 24-bit BMP, pure NumPy), with a
+matching :func:`encode_ppm` and a NumPy nearest-neighbor
+:func:`resize_images`; every other format raises a documented
+``NotImplementedError`` — plug PIL/libvips in ``decode_image`` and the
+rest of the pipeline (schema, Arrow batching, one-to-many frame
+explode) is unchanged.  A deterministic byte-derived ``_fake_decode``
+exists strictly behind ``decoder='fake'`` for plumbing tests on
+non-image payloads.
 
 Schema convention::
 
@@ -169,6 +172,56 @@ def media_byte_stats(df: DataFrame, content_col: str = "content",
                 digests.append(hashlib.md5(raw).hexdigest())
             yield pd.DataFrame(
                 {id_col: ids, "n_bytes": sizes, "content_md5": digests}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode float32 [0,1] (H, W, 3) pixels as binary PPM (P6) — the
+    inverse of the P6 branch of :func:`decode_image`."""
+    h, w, _ = img.shape
+    px = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  content_col: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode → nearest-neighbor resize → PPM re-encode.
+
+    The resize itself is pure NumPy integer index sampling (no external
+    imaging library): output pixel (r, c) takes source pixel
+    (floor((r+.5)·H/h'), floor((c+.5)·W/w')) — the standard
+    nearest-neighbor grid.  Output rows carry the re-encoded binary plus
+    the realized dimensions, so a downstream stage can chain decode →
+    resize → featurize entirely in narrow Arrow stages (no shuffle).
+    """
+    schema = (
+        f"{id_col} BIGINT, width INT, height INT, resized BINARY"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                img = decode_image(bytes(blob) if blob is not None else b"")
+                src_h, src_w, _ = img.shape
+                rows = np.minimum(
+                    ((np.arange(height) + 0.5) * src_h / height).astype(int),
+                    src_h - 1,
+                )
+                cols = np.minimum(
+                    ((np.arange(width) + 0.5) * src_w / width).astype(int),
+                    src_w - 1,
+                )
+                out = img[rows[:, None], cols[None, :]]
+                ids.append(i)
+                ws.append(width)
+                hs.append(height)
+                outs.append(encode_ppm(out))
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "resized": outs}
             )
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)

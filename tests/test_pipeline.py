@@ -209,6 +209,40 @@ class TestMultimodal:
         assert out.loc[1, "n_bytes"] == 17
         assert len(out.loc[1, "feat"]) == 8
 
+    def test_resize_images_roundtrip(self, spark):
+        import numpy as np
+
+        blob, _ = self._ppm(8, 6)
+        src = multimodal.decode_image(blob)
+        pdf = pd.DataFrame({"doc_id": [1], "content": [blob]})
+        out = multimodal.resize_images(
+            spark.createDataFrame(pdf), width=4, height=3
+        ).toPandas()
+        assert (out.width == 4).all() and (out.height == 3).all()
+        resized = multimodal.decode_image(bytes(out.resized[0]))
+        assert resized.shape == (3, 4, 3)
+        # nearest-neighbor: every output pixel equals its source pixel
+        rows = np.minimum(((np.arange(3) + 0.5) * 6 / 3).astype(int), 5)
+        cols = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+        expected = src[rows[:, None], cols[None, :]]
+        assert np.allclose(resized, expected, atol=1 / 255.0)
+
+    def test_resize_then_featurize_chains_narrow(self, spark):
+        blob, _ = self._ppm(8, 8)
+        pdf = pd.DataFrame({"doc_id": [1], "content": [blob]})
+        df = spark.createDataFrame(pdf)
+        resized = multimodal.resize_images(df, width=4, height=4)
+        feats = multimodal.decode_and_featurize(
+            resized.withColumnRenamed("resized", "content")
+        )
+        plan = feats._jdf.queryExecution().explainString(
+            feats._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert plan.count("MapInPandas") == 2
+        assert "Exchange" not in plan
+        row = feats.collect()[0]
+        assert len(row.feat) == 8
+
     def test_media_byte_stats(self, spark):
         import hashlib
 
