@@ -32,6 +32,14 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "100g")
+        # ~100 queries × many whole-stage-codegen units exhaust the JVM's
+        # default 240 MB JIT code cache mid-run; once it fills, late
+        # queries execute interpreted (measured 2-5× slower).  Standard
+        # Spark tuning: reserve a bigger cache up front.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
