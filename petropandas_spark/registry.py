@@ -1387,6 +1387,54 @@ GROUP BY h
 HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
+# Gopher-style repetition metrics: duplicate-word fraction and the share
+# of bigram occurrences taken by the most common bigram — two standard
+# repetition quality filters.  Counts are BIGINT (exact); the final
+# fractions divide identical integers in both engines, so the doubles
+# are bit-equal.  Two exploded group-bys, both map-side combinable.
+def _repetition_sql(duck: bool) -> str:
+    if duck:
+        toks = "string_split_regex(lower(text), ' +')"
+        word_src = ("SELECT t.doc_id, u.w FROM toks t, "
+                    "LATERAL (SELECT unnest(t.t) AS w) u")
+        gram = "concat(t.t[u.i], ' ', t.t[u.i + 1])"
+        gram_src = (
+            f"SELECT t.doc_id, {gram} AS g FROM toks t, "
+            "LATERAL (SELECT unnest(generate_series(1, len(t.t) - 1)) AS i) u "
+            "WHERE len(t.t) >= 2"
+        )
+    else:
+        toks = "split(lower(text), ' +')"
+        word_src = ("SELECT doc_id, w FROM toks "
+                    "LATERAL VIEW explode(t) x AS w")
+        gram = "concat(element_at(t, i - 1), ' ', element_at(t, i))"
+        gram_src = (
+            f"SELECT doc_id, {gram} AS g FROM toks "
+            "LATERAL VIEW explode(sequence(2, size(t))) x AS i "
+            "WHERE size(t) >= 2"
+        )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+wstats AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+  FROM ({word_src}) words GROUP BY doc_id
+),
+bgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM ({gram_src}) bg GROUP BY doc_id, g
+),
+bstats AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot FROM bgc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       (1e0 - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE))
+         AS dup_word_frac,
+       (CAST(b.max_c AS DOUBLE) / CAST(b.tot AS DOUBLE))
+         AS top_bigram_frac
+FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+"""
+
+
 # benchmark contamination (GPT-3 appendix-C / Dolma rule): corpus docs
 # sharing a token 4-gram with the eval slice (deterministic 5% hash
 # bucket).  Shuffle carries (id, md5) only; the eval side is tiny so the
@@ -1908,6 +1956,9 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["corpus_contamination"] = sql_query(
         ["documents"], _contam_sql(False), _contam_sql(True)
+    )
+    r["doc_repetition_metrics"] = sql_query(
+        ["documents"], _repetition_sql(False), _repetition_sql(True)
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())
