@@ -254,8 +254,20 @@ class PetroFrame:
         return self._apply(plan)
 
     # -- mineral pipeline (M*, E*) --------------------------------------------
+    #
+    # Every method dispatches on Mineral-or-Phase exactly like the
+    # reference accessor (``df.mineral.apfu(Grt)`` and
+    # ``df.mineral.apfu(TC_g)`` both work, ref README.md "hpxeos"): a
+    # THERMOCALC ``PhaseSpec`` carries its embedded ``MineralConfig`` for
+    # the apfu/site/stoichiometry paths and its compiled p-block for
+    # end members.
 
-    def mineral_apfu(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+    @staticmethod
+    def _as_mineral(mineral) -> minerals.MineralConfig:
+        return mineral.mineral if hasattr(mineral, "p_block") else mineral
+
+    def mineral_apfu(self, mineral) -> "PetroFrame":
+        mineral = self._as_mineral(mineral)
         plan = Plan()
         minerals.add_apfu(
             plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
@@ -263,17 +275,33 @@ class PetroFrame:
         return self._apply(plan, units="apfu", n_oxygens=mineral.n_oxygens,
                            has_total=False)
 
-    def site_allocations(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+    def site_allocations(self, mineral) -> "PetroFrame":
         plan = Plan()
         minerals.add_site_allocations_flat(
-            plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
+            plan, self.formula_cols, self._as_mineral(mineral), self.units,
+            carry=self.meta_cols,
         )
         return self._apply(plan, has_total=False)
 
-    def end_members(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+    def end_members(self, mineral, order_parameters=None) -> "PetroFrame":
+        if hasattr(mineral, "p_block"):
+            return self.phase_end_members(
+                mineral, order_parameters=order_parameters
+            )
         builder = minerals.END_MEMBER_BUILDERS[mineral.name]
         plan = Plan()
         builder(plan, self.formula_cols, self.units, carry=self.meta_cols)
+        return self._apply(plan, has_total=False)
+
+    def site_occupancies(self, spec, order_parameters=None) -> "PetroFrame":
+        """X10: THERMOCALC sf-block site occupancies for a PhaseSpec."""
+        from petropandas_spark.hpxeos import add_site_occupancies
+
+        plan = Plan()
+        add_site_occupancies(
+            plan, self.formula_cols, spec,
+            order_parameters=order_parameters, carry=self.meta_cols,
+        )
         return self._apply(plan, has_total=False)
 
     def phase_end_members(self, spec, order_parameters=None) -> "PetroFrame":
@@ -288,10 +316,11 @@ class PetroFrame:
         )
         return self._apply(plan, has_total=False)
 
-    def check_stoichiometry(self, mineral: minerals.MineralConfig) -> "PetroFrame":
+    def check_stoichiometry(self, mineral) -> "PetroFrame":
         plan = Plan()
         minerals.add_check_stoichiometry(
-            plan, self.formula_cols, mineral, self.units, carry=self.meta_cols
+            plan, self.formula_cols, self._as_mineral(mineral), self.units,
+            carry=self.meta_cols,
         )
         return self._apply(plan, has_total=False)
 

@@ -138,6 +138,13 @@ def _phase_variables(plan: Plan, cols: list[str], spec: PhaseSpec,
             f"{spec.name} composition is missing required columns: {sorted(missing)}"
         )
 
+    # carry only ions the model references: non-model ions (e.g. halogen
+    # F from a full microprobe table) would otherwise ride along and can
+    # case-collide with axfile variable names under Spark's
+    # case-insensitive resolver (bare ``F`` vs garnet's variable ``f``)
+    keep = set(spec.required) | set(spec.optional)
+    ion_cols = [c for c in ion_cols if c in keep]
+
     ctx = Ctx(plan, list(carry) + list(ion_cols))
 
     def c(ion: str):

@@ -525,3 +525,31 @@ for _ab, _blk in _SF_BLOCKS["metabasite"].items():
     if PHASES[_ab].sf_block is None:
         PHASES[_ab] = _dc_replace(PHASES[_ab], sf_block=_blk)
 del _ab, _blk
+
+# reference-parity instance names (ref hpxeos submodules export ready-to-use
+# ``TC_<abbreviation>`` objects, e.g. ``from ...metapelite import TC_g``)
+for _ab, _spec in PHASES.items():
+    globals()[f"TC_{_ab}"] = _spec
+del _ab, _spec
+
+# attach the crystallographic site models (generated site_defs.py), so a
+# PhaseSpec drives mineral-framework site filtering exactly like the
+# reference's Phase subclasses (ref hpxeos/base.py:47-58)
+from petropandas_spark.hpxeos.site_defs import SITE_DEFS as _SITE_DEFS
+from petropandas_spark.minerals import SiteDef as _SiteDef
+
+for _ab, _defs in _SITE_DEFS["metabasite"].items():
+    if _ab in PHASES and not PHASES[_ab].mineral.site_definitions:
+        _min = _dc_replace(
+            PHASES[_ab].mineral,
+            site_definitions=tuple(
+                _SiteDef(_n, _c, tuple(_p)) for _n, _c, _p in _defs
+            ),
+        )
+        PHASES[_ab] = _dc_replace(PHASES[_ab], mineral=_min)
+del _ab, _defs
+
+# rebind the TC_ aliases to the site-def-carrying specs
+for _ab, _spec in PHASES.items():
+    globals()[f"TC_{_ab}"] = _spec
+del _ab, _spec

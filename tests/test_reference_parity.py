@@ -147,3 +147,46 @@ def test_end_members_match_reference(spark, config, ref_name, data):
         got, expected.reset_index(drop=True),
         check_exact=False, atol=1e-9, rtol=1e-9,
     )
+
+
+# -- TC-phase polymorphic dispatch parity ------------------------------------
+#
+# The reference routes THERMOCALC Phase instances through the SAME mineral
+# accessor (``df.mineral.apfu(TC_g)``, ref hpxeos/base.py:47-58); the engine
+# must do the same through PetroFrame with identical numbers.
+
+GRT_DATA = {
+    "SiO2": [36.50, 38.20, 35.80], "Al2O3": [20.50, 22.10, 21.00],
+    "FeO": [25.00, 18.50, 28.00], "MnO": [15.00, 2.00, 8.00],
+    "MgO": [1.50, 15.00, 3.00], "CaO": [1.00, 4.00, 4.50],
+    "TiO2": [0.10, 0.20, 0.15], "Cr2O3": [0.05, 0.10, 0.02],
+}
+
+
+@pytest.mark.parametrize("method", ["apfu", "site_allocations"])
+def test_tc_phase_mineral_dispatch_matches_reference(spark, method):
+    from petropandas.hpxeos.metapelite import TC_g as REF_TC_G
+
+    from petropandas_spark.hpxeos.metapelite import TC_g
+
+    assert TC_g.mineral.site_definitions, "site defs must be attached"
+    pdf = pd.DataFrame(GRT_DATA)
+    expected = getattr(REF_TC_G, method)(pdf)
+    if method == "site_allocations":
+        expected.columns = [
+            f"{s}__{ion}" for s, ion in expected.columns
+        ]
+
+    spdf = pdf.copy()
+    spdf.insert(0, "id", range(len(spdf)))
+    pf = PetroFrame.ingest(spark.createDataFrame(spdf))
+    fn = pf.mineral_apfu if method == "apfu" else pf.site_allocations
+    got = (
+        fn(TC_g).df.toPandas()
+        .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+    )
+    got = got[[c for c in expected.columns]]
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True),
+        check_exact=False, atol=1e-9, rtol=1e-9, check_names=False,
+    )
