@@ -56,9 +56,34 @@ class PetroAPI:
     must return an object with ``.ok``, ``.status_code`` and ``.json()``.
     """
 
-    def __init__(self, api_url: str, username: str, password: str,
+    def __init__(self, api_url: str | None = None,
+                 username: str | None = None, password: str | None = None,
                  timeout: int = 30, read_only: bool = True,
                  transport: Callable | None = None):
+        import os
+
+        # reference credential resolution (ref ``_database.py:309-340``):
+        # explicit args, then PETRODBAPI/PETRODBUSER/PETRODBPASSWORD env
+        # vars, then a ``.env`` file in the working directory
+        dotenv: dict[str, str] = {}
+        if None in (api_url, username, password) and os.path.exists(".env"):
+            for line in open(".env"):
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, _, v = line.partition("=")
+                    dotenv[k.strip()] = v.strip().strip("'\"")
+
+        def resolve(value, env_key):
+            if value is not None:
+                return value
+            value = os.environ.get(env_key, dotenv.get(env_key))
+            if value is None:
+                raise AuthError(f"{env_key} not provided and not in env/.env")
+            return value
+
+        api_url = resolve(api_url, "PETRODBAPI")
+        username = resolve(username, "PETRODBUSER")
+        password = resolve(password, "PETRODBPASSWORD")
         self._transport = transport or _requests_transport()
         self._api_url = api_url.rstrip("/")
         self._username = username
@@ -102,6 +127,24 @@ class PetroAPI:
         if not getattr(r, "ok", False):
             raise APIError(f"GET {path} failed (HTTP {r.status_code})")
         return r.json()
+
+    # -- high-level listings (ref ``_database.py:370-430``) ------------------
+
+    def projects(self, name: str | None = None):
+        """All projects, or the one named *name*."""
+        items = self.get_json("/projects")
+        if name is None:
+            return items
+        for p in items:
+            if p.get("name") == name:
+                return p
+        raise APIError(f"Project {name!r} not found")
+
+    def samples(self, project_id: int):
+        return self.get_json(f"/projects/{project_id}/samples")
+
+    def spots(self, sample_id: int):
+        return self.get_json(f"/samples/{sample_id}/spots")
 
 
 def pivot_records(records: list[dict], meta_cols: tuple[str, ...] = ()) -> list[dict]:

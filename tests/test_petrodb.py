@@ -143,3 +143,57 @@ class TestSink:
         # scrub: negative/NaN values dropped from the payload
         assert first_batch[1]["values"] == {}
         assert first_batch[0]["values"] == {"SiO2": 37.0, "FeO": 28.0}
+
+
+class TestCredentialResolution:
+    """Constructor resolves api_url/user/password from env vars then .env
+    (ref _database.py:309-340)."""
+
+    def test_env_var_resolution(self, monkeypatch):
+        monkeypatch.setenv("PETRODBAPI", "https://db.example")
+        monkeypatch.setenv("PETRODBUSER", "u")
+        monkeypatch.setenv("PETRODBPASSWORD", "p")
+        t = FakeTransport()
+        api = petrodb.PetroAPI(transport=t)
+        assert api._api_url == "https://db.example"
+        assert t.tokens == 1
+
+    def test_dotenv_fallback(self, monkeypatch, tmp_path):
+        for k in ("PETRODBAPI", "PETRODBUSER", "PETRODBPASSWORD"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / ".env").write_text(
+            "PETRODBAPI='https://dotenv.example'\n"
+            "PETRODBUSER=du\nPETRODBPASSWORD=dp\n"
+        )
+        api = petrodb.PetroAPI(transport=FakeTransport())
+        assert api._api_url == "https://dotenv.example"
+
+    def test_missing_credentials_raise(self, monkeypatch, tmp_path):
+        for k in ("PETRODBAPI", "PETRODBUSER", "PETRODBPASSWORD"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.chdir(tmp_path)  # no .env here
+        with pytest.raises(petrodb.AuthError):
+            petrodb.PetroAPI(transport=FakeTransport())
+
+
+class TestHighLevelListings:
+    def _api(self):
+        t = FakeTransport(data={
+            "/projects": [{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}],
+            "/projects/1/samples": [{"id": 10, "name": "S1"}],
+            "/samples/10/spots": [{"id": 100, "label": "a"}],
+        })
+        return petrodb.PetroAPI("https://x", "u", "p", transport=t)
+
+    def test_projects_listing_and_by_name(self):
+        api = self._api()
+        assert [p["name"] for p in api.projects()] == ["alpha", "beta"]
+        assert api.projects("beta")["id"] == 2
+        with pytest.raises(petrodb.APIError):
+            api.projects("nope")
+
+    def test_samples_and_spots(self):
+        api = self._api()
+        assert api.samples(1)[0]["name"] == "S1"
+        assert api.spots(10)[0]["label"] == "a"
