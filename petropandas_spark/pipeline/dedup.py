@@ -221,6 +221,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new
         if changed == 0:
             break
+    # iteration over: the edge cache served only the in-loop count
+    # actions.  The final labels stay cached (they back the returned
+    # frame; re-deriving them would replay every iteration) — that one
+    # small (node, lab) table is the operator's entire retained state.
+    sym.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("lab").alias("component"))
 

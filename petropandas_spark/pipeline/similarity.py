@@ -58,14 +58,33 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
 # join + pivoted partial-aggregated SUMs — small codegen units, one shuffle
 # carrying id + n_planes longs) while the oracle uses compact unrolled
 # sums, and the resulting sign bits still agree bit-for-bit.
-_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 21
+_W_RANGE = 1 << 21
 EMB_QUANT = 10**9  # |emb| ≲ 1, so q·w sums stay ≪ 2^63 at dim 64
 
 
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer: a full-avalanche integer hash (public
+    constant set, Steele et al. 2014)."""
+    mask = (1 << 64) - 1
+    x = (x * 0x9E3779B97F4A7C15) & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic hyperplane weights via a full-avalanche hash of the
+    flat (plane, element) index.  NOT an affine map: an affine generator
+    (w = A·idx + C mod M) makes every plane the previous plane plus a
+    constant element-wise shift, so the planes vote near-identically and
+    the standard LSH recall curve collapses.  The weights are plain data
+    embedded as literals on BOTH engines, so the generator only needs to
+    run in Python."""
     return [
         [
-            (_LCG_A * (p * dim + j + 1) + _LCG_C) % _LCG_M - (_LCG_M >> 1)
+            _mix64(p * dim + j + 1) % _W_RANGE - (_W_RANGE >> 1)
             for j in range(dim)
         ]
         for p in range(n_planes)

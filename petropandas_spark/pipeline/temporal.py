@@ -35,11 +35,20 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str, by: str,
     the matched right timestamp lands in ``right_ts_alias``.
     """
     lcols = left.columns
+    # the matched right ROW travels as ONE struct and is filled by ONE
+    # last(ignorenulls) pass: whole-row as-of semantics (a NULL value
+    # column inside the matched row stays NULL — filling each value
+    # column independently would smear older rows' values forward),
+    # matching DuckDB/pandas ASOF JOIN.  Also: one window pass, not
+    # len(value_cols)+1.
+    match = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    match_type = right.select(match.alias("m")).schema["m"].dataType
     l_side = left.select(
         *lcols,
-        F.lit(None).cast("bigint").alias(right_ts_alias),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(match_type).alias("__match"),
         F.lit(1).alias("__side"),
     )
     r_side = right.select(
@@ -49,8 +58,7 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str, by: str,
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        F.col(ts_col).alias(right_ts_alias),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        match.alias("__match"),
         F.lit(0).alias("__side"),
     )
     # right rows sort BEFORE left rows at an equal timestamp → inclusive
@@ -59,13 +67,14 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str, by: str,
         .orderBy(F.col(ts_col), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_side.unionByName(r_side)
-    for c in [right_ts_alias] + [f"__r_{c}" for c in value_cols]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = l_side.unionByName(r_side).withColumn(
+        "__match", F.last("__match", ignorenulls=True).over(w)
+    )
     return (
         filled.filter(F.col("__side") == 1)
-        .select(*lcols, right_ts_alias,
-                *[F.col(f"__r_{c}").alias(c) for c in value_cols])
+        .select(*lcols,
+                F.col("__match.__ts").alias(right_ts_alias),
+                *[F.col(f"__match.{c}").alias(c) for c in value_cols])
     )
 
 

@@ -267,22 +267,35 @@ class ProfilePlot(BasePlot):
 
     # -- column routing (pure logic; mirrors the reference line-for-line) --
 
+    @staticmethod
+    def _numeric_cols(df) -> list[str]:
+        """Plottable columns only — a string metadata column (Sample,
+        Mineral…) must never reach SUM (ANSI-mode cast error) or the
+        plotted projection."""
+        from pyspark.sql.types import NumericType
+
+        return [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+
     def _all_columns(self) -> list[str]:
         seen: dict[str, None] = {}
         for df, _label, _style in self._groups:
-            for c in df.columns:
+            for c in self._numeric_cols(df):
                 if c != self.index_col:
                     seen.setdefault(c, None)
         return list(seen)
 
     def _column_means(self, candidates: list[str] | None) -> dict[str, float]:
         """Per-column mean across every accumulated group — Spark-side
-        SUM/COUNT aggs (map-side combinable), merged on the driver."""
+        SUM/COUNT aggs (map-side combinable), merged on the driver with
+        the same NULL handling as :func:`petropandas_spark.io.auto_split`."""
         sums: dict[str, float] = {}
         counts: dict[str, int] = {}
         for df, _label, _style in self._groups:
             cols = [
-                c for c in df.columns
+                c for c in self._numeric_cols(df)
                 if c != self.index_col
                 and (candidates is None or c in candidates)
             ]
@@ -290,39 +303,24 @@ class ProfilePlot(BasePlot):
                 continue
             aggs = []
             for c in cols:
-                aggs.append(F.sum(c).alias(f"__s_{c}"))
-                aggs.append(F.count(c).alias(f"__c_{c}"))
+                aggs.append(F.sum(f"`{c}`").alias(f"__s_{c}"))
+                aggs.append(F.count(f"`{c}`").alias(f"__c_{c}"))
             row = df.agg(*aggs).collect()[0]
             for c in cols:
-                if row[f"__s_{c}"] is not None:
-                    sums[c] = sums.get(c, 0.0) + float(row[f"__s_{c}"])
-                counts[c] = counts.get(c, 0) + int(row[f"__c_{c}"])
+                if row[f"__c_{c}"]:
+                    sums[c] = sums.get(c, 0.0) + float(row[f"__s_{c}"] or 0.0)
+                    counts[c] = counts.get(c, 0) + int(row[f"__c_{c}"])
         return {c: sums[c] / counts[c] for c in sums if counts.get(c)}
 
-    @staticmethod
-    def _variance(values: list[float]) -> float:
-        if not values:
-            return 0.0
-        m = sum(values) / len(values)
-        return sum((v - m) ** 2 for v in values) / len(values)
-
     def _auto_split(self, candidates: list[str] | None = None) -> set[str]:
+        """Variance-minimizing contiguous split of the column means —
+        delegates to the shared A7 search (``io.best_two_partition``,
+        property-tested against exhaustive search)."""
+        from petropandas_spark.io import best_two_partition
+
         order = candidates if candidates is not None else self._all_columns()
         means = self._column_means(list(order) if candidates else None)
-        columns = [c for c in order if c in means]
-        if len(columns) < 2:
-            return set()
-        sorted_cols = sorted(columns, key=lambda c: means[c])
-        best_var = None
-        best_b: set[str] = set()
-        for k in range(1, len(sorted_cols)):
-            ga, gb = set(sorted_cols[:k]), set(sorted_cols[k:])
-            var = (self._variance([means[c] for c in ga])
-                   + self._variance([means[c] for c in gb]))
-            if best_var is None or var < best_var:
-                best_var = var
-                best_b = gb if columns[0] in ga else ga
-        return best_b
+        return best_two_partition(means, order=list(order))
 
     def _split_secondary_columns(self, candidates) -> set[str]:
         if self.split == "off":
@@ -351,7 +349,7 @@ class ProfilePlot(BasePlot):
         out = []
         for df, label, style in self._groups:
             cols = [
-                c for c in df.columns
+                c for c in self._numeric_cols(df)
                 if c != self.index_col and (allowed is None or c in allowed)
             ]
             sel = ([self.index_col] if self.index_col else []) + cols
@@ -374,7 +372,8 @@ class ProfilePlot(BasePlot):
         colors = itertools.cycle(plt.rcParams["axes.prop_cycle"].by_key()["color"])
         plotted: dict[str, None] = {}
         for pdf, label, style, _sec in groups:
-            style.pop("color", None)
+            # never mutate the caller's stored style dict
+            style = {k: v for k, v in style.items() if k != "color"}
             for column in pdf.columns:
                 plotted.setdefault(column, None)
                 target = sec_ax if column in secondary else ax

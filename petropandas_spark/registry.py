@@ -1798,8 +1798,15 @@ _VERIFY_FIRST = [
     "doc_stats", "doc_lang_guess", "doc_quality", "doc_tokenize_bpe",
     "dedup_exact", "doc_fingerprint", "minhash_signatures",
     "neardup_minhash_pairs",
-    # pipeline modules (no r01 row)
-    "simhash_signatures", "simhash_neardup_pairs", "lsh_candidate_pairs",
+    # pipeline modules (no r01 row).  simhash_signatures and
+    # lsh_candidate_pairs are deliberately NOT in the head: with 52
+    # never-checked queries and a 50-row cap, the two slots go to
+    # hash-exact-capable queries (corpus_contamination,
+    # doc_repetition_metrics) instead of rows-only ones, and the
+    # displaced pair is covered transitively (simhash_neardup_pairs
+    # consumes the signatures; jaccard_verified_neardups consumes the
+    # LSH candidates) plus rotated into round 3's head.
+    "simhash_neardup_pairs",
     "jaccard_verified_neardups", "cosine_neardup_pairs",
     # embeddings (no r01 row) + new queries
     "knn_cosine_topk", "knn_ivf_topk", "embedding_norms_by_label",
@@ -1814,7 +1821,8 @@ _VERIFY_FIRST = [
     "events_value_percentiles", "lineitem_rollup",
     "corpus_curation", "corpus_sample_stratified",
     "corpus_train_split", "corpus_pack_sequences",
-    "doc_boilerplate_ngrams",
+    "doc_boilerplate_ngrams", "corpus_contamination",
+    "doc_repetition_metrics",
     # r01 rows exist but were no_oracle — now fixture-checked
     "cipw_norm_full", "cipw_norm_hornblende",
 ]

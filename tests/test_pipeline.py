@@ -340,6 +340,42 @@ class TestTemporal:
         assert out[3] == (240, 2.0)      # latest prior
         assert out[4] == (None, None)    # user 20 has no purchase <= 150
 
+    def test_asof_join_whole_row_with_null_value(self, spark):
+        """The matched right ROW travels whole: a NULL value column in
+        the latest matching row must stay NULL, not be smeared from an
+        older row (code-review regression; DuckDB ASOF semantics)."""
+        import pandas as pd
+
+        from petropandas_spark.pipeline.temporal import asof_join
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"user_id": [1], "ts": [30]})
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 20, None)],
+            "user_id long, ts long, value double",
+        )
+        out = asof_join(left, right, "ts", "user_id", ["value"]).collect()
+        assert len(out) == 1
+        assert out[0].matched_ts == 20      # latest row matched...
+        assert out[0].value is None         # ...with ITS value, not 5.0
+
+    def test_asof_join_non_bigint_ts(self, spark):
+        """ts placeholder type derives from the right schema (was a
+        hardcoded bigint cast)."""
+        import pandas as pd
+
+        from petropandas_spark.pipeline.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 3.5)], "user_id long, ts double"
+        )
+        right = spark.createDataFrame(
+            [(1, 2.5, 7.0)], "user_id long, ts double, value double"
+        )
+        out = asof_join(left, right, "ts", "user_id", ["value"]).collect()
+        assert out[0].matched_ts == 2.5 and out[0].value == 7.0
+
     def test_range_join_bounds(self, spark):
         from petropandas_spark.pipeline import temporal
 

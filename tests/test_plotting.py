@@ -237,3 +237,32 @@ class TestRenderLifecycle:
         ax = _FakeAx()
         p._finalize_legend(ax)
         assert not ax.legend_calls
+
+
+def test_profileplot_ignores_string_metadata_columns(spark):
+    """A string metadata column must not reach SUM (ANSI cast error) or
+    the plotted projection (code-review regression)."""
+    import pandas as pd
+
+    from petropandas_spark.plotting import ProfilePlot
+
+    pdf = pd.DataFrame({
+        "pos": [1, 2, 3, 4], "Sample": ["s1", "s1", "s2", "s2"],
+        "MgO": [1.0, 2.0, 3.0, 4.0], "FeO": [30.0, 31.0, 29.0, 28.0],
+    })
+    p = ProfilePlot(index_col="pos", split="auto")
+    p.add(spark.createDataFrame(pdf), label="traverse")
+    _allowed, secondary = p.resolve_column_routing()
+    assert secondary in ({"MgO"}, {"FeO"})
+    frames = p.collect()
+    assert "Sample" not in frames[0][0].columns
+
+
+def test_render_style_not_mutated():
+    from petropandas_spark.plotting import ProfilePlot
+
+    p = ProfilePlot(index_col="pos")
+    style = {"color": "red", "lw": 2}
+    p.add(None, label="g", **style)
+    # the stored dict must keep the caller's color (render filters a COPY)
+    assert p._groups[0][2] == {"color": "red", "lw": 2}
