@@ -842,6 +842,169 @@ FROM (
 GROUP BY cntrycode
 """
 
+# -- TPC-H shapes 2/7/8/9/11/13/15/16/17/20/21 ------------------------------
+# The testdata schema has no partsupp table and no commit/receipt dates, so
+# the queries that need them are adapted while keeping the original plan
+# shape (the thing being exercised): part-supplier links derive from
+# DISTINCT (l_partkey, l_suppkey) of lineitem; q9's ps_supplycost becomes a
+# fixed unit cost; q21's "kept waiting" predicate becomes a returnflag
+# condition.  All aggregates follow the scaled-BIGINT exactness conventions
+# above, so every query is hash-exact vs the DuckDB oracle.
+
+Q2_MIN_ACCTBAL_SUPP = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, nation, region,
+     (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+  AND p_size = 7 AND p_type = 'ECONOMY'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM supplier s2, nation n2, region r2,
+         (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+"""
+
+Q7_VOLUME_SHIPPING = f"""
+SELECT supp_nation, cust_nation, l_year, {dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1e0 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q8_MKT_SHARE = f"""
+SELECT o_year,
+       ({dsum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0e0 END")}
+        / {dsum('volume')}) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1e0 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+Q9_PRODUCT_PROFIT = f"""
+SELECT nation, o_year, {dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1e0 - l_discount) - 50e0 * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+Q11_IMPORTANT_PARTS = f"""
+SELECT l_partkey, {dsum('l_extendedprice')} AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_9'
+GROUP BY l_partkey
+HAVING {dsum('l_extendedprice')} > (
+  SELECT {dsum('l_extendedprice')} * 0.001e0
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_9')
+"""
+
+Q13_CUST_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+Q15_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum('l_extendedprice * (1e0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0e0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+Q17_SMALL_QTY_REVENUE = f"""
+SELECT ({dsum('l_extendedprice')} / 7e0) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size = 5
+  AND l_quantity < (
+    SELECT 0.5e0 * {dmean('l2.l_quantity')}
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+Q20_SHARE_THRESHOLD = f"""
+WITH part_qty AS (
+  SELECT l_partkey, {dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_partkey),
+supp_qty AS (
+  SELECT l_partkey, l_suppkey, {dsum('l_quantity')} AS supp_part_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM supp_qty
+JOIN part_qty ON supp_qty.l_partkey = part_qty.l_partkey
+JOIN supplier ON s_suppkey = supp_qty.l_suppkey
+WHERE supp_part_qty > 0.15e0 * total_qty
+"""
+
+Q21_SOLE_RETURN_SUPP = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+GROUP BY s_name
+"""
+
 TOPK_CUSTOMERS = """
 SELECT c_custkey, c_name, c_acctbal FROM (
   SELECT c_custkey, c_name, c_acctbal,
@@ -873,6 +1036,7 @@ _EVENTS_SRC_SPARK = (
 )
 
 _HOUR_NS = str(3600 * 10**9)
+_DAY_NS = str(86400 * 10**9)
 _GAP_NS = str(30 * 60 * 10**9)  # 30-minute session gap
 
 
@@ -1015,6 +1179,102 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
+
+LINEITEM_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       COUNT(*) AS n,
+       {dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+# Cohort retention: cohort = each user's first-seen day; one row per
+# (cohort_day, day_offset) with the distinct active users — the classic
+# retention triangle.  Day buckets are integer ns-division (exact).
+EVENTS_COHORT = f"""
+WITH src AS (SELECT * FROM {{src}}),
+cohort AS (
+  SELECT user_id, MIN(ts {{div}} {_DAY_NS}) AS cohort_day
+  FROM src GROUP BY user_id)
+SELECT c.cohort_day,
+       (s.ts {{div}} {_DAY_NS}) - c.cohort_day AS day_offset,
+       COUNT(DISTINCT s.user_id) AS active_users
+FROM src s JOIN cohort c ON s.user_id = c.user_id
+GROUP BY c.cohort_day, (s.ts {{div}} {_DAY_NS}) - c.cohort_day
+"""
+
+# Hypertable-style gap-fill + LOCF resample: per-user hourly grid from the
+# user's first to last active hour (explode(sequence(..)) — rows generated
+# executor-side, no driver loop), missing hours get n_events=0 and carry
+# the last seen hourly value forward (last_value IGNORE NULLS window).
+# DuckDB grid via unnest(generate_series(..)); both windows default to
+# RANGE UNBOUNDED PRECEDING..CURRENT ROW.
+_EVENTS_GAPFILL_BODY = f"""
+hourly AS (
+  SELECT user_id, ts {{div}} {_HOUR_NS} AS bucket,
+         COUNT(*) AS n_events, {dsum('value')} AS hour_value
+  FROM src GROUP BY user_id, ts {{div}} {_HOUR_NS}),
+bounds AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM hourly GROUP BY user_id),
+grid AS (SELECT user_id, {{gen}} AS bucket FROM bounds)
+SELECT g.user_id, g.bucket,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       {{locf}} OVER (PARTITION BY g.user_id ORDER BY g.bucket)
+           AS locf_value
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+"""
+
+EVENTS_GAPFILL_SPARK = (
+    "WITH src AS (SELECT * FROM " + _EVENTS_SRC_SPARK + "),\n"
+    + _EVENTS_GAPFILL_BODY.format(
+        div="DIV", gen="explode(sequence(b0, b1))",
+        locf="last_value(h.hour_value) IGNORE NULLS",
+    )
+)
+
+EVENTS_GAPFILL_DUCK = (
+    "WITH src AS (SELECT * FROM " + _EVENTS_SRC_DUCK + "),\n"
+    + _EVENTS_GAPFILL_BODY.format(
+        div="//", gen="unnest(generate_series(b0, b1))",
+        locf="last_value(h.hour_value IGNORE NULLS)",
+    )
+)
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+def _q_events_pivot() -> QuerySpec:
+    """Per-user event-type matrix via Spark's relational ``pivot``
+    operator (one shuffle: groupBy user_id with the pivot values as
+    pre-declared columns — no second pass to discover them).  Oracle is
+    the equivalent CASE-WHEN aggregation."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        ev = _events_spark_base(spark, sf_dir)
+        p = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+        cols = [F.col("user_id")] + [
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
+        return p.select(*cols)
+
+    case_cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    duck = (
+        f"SELECT user_id,\n  {case_cols}\n"
+        f"FROM {_EVENTS_SRC_DUCK} GROUP BY user_id"
+    )
+    return QuerySpec(fn, duck)
+
 
 TOPK_ORDERS_PER_CUSTOMER = """
 SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1912,6 +2172,40 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["q19_disjunctive_pred"] = sql_query(["lineitem", "part"], Q19_DISJUNCTIVE)
     r["q22_global_sales"] = sql_query(["customer", "orders"], Q22_GLOBAL_SALES)
+    r["q2_min_acctbal_supplier"] = sql_query(
+        ["part", "supplier", "nation", "region", "lineitem"], Q2_MIN_ACCTBAL_SUPP
+    )
+    r["q7_volume_shipping"] = sql_query(
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+        Q7_VOLUME_SHIPPING,
+    )
+    r["q8_market_share"] = sql_query(
+        ["part", "supplier", "lineitem", "orders", "customer", "nation",
+         "region"],
+        Q8_MKT_SHARE,
+    )
+    r["q9_product_profit"] = sql_query(
+        ["part", "supplier", "lineitem", "orders", "nation"], Q9_PRODUCT_PROFIT
+    )
+    r["q11_important_parts"] = sql_query(
+        ["lineitem", "supplier", "nation"], Q11_IMPORTANT_PARTS
+    )
+    r["q13_cust_distribution"] = sql_query(
+        ["customer", "orders"], Q13_CUST_DISTRIBUTION
+    )
+    r["q15_top_supplier"] = sql_query(["lineitem", "supplier"], Q15_TOP_SUPPLIER)
+    r["q16_supplier_cnt"] = sql_query(
+        ["lineitem", "part", "supplier"], Q16_SUPPLIER_CNT
+    )
+    r["q17_small_qty_revenue"] = sql_query(
+        ["lineitem", "part"], Q17_SMALL_QTY_REVENUE
+    )
+    r["q20_share_threshold"] = sql_query(
+        ["lineitem", "supplier"], Q20_SHARE_THRESHOLD
+    )
+    r["q21_sole_return_supplier"] = sql_query(
+        ["supplier", "lineitem", "orders", "nation"], Q21_SOLE_RETURN_SUPP
+    )
     # events
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
@@ -1923,7 +2217,13 @@ def build_registry() -> dict[str, QuerySpec]:
         EVENTS_PCT_SPARK.format(src=_EVENTS_SRC_SPARK),
         EVENTS_PCT_DUCK.format(src=_EVENTS_SRC_DUCK),
     )
+    r["events_cohort_retention"] = _events_sql(EVENTS_COHORT)
+    r["events_gap_filled_locf"] = sql_query(
+        ["events"], EVENTS_GAPFILL_SPARK, EVENTS_GAPFILL_DUCK
+    )
+    r["events_type_pivot"] = _q_events_pivot()
     r["lineitem_rollup"] = sql_query(["lineitem"], LINEITEM_ROLLUP)
+    r["lineitem_cube"] = sql_query(["lineitem"], LINEITEM_CUBE)
     r["topk_orders_per_customer"] = sql_query(
         ["orders"], TOPK_ORDERS_PER_CUSTOMER
     )
