@@ -242,3 +242,51 @@ def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
     # shuffle join on the corpus side or a global sort for the top-k)
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_shapes_no_nested_loop(spark, registry):
+    """None of the 22 TPC-H shapes may plan a nested-loop or cartesian
+    stage — every join (including the decorrelated scalar subqueries of
+    q2/q17 and the EXISTS/NOT EXISTS of q4/q21/q22) must be hash-based."""
+    for name in [
+        "q2_min_acctbal_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_parts", "q13_cust_distribution",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+        "q20_share_threshold", "q21_sole_return_supplier",
+    ]:
+        plan = _plan(registry[name].spark_fn(spark, SF), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pivot_is_two_combined_shuffles(spark, registry):
+    """Pivot with pre-declared values needs no discovery pass: the plan
+    is exactly the (user,type) count shuffle + the user-keyed pivotfirst
+    shuffle, each preceded by a partial (map-side) aggregate — no jobs
+    beyond the plan, no extra exchange, no joins."""
+    df = registry["events_type_pivot"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_") == 2
+    assert "Join" not in plan
+
+
+def test_gapfill_grid_is_executor_side(spark, registry):
+    """The gap-fill hourly grid is explode(sequence(..)) — generated
+    executor-side (Generate node), never a driver-side loop, and the
+    grid-to-hourly join stays hash-based."""
+    df = registry["events_gap_filled_locf"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cube_is_expand_single_exchange(spark, registry):
+    """CUBE, like ROLLUP, must plan as Expand -> partial agg -> one
+    exchange -> final agg (all 4 grouping sets in one shuffle)."""
+    df = registry["lineitem_cube"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
