@@ -1,0 +1,253 @@
+"""Approximate sketches — the 100 TB substitutes for exact operators
+whose state would not fit (or whose shuffle would dominate) at scale.
+
+Every sketch here is a bounded-memory, one-pass, partition-mergeable
+summary, so each runs as map-side partials + a tiny merge, never a
+wide shuffle of raw values:
+
+  * HyperLogLog++ (``approx_count_distinct``) — distinct counts with
+    ~1.5 KB of state per group at the default 5% rsd, vs an exact
+    COUNT(DISTINCT) whose shuffle carries every distinct value.
+  * Count-Min sketch (``df.stat.countMinSketch``) — heavy hitters /
+    frequency estimates in eps·n additive error; the sketch is a fixed
+    (depth × width) integer grid merged associatively across partitions.
+  * Bloom filter (``df.stat.bloomFilter``) — set membership with no
+    false negatives; the basis of join pruning: build on the small
+    side's keys, drop big-side rows before they ever reach the shuffle.
+  * Greenwald-Khanna (``approxQuantile``) — rank-error-bounded
+    quantiles in one pass, vs an exact percentile's full sort.
+
+Catalyst automates the Bloom case end-to-end ("runtime filtering",
+Spark 3.3+): with :func:`runtime_filter_confs` set, a shuffle join whose
+build side is selective gets a ``bloom_filter_agg`` subquery injected
+and the probe-side scan filtered by ``might_contain`` before the
+exchange — the single biggest shuffle-volume lever for selective
+fact-dim joins at 100 TB.  (The defaults only engage when the probe
+scan exceeds 10 GB, so small-SF tests lower the threshold to observe
+the plan; on a real cluster keep the default.)
+
+Accuracy contracts (asserted in ``tests/test_sketches.py``): HLL
+relative error ≲ 3·rsd, CMS over-estimates only and by ≤ eps·n with
+probability 1-delta, Bloom has zero false negatives and ~fpp false
+positives, GK quantiles are within the requested rank error of exact.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def runtime_filter_confs(application_side_scan_threshold: str = "10GB",
+                         creation_side_threshold: str = "10MB") -> dict:
+    """Session confs that let Catalyst inject Bloom-filter runtime
+    pruning into shuffle joins.  Apply with
+    ``for k, v in runtime_filter_confs().items(): spark.conf.set(k, v)``.
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold":
+            application_side_scan_threshold,
+    }
+
+
+def approx_distinct_by(df: DataFrame, group_cols: list[str], col: str,
+                       rsd: float = 0.05) -> DataFrame:
+    """Per-group HyperLogLog++ distinct count (``approx_<col>`` column).
+    State is O(1) per group regardless of cardinality, so the aggregate
+    is fully map-side combinable — the shuffle carries sketches, not
+    values."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(col, rsd=rsd).alias(f"approx_{col}")
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10,
+                  eps: float = 0.001, confidence: float = 0.99,
+                  seed: int = 1) -> list[tuple]:
+    """Top-k frequency estimates from a Count-Min sketch built by the
+    ``count_min_sketch`` SQL aggregate (per-partition sketches, merged
+    associatively — the shuffle carries one (depth × width) grid per
+    partition, never the values).  Returns ``[(value, estimated_count)]``
+    for the k most frequent *candidate* values, candidates taken from a
+    per-partition local top-k union — the standard CMS+candidates
+    pattern: the sketch bounds the error of any candidate's count, the
+    candidate union bounds what can be missed (a true global heavy
+    hitter is a local heavy hitter in at least one partition)."""
+    spark = df.sparkSession
+    blob = df.select(
+        F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})")
+        .alias("s")
+    ).first()["s"]
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
+        CountMinSketch.readFrom(bytes(blob))
+
+    # candidate set: per-partition top-(4k) by local count, unioned.
+    # mapInPandas keeps this one narrow Arrow pass, no global shuffle.
+    def local_topk(batches):
+        for pdf in batches:
+            vc = pdf[col].value_counts().head(4 * k)
+            yield pd.DataFrame({col: vc.index})
+
+    candidates = [
+        r[0]
+        for r in df.select(col).mapInPandas(
+            local_topk, schema=df.select(col).schema
+        ).distinct().collect()
+    ]
+    est = [(v, cms.estimateCount(v)) for v in candidates]
+    est.sort(key=lambda t: (-t[1], str(t[0])))
+    return est[:k]
+
+
+# -- Spark BloomFilter binary format, evaluated Python-side -----------------
+#
+# ``DataFrameStatFunctions.bloomFilter`` (JVM) builds the filter with a
+# distributed treeAggregate; the driver holds only the serialized bit
+# array.  To *apply* it executor-side from Python without shipping py4j
+# handles, we re-implement the read path for both on-disk versions
+# (big-endian throughout):
+#
+#   V1: ``int version=1 | int numHashFunctions | int numWords | long[]``
+#       Guava scheme — h1 = murmur3_32(key, 0), h2 = murmur3_32(key, h1),
+#       bit_i = (h1 + i*h2, flipped if negative) mod bitCount,
+#       i in 1..numHash.
+#   V2 (Spark 4.x writer): ``int version=2 | int numHashFunctions |
+#       int seed | int numWords | long[]``
+#       h1 = murmur3_32(key, seed), h2 = murmur3_32(key, h1), then a
+#       cumulative 64-bit walk: acc = h1 * Integer.MAX_VALUE;
+#       bit_i = ((acc += h2), flipped if negative) mod bitCount,
+#       repeated numHash times.
+#
+# ``test_sketches.py`` pins both paths bit-for-bit against the JVM's own
+# ``mightContainLong``.
+
+
+def _murmur3_32_long(x, seed):
+    """Vectorized Guava Murmur3_x86_32.hashLong over an int64 ndarray."""
+    def rotl(v, n):
+        return (v << np.uint32(n)) | (v >> np.uint32(32 - n))
+
+    def mix_k1(k1):
+        k1 = k1 * np.uint32(0xCC9E2D51)
+        k1 = rotl(k1, 15)
+        return k1 * np.uint32(0x1B873593)
+
+    def mix_h1(h1, k1):
+        h1 = h1 ^ k1
+        h1 = rotl(h1, 13)
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    with np.errstate(over="ignore"):
+        low = x.astype(np.uint32)
+        high = (x.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
+        h1 = mix_h1(seed.astype(np.uint32), mix_k1(low))
+        h1 = mix_h1(h1, mix_k1(high))
+        h1 = h1 ^ np.uint32(8)
+        h1 ^= h1 >> np.uint32(16)
+        h1 = h1 * np.uint32(0x85EBCA6B)
+        h1 ^= h1 >> np.uint32(13)
+        h1 = h1 * np.uint32(0xC2B2AE35)
+        h1 ^= h1 >> np.uint32(16)
+    return h1
+
+
+def parse_bloom(blob: bytes):
+    """Decode a serialized Spark BloomFilter (V1 or V2) into
+    ``(num_hash, seed, words, bit_count)`` — ``words`` a little-endian
+    int64 ndarray of the bit array."""
+    version, num_hash = struct.unpack(">ii", blob[:8])
+    if version == 1:
+        seed = 0
+        (num_words,) = struct.unpack(">i", blob[8:12])
+        offset = 12
+    elif version == 2:
+        seed, num_words = struct.unpack(">ii", blob[8:16])
+        offset = 16
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported BloomFilter version {version}")
+    words = np.frombuffer(blob, dtype=">i8", count=num_words,
+                          offset=offset).astype(np.int64)
+    return version, num_hash, seed, words, np.int64(num_words * 64)
+
+
+def bloom_contains_long(x, version, num_hash, seed, words, bit_count):
+    """Vectorized membership test for an int64 ndarray against a parsed
+    filter — mirrors the JVM's mightContainLong exactly per version."""
+    h1 = _murmur3_32_long(x, np.uint32(seed))
+    h2 = _murmur3_32_long(x, h1)
+    hit = np.ones(len(x), dtype=bool)
+    with np.errstate(over="ignore"):
+        if version == 1:
+            h1s, h2s = h1.astype(np.int32), h2.astype(np.int32)
+            for i in range(1, num_hash + 1):
+                combined = (h1s + np.int32(i) * h2s).astype(np.int32)
+                combined = np.where(combined < 0, ~combined, combined)
+                idx = combined.astype(np.int64) % bit_count
+                hit &= (words[idx >> np.int64(6)]
+                        >> (idx & np.int64(63))) & np.int64(1) == 1
+        else:
+            hi = h1.astype(np.int32).astype(np.int64)
+            lo = h2.astype(np.int32).astype(np.int64)
+            acc = hi * np.int64(2147483647)
+            for _ in range(num_hash):
+                acc = acc + lo
+                combined = np.where(acc < 0, ~acc, acc)
+                idx = combined % bit_count
+                hit &= (words[idx >> np.int64(6)]
+                        >> (idx & np.int64(63))) & np.int64(1) == 1
+    return hit
+
+
+def bloom_bits(small: DataFrame, key: str, fpp: float = 0.01) -> bytes:
+    """Distributed Bloom-filter build on ``small[key]`` (long column);
+    returns the serialized filter (fixed size, independent of row
+    count) for use with :func:`membership_filter`."""
+    n = small.select(key).distinct().count()
+    jbf = small._jdf.stat().bloomFilter(key, max(n, 1), float(fpp))
+    jvm = small.sparkSession.sparkContext._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(bos)
+    return bytes(bos.toByteArray())
+
+
+def membership_filter(big: DataFrame, small: DataFrame, key: str,
+                      fpp: float = 0.01) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning: build on ``small[key]``
+    (distributed; driver ships only the bit array as a broadcast-sized
+    literal), filter ``big`` executor-side in one Arrow-vectorized pass.
+    The result is a superset of the exact semi-join (no false
+    negatives) — follow with the real join for exactness; the point is
+    that only ~fpp of non-matching rows survive to the shuffle.  For
+    joins Catalyst can see whole, prefer :func:`runtime_filter_confs`
+    and let the optimizer inject the same thing JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    blob = bloom_bits(small, key, fpp)
+    version, num_hash, seed, words, bit_count = parse_bloom(blob)
+
+    @pandas_udf("boolean")
+    def might_contain(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.int64, na_value=0)
+        hit = bloom_contains_long(x, version, num_hash, seed, words,
+                                  bit_count)
+        return pd.Series(hit & s.notna().to_numpy())
+
+    return big.filter(might_contain(F.col(key)))
+
+
+def approx_quantiles(df: DataFrame, col: str, probabilities: list[float],
+                     relative_error: float = 0.01) -> list[float]:
+    """Greenwald-Khanna rank-error-bounded quantiles: one pass, no
+    sort, mergeable per-partition summaries of O(1/relative_error)
+    size.  The exact counterpart (registered ``events_value_percentiles``)
+    costs a per-group sort; at 100 TB use this unless exactness is a
+    requirement."""
+    return df.approxQuantile(col, probabilities, relative_error)

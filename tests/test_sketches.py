@@ -1,0 +1,153 @@
+"""Accuracy contracts for the sketch layer (pipeline/sketches.py) — each
+approximate operator is checked against its exact counterpart on the
+driver-generated testdata, with the error bound the sketch advertises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from petropandas_spark.pipeline import sketches
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from petropandas_spark.registry import _load
+
+    # (_load reads the TIMESTAMP(NANOS) ts column as raw BIGINT)
+    return _load(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_hll_distinct_within_rsd(spark, events):
+    approx = {
+        r["event_type"]: r["approx_user_id"]
+        for r in sketches.approx_distinct_by(
+            events, ["event_type"], "user_id", rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3 * 0.02 * n, 2.0), (k, approx[k], n)
+
+
+def test_cms_heavy_hitters_overestimate_only(spark, lineitem):
+    n_rows = lineitem.count()
+    eps = 0.001
+    est = sketches.heavy_hitters(lineitem, "l_partkey", k=5, eps=eps)
+    exact = {
+        r["l_partkey"]: r["cnt"]
+        for r in lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "l_partkey").limit(50).collect()
+    }
+    assert len(est) == 5
+    for value, est_count in est:
+        true = exact.get(value)
+        if true is None:
+            continue  # candidate below exact top-50: bound still applies
+        assert est_count >= true  # CMS never under-counts
+        assert est_count <= true + eps * n_rows
+
+
+def test_bloom_no_false_negatives_and_fpp(spark, lineitem):
+    keys = spark.range(0, 500).select(F.col("id").alias("l_partkey"))
+    kept = sketches.membership_filter(lineitem, keys, "l_partkey",
+                                      fpp=0.01)
+    exact = lineitem.join(keys, "l_partkey", "left_semi")
+    # superset of the exact semi-join (no false negatives)
+    assert kept.join(exact, "l_orderkey", "left_semi").count() \
+        >= exact.count()
+    missing = exact.join(kept, ["l_orderkey", "l_linenumber"],
+                         "left_anti").count()
+    assert missing == 0
+    # false-positive rate near fpp: surviving non-members are rare
+    extras = kept.join(keys, "l_partkey", "left_anti").count()
+    non_members = lineitem.join(keys, "l_partkey", "left_anti").count()
+    assert extras <= max(0.05 * non_members, 50)
+
+
+def test_python_bloom_reader_matches_jvm(spark):
+    """The Arrow-side evaluator of Spark's serialized BloomFilter must
+    agree bit-for-bit with the JVM's own mightContainLong — members and
+    random non-members alike."""
+    import numpy as np
+
+    from petropandas_spark.pipeline.sketches import (bloom_bits,
+                                                     bloom_contains_long,
+                                                     parse_bloom)
+
+    keys = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    blob = bloom_bits(keys, "k", fpp=0.03)
+    jbf = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
+        BloomFilter.readFrom(
+            spark.sparkContext._jvm.java.io.ByteArrayInputStream(blob))
+    version, num_hash, seed, words, bit_count = parse_bloom(blob)
+
+    probe = np.array(
+        [i * 7 for i in range(300)] + [3, 11, 5001, -17, 999983], np.int64
+    )
+    hit = bloom_contains_long(probe, version, num_hash, seed, words,
+                              bit_count)
+    for v, py in zip(probe.tolist(), hit.tolist()):
+        assert py == jbf.mightContainLong(int(v)), v
+
+
+def test_gk_quantiles_within_rank_error(spark, events):
+    err = 0.01
+    probs = [0.1, 0.5, 0.9, 0.99]
+    approx = sketches.approx_quantiles(events, "value", probs, err)
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    n = len(vals)
+    for p, a in zip(probs, approx):
+        # value must sit within +-err of the requested rank
+        lo = vals[max(0, int((p - err) * n) - 1)]
+        hi = vals[min(n - 1, int((p + err) * n) + 1)]
+        assert lo <= a <= hi, (p, a, lo, hi)
+
+
+def test_catalyst_injects_runtime_bloom_filter(spark, lineitem):
+    """With runtime filtering on, a selective dim join gets a
+    bloom_filter_agg subquery and the fact side is pruned before the
+    exchange — same result, less shuffle volume."""
+    confs = sketches.runtime_filter_confs(
+        application_side_scan_threshold="0",
+        creation_side_threshold="100MB",
+    )
+    old = {k: spark.conf.get(k, None) for k in confs}
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pt = (spark.read.parquet(f"{SF}/part.parquet")
+              .filter("p_size = 7"))
+        j = (lineitem.join(pt, lineitem.l_partkey == pt.p_partkey)
+             .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        with_filter = {(r["p_brand"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    pt = spark.read.parquet(f"{SF}/part.parquet").filter("p_size = 7")
+    j2 = (lineitem.join(pt, lineitem.l_partkey == pt.p_partkey)
+          .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
+    assert with_filter == {(r["p_brand"], r["n"]) for r in j2.collect()}
