@@ -1748,6 +1748,91 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Data validation / profiling (pipeline/validation.py — Deequ-style
+# single-pass checks; everything integer so both engines hash-match)
+# ---------------------------------------------------------------------------
+
+# Per-column profile in ONE aggregate over one scan.  The Spark side is
+# pipeline/validation.profile — a single multi-distinct aggregate that
+# Catalyst plans as one scan + Expand (registering this text on the
+# Spark side would NOT do that: WITH-inlining re-evaluates the
+# aggregate CTE once per UNION ALL branch = 5 scans).  This text is the
+# DuckDB oracle, where the CTE is materialized once.
+DOC_PROFILE_DUCK = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(doc_id) AS c0, COUNT(DISTINCT doc_id) AS d0,
+         MIN(doc_id) AS mn0, MAX(doc_id) AS mx0,
+         COUNT(text) AS c1, COUNT(DISTINCT text) AS d1,
+         COUNT(lang) AS c2, COUNT(DISTINCT lang) AS d2,
+         COUNT(source) AS c3, COUNT(DISTINCT source) AS d3,
+         COUNT(n_chars) AS c4, COUNT(DISTINCT n_chars) AS d4,
+         MIN(n_chars) AS mn4, MAX(n_chars) AS mx4
+  FROM documents
+)
+SELECT 'doc_id' AS col, n_rows, n_rows - c0 AS n_nulls, d0 AS n_distinct,
+       mn0 AS min_v, mx0 AS max_v FROM a
+UNION ALL SELECT 'text', n_rows, n_rows - c1, d1,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+UNION ALL SELECT 'lang', n_rows, n_rows - c2, d2,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+UNION ALL SELECT 'source', n_rows, n_rows - c3, d3,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+UNION ALL SELECT 'n_chars', n_rows, n_rows - c4, d4, mn4, mx4 FROM a
+"""
+
+# Declarative constraint suite folded into ONE aggregate: null checks,
+# uniqueness (count vs distinct), set membership, range, and the
+# cross-field consistency predicate n_chars = length(text).
+DOC_CONSTRAINTS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_doc_id,
+       COUNT(doc_id) - COUNT(DISTINCT doc_id) AS dup_doc_id,
+       CAST(SUM(CASE WHEN lang IS NULL
+                     OR lang NOT IN ('en','de','zh','fr','es')
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+       CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                     OR n_chars > 10000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_n_chars,
+       CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+            AS BIGINT) AS inconsistent_n_chars
+FROM documents
+"""
+
+
+# Word rarity: per-document mean corpus frequency of its words (integer
+# cousin of unigram-LM scoring).  Corpus counts via a window sum over
+# the (doc, word) pair table — one linear pipeline, one scan, no
+# vocab self-join (see pipeline/validation.py:word_rarity for the
+# scale analysis).  BIGINT throughout; the single final division of
+# identical integers is bit-equal across engines.
+def _word_rarity_sql(duck: bool) -> str:
+    if duck:
+        words = ("SELECT d.doc_id, u.w FROM documents d, LATERAL "
+                 "(SELECT unnest(string_split_regex(lower(d.text), ' +'))"
+                 " AS w) u")
+    else:
+        words = ("SELECT doc_id, w FROM documents "
+                 "LATERAL VIEW explode(split(lower(text), ' +')) t AS w")
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM ({words}) words GROUP BY doc_id, w
+),
+win AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY w) AS cnt FROM pairs
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * cnt) AS BIGINT) AS sum_freq,
+       CAST(SUM(c * cnt) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+           AS avg_word_freq
+FROM win
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
 
@@ -2267,6 +2352,16 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["doc_repetition_metrics"] = sql_query(
         ["documents"], _repetition_sql(False), _repetition_sql(True)
+    )
+    # data validation / profiling (pipeline/validation.py semantics)
+    def _profile_fn(spark, sf_dir):
+        from petropandas_spark.pipeline.validation import profile
+        return profile(_load(spark, sf_dir, "documents"))
+
+    r["documents_profile"] = QuerySpec(_profile_fn, DOC_PROFILE_DUCK)
+    r["documents_constraints"] = sql_query(["documents"], DOC_CONSTRAINTS)
+    r["doc_word_rarity"] = sql_query(
+        ["documents"], _word_rarity_sql(False), _word_rarity_sql(True)
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())

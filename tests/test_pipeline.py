@@ -408,3 +408,87 @@ class TestTemporal:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Join" not in plan  # union + window: no join at all
+
+
+class TestValidation:
+    """Deequ-style single-pass profiling / constraints
+    (pipeline/validation.py)."""
+
+    def test_profile_matches_exact_counts(self, spark, docs):
+        from petropandas_spark.pipeline import validation as V
+
+        rows = {r["col"]: r for r in V.profile(docs).collect()}
+        n = docs.count()
+        assert set(rows) == set(docs.columns)
+        assert all(r["n_rows"] == n for r in rows.values())
+        assert rows["doc_id"]["n_distinct"] == n
+        assert rows["doc_id"]["n_nulls"] == 0
+        assert rows["lang"]["n_distinct"] == 5
+        assert rows["lang"]["min_v"] is None  # string col: no numeric bounds
+        mm = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+        assert rows["n_chars"]["min_v"] == mm[0]
+        assert rows["n_chars"]["max_v"] == mm[1]
+
+    def test_profile_approx_within_hll_error(self, spark, docs):
+        from petropandas_spark.pipeline import validation as V
+
+        exact = {r["col"]: r["n_distinct"]
+                 for r in V.profile(docs).collect()}
+        approx = {r["col"]: r["n_distinct"]
+                  for r in V.profile(docs, approx=True).collect()}
+        for c, nd in exact.items():
+            assert abs(approx[c] - nd) <= max(0.15 * nd, 2), (c, approx[c], nd)
+
+    def test_constraints_hold_on_clean_data(self, spark, docs):
+        from petropandas_spark.pipeline import validation as V
+
+        res = V.check(docs, [
+            V.not_null("doc_id"), V.unique("doc_id"),
+            V.accepted_values("lang", ["en", "de", "zh", "fr", "es"]),
+            V.in_range("n_chars", 0, 10_000_000),
+            V.matches("source", r"^[a-z0-9_.-]+$"),
+            V.satisfies("n_chars_consistent", "n_chars = length(text)"),
+        ])
+        assert all(v == 0 for v in res.values()), res
+        V.assert_valid(docs, [V.not_null("doc_id")])  # no raise
+
+    def test_constraints_count_planted_violations(self, spark, docs):
+        from petropandas_spark.pipeline import validation as V
+
+        # plant: 2 null langs, 1 bad lang, 1 dup doc_id, 1 bad n_chars
+        bad = spark.createDataFrame(
+            [(90001, "x y", None, "s", 3),
+             (90002, "x", None, "s", 1),
+             (90003, "x", "tlh", "s", 1),
+             (0, "dup row", "en", "s", 7),
+             (90004, "abc", "en", "s", 99)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d = docs.unionByName(bad)
+        res = V.check(d, [
+            V.not_null("lang"), V.unique("doc_id"),
+            V.accepted_values("lang", ["en", "de", "zh", "fr", "es"]),
+            V.satisfies("n_chars_consistent", "n_chars = length(text)"),
+        ])
+        assert res["not_null_lang"] == 2
+        assert res["unique_doc_id"] == 1
+        assert res["accepted_values_lang"] == 1  # NULLs don't double-count
+        assert res["n_chars_consistent"] == 1
+        with pytest.raises(ValueError, match="unique_doc_id"):
+            V.assert_valid(d, [V.unique("doc_id")])
+
+    def test_word_rarity_matches_pandas(self, spark, docs):
+        from collections import Counter
+
+        from petropandas_spark.pipeline import validation as V
+
+        sample = docs.limit(50)
+        pdf = sample.toPandas()
+        toks = {r.doc_id: [w for w in r.text.lower().split(" ")]
+                for r in pdf.itertuples()}
+        vocab = Counter(w for ws in toks.values() for w in ws)
+        got = {r["doc_id"]: r for r in V.word_rarity(sample).collect()}
+        assert set(got) == set(toks)
+        for did, ws in toks.items():
+            assert got[did]["n_tokens"] == len(ws)
+            assert got[did]["sum_freq"] == sum(vocab[w] for w in ws)

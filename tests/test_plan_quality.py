@@ -290,3 +290,32 @@ def test_cube_is_expand_single_exchange(spark, registry):
     assert "Expand" in plan
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange") == 1
+
+
+def test_profile_single_scan_single_aggregate(spark, registry):
+    """The Deequ-style profile computes every per-column metric in ONE
+    scan — the multi-distinct streams go through Catalyst's Expand, not
+    extra table scans."""
+    df = registry["documents_profile"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan  # per-column distinct streams, one pass
+
+
+def test_constraints_single_scan(spark, registry):
+    """All constraint violation counts fold into one aggregate job."""
+    df = registry["documents_constraints"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_word_rarity_single_scan_linear_pipeline(spark, registry):
+    """Corpus counts come from a window over the pair table, NOT a
+    vocab self-join — one scan, and exactly three exchanges
+    (pair-agg, window-by-word, doc re-agg); a join formulation would
+    re-scan the tokenize branch."""
+    df = registry["doc_word_rarity"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 3, plan
+    assert "Join" not in plan, plan
