@@ -1068,6 +1068,45 @@ SELECT event_id, user_id, ts AS ts_ns,
 FROM {src}
 """
 
+# Sequential funnel: signup → view → click → purchase, each step's
+# timestamp the MIN event time at-or-after the previous step.  ONE scan
+# and ONE shuffle: every chained MIN(CASE…) window partitions by the
+# same user_id key, so Catalyst stacks the four Window operators on a
+# single exchange (asserted in test_plan_quality.py).  Integer-ns
+# comparisons only — exact in both engines.
+EVENTS_FUNNEL = """
+SELECT user_id,
+       MIN(t1) AS signup_ts, MIN(t2) AS view_ts,
+       MIN(t3) AS click_ts, MIN(t4) AS purchase_ts,
+       CASE WHEN MIN(t4) IS NOT NULL THEN 4
+            WHEN MIN(t3) IS NOT NULL THEN 3
+            WHEN MIN(t2) IS NOT NULL THEN 2
+            WHEN MIN(t1) IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth
+FROM (
+  SELECT user_id, t1, t2, t3,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t3 THEN ts END)
+             OVER (PARTITION BY user_id) AS t4
+  FROM (
+    SELECT user_id, event_type, ts, t1, t2,
+           MIN(CASE WHEN event_type = 'click' AND ts >= t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+    FROM (
+      SELECT user_id, event_type, ts, t1,
+             MIN(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+      FROM (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM {src}
+      ) l1
+    ) l2
+  ) l3
+) l4
+GROUP BY user_id
+"""
+
 # AS-OF / range joins (custom temporal operators; pipeline/temporal.py).
 # The Spark side is the union-tag-window-fill (asof) / bucketized-probe
 # (range) composition; the DuckDB oracle uses native ASOF JOIN and a plain
@@ -2295,6 +2334,7 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
+    r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
     r["events_asof_last_purchase"] = _q_events_asof()
     r["events_near_purchases"] = _q_events_range()
     r["events_value_percentiles"] = sql_query(

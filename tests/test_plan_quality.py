@@ -319,3 +319,13 @@ def test_word_rarity_single_scan_linear_pipeline(spark, registry):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_funnel_single_scan_single_shuffle(spark, registry):
+    """Four chained MIN(CASE) windows all partition by user_id, so
+    Catalyst stacks them over ONE exchange; the final per-user GROUP BY
+    reuses the same partitioning — no second shuffle."""
+    df = registry["events_funnel"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
