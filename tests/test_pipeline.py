@@ -492,3 +492,64 @@ class TestValidation:
         for did, ws in toks.items():
             assert got[did]["n_tokens"] == len(ws)
             assert got[did]["sum_freq"] == sum(vocab[w] for w in ws)
+
+
+class TestPQ:
+    """Product quantization (similarity.PQIndex): compression contract,
+    determinism, ADC + re-rank recall."""
+
+    @pytest.fixture(scope="class")
+    def pq_setup(self, spark, emb):
+        from petropandas_spark.pipeline.similarity import PQIndex
+
+        pq = PQIndex(m=8, k=16).fit(emb)
+        codes = pq.encode(emb).cache()
+        q = [float(x) for x in
+             emb.filter("vec_id = 7").first()["embedding"]]
+        return pq, codes, q
+
+    def _exact_topk(self, emb, q, n):
+        exact = sum(
+            (F.element_at(F.col("embedding").cast("array<double>"), i + 1)
+             - F.lit(v)) ** 2 for i, v in enumerate(q))
+        return [r["vec_id"] for r in
+                emb.select("vec_id", exact.alias("d"))
+                .orderBy("d", "vec_id").limit(n).collect()]
+
+    def test_codes_shape_and_range(self, spark, emb, pq_setup):
+        pq, codes, _ = pq_setup
+        assert codes.count() == emb.count()
+        bad = codes.filter(
+            "size(codes) <> 8 OR exists(codes, c -> c < 0 OR c >= 16)"
+        ).count()
+        assert bad == 0
+        # 8 bytes of codes stand in for 256 bytes of floats
+        assert codes.schema["codes"].dataType.simpleString() == "array<int>"
+
+    def test_encode_deterministic(self, spark, emb, pq_setup):
+        pq, codes, _ = pq_setup
+        again = pq.encode(emb)
+        assert codes.exceptAll(again).count() == 0
+
+    def test_adc_finds_self_and_neighbors(self, spark, emb, pq_setup):
+        pq, codes, q = pq_setup
+        got = [r["vec_id"] for r in pq.search(codes, q, topk=10).collect()]
+        assert got[0] == 7  # the query vector itself ranks first
+        exact = self._exact_topk(emb, q, 10)
+        assert len(set(got) & set(exact)) >= 3  # raw ADC recall floor
+
+    def test_rerank_recovers_exact_topk(self, spark, emb, pq_setup):
+        pq, codes, q = pq_setup
+        got = [r["vec_id"] for r in
+               pq.search_rerank(codes, emb, q, topk=10,
+                                shortlist=100).collect()]
+        exact = self._exact_topk(emb, q, 10)
+        # the synthetic embeddings are near-uniform (hardest case for
+        # PQ): a 20% shortlist still recovers most of the true top-10,
+        # and re-ranking makes the recovered prefix exactly ordered
+        assert len(set(got) & set(exact)) >= 6
+        assert got[0] == exact[0]
+        wider = [r["vec_id"] for r in
+                 pq.search_rerank(codes, emb, q, topk=10,
+                                  shortlist=200).collect()]
+        assert len(set(wider) & set(exact)) >= len(set(got) & set(exact))
