@@ -77,6 +77,65 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str,
     ).select(id_col, F.expr(f"substr(__s, __i, {n})").alias("sh"))
 
 
+def minhash_signatures_portable(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                shingle: int = 5,
+                                prefix: int = 400) -> DataFrame:
+    """16 MinHash values from PORTABLE hashing: 4 salted md5 digests per
+    shingle, each split into 4 × 8-hex-char sub-hashes (string MIN is
+    the per-index minimum — hex strings order like the integers they
+    encode).  md5 is engine-universal, so the DuckDB oracle re-derives
+    identical signatures (hash-exact driver row); the xxhash64 variant
+    below stays the faster Spark-native path."""
+    sh = _exploded_shingles(
+        _spread(df.select(id_col, text_col), id_col),
+        text_col, id_col, shingle, 1, prefix,
+    )
+    digests = sh.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"s{s}:"), F.col("sh"))).alias(f"d{s}")
+          for s in range(4)],
+    )
+    return digests.groupBy(id_col).agg(
+        *[
+            F.min(F.substring(f"d{s}", 1 + 8 * o, 8)).alias(f"mh{4 * s + o}")
+            for s in range(4) for o in range(4)
+        ]
+    )
+
+
+def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 shingle: int = 5,
+                                 prefix: int = 400) -> DataFrame:
+    """LSH banding over the portable md5 MinHash signatures: band key =
+    salted md5 of 4 consecutive signature values (band index baked into
+    the salt, so one string column is the whole join key).  Same
+    bucketed equi-join shape as :func:`lsh_candidate_pairs`, but every
+    value is DuckDB-reproducible."""
+    sigs = minhash_signatures_portable(
+        df, text_col, id_col, shingle, prefix
+    ).persist()
+    banded = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.md5(F.concat(
+                F.lit(f"b{b}:"),
+                *[F.col(f"mh{4 * b + o}") for o in range(4)],
+            ))
+            for b in range(4)
+        ])).alias("bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, [F.col("a.bh") == F.col("b.bh"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        shingle: int = 5, prefix: int = 400) -> DataFrame:
@@ -241,20 +300,38 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    xxhash64 token hashes — pure built-in expressions (no UDF).
+            id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes — pure built-in expressions (no UDF).
+
+    Two hash modes:
+
+    * default: 64-bit xxhash64 (fastest; Spark-native, so driver
+      verification is rows-only);
+    * ``portable=True``: 60-bit hash from the first 15 hex digits of
+      md5 — md5 is identical in every engine, so the DuckDB oracle can
+      re-derive the signature EXACTLY (hash-exact driver row).  Output
+      column ``simhash60``; token split on single space (the corpus
+      convention both dialects tokenize identically).
 
     The token-hash array is materialized as a real column first, so each
-    token is hashed exactly once; the 64 bit votes then fold over the
+    token is hashed exactly once; the bit votes then fold over the
     hashed array (not the raw tokens)."""
-    # Explode tokens (codegen'd split+explode+hash), then 64 conditional
+    # Explode tokens (codegen'd split+explode+hash), then the bit-vote
     # SUMs in one partial-aggregatable groupBy — NOT aggregate() lambdas,
     # which Spark evaluates interpreted (~10× slower).
+    n_bits = 60 if portable else 64
+    out_col = "simhash60" if portable else "simhash64"
+    split_pat = " " if portable else r"\s+"
+    hash_expr = (
+        F.expr("CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT)")
+        if portable else F.xxhash64("__t")
+    )
     hashed = (
         _spread(df.select(id_col, text_col), id_col)
-        .select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"))
-        .select(id_col, F.xxhash64("__t").alias("__h"))
+        .select(id_col,
+                F.explode(F.split(F.col(text_col), split_pat)).alias("__t"))
+        .select(id_col, hash_expr.alias("__h"))
     )
     votes = hashed.groupBy(id_col).agg(
         *[
@@ -263,50 +340,54 @@ def simhash(df: DataFrame, text_col: str = "text",
                     F.shiftright("__h", bit).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{bit}")
-            for bit in range(64)
+            for bit in range(n_bits)
         ]
     )
-    # bits 0-62 accumulate to a non-negative long (≤ 2^63-1); bit 63 is
-    # added LAST as Long.MIN_VALUE so the signature is a true 64-bit
-    # pattern in a signed long with no step ever overflowing (positive +
-    # MIN_VALUE stays in range — safe under ANSI arithmetic).
-    sig = votes.select(
-        id_col,
+    # bits 0-62 accumulate to a non-negative long (≤ 2^63-1); in 64-bit
+    # mode bit 63 is added LAST as Long.MIN_VALUE so the signature is a
+    # true 64-bit pattern in a signed long with no step ever overflowing
+    # (positive + MIN_VALUE stays in range — safe under ANSI arithmetic).
+    body = sum(
         (
-            sum(
-                (
-                    F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
-                    .otherwise(0)
-                    for bit in range(63)
-                ),
-                F.lit(0).cast("long"),
-            )
-            + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
-        ).alias("simhash64"),
+            F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
+            .otherwise(0)
+            for bit in range(min(n_bits, 63))
+        ),
+        F.lit(0).cast("long"),
     )
-    return sig
+    if n_bits == 64:
+        body = body + F.when(
+            F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(0)
+    return votes.select(id_col, body.alias(out_col))
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.  Blocked on 16-bit
-    quarters (a pair within distance ≤3 shares at least one identical
-    quarter — pigeonhole), so the join key is a short block, not O(n²)."""
-    sig = simhash(df, text_col, id_col).persist()
-    # shiftrightunsigned: the signature is a full 64-bit pattern (bit 63 =
-    # sign), so quarter extraction must not sign-extend before masking.
+                          max_hamming: int = 3,
+                          portable: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  Blocked on quarters
+    of the signature (a pair within distance ≤3 shares at least one
+    identical quarter — pigeonhole), so the join key is a short block,
+    not O(n²).  ``portable=True`` blocks the 60-bit md5 signature on
+    15-bit quarters (same algorithm; DuckDB-reproducible)."""
+    sig_col = "simhash60" if portable else "simhash64"
+    qbits, qmask = (15, 0x7FFF) if portable else (16, 0xFFFF)
+    sig = simhash(df, text_col, id_col, portable=portable).persist()
+    # shiftrightunsigned: the 64-bit signature uses bit 63 (sign), so
+    # quarter extraction must not sign-extend before masking (the 60-bit
+    # portable signature is non-negative — either shift works).
     blocks = sig.select(
-        id_col, "simhash64",
+        id_col, sig_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(qi).alias("q"),
-                F.shiftrightunsigned("simhash64", qi * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("blk"),
+                F.shiftrightunsigned(sig_col, qi * qbits)
+                .bitwiseAND(F.lit(qmask)).alias("blk"),
             )
             for qi in range(4)
         ])).alias("bq"),
-    ).select(id_col, "simhash64", "bq.q", "bq.blk")
+    ).select(id_col, sig_col, "bq.q", "bq.blk")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, [F.col("a.q") == F.col("b.q"),
@@ -316,7 +397,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).alias("hamming"),
         )
         .distinct()

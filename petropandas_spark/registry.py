@@ -2052,6 +2052,135 @@ LIMIT {topk}
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the portable (md5-hashed) dedup module paths.
+# Each text re-derives the EXACT values the Spark module computes —
+# md5 is engine-universal, every other step is integer/string — so the
+# driver rows are hash-exact, not rows-only.  The xxhash64 module
+# variants remain the faster Spark-native production path.
+# ---------------------------------------------------------------------------
+
+def _simhash_duck_sigs() -> str:
+    """CTE body computing (doc_id, simhash60) exactly as
+    dedup.simhash(portable=True): 60-bit hash = first 15 hex digits of
+    md5(token); per-bit majority vote; bit set where vote > 0."""
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+        f"::BIGINT * {16 ** (15 - j)}"
+        for j in range(1, 16)
+    )
+    votes = ", ".join(
+        f"SUM(((h60 // {1 << b}) % 2) * 2 - 1) AS v{b}" for b in range(60)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""
+toks AS (
+  SELECT d.doc_id, u.t FROM documents d,
+  LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) u
+),
+hl AS (SELECT doc_id, {h60} AS h60 FROM (SELECT doc_id, md5(t) AS h FROM toks) hx),
+votes AS (SELECT doc_id, {votes} FROM hl GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash60 FROM votes)"""
+
+
+SIMHASH_SIGS_DUCK = f"WITH {_simhash_duck_sigs()}\nSELECT * FROM sigs"
+
+_SIMHASH_BLOCKS = ", ".join(
+    f"{q} * 32768 + ((simhash60 // {1 << (15 * q)}) % 32768)"
+    for q in range(4)
+)
+
+SIMHASH_PAIRS_DUCK = f"""
+WITH {_simhash_duck_sigs()},
+blocks AS (
+  SELECT doc_id, simhash60, u.bh FROM sigs,
+  LATERAL (SELECT unnest([{_SIMHASH_BLOCKS}]) AS bh) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
+FROM blocks a JOIN blocks b ON a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 6
+"""
+
+
+def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
+    """CTE chain computing the portable LSH candidate pairs exactly as
+    dedup.lsh_candidate_pairs_portable: 4 salted md5 digests per
+    5-gram shingle → 16 sub-hash MINs → salted band md5s → bucketed
+    self-join."""
+    mins = ", ".join(
+        f"MIN(substr(d{s}, {1 + 8 * o}, 8)) AS mh{4 * s + o}"
+        for s in range(4) for o in range(4)
+    )
+    digests = ", ".join(
+        f"md5(concat('s{s}:', sh)) AS d{s}" for s in range(4)
+    )
+    bands = ", ".join(
+        "md5(concat('b{b}:', mh{i0}, mh{i1}, mh{i2}, mh{i3}))".format(
+            b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+shingles AS (
+  SELECT d.doc_id, substr(substr(d.text, 1, {prefix}), u.i, {shingle}) AS sh
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(
+      1, greatest(length(substr(d.text, 1, {prefix})) - {shingle - 1}, 1), 1
+    )) AS i) u
+),
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, {digests} FROM shingles) dg
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, u.bh FROM sigs, LATERAL (SELECT unnest([{bands}]) AS bh) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+
+
+LSH_PAIRS_DUCK = f"WITH {_lsh_duck_cands()}\nSELECT * FROM cand"
+
+# Jaccard verify over the portable LSH candidates: distinct 3-gram
+# shingle sets of candidate docs only; |A∩B| via the pair-restricted
+# shingle equi-join; the single BIGINT/BIGINT division is bit-equal.
+JACCARD_DUCK = f"""
+WITH {_lsh_duck_cands()},
+cids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cand
+    UNION ALL SELECT doc_b FROM cand) x
+),
+csh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, u.i, 3) AS sh
+  FROM documents d JOIN cids USING (doc_id), LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1), 1))
+    AS i) u
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN csh a ON a.doc_id = c.doc_a
+  JOIN csh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT it.doc_a, it.doc_b,
+       CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) AS jaccard
+FROM inter it
+JOIN sz sa ON sa.doc_id = it.doc_a
+JOIN sz sb ON sb.doc_id = it.doc_b
+WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
+"""
+
+
 def _pipeline_queries() -> dict[str, QuerySpec]:
     from petropandas_spark.pipeline import dedup as _dd
     from petropandas_spark.pipeline import similarity as _sim
@@ -2061,27 +2190,34 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
     def docs(spark, sf_dir):
         return _load(spark, sf_dir, "documents")
 
-    # xxhash64-based signatures are Spark-native (no DuckDB equivalent) →
-    # rows-only driver check; correctness is covered by tests/test_pipeline.py
+    # Registered specs use the PORTABLE (md5) module paths so the DuckDB
+    # oracle re-derives identical values — hash-exact driver rows.  The
+    # xxhash64 variants remain the faster Spark-native production path
+    # (covered by tests/test_pipeline.py).
     out["simhash_signatures"] = QuerySpec(
-        lambda spark, sf_dir: _dd.simhash(docs(spark, sf_dir)), None
+        lambda spark, sf_dir: _dd.simhash(docs(spark, sf_dir),
+                                          portable=True),
+        SIMHASH_SIGS_DUCK,
     )
     out["simhash_neardup_pairs"] = QuerySpec(
         lambda spark, sf_dir: _dd.simhash_neardup_pairs(
-            docs(spark, sf_dir), max_hamming=6
+            docs(spark, sf_dir), max_hamming=6, portable=True
         ),
-        None,
+        SIMHASH_PAIRS_DUCK,
     )
     out["lsh_candidate_pairs"] = QuerySpec(
-        lambda spark, sf_dir: _dd.lsh_candidate_pairs(docs(spark, sf_dir)), None
+        lambda spark, sf_dir: _dd.lsh_candidate_pairs_portable(
+            docs(spark, sf_dir)
+        ),
+        LSH_PAIRS_DUCK,
     )
     out["jaccard_verified_neardups"] = QuerySpec(
         lambda spark, sf_dir: _dd.jaccard_verify(
             docs(spark, sf_dir),
-            _dd.lsh_candidate_pairs(docs(spark, sf_dir)),
+            _dd.lsh_candidate_pairs_portable(docs(spark, sf_dir)),
             threshold=0.8,
         ),
-        None,
+        JACCARD_DUCK,
     )
 
     # cosine near-dup pairs over the FULL embeddings table: deterministic
