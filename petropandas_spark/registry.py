@@ -2110,7 +2110,8 @@ WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 6
 def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
     """CTE chain computing the portable LSH candidate pairs exactly as
     dedup.lsh_candidate_pairs_portable: 4 salted md5 digests per
-    5-gram shingle → 16 sub-hash MINs → salted band md5s → bucketed
+    5-gram shingle → 16 sub-hash MINs → salted band md5s (3 bands × 5
+    rows, S-curve threshold ≈ the 0.8 verify gate) → bucketed
     self-join."""
     mins = ", ".join(
         f"MIN(substr(d{s}, {1 + 8 * o}, 8)) AS mh{4 * s + o}"
@@ -2120,9 +2121,9 @@ def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
         f"md5(concat('s{s}:', sh)) AS d{s}" for s in range(4)
     )
     bands = ", ".join(
-        "md5(concat('b{b}:', mh{i0}, mh{i1}, mh{i2}, mh{i3}))".format(
-            b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
-        for b in range(4)
+        "md5(concat('b{b}:', {ms}))".format(
+            b=b, ms=", ".join(f"mh{5 * b + o}" for o in range(5)))
+        for b in range(3)
     )
     return f"""
 shingles AS (
