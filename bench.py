@@ -31,7 +31,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "100g")
+        # 24g, not all of RAM: sf0.1 needs a fraction of it, and G1 full
+        # collections on a ~100g heap showed up as random 30-60s stalls
+        # on single queries mid-bench
+        .config("spark.driver.memory", "24g")
         # ~100 queries × many whole-stage-codegen units exhaust the JVM's
         # default 240 MB JIT code cache mid-run; once it fills, late
         # queries execute interpreted (measured 2-5× slower).  Standard
