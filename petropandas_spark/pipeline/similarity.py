@@ -299,6 +299,28 @@ class IVFIndex:
         return brute_force_topk(subset, query, k, vec_col, id_col)
 
 
+    def write_index(self, assigned: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+        """Persist the assigned corpus Hive-partitioned BY CLUSTER: a
+        probe then reads only ``n_probe`` of ``k`` directories —
+        partition-PRUNED I/O, not a filter over the full store.  At
+        100 TB this is the difference between scanning the corpus and
+        scanning ``n_probe/k`` of it."""
+        assigned.write.mode(mode).partitionBy("cluster").parquet(path)
+
+    def search_store(self, spark, path: str, query: list[float],
+                     k: int = 10, n_probe: int = 4,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+        """Top-k over the written index: the ``cluster IN (probes)``
+        predicate lands in PartitionFilters (asserted in tests), so
+        non-probed clusters are never opened."""
+        probes = self._probe_clusters(query, n_probe)
+        store = spark.read.parquet(path)
+        subset = store.filter(F.col("cluster").isin(probes))
+        return brute_force_topk(subset, query, k, vec_col, id_col)
+
+
 class PQIndex:
     """Product quantization: the embedding-STORAGE scale path.
 
@@ -411,3 +433,4 @@ class PQIndex:
         return (raw_df.join(F.broadcast(cand.select(id_col)), id_col)
                 .select(id_col, exact.alias("dist"))
                 .orderBy(F.asc("dist"), F.asc(id_col)).limit(topk))
+

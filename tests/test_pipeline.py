@@ -553,3 +553,36 @@ class TestPQ:
                  pq.search_rerank(codes, emb, q, topk=10,
                                   shortlist=200).collect()]
         assert len(set(wider) & set(exact)) >= len(set(got) & set(exact))
+
+
+class TestIVFStore:
+    """IVF index persisted partitioned-by-cluster: probes must be
+    partition-pruned I/O (the 100 TB contract), not post-scan filters."""
+
+    def test_store_probe_partition_pruned_and_correct(self, spark, emb,
+                                                      tmp_path_factory):
+        from petropandas_spark.pipeline.similarity import IVFIndex
+
+        path = str(tmp_path_factory.mktemp("ivf") / "index")
+        ivf = IVFIndex(k=8, seed=7)
+        assigned = ivf.build(emb)
+        ivf.write_index(assigned, path)
+
+        q = [float(x) for x in
+             emb.filter("vec_id = 3").first()["embedding"]]
+        hits = ivf.search_store(spark, path, q, k=5, n_probe=3)
+        plan = hits._jdf.queryExecution().explainString(
+            hits._sc._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        # the cluster predicate must reach PartitionFilters (pruned
+        # directories), not linger as a data filter
+        pf_lines = [ln for ln in plan.splitlines()
+                    if "PartitionFilters" in ln]
+        assert pf_lines and "cluster" in pf_lines[0], plan
+
+        got = [r["vec_id"] for r in hits.collect()]
+        assert got[0] == 3  # the query vector's own cluster is probed
+        # equals the in-memory probe path
+        mem = [r["vec_id"] for r in
+               ivf.search(assigned, q, k=5, n_probe=3).collect()]
+        assert got == mem
