@@ -1107,6 +1107,60 @@ FROM (
 GROUP BY user_id
 """
 
+# Funnel conversion summary over the TIME-BOUND funnel variant (each
+# step within 48h of the previous — the dense synthetic corpus
+# completes the unbounded funnel for every user, the bounded one
+# differentiates).  Same chained-window shape with an extra integer-ns
+# upper bound per step; depth histogram + cumulative reached-at-least
+# counts (all integers, order-fixed window).
+_STEP_NS = str(48 * 3600 * 10**9)
+
+EVENTS_FUNNEL_BOUNDED = f"""
+SELECT user_id,
+       CASE WHEN MIN(t4) IS NOT NULL THEN 4
+            WHEN MIN(t3) IS NOT NULL THEN 3
+            WHEN MIN(t2) IS NOT NULL THEN 2
+            WHEN MIN(t1) IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth
+FROM (
+  SELECT user_id, t1, t2, t3,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t3
+                  AND ts <= t3 + {_STEP_NS} THEN ts END)
+             OVER (PARTITION BY user_id) AS t4
+  FROM (
+    SELECT user_id, event_type, ts, t1, t2,
+           MIN(CASE WHEN event_type = 'click' AND ts >= t2
+                    AND ts <= t2 + {_STEP_NS} THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+    FROM (
+      SELECT user_id, event_type, ts, t1,
+             MIN(CASE WHEN event_type = 'view' AND ts >= t1
+                      AND ts <= t1 + {_STEP_NS} THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+      FROM (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM {{src}}
+      ) l1
+    ) l2
+  ) l3
+) l4
+GROUP BY user_id
+"""
+
+EVENTS_FUNNEL_SUMMARY = """
+SELECT funnel_depth,
+       COUNT(*) AS n_users,
+       CAST(SUM(COUNT(*)) OVER (
+              ORDER BY funnel_depth DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS n_reached_at_least
+FROM (%s) funnel
+GROUP BY funnel_depth
+""" % EVENTS_FUNNEL_BOUNDED
+
+
 # AS-OF / range joins (custom temporal operators; pipeline/temporal.py).
 # The Spark side is the union-tag-window-fill (asof) / bucketized-probe
 # (range) composition; the DuckDB oracle uses native ASOF JOIN and a plain
@@ -2472,6 +2526,7 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
     r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
+    r["events_funnel_summary"] = _events_sql(EVENTS_FUNNEL_SUMMARY)
     r["events_asof_last_purchase"] = _q_events_asof()
     r["events_near_purchases"] = _q_events_range()
     r["events_value_percentiles"] = sql_query(
