@@ -329,3 +329,13 @@ def test_funnel_single_scan_single_shuffle(spark, registry):
     plan = _plan(df, "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_summary_reuses_user_shuffle(spark, registry):
+    """The bounded-funnel summary adds a depth re-aggregation and a
+    cumulative window on top of the per-user funnel: one scan and no
+    join anywhere in the plan."""
+    df = registry["events_funnel_summary"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
