@@ -1925,6 +1925,77 @@ GROUP BY doc_id
 """
 
 
+# TF-IDF top terms.  The registered spec uses a RATIONAL idf surrogate
+# ((N * 10^6) intdiv df — monotone in 1/df) instead of ln(N/df):
+# measured ln() disagrees bitwise between the JVM and libm on ~1% of
+# inputs, so a real-ln spec could never be hash-exact without rounding
+# games that risk boundary flips.  Scores are pure BIGINT; top-5 per doc
+# by (score DESC, term ASC) — a deterministic total order.
+def _tfidf_sql(duck: bool) -> str:
+    if duck:
+        words = ("SELECT d.doc_id, u.w FROM documents d, LATERAL "
+                 "(SELECT unnest(string_split(lower(d.text), ' ')) AS w) u")
+        div = "//"
+    else:
+        words = ("SELECT doc_id, w FROM documents "
+                 "LATERAL VIEW explode(split(lower(text), ' ')) t AS w")
+        div = "DIV"
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM ({words}) words GROUP BY doc_id, w
+),
+scored AS (
+  SELECT doc_id, w, c,
+         COUNT(*) OVER (PARTITION BY w) AS df,
+         CAST(c * (((SELECT COUNT(*) FROM documents) * 1000000)
+                   {div} COUNT(*) OVER (PARTITION BY w)) AS BIGINT)
+             AS tfidf_scaled
+  FROM pairs
+),
+ranked AS (
+  SELECT doc_id, w, c, df, tfidf_scaled,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_scaled DESC, w) AS rn
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(c AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, tfidf_scaled
+FROM ranked WHERE rn <= 5
+"""
+
+
+# Exact distributed Pearson correlation (value vs hour-of-day, per event
+# type): inputs quantized to integers (value at 1e-3 — squares stay
+# < 2^63 under the group sums), the five co-moments accumulated as
+# order-independent BIGINTs, and the final combination done in doubles
+# from identical integers — sqrt IS correctly rounded in IEEE-754, so
+# unlike ln/exp it is safe in a hash-exact spec.
+_CORR = """
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_value_hour
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(xi * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT event_type,
+           CAST(ROUND(value * 1000e0) AS BIGINT) AS xi,
+           (ts {div} %s) %% 24 AS y
+    FROM {src}
+  ) q
+  GROUP BY event_type
+) s
+""" % _HOUR_NS
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
@@ -2527,6 +2598,7 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
     r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
     r["events_funnel_summary"] = _events_sql(EVENTS_FUNNEL_SUMMARY)
+    r["events_value_hour_corr"] = _events_sql(_CORR)
     r["events_asof_last_purchase"] = _q_events_asof()
     r["events_near_purchases"] = _q_events_range()
     r["events_value_percentiles"] = sql_query(
@@ -2594,6 +2666,9 @@ def build_registry() -> dict[str, QuerySpec]:
     r["documents_constraints"] = sql_query(["documents"], DOC_CONSTRAINTS)
     r["doc_word_rarity"] = sql_query(
         ["documents"], _word_rarity_sql(False), _word_rarity_sql(True)
+    )
+    r["doc_tfidf_top_terms"] = sql_query(
+        ["documents"], _tfidf_sql(False), _tfidf_sql(True)
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())

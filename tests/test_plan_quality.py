@@ -339,3 +339,24 @@ def test_funnel_summary_reuses_user_shuffle(spark, registry):
     plan = _plan(df, "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tfidf_single_scan_no_join(spark, registry):
+    """TF-IDF = pair counts → df window → rank window: one linear
+    pipeline over one scan.  The corpus-size scalar subquery reads
+    parquet footer COUNT only; no join materializes the vocab."""
+    df = registry["doc_tfidf_top_terms"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan, plan
+    # main scan + the COUNT(*) scalar subquery scan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_corr_single_pass_partial_agg(spark, registry):
+    """All five co-moments accumulate in ONE partial-aggregated pass —
+    single scan, single exchange."""
+    df = registry["events_value_hour_corr"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in _plan(df, "simple").lower() or "HashAggregate" in plan
