@@ -249,3 +249,101 @@ def sample_frames(df: DataFrame, content_col: str = "content",
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+# -- audio: REAL PCM WAV decode (stdlib wave + NumPy — no external libs) ----
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV bytes → (float32 samples in [-1, 1] shaped
+    (n_frames, n_channels), sample_rate).  8/16/32-bit integer PCM via
+    the stdlib ``wave`` reader; anything else (mp3/ogg/float-WAV) raises
+    NotImplementedError — plug soundfile/ffmpeg here and the Arrow
+    plumbing below is unchanged."""
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM RIFF/WAVE decodable in-container "
+            f"(got magic {blob[:4]!r})"
+        )
+    with wave.open(io.BytesIO(blob)) as w:
+        nch, sw, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                  w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"sample width {sw} not supported")
+    return x.reshape(-1, nch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of :func:`decode_audio` at 16-bit PCM (clipping)."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = (x * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-clip audio descriptors in ONE narrow Arrow stage (mapInPandas
+    over the binary column — no shuffle): duration, sample rate,
+    channels, RMS loudness, peak, zero-crossing rate."""
+    out_schema = (f"{id_col} long, n_frames long, sample_rate int, "
+                  "n_channels int, duration_ms long, rms double, "
+                  "peak double, zero_crossing_rate double")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                x, rate = decode_audio(bytes(blob))
+                mono = x.mean(axis=1)
+                zc = (np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean() \
+                    if len(mono) > 1 else 0.0
+                rows.append((did, len(x), rate, x.shape[1],
+                             int(len(x) * 1000 / rate),
+                             float(np.sqrt((mono ** 2).mean())),
+                             float(np.abs(x).max()),
+                             float(zc)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_frames", "sample_rate", "n_channels",
+                "duration_ms", "rms", "peak", "zero_crossing_rate"])
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def resample_audio(df: DataFrame, factor: int,
+                   content_col: str = "content",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Integer-factor decimation (every ``factor``-th frame), re-encoded
+    as 16-bit WAV — same chained-narrow-stage shape as
+    :func:`resize_images`; swap in polyphase filtering via scipy where
+    available."""
+    out_schema = f"{id_col} long, {content_col} binary"
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                x, rate = decode_audio(bytes(blob))
+                rows.append((did, encode_wav(x[::factor], rate // factor)))
+            yield pd.DataFrame(rows, columns=[id_col, content_col])
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)

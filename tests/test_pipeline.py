@@ -586,3 +586,62 @@ class TestIVFStore:
         mem = [r["vec_id"] for r in
                ivf.search(assigned, q, k=5, n_probe=3).collect()]
         assert got == mem
+
+
+class TestAudio:
+    """Real PCM WAV decode path (stdlib wave — no external libs)."""
+
+    @staticmethod
+    def _tone(rate=8000, hz=440, sec=0.25, ch=1):
+        import numpy as np
+
+        t = np.arange(int(rate * sec)) / rate
+        x = 0.5 * np.sin(2 * np.pi * hz * t).astype("float32")
+        return np.tile(x[:, None], (1, ch)), rate
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        x, rate = self._tone(ch=2)
+        blob = multimodal.encode_wav(x, rate)
+        y, r2 = multimodal.decode_audio(blob)
+        assert r2 == rate and y.shape == x.shape
+        assert np.abs(y - x).max() < 1e-4  # 16-bit quantization only
+
+    def test_decode_rejects_non_wav(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"ID3\x03mp3-ish-bytes")
+
+    def test_audio_features(self, spark):
+        import numpy as np
+
+        x1, rate = self._tone(hz=440)
+        x2, _ = self._tone(hz=880)
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "content": [multimodal.encode_wav(x1, rate),
+                        multimodal.encode_wav(x2, rate)],
+        })
+        out = (multimodal.audio_features(spark.createDataFrame(pdf))
+               .toPandas().set_index("doc_id"))
+        assert out.loc[1, "sample_rate"] == rate
+        assert out.loc[1, "duration_ms"] == 250
+        # sine RMS = amp/sqrt(2)
+        assert abs(out.loc[1, "rms"] - 0.5 / np.sqrt(2)) < 1e-3
+        # doubled frequency → doubled zero-crossing rate
+        r = out.loc[2, "zero_crossing_rate"] / out.loc[1, "zero_crossing_rate"]
+        assert abs(r - 2.0) < 0.05
+        # plan: one narrow Arrow stage, no shuffle
+        df = multimodal.audio_features(spark.createDataFrame(pdf))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_resample_halves_frames(self, spark):
+        x, rate = self._tone()
+        pdf = pd.DataFrame({"doc_id": [1],
+                            "content": [multimodal.encode_wav(x, rate)]})
+        out = multimodal.resample_audio(
+            spark.createDataFrame(pdf), factor=2).collect()
+        y, r2 = multimodal.decode_audio(bytes(out[0]["content"]))
+        assert r2 == rate // 2
+        assert abs(len(y) - len(x) // 2) <= 1
