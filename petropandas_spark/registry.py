@@ -1161,6 +1161,20 @@ GROUP BY funnel_depth
 """ % EVENTS_FUNNEL_BOUNDED
 
 
+# Value histogram: fixed-width integer binning (floor division of the
+# 1e-3-quantized value — no width_bucket dialect quirks), per event
+# type.  Map-side combinable single pass.
+EVENTS_VALUE_HISTOGRAM = """
+SELECT event_type,
+       (CAST(ROUND(value * 1000e0) AS BIGINT) {div} 50000) AS bucket_50,
+       COUNT(*) AS n,
+       CAST(MIN(ROUND(value * 1000e0)) AS BIGINT) AS min_milli,
+       CAST(MAX(ROUND(value * 1000e0)) AS BIGINT) AS max_milli
+FROM {src}
+GROUP BY event_type, (CAST(ROUND(value * 1000e0) AS BIGINT) {div} 50000)
+"""
+
+
 # AS-OF / range joins (custom temporal operators; pipeline/temporal.py).
 # The Spark side is the union-tag-window-fill (asof) / bucketized-probe
 # (range) composition; the DuckDB oracle uses native ASOF JOIN and a plain
@@ -2599,6 +2613,7 @@ def build_registry() -> dict[str, QuerySpec]:
     r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
     r["events_funnel_summary"] = _events_sql(EVENTS_FUNNEL_SUMMARY)
     r["events_value_hour_corr"] = _events_sql(_CORR)
+    r["events_value_histogram"] = _events_sql(EVENTS_VALUE_HISTOGRAM)
     r["events_asof_last_purchase"] = _q_events_asof()
     r["events_near_purchases"] = _q_events_range()
     r["events_value_percentiles"] = sql_query(
