@@ -6,13 +6,16 @@ not-yet-green queries first.  This tool scans every ``CORRECTNESS_r*.json``
 in the repo root, collects the set of queries that already have a green
 row (``rows_match & schema_match & hash_match``, or a rows-only pass for
 no-oracle entries) in ANY round, and prints the ``_VERIFY_FIRST`` list
-that puts everything else at the head.  Paste the output over the list in
-``petropandas_spark/registry.py`` at the start of a round::
+that puts everything else at the head.  At the start of a round::
 
-    python tools/rotate_verify_first.py
+    python tools/rotate_verify_first.py            # print the new list
+    python tools/rotate_verify_first.py --apply    # rewrite registry.py
 
-Exit status 1 if any registered query has a FAILED row in the newest
-round (fix those before rotating them out of the head).
+``--apply`` splices the regenerated list over the existing
+``_VERIFY_FIRST = [...]`` block in ``petropandas_spark/registry.py``
+(and re-imports to confirm the module still loads and every name
+resolves).  Exit status 1 if any registered query has a FAILED row in
+the newest round (fix those before rotating them out of the head).
 """
 
 from __future__ import annotations
@@ -50,23 +53,58 @@ def green_names() -> tuple[set[str], list[str]]:
     return green, newest_fail
 
 
+def render(names: list[str], green: set[str]) -> str:
+    unproven = [n for n in names if n not in green]
+    proven = [n for n in names if n in green]
+    lines = ["_VERIFY_FIRST = ["]
+    for n in unproven:
+        lines.append(f'    "{n}",')
+    cap_left = 50 - len(unproven)
+    if cap_left > 0:
+        lines.append(f"    # {cap_left} head slots left; rotating in "
+                     "proven names:")
+        for n in proven[:cap_left]:
+            lines.append(f'    "{n}",')
+    lines.append("]")
+    return "\n".join(lines)
+
+
+def apply_to_registry(block: str) -> None:
+    import re
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "petropandas_spark", "registry.py")
+    src = open(path).read()
+    new, n = re.subn(r"_VERIFY_FIRST = \[.*?\n\]", block, src,
+                     count=1, flags=re.S)
+    if n != 1:
+        raise SystemExit("could not locate _VERIFY_FIRST block")
+    open(path, "w").write(new)
+    # confirm the module still imports and every head name resolves
+    import importlib
+
+    import petropandas_spark.registry as reg
+    importlib.reload(reg)
+    missing = [k for k in reg._VERIFY_FIRST if k not in reg.build_registry()]
+    if missing:
+        raise SystemExit(f"rotated names missing from registry: {missing}")
+
+
 def main() -> int:
     names = list(build_registry())
     green, newest_fail = green_names()
     unproven = [n for n in names if n not in green]
-    proven = [n for n in names if n in green]
     print(f"# registry: {len(names)} queries; green in some round: "
-          f"{len(proven)}; never green: {len(unproven)}")
+          f"{len(names) - len(unproven)}; never green: {len(unproven)}")
     if newest_fail:
         print(f"# FAILING in newest round (fix first!): {newest_fail}")
-    print("_VERIFY_FIRST = [")
-    for n in unproven:
-        print(f'    "{n}",')
-    cap_left = 50 - len(unproven)
-    print(f"    # {cap_left} head slots left for rotation of proven names:")
-    for n in proven[:max(cap_left, 0)]:
-        print(f'    "{n}",')
-    print("]")
+    block = render(names, green)
+    if "--apply" in sys.argv[1:]:
+        apply_to_registry(block)
+        print("# applied to petropandas_spark/registry.py")
+    else:
+        print(block)
     return 1 if newest_fail else 0
 
 
