@@ -55,11 +55,28 @@ class QuerySpec:
 
 def _load(spark, sf_dir: str, table: str):
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw BIGINT nanoseconds instead.  All
-        # events queries are written against integer-ns arithmetic (exact
-        # and engine-portable); the DuckDB oracle converts via epoch_ns().
+        # events.ts arrives as parquet TIMESTAMP whose precision varies by
+        # testdata generation: TIMESTAMP(NANOS) (which Spark's vectorized
+        # reader rejects — read as raw BIGINT via nanosAsLong) or
+        # TIMESTAMP(MICROS) (read as timestamp/timestamp_ntz).  Normalize
+        # both to BIGINT UTC epoch nanoseconds: all events queries are
+        # written against integer-ns arithmetic (exact and
+        # engine-portable); the DuckDB oracle converts via epoch_ns().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if df.schema["ts"].dataType.typeName() != "long":
+            # NTZ→TIMESTAMP cast is session-tz-sensitive; pin UTC so the
+            # epoch matches DuckDB's tz-free epoch_ns().
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.selectExpr(
+                *(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS ts"
+                    if c == "ts"
+                    else c
+                    for c in df.columns
+                )
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -2449,42 +2466,79 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # relational tail (no r01 row)
-    "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
-    "part_brand_stats", "topk_customers",
-    # events surface (no r01 row)
-    "events_hourly", "events_running_totals", "events_sessionize",
-    # documents / text pipeline (no r01 row)
-    "doc_stats", "doc_lang_guess", "doc_quality", "doc_tokenize_bpe",
-    "dedup_exact", "doc_fingerprint", "minhash_signatures",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "part_brand_stats",
+    "topk_customers",
+    "events_hourly",
+    "events_running_totals",
+    "events_sessionize",
+    "doc_stats",
+    "doc_lang_guess",
+    "doc_quality",
+    "doc_tokenize_bpe",
+    "dedup_exact",
+    "doc_fingerprint",
+    "minhash_signatures",
     "neardup_minhash_pairs",
-    # pipeline modules (no r01 row).  simhash_signatures and
-    # lsh_candidate_pairs are deliberately NOT in the head: with 52
-    # never-checked queries and a 50-row cap, the two slots go to
-    # hash-exact-capable queries (corpus_contamination,
-    # doc_repetition_metrics) instead of rows-only ones, and the
-    # displaced pair is covered transitively (simhash_neardup_pairs
-    # consumes the signatures; jaccard_verified_neardups consumes the
-    # LSH candidates) plus rotated into round 3's head.
     "simhash_neardup_pairs",
-    "jaccard_verified_neardups", "cosine_neardup_pairs",
-    # embeddings (no r01 row) + new queries
-    "knn_cosine_topk", "knn_ivf_topk", "embedding_norms_by_label",
-    "media_byte_stats", "media_frame_checksums",
-    "tc_garnet_site_occupancies", "tc_clinoamphibole_site_occupancies",
-    "dedup_components", "doc_winnowed_fingerprints",
-    "events_asof_last_purchase", "events_near_purchases",
+    "jaccard_verified_neardups",
+    "cosine_neardup_pairs",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "embedding_norms_by_label",
+    "media_byte_stats",
+    "media_frame_checksums",
+    "tc_garnet_site_occupancies",
+    "tc_clinoamphibole_site_occupancies",
+    "dedup_components",
+    "doc_winnowed_fingerprints",
+    "events_asof_last_purchase",
+    "events_near_purchases",
     "topk_orders_per_customer",
-    "q4_order_priority", "q12_shipmode", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive_pred", "q22_global_sales",
-    "doc_lang_confusion", "part_brand_stats_salted",
-    "events_value_percentiles", "lineitem_rollup",
-    "corpus_curation", "corpus_sample_stratified",
-    "corpus_train_split", "corpus_pack_sequences",
-    "doc_boilerplate_ngrams", "corpus_contamination",
+    "q4_order_priority",
+    "q12_shipmode",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_global_sales",
+    "doc_lang_confusion",
+    "part_brand_stats_salted",
+    "events_value_percentiles",
+    "lineitem_rollup",
+    "corpus_curation",
+    "corpus_sample_stratified",
+    "corpus_train_split",
+    "corpus_pack_sequences",
+    "doc_boilerplate_ngrams",
+    "corpus_contamination",
     "doc_repetition_metrics",
-    # r01 rows exist but were no_oracle — now fixture-checked
-    "cipw_norm_full", "cipw_norm_hornblende",
+    "q2_min_acctbal_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_cust_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_share_threshold",
+    "q21_sole_return_supplier",
+    "events_funnel",
+    "events_funnel_summary",
+    "events_value_hour_corr",
+    "events_value_histogram",
+    "events_cohort_retention",
+    "events_gap_filled_locf",
+    "events_type_pivot",
+    "lineitem_cube",
+    "documents_profile",
+    "documents_constraints",
+    "doc_word_rarity",
+    "doc_tfidf_top_terms",
+    "simhash_signatures",
+    "lsh_candidate_pairs",
 ]
 
 

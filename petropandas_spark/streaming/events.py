@@ -3,7 +3,7 @@
 
 Design: every operator takes a *streaming* DataFrame with the events schema
 (``event_id ts user_id event_type value props``, ``ts`` = BIGINT epoch
-nanoseconds as the parquet TIMESTAMP(NANOS) is read with ``nanosAsLong``)
+nanoseconds — parquet TIMESTAMP of either precision is normalized on read)
 and returns a transformed streaming DataFrame.  Watermarks bound state so
 the same topology runs unbounded on a real source at 100 TB/day: windowed
 aggregation state is dropped ``delay`` behind the max event time, and
@@ -25,13 +25,34 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_events_stream(spark, path: str, max_files_per_trigger: int | None = None):
-    """File-source stream over an events parquet directory/file."""
+def _normalize_ts(spark, df):
+    """Normalize ``ts`` to BIGINT UTC epoch nanoseconds.  Testdata
+    generations vary: TIMESTAMP(NANOS) arrives as a raw long (via
+    ``nanosAsLong``), TIMESTAMP(MICROS) as timestamp/timestamp_ntz."""
+    if df.schema["ts"].dataType.typeName() != "long":
+        # NTZ→TIMESTAMP cast is session-tz-sensitive; pin UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
+        )
+    return df
+
+
+def read_events_batch(spark, path: str):
+    """Batch read of an events parquet with ``ts`` as BIGINT ns."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    return _normalize_ts(spark, spark.read.parquet(path))
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-source stream over an events parquet directory/file.  The
+    stream schema is sniffed from a (metadata-only) batch read so both
+    timestamp generations load; ``ts`` is normalized to BIGINT ns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.format("parquet").load(path)
+    return _normalize_ts(spark, reader.format("parquet").load(path))
 
 
 def with_event_time(df):

@@ -27,8 +27,7 @@ def events_dir(tmp_path_factory):
 
 
 def _batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(EVENTS)
+    return ev.read_events_batch(spark, EVENTS)
 
 
 def _sorted(df, cols) -> pd.DataFrame:
