@@ -104,24 +104,52 @@ def minhash_signatures_portable(df: DataFrame, text_col: str = "text",
     )
 
 
+def _bucket_pairs(keyed: DataFrame, id_col: str,
+                  key_cols: list[str]) -> DataFrame:
+    """(bucket key, id) rows → distinct ``(doc_a, doc_b)`` candidate
+    pairs (``doc_a < doc_b``) sharing a bucket.
+
+    ONE shuffle on the bucket key and NO self-join: each bucket's sorted
+    id set explodes to its pairs in place.  The expensive signature
+    derivation upstream is scanned exactly once — the self-join form
+    scans it twice, and without a pre-materialized cache the two sides
+    race to compute the same partitions concurrently (measured 43 s vs
+    7 s for the portable LSH at sf0.1).  In-bucket pair fan-out is
+    quadratic in bucket occupancy exactly like the join form; LSH band
+    geometry bounds the bucket sizes.  The pair-explosion lambdas are
+    interpreted HOFs, but they run on bucket id-lists (thousands of
+    short arrays), never on corpus text."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  shingle: int = 5,
                                  prefix: int = 400) -> DataFrame:
     """LSH banding over the portable md5 MinHash signatures: band key =
     salted md5 of consecutive signature values (band index baked into
-    the salt, so one string column is the whole join key).  Same
-    bucketed equi-join shape as :func:`lsh_candidate_pairs`, but every
-    value is DuckDB-reproducible.
+    the salt, so one string column is the whole bucket key), then
+    :func:`_bucket_pairs` — every value DuckDB-reproducible.
 
     Band geometry is 3 bands × 5 rows — the S-curve threshold
     (1/3)^(1/5) ≈ 0.80 sits exactly at the downstream Jaccard-verify
     gate, so the candidate set stays tight (measured 7× fewer false
     candidates than 4×4 banding at sf0.1 with zero change in the
     verified ≥0.8 pair set)."""
-    sigs = minhash_signatures_portable(
-        df, text_col, id_col, shingle, prefix
-    ).persist()
+    sigs = minhash_signatures_portable(df, text_col, id_col, shingle, prefix)
     banded = sigs.select(
         id_col,
         F.explode(F.array(*[
@@ -132,14 +160,7 @@ def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
             for b in range(3)
         ])).alias("bh"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, [F.col("a.bh") == F.col("b.bh"),
-                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, id_col, ["bh"])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -174,12 +195,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         bands: int = 4, shingle: int = 5,
                         prefix: int = 400) -> DataFrame:
     """LSH banding: signature rows → (band, hash-of-band-rows) keys →
-    self-join per band bucket → distinct candidate pairs."""
+    :func:`_bucket_pairs` (one bucket-key shuffle, no self-join) →
+    distinct candidate pairs."""
     rows_per_band = n_hashes // bands
-    # signatures are tiny (n_hashes longs/doc) but expensive to derive —
-    # persist so the self-join's two sides don't re-shingle the corpus
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, prefix)
-    sigs = sigs.persist()
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
                      for r in range(rows_per_band)]).alias(f"band{b}")
@@ -193,15 +212,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.h")
-    a, b = stacked.alias("a"), stacked.alias("b")
-    return (
-        a.join(b, [F.col("a.band_id") == F.col("b.band_id"),
-                   F.col("a.h") == F.col("b.h"),
-                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(stacked, id_col, ["band_id", "h"])
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -212,7 +223,13 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     Only candidate documents are shingled (semi-join first): the verify
     stage touches the LSH survivors, never the full corpus."""
+    # persist + eager count: the pair plan (a full LSH derivation when
+    # chained) is consumed by THREE branches below; without a
+    # materialization barrier the branches' stages run concurrently and
+    # contend on the uncached partitions (measured 79 s vs 11 s at
+    # sf0.1).  The count is O(pairs) — driver-side cost is one long.
     pairs = pairs.persist()
+    pairs.count()
     cand_ids = pairs.select(F.col("doc_a").alias(id_col)).unionByName(
         pairs.select(F.col("doc_b").alias(id_col))
     ).distinct()
@@ -225,6 +242,7 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         .agg(F.collect_set("sh").alias("shingles"))
         .persist()
     )
+    sh.count()  # same barrier: sh is joined twice below
     # join strategy deliberately un-hinted: the shingle-set side is
     # "LSH survivors only" — usually tiny (AQE converts to broadcast at
     # runtime), but it CAN be a large fraction of the corpus in a
@@ -379,12 +397,18 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     15-bit quarters (same algorithm; DuckDB-reproducible)."""
     sig_col = "simhash60" if portable else "simhash64"
     qbits, qmask = (15, 0x7FFF) if portable else (16, 0xFFFF)
-    sig = simhash(df, text_col, id_col, portable=portable).persist()
+    sig = simhash(df, text_col, id_col, portable=portable)
     # shiftrightunsigned: the 64-bit signature uses bit 63 (sign), so
     # quarter extraction must not sign-extend before masking (the 60-bit
     # portable signature is non-negative — either shift works).
+    # Bucket-groupBy pair generation (one shuffle on the block key, no
+    # self-join — see _bucket_pairs): each (id, signature) struct rides
+    # into its quarter buckets, pairs explode in place with both
+    # signatures present for the Hamming verify.
     blocks = sig.select(
-        id_col, sig_col,
+        F.struct(
+            F.col(id_col).alias("i"), F.col(sig_col).alias("s")
+        ).alias("x"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(qi).alias("q"),
@@ -393,17 +417,22 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             )
             for qi in range(4)
         ])).alias("bq"),
-    ).select(id_col, sig_col, "bq.q", "bq.blk")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    ).select("x", "bq.q", "bq.blk")
+    buckets = (
+        blocks.groupBy("q", "blk")
+        .agg(F.sort_array(F.collect_set("x")).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
     cand = (
-        a.join(b, [F.col("a.q") == F.col("b.q"),
-                   F.col("a.blk") == F.col("b.blk"),
-                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(xs, (x, i) -> "
+            "transform(slice(xs, i + 2, size(xs)), "
+            "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS sa, y.s AS sb))))"
+        )).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            "p.doc_a", "p.doc_b",
             F.bit_count(
-                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+                F.col("p.sa").bitwiseXOR(F.col("p.sb"))
             ).alias("hamming"),
         )
         .distinct()

@@ -177,15 +177,14 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
             F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("k"))
             for b in range(bands)
         ])).alias("bk"),
-    ).select(id_col, "bk.band_id", "bk.k").persist()
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(b, [F.col("a.band_id") == F.col("b.band_id"),
-                   F.col("a.k") == F.col("b.k"),
-                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    ).select(id_col, "bk.band_id", "bk.k")
+    # bucket-groupBy pair generation: one shuffle on the band key, no
+    # self-join over the (expensive, uncached) projection chain — see
+    # dedup._bucket_pairs for the measured rationale.
+    from petropandas_spark.pipeline.dedup import _bucket_pairs
+
+    cand = _bucket_pairs(stacked, id_col, ["band_id", "k"]).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     # Verify-stage dot products use the HOF left-fold (`_cosine`-style)
     # rather than `_dot_unrolled`: the candidate set is small relative to

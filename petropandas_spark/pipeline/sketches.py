@@ -243,6 +243,73 @@ def membership_filter(big: DataFrame, small: DataFrame, key: str,
     return big.filter(might_contain(F.col(key)))
 
 
+def bloom_pruned_semijoin(fact: DataFrame, keys: DataFrame,
+                          fact_key: str, key: str,
+                          fpp: float = 0.01) -> DataFrame:
+    """Exact semi-join with a Bloom-filter scan prune — the runtime-filter
+    pattern made explicit:
+
+    1. ``df.stat.bloomFilter`` builds the filter over ``keys[key]`` with
+       a distributed JVM treeAggregate (the shuffle carries merged bit
+       arrays, never keys);
+    2. the serialized filter prunes the fact scan in one Arrow-vectorized
+       pass (:func:`membership_filter`'s pinned reader — Spark exposes no
+       public SQL ``might_contain``; the internal ``bloom_filter_agg``
+       expression is reachable only through the Catalyst injection confs
+       of :func:`runtime_filter_confs`), dropping non-matching rows
+       BEFORE the join shuffle;
+    3. a real broadcast semi-join removes the ~fpp false positives, so
+       the result is EXACTLY the plain semi-join.
+
+    At 100 TB the join shuffle carries only probable matches (~fpp of
+    the non-matching fact rows) instead of the whole fact table; the
+    filter size depends on the key count and ``fpp``, not on fact size."""
+    small = keys.select(F.col(key).alias(fact_key)).distinct()
+    pruned = membership_filter(fact, small, fact_key, fpp=fpp)
+    return pruned.join(F.broadcast(small), [fact_key], "left_semi")
+
+
+def cms_verified_heavy_hitters(df: DataFrame, col: str,
+                               domain: DataFrame, threshold: int,
+                               eps: float = 0.00005,
+                               confidence: float = 0.99,
+                               seed: int = 1) -> DataFrame:
+    """EXACT heavy hitters (``count(*) >= threshold``) via the two-pass
+    CMS candidate pattern:
+
+    1. one ``count_min_sketch`` aggregate over the fact column — partial
+       per-partition sketches merged associatively, O(1/eps) state, no
+       per-group shuffle;
+    2. the (small) ``domain`` dimension is probed against the sketch
+       driver-side; CMS never undercounts, so every true heavy hitter
+       survives — candidates are a guaranteed superset;
+    3. an exact count restricted to the candidates (InSet scan filter →
+       a groupBy whose shuffle carries only candidate rows) with the
+       final ``>= threshold`` cut.
+
+    Result is hash-identical to the sketch-free ``GROUP BY ... HAVING``
+    while shuffling only the heavy tail.  ``eps`` bounds the overcount
+    (``eps * N`` w.p. ``confidence``) and therefore the candidate
+    excess."""
+    spark = df.sparkSession
+    blob = df.agg(
+        F.expr(
+            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+        ).alias("s")
+    ).first()["s"]
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
+        CountMinSketch.readFrom(bytes(blob))
+    cands = [
+        r[0] for r in domain.collect() if cms.estimateCount(r[0]) >= threshold
+    ]
+    return (
+        df.where(F.col(col).isin(cands))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("n_items") >= threshold)
+    )
+
+
 def approx_quantiles(df: DataFrame, col: str, probabilities: list[float],
                      relative_error: float = 0.01) -> list[float]:
     """Greenwald-Khanna rank-error-bounded quantiles: one pass, no

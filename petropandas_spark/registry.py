@@ -2338,6 +2338,65 @@ WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch-accelerated EXACT queries (pipeline/sketches.py): the sketch
+# prunes, an exact stage verifies, so the final result hash-matches a
+# sketch-free oracle — the pattern that makes approximate structures
+# usable where the answer must still be exact.
+# ---------------------------------------------------------------------------
+
+BLOOM_SEMIJOIN_DUCK = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {dsum('l_extendedprice * (1e0 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag, l_linestatus
+"""
+
+CMS_HEAVY_DUCK = """
+SELECT l_suppkey, COUNT(*) AS n_items
+FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 640
+"""
+
+
+def _q_bloom_semijoin() -> QuerySpec:
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.pipeline.sketches import bloom_pruned_semijoin
+
+        orders = _load(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        ).select("o_orderkey")
+        li = _load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "l_extendedprice", "l_discount",
+        )
+        kept = bloom_pruned_semijoin(li, orders, "l_orderkey", "o_orderkey")
+        return kept.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice * (1e0 - l_discount)"))
+            .alias("revenue"),
+        )
+
+    return QuerySpec(fn, BLOOM_SEMIJOIN_DUCK)
+
+
+def _q_cms_heavy_hitters() -> QuerySpec:
+    def fn(spark, sf_dir):
+        from petropandas_spark.pipeline.sketches import (
+            cms_verified_heavy_hitters,
+        )
+
+        li = _load(spark, sf_dir, "lineitem").select("l_suppkey")
+        supp = _load(spark, sf_dir, "supplier").select("s_suppkey")
+        return cms_verified_heavy_hitters(li, "l_suppkey", supp, 640)
+
+    return QuerySpec(fn, CMS_HEAVY_DUCK)
+
+
 def _pipeline_queries() -> dict[str, QuerySpec]:
     from petropandas_spark.pipeline import dedup as _dd
     from petropandas_spark.pipeline import similarity as _sim
@@ -2749,6 +2808,9 @@ def build_registry() -> dict[str, QuerySpec]:
     r["embedding_norms_by_label"] = sql_query(
         ["embeddings"], EMB_NORMS_SPARK, EMB_NORMS_DUCK
     )
+    # sketch-accelerated exact queries
+    r["bloom_pruned_semijoin"] = _q_bloom_semijoin()
+    r["cms_heavy_hitters_exact"] = _q_cms_heavy_hitters()
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"

@@ -151,3 +151,41 @@ def test_catalyst_injects_runtime_bloom_filter(spark, lineitem):
     j2 = (lineitem.join(pt, lineitem.l_partkey == pt.p_partkey)
           .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
     assert with_filter == {(r["p_brand"], r["n"]) for r in j2.collect()}
+
+
+def test_bloom_pruned_semijoin_exact(spark, lineitem):
+    """The bloom-pruned semi-join must equal the plain semi-join exactly
+    (false positives killed by the verify join), with the pruning pass
+    visible in the plan as the Arrow-vectorized filter stage."""
+    orders = (spark.read.parquet(f"{SF}/orders.parquet")
+              .where("o_orderpriority = '1-URGENT'").select("o_orderkey"))
+    li = lineitem.select("l_orderkey", "l_quantity")
+    got = sketches.bloom_pruned_semijoin(li, orders, "l_orderkey",
+                                         "o_orderkey")
+    expected = li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        ["l_orderkey"], "left_semi",
+    )
+    assert got.count() == expected.count()
+    assert (got.groupBy().sum("l_quantity").first()[0]
+            == expected.groupBy().sum("l_quantity").first()[0])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "FilterExec" in plan
+
+
+def test_cms_verified_heavy_hitters_exact(spark, lineitem):
+    """CMS candidates (guaranteed superset: CMS never undercounts) +
+    exact verify must equal the sketch-free GROUP BY ... HAVING."""
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey")
+    got = {
+        (r["l_suppkey"], r["n_items"])
+        for r in sketches.cms_verified_heavy_hitters(
+            lineitem.select("l_suppkey"), "l_suppkey", supp, 640
+        ).collect()
+    }
+    exact = {
+        (r["l_suppkey"], r["n"])
+        for r in lineitem.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n")).where("n >= 640").collect()
+    }
+    assert got == exact and len(got) > 0
