@@ -360,3 +360,25 @@ def test_corr_single_pass_partial_agg(spark, registry):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "partial_sum" in _plan(df, "simple").lower() or "HashAggregate" in plan
+
+
+def test_lsh_candidate_pairs_no_self_join(spark, registry):
+    """Candidate-pair generation is bucket-groupBy + in-place pair
+    explosion: the expensive signature derivation is scanned ONCE and
+    the plan contains no join operator at all (the self-join form
+    scanned it twice, racing on the uncached partitions)."""
+    df = registry["lsh_candidate_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the pair explosion
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_no_self_join(spark, registry):
+    """Same bucket-groupBy shape for the simhash Hamming pairs — the
+    signatures ride into the buckets as structs, so the verify stage
+    needs no join back either."""
+    df = registry["simhash_neardup_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan
+    assert "bit_count" in plan  # Hamming verify stays JVM-side
