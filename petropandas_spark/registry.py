@@ -2338,6 +2338,32 @@ WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
 """
 
 
+# Semi-structured extraction: events.props is a JSON string column; parse
+# it JVM-side (get_json_object — no Python, codegen'd JsonPath walk) and
+# aggregate the extracted field.  At 100 TB prefer from_json with an
+# explicit schema into a struct column materialized once per pipeline;
+# per-field JsonPath is the ad-hoc form.  Integer stats only → hash-exact
+# across engines.
+_EVENTS_JSON_TMPL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT({k}) AS n_with_k,
+       SUM({k}) AS sum_k,
+       MIN({k}) AS min_k,
+       MAX({k}) AS max_k,
+       COUNT(DISTINCT {k}) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+EVENTS_JSON_SPARK = _EVENTS_JSON_TMPL.format(
+    k="CAST(get_json_object(props, '$.k') AS BIGINT)"
+)
+EVENTS_JSON_DUCK = _EVENTS_JSON_TMPL.format(
+    k="CAST(json_extract_string(props, '$.k') AS BIGINT)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Sketch-accelerated EXACT queries (pipeline/sketches.py): the sketch
 # prunes, an exact stage verifies, so the final result hash-matches a
@@ -2811,6 +2837,10 @@ def build_registry() -> dict[str, QuerySpec]:
     # sketch-accelerated exact queries
     r["bloom_pruned_semijoin"] = _q_bloom_semijoin()
     r["cms_heavy_hitters_exact"] = _q_cms_heavy_hitters()
+    # semi-structured JSON extraction
+    r["events_json_extract"] = sql_query(
+        ["events"], EVENTS_JSON_SPARK, EVENTS_JSON_DUCK
+    )
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
