@@ -1074,6 +1074,20 @@ FROM {{src}}
 GROUP BY (ts {{div}} {_HOUR_NS}), event_type
 """
 
+# CDC/upsert compaction: keep each key's newest record — ONE shuffle on
+# the key + in-partition sort (rank filter, no join).  At 100 TB this is
+# the standard log-compaction step before handing a snapshot downstream;
+# with a bucketed/sorted table layout the exchange disappears entirely.
+EVENTS_LATEST = """
+SELECT user_id, event_id, ts AS ts_ns, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM {src}
+) t WHERE rk = 1
+"""
+
 EVENTS_RUNNING = """
 SELECT event_id, user_id, ts AS ts_ns,
        (CAST(SUM(CAST(ROUND(value * 1000000e0) AS BIGINT))
@@ -2747,6 +2761,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     # events
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
+    r["events_latest_per_user"] = _events_sql(EVENTS_LATEST)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
     r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
