@@ -296,22 +296,27 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src").agg(F.min("lab").alias("nlab"))
         )
-        new = (
+        # carry the previous label through the update so the convergence
+        # check is a filter on the SAME frame — one action per round, no
+        # extra join re-scanning both label generations
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
+                F.col("lab").alias("prev"),
                 F.least(
                     F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
                 ).alias("lab"),
             )
             .persist()
         )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab")).limit(1).count()
-        )
+        changed = stepped.filter(
+            F.col("lab") != F.col("prev")
+        ).limit(1).count()
         labels.unpersist()
-        labels = new
+        # keep ``prev`` aboard (one long per node) so persist/unpersist
+        # stays 1:1 per generation; the return select drops it
+        labels = stepped
         if changed == 0:
             break
     # iteration over: the edge cache served only the in-loop count
