@@ -69,6 +69,36 @@ def approx_distinct_by(df: DataFrame, group_cols: list[str], col: str,
     )
 
 
+def hll_sketch_by(df: DataFrame, group_cols: list[str], col: str,
+                  lg_k: int = 12) -> DataFrame:
+    """Per-group Datasketches HLL sketch COLUMN (``hll_<col>``, binary,
+    mergeable, order-independent).  This is the incremental form of
+    :func:`approx_distinct_by`: store the sketch with each rollup
+    (day/partition/run) and later UNION sketches instead of rescanning
+    history — at 100 TB yesterday's data is never read again to update a
+    distinct count.  State is O(2^lg_k) per group regardless of
+    cardinality; the shuffle carries sketches, not values."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({col}, {lg_k})").alias(f"hll_{col}")
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame, group_cols: list[str],
+                       sketch_col: str) -> DataFrame:
+    """Union previously stored sketch columns (across runs, or re-grouped
+    coarser) and estimate the distinct count — no raw data touched.
+    ``hll_union_agg`` is associative and lossless w.r.t. the sketch
+    state, so merged estimates equal the single-pass estimate exactly."""
+    grouped = (
+        sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.expr(
+            f"CAST(hll_sketch_estimate(hll_union_agg({sketch_col})) AS BIGINT)"
+        ).alias("distinct_est")
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 10,
                   eps: float = 0.001, confidence: float = 0.99,
                   seed: int = 1) -> list[tuple]:

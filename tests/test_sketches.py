@@ -189,3 +189,20 @@ def test_cms_verified_heavy_hitters_exact(spark, lineitem):
         .agg(F.count(F.lit(1)).alias("n")).where("n >= 640").collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_hll_sketch_columns_merge_losslessly(spark, events):
+    """Incremental distinct counting: per-type sketches unioned must give
+    EXACTLY the single-pass sketch estimate (hll_union_agg is lossless
+    over sketch state), and the estimate must sit within HLL error of
+    the exact count."""
+    per_type = sketches.hll_sketch_by(events, ["event_type"], "user_id")
+    merged = sketches.hll_merge_estimate(
+        per_type, [], "hll_user_id"
+    ).first()["distinct_est"]
+    single = sketches.hll_merge_estimate(
+        sketches.hll_sketch_by(events, [], "user_id"), [], "hll_user_id"
+    ).first()["distinct_est"]
+    assert merged == single
+    exact = events.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
