@@ -58,6 +58,50 @@ def write_sharded(df: DataFrame, path: str, id_col: str,
     writer.parquet(path)
 
 
+def read_jsonl_documents(spark, path: str, schema: str | None = None,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Ingest a JSON-lines corpus (the interchange format most crawled /
+    curated text corpora arrive in).  An explicit schema skips Spark's
+    whole-file inference pass — at 100 TB schema inference is a full
+    extra scan, so production callers should always pass one.  Rows
+    whose JSON is malformed land in ``_corrupt_record`` (PERMISSIVE
+    mode) instead of failing the job; filter or route them explicitly.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if id_col not in df.columns:
+        raise ValueError(f"jsonl corpus lacks required id column {id_col!r}")
+    return df
+
+
+def compact_parquet(spark, src: str, dst: str,
+                    target_file_mb: int = 512,
+                    sort_within: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target_file_mb)`` files.  Streaming micro-batch
+    landings and per-executor writes leave thousands of KB-sized files;
+    scan cost at 100 TB is dominated by file-open overhead long before
+    bytes, so periodic compaction is part of any corpus landing zone.
+    Returns the number of output files requested.  Uses the source's
+    on-disk size (driver-side listing, no data scan) to pick the file
+    count; an optional within-file sort restores locality for
+    downstream range predicates."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.repartition(int(n_files))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(dst)
+    return int(n_files)
+
+
 def read_partition_pruned(spark, path: str, **equals) -> DataFrame:
     """Read back a partitioned corpus with explicit partition filters —
     a thin helper that keeps the pruning predicate next to the read so

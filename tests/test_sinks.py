@@ -117,3 +117,44 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jsonl_roundtrip_with_corrupt_row(spark, tmp_path):
+    """JSONL ingest: explicit schema (no inference scan), malformed rows
+    routed to _corrupt_record instead of failing the job."""
+    from petropandas_spark.pipeline import sinks
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "{not json at all\n"
+    )
+    df = sinks.read_jsonl_documents(
+        spark, str(p),
+        "doc_id BIGINT, text STRING, lang STRING, _corrupt_record STRING",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["doc_id"] is not None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert {r["lang"] for r in good} == {"en", "fr"}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files landing into the byte-sized
+    file count and preserves every row."""
+    import os
+
+    from petropandas_spark.pipeline import sinks
+
+    src = str(tmp_path / "landing")
+    dst = str(tmp_path / "compacted")
+    spark.range(20000).selectExpr(
+        "id", "repeat('x', 50) AS pad"
+    ).repartition(64).write.parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    sinks.compact_parquet(spark, src, dst, target_file_mb=512)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_src == 64 and n_dst == 1
+    assert spark.read.parquet(dst).count() == 20000
