@@ -2352,6 +2352,26 @@ WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
 """
 
 
+# Wide→long reshape (melt): the petro table layout is one column per
+# oxide; profile/plot tooling wants tidy (id, oxide, value) rows.  Spark
+# side uses stack() — ONE scan, codegen'd row expansion (UNPIVOT sugar
+# compiles to the same Expand); the oracle spells it as UNION ALL.
+def _melt_sql(duck: bool) -> str:
+    oxides = [a for a, _ in PSEUDO_SPL_T21 if a != "id"]
+    base = ", ".join(f"{e} AS {a}" for a, e in PSEUDO_SPL_T21)
+    if duck:
+        arms = " UNION ALL ".join(
+            f"SELECT id, '{o}' AS oxide, {o} AS wt_pct FROM src"
+            for o in oxides
+        )
+        return f"WITH src AS (SELECT {base} FROM customer)\n{arms}"
+    stack = ", ".join(f"'{o}', {o}" for o in oxides)
+    return (
+        f"SELECT id, oxide, wt_pct FROM (SELECT {base} FROM customer) "
+        f"LATERAL VIEW stack({len(oxides)}, {stack}) AS oxide, wt_pct"
+    )
+
+
 # Semi-structured extraction: events.props is a JSON string column; parse
 # it JVM-side (get_json_object — no Python, codegen'd JsonPath walk) and
 # aggregate the extracted field.  At 100 TB prefer from_json with an
@@ -2855,6 +2875,10 @@ def build_registry() -> dict[str, QuerySpec]:
     # semi-structured JSON extraction
     r["events_json_extract"] = sql_query(
         ["events"], EVENTS_JSON_SPARK, EVENTS_JSON_DUCK
+    )
+    # wide→long oxide melt
+    r["oxides_melt_long"] = sql_query(
+        ["customer"], _melt_sql(False), _melt_sql(True)
     )
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
