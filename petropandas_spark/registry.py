@@ -2382,7 +2382,7 @@ _EVENTS_JSON_TMPL = """
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT({k}) AS n_with_k,
-       SUM({k}) AS sum_k,
+       CAST(SUM({k}) AS BIGINT) AS sum_k,
        MIN({k}) AS min_k,
        MAX({k}) AS max_k,
        COUNT(DISTINCT {k}) AS n_distinct_k
