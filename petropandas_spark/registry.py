@@ -2531,6 +2531,63 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
 """
     out["dedup_components"] = QuerySpec(comps_fn, comps_duck)
 
+    # survivor selection: within each near-dup cluster keep the
+    # highest-quality member (length score, doc_id tiebreak) — the step
+    # that turns cluster labels into an actual curation decision.  One
+    # window over the component key on top of the components frame.
+    _LEN_SCORE = (
+        "CAST(CASE WHEN length(text) >= 100 AND length(text) <= 20000 "
+        "THEN 1e0 WHEN length(text) < 100 THEN length(text) / 100e0 "
+        "ELSE 20000e0 / length(text) END AS DOUBLE)"
+    )
+
+    def keeper_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        comps = comps_fn(spark, sf_dir)
+        docs = _load(spark, sf_dir, "documents").selectExpr(
+            "doc_id", f"{_LEN_SCORE} AS length_score"
+        )
+        j = comps.join(docs, "doc_id")
+        wc = Window.partitionBy("component")
+        ranked = j.select(
+            "component", "doc_id", "length_score",
+            F.row_number().over(
+                wc.orderBy(F.desc("length_score"), F.col("doc_id"))
+            ).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        return ranked.where("rk = 1 AND n_members >= 2").select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("length_score").alias("keep_score"),
+        )
+
+    keeper_duck = f"""
+{comps_duck.strip().rsplit("SELECT node", 1)[0]}
+, comp AS (
+  SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+),
+scored AS (
+  SELECT c.component, d.doc_id, {_LEN_SCORE} AS length_score
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, length_score,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY length_score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY component) AS n_members
+  FROM scored
+)
+SELECT component, doc_id AS keep_doc_id, n_members,
+       length_score AS keep_score
+FROM ranked WHERE rk = 1 AND n_members >= 2
+"""
+    out["dedup_cluster_keepers"] = QuerySpec(keeper_fn, keeper_duck)
+
     # Multimodal: the documents' text bytes stand in for opaque media
     # blobs; the Spark side runs the REAL Arrow-batched mapInPandas
     # plumbing (schema/batching/partitioning identical to a decode
