@@ -2352,6 +2352,30 @@ WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
 """
 
 
+# Shared per-doc length-score expression (pure row function — identical
+# doubles in both engines); used by survivor selection and domain stats.
+LEN_SCORE_SQL = (
+    "CAST(CASE WHEN length(text) >= 100 AND length(text) <= 20000 "
+    "THEN 1e0 WHEN length(text) < 100 THEN length(text) / 100e0 "
+    "ELSE 20000e0 / length(text) END AS DOUBLE)"
+)
+
+# Domain filtering input: per-source corpus health — document counts,
+# exact-duplicate fraction (md5 grouping inside the aggregate), summed
+# quality.  The curation step that drops a bad SOURCE wholesale reads
+# exactly this table; one groupBy on a low-cardinality key, map-side
+# combinable except the distinct (two-phase agg).
+SOURCE_STATS = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       {dsum(LEN_SCORE_SQL)} AS total_len_score
+FROM documents
+GROUP BY source
+"""
+
+
 # Wide→long reshape (melt): the petro table layout is one column per
 # oxide; profile/plot tooling wants tidy (id, oxide, value) rows.  Spark
 # side uses stack() — ONE scan, codegen'd row expansion (UNPIVOT sugar
@@ -2535,11 +2559,7 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
     # highest-quality member (length score, doc_id tiebreak) — the step
     # that turns cluster labels into an actual curation decision.  One
     # window over the component key on top of the components frame.
-    _LEN_SCORE = (
-        "CAST(CASE WHEN length(text) >= 100 AND length(text) <= 20000 "
-        "THEN 1e0 WHEN length(text) < 100 THEN length(text) / 100e0 "
-        "ELSE 20000e0 / length(text) END AS DOUBLE)"
-    )
+    _LEN_SCORE = LEN_SCORE_SQL
 
     def keeper_fn(spark, sf_dir):
         from pyspark.sql import Window
@@ -2937,6 +2957,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["oxides_melt_long"] = sql_query(
         ["customer"], _melt_sql(False), _melt_sql(True)
     )
+    # per-source corpus health (domain filtering input)
+    r["source_domain_stats"] = sql_query(["documents"], SOURCE_STATS)
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
