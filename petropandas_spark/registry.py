@@ -1088,6 +1088,27 @@ FROM (
 ) t WHERE rk = 1
 """
 
+# Continuous-aggregate rollup: the daily table derives from the HOURLY
+# partials, not the raw events — the hypertable/materialized-rollup
+# pattern (at 100 TB the hourly aggregate is stored and the daily job
+# reads only it).  Sums stay BIGINT micro-units through both levels, so
+# re-aggregation is exact and order-free; the divide happens once at the
+# end.
+EVENTS_DAILY_ROLLUP = f"""
+WITH hourly AS (
+  SELECT (ts {{div}} {_HOUR_NS}) AS hour_bucket, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 1000000e0) AS BIGINT)) AS v6
+  FROM {{src}}
+  GROUP BY (ts {{div}} {_HOUR_NS}), event_type
+)
+SELECT (hour_bucket {{div}} 24) AS day_bucket, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(v6) AS BIGINT) AS DOUBLE) / 1000000e0 AS total_value
+FROM hourly
+GROUP BY (hour_bucket {{div}} 24), event_type
+"""
+
 EVENTS_RUNNING = """
 SELECT event_id, user_id, ts AS ts_ns,
        (CAST(SUM(CAST(ROUND(value * 1000000e0) AS BIGINT))
@@ -2859,6 +2880,7 @@ def build_registry() -> dict[str, QuerySpec]:
     # events
     r["events_hourly"] = _events_sql(EVENTS_HOURLY)
     r["events_latest_per_user"] = _events_sql(EVENTS_LATEST)
+    r["events_daily_rollup"] = _events_sql(EVENTS_DAILY_ROLLUP)
     r["events_running_totals"] = _events_sql(EVENTS_RUNNING)
     r["events_sessionize"] = _events_sql(EVENTS_SESSIONS)
     r["events_funnel"] = _events_sql(EVENTS_FUNNEL)
