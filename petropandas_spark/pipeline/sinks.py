@@ -58,6 +58,28 @@ def write_sharded(df: DataFrame, path: str, id_col: str,
     writer.parquet(path)
 
 
+def backfill_partitions(df: DataFrame, path: str,
+                        partition_cols: list[str]) -> None:
+    """Idempotent backfill: rewrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched (dynamic partition
+    overwrite).  This is how a corrected day/source is reprocessed at
+    100 TB — re-running the job for 2024-01-03 must not truncate the
+    other 3 years.  Static overwrite (the default) would drop the whole
+    table root; the dynamic mode scopes the delete to the partitions
+    the frame actually writes."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(path))
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
 def read_jsonl_documents(spark, path: str, schema: str | None = None,
                          id_col: str = "doc_id") -> DataFrame:
     """Ingest a JSON-lines corpus (the interchange format most crawled /

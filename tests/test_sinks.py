@@ -158,3 +158,33 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
     assert n_src == 64 and n_dst == 1
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-running one partition's job must
+    not truncate the others (idempotent backfill contract)."""
+    from pyspark.sql import functions as F
+
+    from petropandas_spark.pipeline import sinks
+
+    path = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (2, "fr", "b"), (3, "de", "c")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    sinks.write_partitioned(base, path, ["lang"])
+
+    fix = spark.createDataFrame(
+        [(2, "fr", "b-corrected"), (4, "fr", "d-new")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    sinks.backfill_partitions(fix, path, ["lang"])
+
+    got = {
+        (r["doc_id"], r["lang"], r["text"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "en", "a"), (3, "de", "c"),          # untouched partitions
+        (2, "fr", "b-corrected"), (4, "fr", "d-new"),  # rewritten one
+    }
