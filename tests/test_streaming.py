@@ -97,3 +97,31 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     expected = _sorted(ev.purchase_attribution(_batch_events(spark)), keys)
     pd.testing.assert_frame_equal(got, expected, atol=1e-9, rtol=1e-9)
     assert len(got) > 0
+
+
+def test_load_normalizes_both_ts_precisions(spark, tmp_path):
+    """Driver testdata has shipped events.ts as TIMESTAMP(NANOS) (round
+    1) and TIMESTAMP(MICROS) (round 2); registry._load must produce the
+    same BIGINT UTC nanoseconds for either physical encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from petropandas_spark.registry import _load
+
+    micros = 1704067200123456  # 2024-01-01T00:00:00.123456Z
+    for name, typ, val in [
+        ("us", pa.timestamp("us"), micros),
+        ("ns", pa.timestamp("ns"), micros * 1000),
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([val], typ),
+            }),
+            d / "events.parquet",
+        )
+    ns_row = _load(spark, str(tmp_path / "ns"), "events").first()
+    us_row = _load(spark, str(tmp_path / "us"), "events").first()
+    assert ns_row["ts"] == us_row["ts"] == micros * 1000
