@@ -2397,6 +2397,26 @@ GROUP BY source
 """
 
 
+# Curriculum binning: per-language quality quartiles (ntile over the
+# language partition — the window sorts within each lang key, never
+# globally) with per-bucket doc counts and total quality.  Training
+# curricula sample buckets at different rates; this is the assignment
+# table.  Full (score, doc_id) ordering makes ntile deterministic.
+CORPUS_QUALITY_QUARTILES = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {LEN_SCORE_SQL} AS q FROM documents
+),
+b AS (
+  SELECT lang, doc_id, q,
+         ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, bucket, COUNT(*) AS n_docs, {dsum('q')} AS total_quality
+FROM b
+GROUP BY lang, bucket
+"""
+
+
 # Wide→long reshape (melt): the petro table layout is one column per
 # oxide; profile/plot tooling wants tidy (id, oxide, value) rows.  Spark
 # side uses stack() — ONE scan, codegen'd row expansion (UNPIVOT sugar
@@ -2981,6 +3001,10 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     # per-source corpus health (domain filtering input)
     r["source_domain_stats"] = sql_query(["documents"], SOURCE_STATS)
+    # curriculum quality quartiles
+    r["corpus_quality_quartiles"] = sql_query(
+        ["documents"], CORPUS_QUALITY_QUARTILES
+    )
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
