@@ -382,3 +382,21 @@ def test_simhash_pairs_no_self_join(spark, registry):
     plan = _plan(df, "simple")
     assert "Join" not in plan
     assert "bit_count" in plan  # Hamming verify stays JVM-side
+
+
+def test_daily_rollup_composes_partials(spark, registry):
+    """The daily rollup re-aggregates the hourly partials: two
+    aggregation exchanges total (hourly key, daily key), never a third
+    pass over raw events."""
+    df = registry["events_daily_rollup"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 4  # partial+final at each level
+
+
+def test_melt_is_narrow_single_scan(spark, registry):
+    """stack()-based unpivot: one scan, generated rows, zero shuffles."""
+    df = registry["oxides_melt_long"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan or "Expand" in plan
