@@ -206,3 +206,35 @@ def test_hll_sketch_columns_merge_losslessly(spark, events):
     assert merged == single
     exact = events.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_cms_heavy_hitters_empty_candidates_ok(spark, lineitem):
+    """An unreachable threshold must yield an empty frame (isin over an
+    empty candidate list), not an error."""
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey")
+    out = sketches.cms_verified_heavy_hitters(
+        lineitem.select("l_suppkey"), "l_suppkey", supp, 10**9
+    )
+    assert out.count() == 0
+
+
+def test_hll_sketch_column_survives_parquet_roundtrip(spark, events,
+                                                      tmp_path):
+    """The incremental scenario end-to-end: persist today's sketches,
+    read them back in a later 'run', union with fresh sketches — the
+    estimate must equal the all-data single pass."""
+    half_a = events.where("event_id % 2 = 0")
+    half_b = events.where("event_id % 2 = 1")
+    store = str(tmp_path / "sketch_store")
+    sketches.hll_sketch_by(half_a, ["event_type"], "user_id") \
+        .write.parquet(store)
+    merged = sketches.hll_merge_estimate(
+        spark.read.parquet(store).unionByName(
+            sketches.hll_sketch_by(half_b, ["event_type"], "user_id")
+        ),
+        [], "hll_user_id",
+    ).first()["distinct_est"]
+    single = sketches.hll_merge_estimate(
+        sketches.hll_sketch_by(events, [], "user_id"), [], "hll_user_id"
+    ).first()["distinct_est"]
+    assert merged == single
