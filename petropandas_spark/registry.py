@@ -2397,6 +2397,22 @@ GROUP BY source
 """
 
 
+# Exact-k-per-stratum sampling: rank by a salt-free content hash inside
+# each language partition and keep the first k — deterministic across
+# engines, runs and cluster sizes (the fraction-based sampler
+# `corpus_sample_stratified` can't promise exact counts; this one
+# can).  One key-partitioned window, no global sort.
+CORPUS_SAMPLE_K_PER_LANG = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+) t WHERE rk <= 20
+"""
+
+
 # Curriculum binning: per-language quality quartiles (ntile over the
 # language partition — the window sorts within each lang key, never
 # globally) with per-bucket doc counts and total quality.  Training
@@ -3004,6 +3020,10 @@ def build_registry() -> dict[str, QuerySpec]:
     # curriculum quality quartiles
     r["corpus_quality_quartiles"] = sql_query(
         ["documents"], CORPUS_QUALITY_QUARTILES
+    )
+    # exact-k-per-stratum deterministic sample
+    r["corpus_sample_k_per_lang"] = sql_query(
+        ["documents"], CORPUS_SAMPLE_K_PER_LANG
     )
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
