@@ -299,6 +299,47 @@ def bloom_pruned_semijoin(fact: DataFrame, keys: DataFrame,
     return pruned.join(F.broadcast(small), [fact_key], "left_semi")
 
 
+# -- Spark CountMinSketch binary format, evaluated Python-side --------------
+#
+# ``count_min_sketch(...)`` (JVM aggregate) serializes as big-endian
+# ``int version=1 | long totalCount | int depth | int width |
+# long hashA[depth] | long table[depth][width]``.  The row hash is the
+# stream-lib scheme Spark inherited: ``h = a*x; h += h >> 32;
+# h &= (2^31 - 1); bucket = h % width`` in Java signed-64 arithmetic.
+# ``test_sketches.py`` pins this reader value-for-value against the
+# JVM's own ``estimateCount``.
+
+
+def parse_cms(blob: bytes):
+    import struct
+
+    version, total, depth, width = struct.unpack(">iqii", blob[:20])
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    hash_a = np.frombuffer(
+        blob[20:20 + depth * 8], dtype=">i8"
+    ).astype(np.int64)
+    table = np.frombuffer(
+        blob[20 + depth * 8:20 + depth * 8 + depth * width * 8], dtype=">i8"
+    ).astype(np.int64).reshape(depth, width)
+    return total, depth, width, hash_a, table
+
+
+def cms_estimate_long(x, hash_a, table, width):
+    """Vectorized estimate over an int64 ndarray (Java wrap-around
+    semantics via numpy int64 overflow)."""
+    prime = np.int64((1 << 31) - 1)
+    est = None
+    with np.errstate(over="ignore"):
+        for i in range(table.shape[0]):
+            h = hash_a[i] * x
+            h = h + (h >> np.int64(32))
+            h = h & prime
+            c = table[i][h % np.int64(width)]
+            est = c if est is None else np.minimum(est, c)
+    return est
+
+
 def cms_verified_heavy_hitters(df: DataFrame, col: str,
                                domain: DataFrame, threshold: int,
                                eps: float = 0.00005,
@@ -310,30 +351,43 @@ def cms_verified_heavy_hitters(df: DataFrame, col: str,
     1. one ``count_min_sketch`` aggregate over the fact column — partial
        per-partition sketches merged associatively, O(1/eps) state, no
        per-group shuffle;
-    2. the (small) ``domain`` dimension is probed against the sketch
-       driver-side; CMS never undercounts, so every true heavy hitter
-       survives — candidates are a guaranteed superset;
-    3. an exact count restricted to the candidates (InSet scan filter →
-       a groupBy whose shuffle carries only candidate rows) with the
-       final ``>= threshold`` cut.
+    2. the ``domain`` dimension is probed against the sketch
+       EXECUTOR-side (the grid ships once as a broadcast-sized literal;
+       an Arrow-vectorized pandas UDF evaluates the pinned reader) — no
+       driver collect, so the domain may be arbitrarily large; CMS never
+       undercounts, so every true heavy hitter survives — candidates are
+       a guaranteed superset;
+    3. an exact count restricted to the candidates (broadcast semi-join
+       scan filter → a groupBy whose shuffle carries only candidate
+       rows) with the final ``>= threshold`` cut.
 
     Result is hash-identical to the sketch-free ``GROUP BY ... HAVING``
     while shuffling only the heavy tail.  ``eps`` bounds the overcount
     (``eps * N`` w.p. ``confidence``) and therefore the candidate
     excess."""
-    spark = df.sparkSession
-    blob = df.agg(
-        F.expr(
-            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
-        ).alias("s")
-    ).first()["s"]
-    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
-        CountMinSketch.readFrom(bytes(blob))
-    cands = [
-        r[0] for r in domain.collect() if cms.estimateCount(r[0]) >= threshold
-    ]
+    from pyspark.sql.functions import pandas_udf
+
+    blob = bytes(
+        df.agg(
+            F.expr(
+                f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+            ).alias("s")
+        ).first()["s"]
+    )
+    _, _, width, hash_a, table = parse_cms(blob)
+
+    @pandas_udf("long")
+    def cms_est(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.int64, na_value=0)
+        return pd.Series(cms_estimate_long(x, hash_a, table, width))
+
+    dom_col = domain.columns[0]
+    cands = (
+        domain.select(F.col(dom_col).alias(col))
+        .where(cms_est(F.col(col)) >= F.lit(int(threshold)))
+    )
     return (
-        df.where(F.col(col).isin(cands))
+        df.join(F.broadcast(cands), [col], "semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_items"))
         .where(F.col("n_items") >= threshold)

@@ -238,3 +238,24 @@ def test_hll_sketch_column_survives_parquet_roundtrip(spark, events,
         sketches.hll_sketch_by(events, [], "user_id"), [], "hll_user_id"
     ).first()["distinct_est"]
     assert merged == single
+
+
+def test_python_cms_reader_matches_jvm(spark):
+    """The Python CountMinSketch reader must reproduce the JVM's
+    estimateCount value-for-value (layout + stream-lib hash pinned)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df = spark.range(50000).selectExpr("CAST(id % 613 AS BIGINT) AS v")
+    blob = bytes(df.agg(F.expr(
+        "count_min_sketch(v, 0.001d, 0.99d, 42)"
+    ).alias("s")).first()["s"])
+    _, _, width, hash_a, table = sketches.parse_cms(blob)
+    jvm_cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
+        CountMinSketch.readFrom(blob)
+    probes = np.array(
+        [0, 1, 5, 612, 613, 12345, -3, -612, 2**62, -(2**62)], dtype=np.int64
+    )
+    got = sketches.cms_estimate_long(probes, hash_a, table, width)
+    for x, g in zip(probes.tolist(), np.atleast_1d(got).tolist()):
+        assert g == jvm_cms.estimateCount(int(x)), x
