@@ -91,3 +91,28 @@ def test_registry_head_order_is_verify_first():
     assert len(_VERIFY_FIRST) >= 50
     assert names[: len(_VERIFY_FIRST)] == list(_VERIFY_FIRST)
     assert len(set(names)) == len(names)
+
+
+def test_every_oracle_plans_in_duckdb():
+    """Cheap dialect gate: EXPLAIN every registered oracle against
+    sf0.001 views — a DuckDB syntax slip fails here in seconds instead
+    of in the driver's correctness run."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    oracles = e.oracle_sql()
+    assert len(oracles) == len(e.queries())
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle {name} fails to plan: {ex}")
