@@ -2137,6 +2137,30 @@ EMB_NORMS_SPARK = _norms_sql(SPARK)
 EMB_NORMS_DUCK = _norms_sql(DUCKDB)
 
 
+# Per-label centroids — the IVF coarse-quantizer build step as a plain
+# aggregate: explode the vector ONCE (posexplode/unnest), per-(label,
+# dim) integer-scaled sums (exact, order-free), divide by the label
+# count at the end.  Shuffle carries (label, dim) partial sums — 64
+# longs per label per partition, never vectors.
+def _centroids_sql(duck: bool) -> str:
+    if duck:
+        # parallel unnest (Postgres semantics): values and indices align
+        # positionally; generate_series is 1-based — shift to 0-based.
+        src = ("(SELECT label, unnest(embedding) AS v, "
+               "unnest(generate_series(1, len(embedding))) - 1 AS j "
+               "FROM embeddings) t")
+    else:
+        src = ("(SELECT label, j, v FROM embeddings "
+               "LATERAL VIEW posexplode(embedding) u AS j, v) t")
+    return f"""
+SELECT label, CAST(j AS BIGINT) AS dim,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000000e0) AS BIGINT))
+            AS DOUBLE) / 1000000000e0 / COUNT(*) AS centroid
+FROM {src}
+GROUP BY label, j
+"""
+
+
 def _lsh_cosine_oracle(threshold: float = 0.2, n_planes: int = 32,
                        bands: int = 4, dim: int = EMB_DIM) -> str:
     """DuckDB oracle for :func:`pipeline.similarity.lsh_cosine_neardup_pairs`
@@ -3003,6 +3027,9 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["embedding_norms_by_label"] = sql_query(
         ["embeddings"], EMB_NORMS_SPARK, EMB_NORMS_DUCK
+    )
+    r["embedding_label_centroids"] = sql_query(
+        ["embeddings"], _centroids_sql(False), _centroids_sql(True)
     )
     # sketch-accelerated exact queries
     r["bloom_pruned_semijoin"] = _q_bloom_semijoin()
