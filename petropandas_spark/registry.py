@@ -2421,6 +2421,31 @@ GROUP BY source
 """
 
 
+# Missing-value imputation: fill NULL measurements with the exact group
+# mean (windowed integer-scaled sum / non-null count — order-free and
+# engine-identical), keeping an audit flag.  One key-partitioned window,
+# no join against a separately-computed means table.  Planted NULLs
+# (id % 37) make the path deterministic.
+OXIDE_IMPUTE = """
+WITH g AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+         CAST(l_partkey % 50 AS BIGINT) AS grp,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 37 = 0 THEN NULL
+              ELSE 2.5e0 + (l_partkey % 8) * 0.45e0 END AS mgo_raw
+  FROM lineitem
+)
+SELECT id, grp,
+       CAST(mgo_raw IS NULL AS BIGINT) AS was_imputed,
+       COALESCE(
+         mgo_raw,
+         CAST(CAST(SUM(CAST(ROUND(mgo_raw * 1000000e0) AS BIGINT))
+                   OVER (PARTITION BY grp) AS BIGINT) AS DOUBLE)
+           / 1000000e0 / COUNT(mgo_raw) OVER (PARTITION BY grp)
+       ) AS mgo_filled
+FROM g
+"""
+
+
 # Exact-k-per-stratum sampling: rank by a salt-free content hash inside
 # each language partition and keep the first k — deterministic across
 # engines, runs and cluster sizes (the fraction-based sampler
@@ -3052,6 +3077,8 @@ def build_registry() -> dict[str, QuerySpec]:
     r["corpus_sample_k_per_lang"] = sql_query(
         ["documents"], CORPUS_SAMPLE_K_PER_LANG
     )
+    # group-mean imputation
+    r["oxide_impute_group_mean"] = sql_query(["lineitem"], OXIDE_IMPUTE)
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
