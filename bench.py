@@ -75,17 +75,47 @@ def main() -> None:
         # (measured: dedup_components 57s dirty vs ~4s clean)
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "registry_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver captures only the LAST ~2000 chars of stdout; a
+    # full-registry queries map (~5 KB for 135 queries) printed as the
+    # final line gets truncated mid-JSON and parses as null (observed
+    # BENCH_r02.json).  So: (1) persist the complete result next to the
+    # repo, (2) print the complete line FIRST for whole-log readers, and
+    # (3) end with a compact line that always fits the capture window —
+    # same schema, "queries" filled slowest-first with as many entries
+    # as fit, plus a pointer to the full file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError:
+        full_path = None
+    print(json.dumps(full))
+
+    compact = {
+        "metric": "registry_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_full.json" if full_path else None,
+        "queries": {},
+    }
+    budget = 1900
+    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = dt
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

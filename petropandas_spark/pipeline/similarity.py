@@ -271,7 +271,6 @@ class IVFIndex:
         ).fit(feats)
         self.centroids = [list(c) for c in model.clusterCenters()]
         assigned = model.transform(feats).drop("__features")
-        del vector_to_array  # imported for symmetry; not needed further
         return assigned
 
     def _probe_clusters(self, query: list[float], n_probe: int) -> list[int]:

@@ -68,16 +68,20 @@ def backfill_partitions(df: DataFrame, path: str,
     table root; the dynamic mode scopes the delete to the partitions
     the frame actually writes."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    # conf.get(key, None) returns None when the key was never set on the
+    # session, so the restore must UNSET in that case — re-setting would
+    # leave dynamic overwrite active for every later writer in the session.
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
     try:
         (df.write.mode("overwrite")
          .partitionBy(*partition_cols).parquet(path))
     finally:
         if prev is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
 
 
 def read_jsonl_documents(spark, path: str, schema: str | None = None,
@@ -88,9 +92,21 @@ def read_jsonl_documents(spark, path: str, schema: str | None = None,
     extra scan, so production callers should always pass one.  Rows
     whose JSON is malformed land in ``_corrupt_record`` (PERMISSIVE
     mode) instead of failing the job; filter or route them explicitly.
+    When an explicit schema is given, ``_corrupt_record STRING`` is
+    appended automatically if absent — PERMISSIVE mode only routes
+    malformed lines into that column when the schema declares it;
+    without it they silently become all-NULL rows.
     """
     reader = spark.read
     if schema is not None:
+        if isinstance(schema, str):
+            if "_corrupt_record" not in schema:
+                schema = schema.rstrip() + ", _corrupt_record STRING"
+        elif all(f.name != "_corrupt_record" for f in schema.fields):
+            from pyspark.sql.types import StringType, StructField, StructType
+            schema = StructType(list(schema.fields)
+                                + [StructField("_corrupt_record",
+                                               StringType())])
         reader = reader.schema(schema)
     df = reader.json(path)
     if id_col not in df.columns:
@@ -114,6 +130,23 @@ def compact_parquet(spark, src: str, dst: str,
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(src)
     fs = p.getFileSystem(conf)
+    # overwrite-while-lazily-reading the same directory would truncate
+    # the source before the scan runs; Spark's self-overwrite detection
+    # can be bypassed by trailing slashes / relative paths / symlinks,
+    # so compare fully-resolved URIs ourselves.
+    src_q = fs.makeQualified(p).toUri().normalize()
+    dst_q = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst)) \
+        .toUri().normalize()
+    same = str(src_q).rstrip("/") == str(dst_q).rstrip("/")
+    if not same and str(src_q).startswith("file:") \
+            and str(dst_q).startswith("file:"):
+        import os
+        same = (os.path.realpath(str(src_q)[5:])
+                == os.path.realpath(str(dst_q)[5:]))
+    if same:
+        raise ValueError(
+            f"compact_parquet: src and dst resolve to the same location "
+            f"({src_q}); write to a new directory and swap afterwards")
     total_bytes = fs.getContentSummary(p).getLength()
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)

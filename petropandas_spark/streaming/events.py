@@ -30,11 +30,19 @@ def _normalize_ts(spark, df):
     generations vary: TIMESTAMP(NANOS) arrives as a raw long (via
     ``nanosAsLong``), TIMESTAMP(MICROS) as timestamp/timestamp_ntz."""
     if df.schema["ts"].dataType.typeName() != "long":
-        # NTZ→TIMESTAMP cast is session-tz-sensitive; pin UTC.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(
-            "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
-        )
+        # NTZ→TIMESTAMP cast is session-tz-sensitive; pin UTC.  The tz is
+        # resolved into the cast when the DataFrame is (eagerly) analyzed,
+        # so restore the previous session tz immediately after instead of
+        # leaving the session mutated for later tz-sensitive expressions.
+        tz_key = "spark.sql.session.timeZone"
+        prev_tz = spark.conf.get(tz_key)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            df = df.withColumn(
+                "ts", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
+            )
+        finally:
+            spark.conf.set(tz_key, prev_tz)
     return df
 
 
