@@ -104,33 +104,76 @@ def minhash_signatures_portable(df: DataFrame, text_col: str = "text",
     )
 
 
-def _bucket_pairs(keyed: DataFrame, id_col: str,
-                  key_cols: list[str]) -> DataFrame:
-    """(bucket key, id) rows → distinct ``(doc_a, doc_b)`` candidate
-    pairs (``doc_a < doc_b``) sharing a bucket.
+def _bucket_pairs_any(keyed: DataFrame, val_col: str, key_cols: list[str],
+                      max_bucket: int = 10_000) -> DataFrame:
+    """(bucket key, value) rows → ``(a, b)`` pairs (``a < b`` in the
+    value ordering) sharing a bucket; values may be atomics or structs.
 
     ONE shuffle on the bucket key and NO self-join: each bucket's sorted
-    id set explodes to its pairs in place.  The expensive signature
+    value set explodes to its pairs in place.  The expensive signature
     derivation upstream is scanned exactly once — the self-join form
     scans it twice, and without a pre-materialized cache the two sides
     race to compute the same partitions concurrently (measured 43 s vs
-    7 s for the portable LSH at sf0.1).  In-bucket pair fan-out is
-    quadratic in bucket occupancy exactly like the join form; LSH band
-    geometry bounds the bucket sizes.  The pair-explosion lambdas are
-    interpreted HOFs, but they run on bucket id-lists (thousands of
-    short arrays), never on corpus text."""
+    7 s for the portable LSH at sf0.1).  The pair-explosion lambdas are
+    interpreted HOFs, but they run on bucket value-lists (thousands of
+    short arrays), never on corpus text.
+
+    Hot-bucket guard: in-bucket pair fan-out is quadratic in occupancy.
+    LSH band geometry bounds bucket sizes for real corpora, but a
+    degenerate dup-heavy corpus (the dedup workload!) can put the whole
+    corpus in one bucket — a single task exploding O(n²) pairs from one
+    collected array.  Buckets over ``max_bucket`` therefore switch to a
+    chunk-grid: the value array is sliced into ``max_bucket``-sized
+    chunks, the (i ≤ j) chunk-pair grid is exploded and round-robin
+    repartitioned, and each grid cell emits its ≤ max_bucket² pairs in
+    its own task — the quadratic work distributes across the cluster
+    instead of landing on one executor."""
     buckets = (
         keyed.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .agg(F.sort_array(F.collect_set(F.col(val_col))).alias("vs"))
+        .where(F.size("vs") >= 2)
     )
+    tri = ("flatten(transform({v}, (x, i) -> "
+           "transform(slice({v}, i + 2, size({v})), "
+           "y -> struct(x AS a, y AS b))))")
+    small = (
+        buckets.where(F.size("vs") <= max_bucket)
+        .select(F.explode(F.expr(tri.format(v="vs"))).alias("p"))
+    )
+    mb = max_bucket
+    nc = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
+    grid = (
+        buckets.where(F.size("vs") > mb)
+        .select(F.explode(F.expr(
+            f"flatten(transform(sequence(0, {nc} - 1), i -> "
+            f"transform(sequence(i, {nc} - 1), j -> "
+            f"struct(slice(vs, i * {mb} + 1, {mb}) AS ca, "
+            f"slice(vs, j * {mb} + 1, {mb}) AS cb, i = j AS same))))"
+        )).alias("c"))
+        # spread the chunk-grid cells across tasks BEFORE the quadratic
+        # explosion — Generate output stays in its input's task otherwise
+        .repartition(keyed.sparkSession.sparkContext.defaultParallelism)
+    )
+    big = grid.select(F.explode(
+        F.when(F.col("c.same"), F.expr(tri.format(v="c.ca")))
+        .otherwise(F.expr(
+            "flatten(transform(c.ca, x -> "
+            "transform(c.cb, y -> struct(x AS a, y AS b))))"
+        ))
+    ).alias("p"))
+    return small.unionByName(big).select("p.a", "p.b")
+
+
+def _bucket_pairs(keyed: DataFrame, id_col: str,
+                  key_cols: list[str],
+                  max_bucket: int = 10_000) -> DataFrame:
+    """(bucket key, id) rows → distinct ``(doc_a, doc_b)`` candidate
+    pairs (``doc_a < doc_b``) sharing a bucket — see
+    :func:`_bucket_pairs_any` for the shuffle shape and the hot-bucket
+    guard."""
     return (
-        buckets.select(F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS doc_a, y AS doc_b))))"
-        )).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        _bucket_pairs_any(keyed, id_col, key_cols, max_bucket)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -264,23 +307,132 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def _star_components(nodes: DataFrame, edges: DataFrame,
+                     id_col: str = "doc_id",
+                     a_col: str = "doc_a", b_col: str = "doc_b",
+                     max_iter: int = 30) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public literature): converges in
+    O(log² n) rounds on ANY graph, vs graph-diameter rounds for plain
+    min-label propagation.  This is the adversarial-topology path — a
+    100 TB crawl can contain million-node duplicate chains (templated
+    pages each near-dup of the previous revision) where diameter-bound
+    propagation would run thousands of rounds.
+
+    Per round (two shuffle-bounded phases, no driver-side data):
+
+    * large-star — every node connects its LARGER neighbours to the
+      minimum of its neighbourhood (incl. itself);
+    * small-star — every node connects its smaller-or-equal neighbours
+      to that minimum.
+
+    Both phases are groupBy + equi-join on the node id.  Convergence is
+    detected by an order-insensitive (count, hash-sum) signature of the
+    edge set — one tiny driver action per round.  At the fixed point the
+    edge set is a star forest: every node points at its component's
+    minimum id.
+
+    Returns ``((id_col, component), rounds_run)``.
+    """
+    # localCheckpoint (not persist): each round references E four times
+    # (sym twice via the union, again through mins and the join), so the
+    # logical plan grows ~4× per round — by round ~10 an un-truncated
+    # lineage is millions of plan nodes and the DRIVER OOMs in the
+    # optimizer.  Checkpointing materializes the round's edge set on the
+    # executors and truncates the lineage to a leaf.
+    E = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # --- large-star: for each u, m = min(N(u) ∪ {u});
+        #     emit (v, m) for every neighbour v > u
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient high→low, m = min(N(u) ∪ {u});
+        #     emit (v, m) for every smaller neighbour v, plus (u, m)
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        stepped = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate lineage — see E above
+        )
+        # bit_xor, not sum: order-insensitive over the (distinct) edge
+        # set and immune to ANSI long-overflow, which a sum of ~2^63
+        # hashes trips immediately
+        sig = stepped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        E = stepped
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    labels = E.groupBy("u").agg(F.min("v").alias("component"))
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+    return out, rounds
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         algorithm: str = "label") -> DataFrame:
     """Duplicate-cluster resolution: label every node with the MINIMUM id
     reachable through the near-dup pair graph (the canonical "keep" doc).
 
-    Iterative min-label propagation as pure DataFrame joins: per round,
-    each node takes min(own label, neighbours' labels); stop when a round
-    changes nothing.  Rounds needed = graph diameter — near-dup clusters
-    are tiny quasi-cliques (diameter ≲ 3), so this converges in 2-4
-    rounds; for adversarial long-chain graphs switch to the large-star/
-    small-star doubling variant (O(log n) rounds).  The driver loop only
-    coordinates; all data movement is shuffle-bounded joins on the id.
+    ``algorithm="label"`` (default): iterative min-label propagation as
+    pure DataFrame joins — per round, each node takes min(own label,
+    neighbours' labels); stop when a round changes nothing.  Rounds
+    needed = graph diameter — near-dup clusters are tiny quasi-cliques
+    (diameter ≲ 3), so this converges in 2-4 rounds and each round is a
+    single join + aggregate.
 
-    Returns (id_col, component).
+    ``algorithm="star"``: the large-star/small-star alternation
+    (:func:`_star_components`) — O(log² n) rounds on ANY topology; use
+    for adversarial long-chain graphs where diameter-bound propagation
+    would not terminate in reasonable rounds.
+
+    The driver loop only coordinates; all data movement is
+    shuffle-bounded joins on the id.  Returns (id_col, component).
     """
+    if algorithm == "star":
+        out, _ = _star_components(nodes, edges, id_col, a_col, b_col,
+                                  max_iter)
+        return out
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; "
+                         "expected 'label' or 'star'")
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
@@ -423,21 +575,16 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             for qi in range(4)
         ])).alias("bq"),
     ).select("x", "bq.q", "bq.blk")
-    buckets = (
-        blocks.groupBy("q", "blk")
-        .agg(F.sort_array(F.collect_set("x")).alias("xs"))
-        .where(F.size("xs") >= 2)
-    )
+    # (id, signature) structs ride into their quarter buckets, pairs
+    # explode in place with both signatures present for the Hamming
+    # verify; the shared hot-bucket guard distributes degenerate
+    # dup-heavy quarter blocks across tasks.
     cand = (
-        buckets.select(F.explode(F.expr(
-            "flatten(transform(xs, (x, i) -> "
-            "transform(slice(xs, i + 2, size(xs)), "
-            "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS sa, y.s AS sb))))"
-        )).alias("p"))
+        _bucket_pairs_any(blocks, "x", ["q", "blk"])
         .select(
-            "p.doc_a", "p.doc_b",
+            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
             F.bit_count(
-                F.col("p.sa").bitwiseXOR(F.col("p.sb"))
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
             ).alias("hamming"),
         )
         .distinct()

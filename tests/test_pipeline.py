@@ -62,6 +62,40 @@ class TestDedup:
         assert sig[1] == sig[2]
         assert sig[1] != sig[3]
 
+    def test_hot_bucket_guard_matches_plain_path(self, spark):
+        """A degenerate all-identical corpus lands every doc in ONE LSH
+        bucket; the chunk-grid guard must emit exactly the same pair set
+        as the in-place explosion, just distributed across tasks."""
+        n = 137  # prime, so chunk slicing exercises a ragged tail
+        pdf = pd.DataFrame({
+            "doc_id": list(range(n)),
+            "text": ["identical document body " * 20] * n,
+        })
+        df = spark.createDataFrame(pdf)
+        keyed = df.select(F.lit("onebucket").alias("k"), "doc_id")
+        plain = dedup._bucket_pairs(keyed, "doc_id", ["k"],
+                                    max_bucket=10_000)
+        guarded = dedup._bucket_pairs(keyed, "doc_id", ["k"],
+                                      max_bucket=25)
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+        assert {(r.doc_a, r.doc_b)
+                for r in plain.collect()} == want
+        assert {(r.doc_a, r.doc_b)
+                for r in guarded.collect()} == want
+
+    def test_hot_bucket_guard_distributes_tasks(self, spark):
+        """The oversized-bucket path must fan the chunk grid out over
+        multiple partitions before exploding pairs (the whole point of
+        the guard: no single-task O(n²) blowup)."""
+        n = 100
+        keyed = spark.range(n).select(
+            F.lit("k").alias("k"), F.col("id").alias("doc_id"))
+        guarded = dedup._bucket_pairs_any(keyed, "doc_id", ["k"],
+                                          max_bucket=10)
+        # 10 chunks -> 55 grid cells, round-robin over default parallelism
+        cells = guarded.rdd.getNumPartitions()
+        assert cells > 1
+
     def test_simhash_neardup_pairs(self, spark):
         # SimHash needs enough tokens for stable bit votes: 60-token docs
         # differing in one token sit at Hamming ~2; unrelated docs ~30.
@@ -313,6 +347,49 @@ class TestComponents:
         got = {
             r.doc_id: r.component
             for r in dedup.connected_components(nodes, edges).collect()
+        }
+        assert got == {3: 3, 9: 9}
+
+    def test_star_components_match_label_propagation(self, spark):
+        """Both algorithms agree on a mixed graph (chain + pair +
+        singletons)."""
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "doc_id long"
+        )
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(
+                nodes, edges, algorithm="star"
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 8}
+
+    def test_star_components_chain_logarithmic_rounds(self, spark):
+        """The adversarial case the star variant exists for: a planted
+        1000-node chain (diameter 999 — min-label propagation would need
+        ~1000 rounds) must fully resolve in O(log² n) rounds, ≤ 12 in
+        practice."""
+        n = 1000
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        out, rounds = dedup._star_components(nodes, edges)
+        labels = {r.doc_id: r.component for r in out.collect()}
+        assert labels == {i: 0 for i in range(n)}
+        assert rounds <= 12, rounds
+
+    def test_star_components_no_edges(self, spark):
+        nodes = spark.createDataFrame([(3,), (9,)], "doc_id long")
+        edges = spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(
+                nodes, edges, algorithm="star"
+            ).collect()
         }
         assert got == {3: 3, 9: 9}
 
