@@ -197,3 +197,140 @@ class TestHighLevelListings:
         api = self._api()
         assert api.samples(1)[0]["name"] == "S1"
         assert api.spots(10)[0]["label"] == "a"
+
+
+AREAS = [
+    {"id": 21, "label": "A2", "values": {"SiO2": 50.0, "FeO": 10.0}},
+    {"id": 20, "label": "A1", "values": {"SiO2": 49.0, "FeO": 11.0}},
+]
+PROFILES = [
+    {"id": 7, "label": "grt-rim-core", "mineral": "Grt"},
+    {"id": 8, "label": "pl-traverse", "mineral": "Pl"},
+]
+PROFILE_SPOTS = [
+    {"id": 71, "index": 2, "values": {"SiO2": 37.5, "FeO": 27.5}},
+    {"id": 70, "index": 1, "values": {"SiO2": 37.0, "FeO": 28.0}},
+]
+
+
+def _hier_transport():
+    return FakeTransport(data={
+        "/projects/1/samples": [{"id": 10, "name": "S1"}],
+        "/samples/10/spots": SPOTS,
+        "/samples/10/areas": AREAS,
+        "/samples/10/profiles": PROFILES,
+        "/profiles/7/spots": PROFILE_SPOTS,
+        "/profiles/8/spots": [],
+    })
+
+
+class TestAreasProfiles:
+    def test_areas_listing_and_df(self, spark):
+        api = _api(transport=_hier_transport())
+        assert [a["label"] for a in api.areas(10)] == ["A2", "A1"]
+        pdf = petrodb.areas_df(spark, api, 10).toPandas()
+        assert list(pdf["id"]) == [20, 21]  # sorted by id
+        assert set(pdf.columns) >= {"SiO2", "FeO", "label"}
+        one = petrodb.areas_df(spark, api, 10, label="A1").toPandas()
+        assert list(one["id"]) == [20]
+
+    def test_profiles_listing_search_and_mineral_filter(self):
+        api = _api(transport=_hier_transport())
+        assert [p["id"] for p in api.profiles(10)] == [7, 8]
+        assert [p["id"] for p in api.profiles(10, mineral="Grt")] == [7]
+        assert api.profiles(10, label="pl-traverse")["id"] == 8
+        with pytest.raises(petrodb.APIError):
+            api.profiles(10, label="nope")
+
+    def test_profile_spots_df_ordered_and_stamped(self, spark):
+        api = _api(transport=_hier_transport())
+        pdf = petrodb.profile_spots_df(
+            spark, api, 10, "grt-rim-core", sample="S1"
+        ).toPandas()
+        assert list(pdf["position"]) == [1, 2]  # traverse order
+        assert set(pdf["label"]) == {"grt-rim-core"}
+        assert set(pdf["mineral"]) == {"Grt"}
+        assert set(pdf["sample"]) == {"S1"}
+
+    def test_mineral_data_unions_spots_and_profiles(self, spark):
+        api = _api(transport=_hier_transport())
+        pdf = petrodb.mineral_data_df(spark, api, 1, "Grt").toPandas()
+        assert set(pdf["kind"]) == {"spot", "profile"}
+        assert len(pdf[pdf["kind"] == "spot"]) == 2      # Grt spots only
+        assert len(pdf[pdf["kind"] == "profile"]) == 2   # profile 7 spots
+        with pytest.raises(petrodb.APIError):
+            petrodb.mineral_data_df(spark, api, 1, "Zrn")
+
+
+class TestEntityCrud:
+    def test_write_areas_scrubs_and_posts(self, spark):
+        import pandas as pd
+
+        t = _hier_transport()
+        api = _api(transport=t, read_only=False)
+        pdf = pd.DataFrame({
+            "label": ["A1", "A2", "A3"],
+            "SiO2": [49.0, -2.0, 50.0],
+        })
+        n = petrodb.write_areas(
+            spark.createDataFrame(pdf), api, "10", batch_size=2
+        )
+        assert n == 3
+        posts = [c for c in t.calls
+                 if c[0] == "POST" and "/samples/10/areas" in c[1]]
+        assert len(posts) == 2
+        assert posts[0][2]["json"][0] == {
+            "values": {"SiO2": 49.0}, "label": "A1"
+        }
+        assert posts[0][2]["json"][1]["values"] == {}  # negative scrubbed
+
+    def test_create_profile_and_write_profile_spots(self, spark):
+        import pandas as pd
+
+        t = _hier_transport()
+        api = _api(transport=t, read_only=False)
+        petrodb.create_profile(api, "10", "rim-core", mineral="Grt")
+        creates = [c for c in t.calls
+                   if c[0] == "POST" and "/samples/10/profiles" in c[1]]
+        assert creates[0][2]["json"] == {
+            "label": "rim-core", "mineral": "Grt"
+        }
+        pdf = pd.DataFrame({
+            "position": [2, 1],
+            "SiO2": [37.5, 37.0],
+        })
+        n = petrodb.write_profile_spots(
+            spark.createDataFrame(pdf), api, 7
+        )
+        assert n == 2
+        posts = [c for c in t.calls
+                 if c[0] == "POST" and "/profiles/7/spots" in c[1]]
+        batch = posts[0][2]["json"]
+        assert [b["index"] for b in batch] == [1, 2]  # explicit order col
+        assert batch[0]["values"] == {"SiO2": 37.0}
+        with pytest.raises(ValueError):
+            petrodb.write_profile_spots(
+                spark.createDataFrame(pd.DataFrame({"SiO2": [1.0]})), api, 7
+            )
+
+    def test_update_and_delete_entity(self):
+        t = _hier_transport()
+        api = _api(transport=t, read_only=False)
+        petrodb.update_entity(api, "area", 20, {"label": "A1b"})
+        petrodb.delete_entity(api, "profilespot", 70)
+        m, url, kw = [c for c in t.calls if c[0] == "PUT"][0]
+        assert url.endswith("/api/areas/20")
+        assert kw["json"] == {"label": "A1b"}
+        m, url, kw = [c for c in t.calls if c[0] == "DELETE"][0]
+        assert url.endswith("/api/profilespots/70")
+        with pytest.raises(ValueError):
+            petrodb.update_entity(api, "banana", 1, {})
+
+    def test_crud_respects_read_only_guard(self):
+        api = _api(transport=_hier_transport())  # read_only=True default
+        with pytest.raises(petrodb.ReadOnlyError):
+            petrodb.delete_entity(api, "spot", 1)
+        with pytest.raises(petrodb.ReadOnlyError):
+            petrodb.update_entity(api, "spot", 1, {})
+        with pytest.raises(petrodb.ReadOnlyError):
+            petrodb.create_profile(api, "10", "x")
