@@ -132,7 +132,7 @@ class BasePlot:
         if self.legend and any(label for _, label, _ in self._groups):
             ax.legend(**{**self._LEGEND_OUTSIDE_KWARGS, **self.legend_kwargs})
 
-    def figure(self):  # pragma: no cover - matplotlib not in container
+    def figure(self):
         """Build a (Figure, Axes) pair with constrained layout and render
         into it (ref ``render() -> tuple[Figure, Axes]``)."""
         import matplotlib.pyplot as plt
@@ -145,14 +145,14 @@ class BasePlot:
         self.render(ax=ax)
         return fig, ax
 
-    def show(self) -> None:  # pragma: no cover - matplotlib not in container
+    def show(self) -> None:
         """Render and display (ref ``_plotting.py:147-155``)."""
         import matplotlib.pyplot as plt
 
         self.figure()
         plt.show()
 
-    def savefig(self, *args, **kwargs):  # pragma: no cover - no matplotlib
+    def savefig(self, *args, **kwargs):
         """Render and save; same signature as ``Figure.savefig``
         (ref ``_plotting.py:157-160``)."""
         fig, _ax = self.figure()
@@ -168,7 +168,10 @@ class BasePlot:
             out.append((df.select(*cols).toPandas(), label, style))
         return out
 
-    def render(self, ax=None):  # pragma: no cover - needs matplotlib
+    def render(self, ax=None):
+        """Subclass contract — concrete plots draw onto ``ax``.  All
+        three shipped plots' render paths are executed in the tests via
+        the recording fake matplotlib (``tests/fake_mpl.py``)."""
         raise NotImplementedError
 
 
@@ -183,7 +186,7 @@ class ScatterPlot(BasePlot):
         """Compute the plotted values (driver-side list of group frames)."""
         return self._collected([self.x, self.y])
 
-    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+    def render(self, ax=None):
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -213,7 +216,7 @@ class TernaryPlot(BasePlot):
             out.append((pdf, label, style))
         return out
 
-    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+    def render(self, ax=None):
         import matplotlib.pyplot as plt
 
         if ax is None:
@@ -359,7 +362,7 @@ class ProfilePlot(BasePlot):
             out.append((pdf, label, style, secondary))
         return out
 
-    def render(self, ax=None):  # pragma: no cover - matplotlib not in container
+    def render(self, ax=None):
         import itertools
 
         import matplotlib.pyplot as plt

@@ -266,3 +266,96 @@ def test_render_style_not_mutated():
     p.add(None, label="g", **style)
     # the stored dict must keep the caller's color (render filters a COPY)
     assert p._groups[0][2] == {"color": "red", "lw": 2}
+
+
+class TestRenderSmoke:
+    """Execute the REAL render()/figure()/savefig() paths against the
+    recording fake matplotlib (tests/fake_mpl.py) — the render strings
+    are driven end-to-end even though the container lacks matplotlib
+    (mirrors the reference's Agg smoke style, tests/test_plotting.py)."""
+
+    def test_scatter_render(self, spark, garnet_df, monkeypatch):
+        import fake_mpl
+
+        fake_mpl.install(monkeypatch)
+        p = plotting.ScatterPlot("Prp", "Alm")
+        p.add(garnet_df, label="g1")
+        p.add(garnet_df, marker="x")
+        ax = p.render(ax=fake_mpl.FakeAxes())
+        assert len(ax.scatters) == 2
+        assert ax.scatters[0][2] == "g1" and ax.scatters[1][2] is None
+        assert ax.scatters[1][3] == {"marker": "x"}
+        assert ax.xlabel == "Prp" and ax.ylabel == "Alm"
+        (_, kwargs), = ax.legend_calls
+        assert kwargs["loc"] == "center left"
+
+    def test_scatter_figure_and_savefig(self, spark, garnet_df, monkeypatch):
+        import fake_mpl
+
+        plt = fake_mpl.install(monkeypatch)
+        p = plotting.ScatterPlot("Prp", "Alm", figsize=(4, 3))
+        p.add(garnet_df, label="g")
+        fig, ax = p.figure()
+        assert fig.kwargs == {"constrained_layout": True, "figsize": (4, 3)}
+        assert len(ax.scatters) == 1
+        p.savefig("out.png", dpi=150)
+        saved_fig = plt._figures[-1][0]
+        assert saved_fig.savefig_calls == [(("out.png",), {"dpi": 150})]
+        p.show()  # render + plt.show() — must not raise
+
+    def test_ternary_render(self, spark, garnet_df, monkeypatch):
+        import fake_mpl
+
+        fake_mpl.install(monkeypatch)
+        p = plotting.TernaryPlot("Prp", "Alm", "Grs")
+        p.add(garnet_df, label="grt")
+        ax = p.render(ax=fake_mpl.FakeAxes())
+        assert ax.aspect == "equal"
+        xs, ys, label, _ = ax.scatters[0]
+        assert label == "grt" and len(xs) == 2
+        # x = (fr - fl)/sqrt(3) is signed; y = ft is a fraction
+        assert all(abs(x) <= 1 / math.sqrt(3) for x in xs)
+        assert all(0.0 <= y <= 1.0 for y in ys)
+
+    def test_profile_render_dual_axis(self, spark, monkeypatch):
+        import fake_mpl
+
+        fake_mpl.install(monkeypatch)
+        pdf = pd.DataFrame({
+            "pos": range(10),
+            "Alm": [70.0 + i for i in range(10)],
+            "Prp": [12.0 + 0.1 * i for i in range(10)],
+            "Sps": [8.0 - 0.2 * i for i in range(10)],
+            "Grs": [3.0 + 0.05 * i for i in range(10)],
+        })
+        p = plotting.ProfilePlot(index_col="pos", split="auto")
+        p.add(spark.createDataFrame(pdf), label="traverse")
+        ax = p.render(ax=fake_mpl.FakeAxes())
+        assert ax.twin is not None  # auto split engaged the twin axis
+        assert len(ax.lines) == 1          # Alm on primary
+        assert len(ax.twin.lines) == 3     # Prp/Sps/Grs on secondary
+        # distinct colors from the rcParams cycle
+        colors = [ln[3] for ln in ax.lines + ax.twin.lines]
+        assert len(set(colors)) == 4
+        # non-overlapping ranges -> gap compression set explicit limits
+        assert ax._ylim is not None and ax.twin._ylim is not None
+        # merged legend: one call on the primary with 4 handles
+        (args, kwargs), = ax.legend_calls
+        handles, labels = args
+        assert len(handles) == 4
+        assert kwargs["bbox_to_anchor"] == (1.08, 0.5)
+
+    def test_profile_render_single_axis(self, spark, monkeypatch):
+        import fake_mpl
+
+        fake_mpl.install(monkeypatch)
+        pdf = pd.DataFrame({
+            "pos": [1, 2, 3], "MgO": [1.0, 2.0, 3.0], "FeO": [4.0, 5.0, 6.0],
+        })
+        p = plotting.ProfilePlot(index_col="pos", xlabel="dist",
+                                 ylabel="wt%")
+        p.add(spark.createDataFrame(pdf))
+        ax = p.render(ax=fake_mpl.FakeAxes())
+        assert ax.twin is None
+        assert len(ax.lines) == 2
+        assert ax.xlabel == "dist" and ax.ylabel == "wt%"
