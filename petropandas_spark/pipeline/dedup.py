@@ -181,7 +181,8 @@ def _bucket_pairs(keyed: DataFrame, id_col: str,
 def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  shingle: int = 5,
-                                 prefix: int = 400) -> DataFrame:
+                                 prefix: int = 400,
+                                 max_bucket: int = 10_000) -> DataFrame:
     """LSH banding over the portable md5 MinHash signatures: band key =
     salted md5 of consecutive signature values (band index baked into
     the salt, so one string column is the whole bucket key), then
@@ -203,7 +204,7 @@ def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
             for b in range(3)
         ])).alias("bh"),
     )
-    return _bucket_pairs(banded, id_col, ["bh"])
+    return _bucket_pairs(banded, id_col, ["bh"], max_bucket)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

@@ -2670,6 +2670,29 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
 """
     out["dedup_components"] = QuerySpec(comps_fn, comps_duck)
 
+    # the same fixpoint through the O(log² n)-round large-star/small-star
+    # alternation (adversarial-topology path; dedup.py _star_components)
+    # — identical oracle, third independent algorithm
+    def comps_star_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents")
+        docs.createOrReplaceTempView("documents")
+        pairs = spark.sql(DOC_NEARDUP_SPARK)
+        return _dd.connected_components(docs.select("doc_id"), pairs,
+                                        algorithm="star")
+
+    out["dedup_components_star"] = QuerySpec(comps_star_fn, comps_duck)
+
+    # LSH candidate pairs THROUGH the hot-bucket chunk-grid guard
+    # (max_bucket=3 forces every bucket of >3 ids onto the distributed
+    # chunk-pair path) — must be value-identical to the plain in-place
+    # explosion, and the driver hashes it against the same DuckDB oracle
+    out["neardup_pairs_hot_bucket"] = QuerySpec(
+        lambda spark, sf_dir: _dd.lsh_candidate_pairs_portable(
+            docs(spark, sf_dir), max_bucket=3
+        ),
+        LSH_PAIRS_DUCK,
+    )
+
     # survivor selection: within each near-dup cluster keep the
     # highest-quality member (length score, doc_id tiebreak) — the step
     # that turns cluster labels into an actual curation decision.  One
@@ -2814,7 +2837,9 @@ _VERIFY_FIRST = [
     "oxide_impute_group_mean",
     "cipw_norm_full",
     "cipw_norm_hornblende",
-    # 13 head slots left; rotating in proven names:
+    "dedup_components_star",
+    "neardup_pairs_hot_bucket",
+    # 11 head slots left; rotating in proven names:
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -2826,8 +2851,6 @@ _VERIFY_FIRST = [
     "doc_stats",
     "doc_lang_guess",
     "doc_quality",
-    "doc_tokenize_bpe",
-    "dedup_exact",
 ]
 
 
