@@ -17,6 +17,31 @@ import os
 import sys
 import time
 
+CAPTURE_BUDGET = 1900  # driver keeps only the last ~2000 chars of stdout
+
+
+def compact_line(total: float, sf: float, timings: dict[str, float],
+                 queries_file: str | None,
+                 budget: int = CAPTURE_BUDGET) -> str:
+    """Final stdout line: same schema as the full result but guaranteed
+    to fit the driver's tail-capture window — "queries" filled
+    slowest-first with as many entries as fit."""
+    compact = {
+        "metric": "registry_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_file": queries_file,
+        "queries": {},
+    }
+    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = dt
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    return json.dumps(compact, separators=(",", ":"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,22 +125,8 @@ def main() -> None:
         full_path = None
     print(json.dumps(full))
 
-    compact = {
-        "metric": "registry_total_wall",
-        "value": round(total, 3),
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries_file": "BENCH_full.json" if full_path else None,
-        "queries": {},
-    }
-    budget = 1900
-    for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
-        compact["queries"][name] = dt
-        if len(json.dumps(compact, separators=(",", ":"))) > budget:
-            del compact["queries"][name]
-            break
-    print(json.dumps(compact, separators=(",", ":")))
+    print(compact_line(total, sf, timings,
+                       "BENCH_full.json" if full_path else None))
 
 
 if __name__ == "__main__":

@@ -116,3 +116,35 @@ def test_every_oracle_plans_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as ex:  # pragma: no cover
             raise AssertionError(f"oracle {name} fails to plan: {ex}")
+
+
+class TestBenchCaptureContract:
+    """The driver keeps only the last ~2000 chars of stdout; the final
+    bench line must always fit that window and stay parseable JSON
+    (BENCH_r02.json recorded parsed:null when the full 135-query map was
+    printed last and truncated mid-line)."""
+
+    def test_compact_line_fits_capture_window(self):
+        import importlib.util
+        import json as _json
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        from petropandas_spark.registry import build_registry
+
+        # worst case: every registered query present with a wide float
+        timings = {name: 123.4567 for name in build_registry()}
+        line = bench.compact_line(9999.123, 0.1, timings,
+                                  "BENCH_full.json")
+        assert len(line) <= 2000
+        parsed = _json.loads(line)
+        assert parsed["metric"] == "registry_total_wall"
+        assert parsed["n_queries"] == len(timings)
+        assert 0 < len(parsed["queries"]) < len(timings)
+        # slowest-first ordering is preserved by dict insertion order
+        vals = list(parsed["queries"].values())
+        assert vals == sorted(vals, reverse=True)
