@@ -133,35 +133,42 @@ def _bucket_pairs_any(keyed: DataFrame, val_col: str, key_cols: list[str],
         .agg(F.sort_array(F.collect_set(F.col(val_col))).alias("vs"))
         .where(F.size("vs") >= 2)
     )
-    tri = ("flatten(transform({v}, (x, i) -> "
-           "transform(slice({v}, i + 2, size({v})), "
-           "y -> struct(x AS a, y AS b))))")
-    small = (
-        buckets.where(F.size("vs") <= max_bucket)
-        .select(F.explode(F.expr(tri.format(v="vs"))).alias("p"))
-    )
+    # ONE unified path, not a small/large branch pair: a branched plan
+    # references the bucket aggregate twice, and without guaranteed
+    # exchange reuse the whole upstream signature derivation plans (and
+    # can execute) TWICE — measured as a doubled parquet scan in the
+    # physical plan.  Instead every bucket becomes an (i ≤ j) chunk-pair
+    # grid over max_bucket-sized slices of its value array: a normal
+    # bucket (size ≤ max_bucket) is exactly one same-chunk cell (the
+    # original in-place triangle), a hot bucket fans out into many cells.
+    # cb is left empty for diagonal cells so the grid shuffle never
+    # carries an array twice.
     mb = max_bucket
     nc = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
-    grid = (
-        buckets.where(F.size("vs") > mb)
-        .select(F.explode(F.expr(
-            f"flatten(transform(sequence(0, {nc} - 1), i -> "
-            f"transform(sequence(i, {nc} - 1), j -> "
-            f"struct(slice(vs, i * {mb} + 1, {mb}) AS ca, "
-            f"slice(vs, j * {mb} + 1, {mb}) AS cb, i = j AS same))))"
-        )).alias("c"))
-        # spread the chunk-grid cells across tasks BEFORE the quadratic
-        # explosion — Generate output stays in its input's task otherwise
-        .repartition(keyed.sparkSession.sparkContext.defaultParallelism)
-    )
-    big = grid.select(F.explode(
-        F.when(F.col("c.same"), F.expr(tri.format(v="c.ca")))
-        .otherwise(F.expr(
-            "flatten(transform(c.ca, x -> "
-            "transform(c.cb, y -> struct(x AS a, y AS b))))"
-        ))
+    grid = buckets.select(F.explode(F.expr(
+        f"flatten(transform(sequence(0, {nc} - 1), i -> "
+        f"transform(sequence(i, {nc} - 1), j -> struct("
+        f"slice(vs, i * {mb} + 1, {mb}) AS ca, "
+        f"IF(i = j, slice(vs, 1, 0), slice(vs, j * {mb} + 1, {mb})) AS cb, "
+        f"i = j AS same))))"
+    )).alias("c"))
+    # spread grid cells across tasks BEFORE the quadratic explosion —
+    # Generate output stays in its input's task otherwise, so a hot
+    # bucket's whole cell grid would explode serially in one task.  For
+    # normal corpora (one cell per bucket) this is one extra linear
+    # shuffle of the bucket arrays — the price of unconditional
+    # scale-safety.
+    spread = grid.repartition(
+        keyed.sparkSession.sparkContext.defaultParallelism)
+    tri = ("flatten(transform(c.ca, (x, i) -> "
+           "transform(slice(c.ca, i + 2, size(c.ca)), "
+           "y -> struct(x AS a, y AS b))))")
+    cross = ("flatten(transform(c.ca, x -> "
+             "transform(c.cb, y -> struct(x AS a, y AS b))))")
+    pairs = spread.select(F.explode(
+        F.when(F.col("c.same"), F.expr(tri)).otherwise(F.expr(cross))
     ).alias("p"))
-    return small.unionByName(big).select("p.a", "p.b")
+    return pairs.select("p.a", "p.b")
 
 
 def _bucket_pairs(keyed: DataFrame, id_col: str,

@@ -372,6 +372,15 @@ def test_lsh_candidate_pairs_no_self_join(spark, registry):
     assert "Join" not in plan
     assert "Generate" in plan  # the pair explosion
     assert "CartesianProduct" not in plan
+    # the hot-bucket guard must NOT branch the plan: a small/large split
+    # references the bucket aggregate twice and re-plans the whole
+    # signature derivation (regression: doubled parquet scan)
+    assert plan.count("Scan parquet") == 1, plan
+    # guard path (tiny max_bucket) keeps the same single-scan shape
+    gplan = _plan(registry["neardup_pairs_hot_bucket"].spark_fn(spark, SF),
+                  "simple")
+    assert gplan.count("Scan parquet") == 1, gplan
+    assert "Join" not in gplan
 
 
 def test_simhash_pairs_no_self_join(spark, registry):
