@@ -360,9 +360,11 @@ def _star_components(nodes: DataFrame, edges: DataFrame,
     for rounds in range(1, max_iter + 1):
         # --- large-star: for each u, m = min(N(u) ∪ {u});
         #     emit (v, m) for every neighbour v > u
-        sym = E.unionByName(
-            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        #     (explode-symmetrize: single pass over the checkpointed E)
+        sym = E.select(F.explode(F.array(
+            F.struct(F.col("u"), F.col("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("e")).select("e.u", "e.v")
         mins = (
             sym.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
@@ -441,24 +443,31 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}; "
                          "expected 'label' or 'star'")
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    # symmetrize via a single-scan explode, NOT edges ∪ reverse(edges):
+    # a union references the edge derivation twice, and when the edges
+    # are a full LSH chain the un-reused branches plan (and race to
+    # compute) the whole derivation twice before the cache fills
+    sym = edges.select(F.explode(F.array(
+        F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+        F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lab")
     )
     sym = sym.persist()
     for _ in range(max_iter):
-        labels = labels.persist()
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src").agg(F.min("lab").alias("nlab"))
         )
         # carry the previous label through the update so the convergence
         # check is a filter on the SAME frame — one action per round, no
-        # extra join re-scanning both label generations
+        # extra join re-scanning both label generations.  localCheckpoint
+        # (eager), not persist: each round references the previous labels
+        # twice, so an un-truncated lineage doubles per round and a
+        # long-running propagation re-plans an exponentially growing tree
+        # (see _star_components).  The checkpoint also leaves the final
+        # generation materialized for the returned frame.
         stepped = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
@@ -468,21 +477,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                     F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
                 ).alias("lab"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = stepped.filter(
             F.col("lab") != F.col("prev")
         ).limit(1).count()
-        labels.unpersist()
-        # keep ``prev`` aboard (one long per node) so persist/unpersist
-        # stays 1:1 per generation; the return select drops it
         labels = stepped
         if changed == 0:
             break
     # iteration over: the edge cache served only the in-loop count
-    # actions.  The final labels stay cached (they back the returned
-    # frame; re-deriving them would replay every iteration) — that one
-    # small (node, lab) table is the operator's entire retained state.
+    # actions; the final labels live on as their local checkpoint
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("lab").alias("component"))
