@@ -558,7 +558,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3,
-                          portable: bool = False) -> DataFrame:
+                          portable: bool = False,
+                          max_bucket: int = 10_000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.  Blocked on quarters
     of the signature (a pair within distance ≤3 shares at least one
     identical quarter — pigeonhole), so the join key is a short block,
@@ -592,7 +593,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     # verify; the shared hot-bucket guard distributes degenerate
     # dup-heavy quarter blocks across tasks.
     cand = (
-        _bucket_pairs_any(blocks, "x", ["q", "blk"])
+        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
         .select(
             F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
             F.bit_count(

@@ -83,6 +83,22 @@ class TestDedup:
         assert {(r.doc_a, r.doc_b)
                 for r in guarded.collect()} == want
 
+    def test_hot_bucket_guard_struct_values(self, spark):
+        """The chunk-grid guard must handle struct-valued buckets (the
+        simhash path rides (id, signature) structs): identical docs all
+        share every quarter block, and the guarded pair set must equal
+        the plain one."""
+        n = 23
+        base = " ".join(f"tok{i}" for i in range(60))
+        pdf = pd.DataFrame({"doc_id": list(range(n)), "text": [base] * n})
+        df = spark.createDataFrame(pdf)
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+        plain = dedup.simhash_neardup_pairs(df, max_hamming=0)
+        guarded = dedup.simhash_neardup_pairs(df, max_hamming=0,
+                                              max_bucket=5)
+        assert {(r.doc_a, r.doc_b) for r in plain.collect()} == want
+        assert {(r.doc_a, r.doc_b) for r in guarded.collect()} == want
+
     def test_hot_bucket_guard_distributes_tasks(self, spark):
         """The oversized-bucket path must fan the chunk grid out over
         multiple partitions before exploding pairs (the whole point of
