@@ -2835,11 +2835,11 @@ _VERIFY_FIRST = [
     "corpus_quality_quartiles",
     "corpus_sample_k_per_lang",
     "oxide_impute_group_mean",
-    "cipw_norm_full",
-    "cipw_norm_hornblende",
     "dedup_components_star",
     "neardup_pairs_hot_bucket",
-    # 11 head slots left; rotating in proven names:
+    # 13 head slots left; rotating in proven names:
+    "cipw_norm_full",
+    "cipw_norm_hornblende",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
