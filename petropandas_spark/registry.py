@@ -2790,6 +2790,236 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
 
 
 # ---------------------------------------------------------------------------
+# Driver surfaces for previously pytest-only operators (round 3): row
+# select / reframe (P5/P6/P8), eval-expression + ternary projection
+# (P10/G2), profile neighborhood windows (A7 substrate), concat (§2.9),
+# PII scrub (pipeline/scrub.py), and incremental anti-join dedup.
+# ---------------------------------------------------------------------------
+
+# shared pseudo-garnet base, rendered once for the DuckDB oracles
+_PG_SQL = ", ".join(f"{expr} AS {name}" for name, expr in PSEUDO_GARNET)
+_PG_EXPRS = [f"{expr} AS {name}" for name, expr in PSEUDO_GARNET]
+
+
+def _q_pii_scrub() -> QuerySpec:
+    """PII scrub surface: every document gets a deterministic synthetic
+    email appended (the corpus itself is PII-free), then the email mask
+    runs and the masked text is digested.  The email pattern is the one
+    RE2-compatible pattern in the chain (no lookarounds), so the DuckDB
+    oracle replays it exactly; the ip/phone chain stays pytest-covered
+    (Java-regex lookbehinds have no RE2 equivalent)."""
+    from petropandas_spark.pipeline.scrub import scrub_pii
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr("concat(text, ' contact ', CAST(doc_id AS STRING),"
+                   " '@example.com .')").alias("text"),
+        )
+        return scrub_pii(docs, categories=["email"]).select(
+            "doc_id", F.md5("text").alias("scrubbed_md5")
+        )
+
+    oracle = r"""
+SELECT doc_id,
+       md5(regexp_replace(
+             text || ' contact ' || CAST(doc_id AS VARCHAR) || '@example.com .',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '|||EMAIL|||', 'g')) AS scrubbed_md5
+FROM documents
+"""
+    return QuerySpec(fn, oracle)
+
+
+def _q_select_reframe() -> QuerySpec:
+    """P5 substring row-select + P8 reframe driver surface: pseudo-garnet
+    rows tagged core/rim, keep the rims, reframe to a fixed oxide list
+    with the absent Na2O zero-filled (ref ``_accessors.py:380-422``
+    select, ``:539-552`` reframe)."""
+    _MIN = ("CASE WHEN l_linenumber % 2 = 0 THEN 'Garnet core' "
+            "ELSE 'Garnet rim' END")
+    frame_cols = ["id", "SiO2", "Al2O3", "FeO", "MgO", "MnO", "CaO", "Na2O"]
+
+    def fn(spark, sf_dir):
+        from petropandas_spark.frame import PetroFrame
+
+        raw = _load(spark, sf_dir, "lineitem").selectExpr(
+            *_PG_EXPRS, f"{_MIN} AS Mineral"
+        )
+        pf = PetroFrame.ingest(raw).select_rows("rim", on="Mineral")
+        return pf.reframe(frame_cols).df
+
+    oracle = f"""
+WITH base AS (SELECT {_PG_SQL}, {_MIN} AS Mineral FROM lineitem)
+SELECT id, SiO2, Al2O3, FeO, MgO, MnO, CaO, 0.0e0 AS Na2O
+FROM base WHERE Mineral LIKE '%rim%'
+"""
+    return QuerySpec(fn, oracle)
+
+
+def _q_ternary_projection() -> QuerySpec:
+    """P10 eval-expression + G2 ternary projection driver surface: the
+    top apex is a multi-term eval expression referencing a column the
+    frame lacks (Nd2O3 → the reference's 0.0 substitution,
+    ``_plotting.py:26-68``), then the barycentric → Cartesian map
+    (``_plotting.py:210-250``).  The oracle replays the identical IEEE
+    expression tree, so the doubles are bit-exact."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.plotting import ternary_xy
+
+        raw = _load(spark, sf_dir, "lineitem").selectExpr(*_PG_EXPRS)
+        out = ternary_xy(raw, top="MnO + CaO + Nd2O3", left="MgO",
+                         right="FeO")
+        return out.select(
+            "id",
+            F.col("__tern_x").alias("tern_x"),
+            F.col("__tern_y").alias("tern_y"),
+        )
+
+    # same association order as the Column arithmetic in ternary_xy:
+    # t=(MnO+CaO)+0.0, d=(t+l)+r, x=((r/d)-(l/d))*lit, y=t/d
+    oracle = f"""
+WITH base AS (SELECT {_PG_SQL} FROM lineitem),
+t AS (SELECT id, ((MnO + CaO) + 0.0e0) AS tt, MgO AS ll, FeO AS rr
+      FROM base),
+d AS (SELECT id, tt, ll, rr, ((tt + ll) + rr) AS dd FROM t)
+SELECT id,
+       ((rr / dd) - (ll / dd)) * 0.5773502691896258e0 AS tern_x,
+       tt / dd AS tern_y
+FROM d
+"""
+    return QuerySpec(fn, oracle)
+
+
+def _q_profile_neighborhood() -> QuerySpec:
+    """A7 substrate driver surface: one traverse (a filtered ~600-row
+    slice — profiles are inherently small, so the single-partition
+    window IS the semantic, not a scale bug), explicit position, then
+    the lag/lead/rolling-3 neighborhood per value column (``io.py``
+    ``with_position``/``profile_neighborhood``).  Values are
+    integer-valued doubles so the 3-row rolling mean is exact in both
+    engines regardless of accumulation order."""
+    base_cols = [
+        ("id", "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"),
+        ("MgO", "CAST(25 + (l_partkey % 8) * 4 AS DOUBLE)"),
+        ("FeO", "CAST(260 + (l_suppkey % 5) * 8 AS DOUBLE)"),
+    ]
+    base_sql = ", ".join(f"{e} AS {n}" for n, e in base_cols)
+
+    def fn(spark, sf_dir):
+        from petropandas_spark.io import profile_neighborhood, with_position
+
+        raw = (
+            _load(spark, sf_dir, "lineitem")
+            .where("l_orderkey % 997 = 1")
+            .selectExpr(*(f"{e} AS {n}" for n, e in base_cols))
+        )
+        out = profile_neighborhood(with_position(raw, "id"),
+                                   ["MgO", "FeO"])
+        return out.select(
+            "position", "MgO", "FeO",
+            "MgO__prev", "MgO__next", "MgO__roll3",
+            "FeO__prev", "FeO__next", "FeO__roll3",
+        )
+
+    oracle = f"""
+WITH base AS (SELECT {base_sql} FROM lineitem WHERE l_orderkey % 997 = 1),
+p AS (SELECT *, row_number() OVER (ORDER BY id) AS position FROM base)
+SELECT position, MgO, FeO,
+       lag(MgO)  OVER (ORDER BY position) AS MgO__prev,
+       lead(MgO) OVER (ORDER BY position) AS MgO__next,
+       avg(MgO)  OVER (ORDER BY position
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         AS MgO__roll3,
+       lag(FeO)  OVER (ORDER BY position) AS FeO__prev,
+       lead(FeO) OVER (ORDER BY position) AS FeO__next,
+       avg(FeO)  OVER (ORDER BY position
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         AS FeO__roll3
+FROM p
+"""
+    return QuerySpec(fn, oracle)
+
+
+def _q_concat_union() -> QuerySpec:
+    """§2.9 concat driver surface: row-union of two fetched frames with
+    different column sets — ``unionByName(allowMissingColumns=True)``
+    fills the gaps with NULL exactly like the reference's ``pd.concat``
+    (``_database.py:578,882``)."""
+
+    def fn(spark, sf_dir):
+        from petropandas_spark.frame import PetroFrame
+
+        li = _load(spark, sf_dir, "lineitem")
+        a = li.where("l_linenumber = 1").selectExpr(
+            *(f"{e} AS {n}" for n, e in PSEUDO_GARNET
+              if n in ("id", "SiO2", "FeO", "MgO"))
+        )
+        b = li.where("l_linenumber = 2").selectExpr(
+            *(f"{e} AS {n}" for n, e in PSEUDO_GARNET
+              if n in ("id", "SiO2", "CaO"))
+        )
+        return PetroFrame.ingest(a).concat(PetroFrame.ingest(b)).df
+
+    oracle = f"""
+WITH base AS (SELECT l_linenumber, {_PG_SQL} FROM lineitem)
+SELECT id, SiO2, FeO, MgO, CAST(NULL AS DOUBLE) AS CaO
+FROM base WHERE l_linenumber = 1
+UNION ALL
+SELECT id, SiO2, CAST(NULL AS DOUBLE) AS FeO, CAST(NULL AS DOUBLE) AS MgO,
+       CaO
+FROM base WHERE l_linenumber = 2
+"""
+    return QuerySpec(fn, oracle)
+
+
+def _q_incremental_antijoin() -> QuerySpec:
+    """Incremental ingestion dedup: a new batch (doc_id % 10 ≥ 8) lands
+    against an existing corpus (rest); new docs whose content
+    fingerprint already exists are dropped (left-anti join), then the
+    batch dedups against itself (min-doc_id per fingerprint).  The
+    anti-join is deliberately NOT broadcast-hinted: at 100 TB the
+    existing-corpus fingerprint set is far beyond broadcast size — a
+    shuffled hash join on the digest key is the scale shape (AQE still
+    converts small builds to broadcast at runtime)."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        docs = _load(spark, sf_dir, "documents")
+        fp = "md5(substr(text, 1, 64))"
+        existing = docs.where("doc_id % 10 < 8").selectExpr(
+            f"{fp} AS h").distinct()
+        new = docs.where("doc_id % 10 >= 8").selectExpr(
+            "doc_id", f"{fp} AS h")
+        surv = new.join(existing, "h", "left_anti")
+        w = Window.partitionBy("h").orderBy("doc_id")
+        return (
+            surv.withColumn("rk", F.row_number().over(w))
+            .where("rk = 1").select("doc_id", "h")
+        )
+
+    oracle = """
+WITH ex AS (SELECT DISTINCT md5(substr(text, 1, 64)) AS h
+            FROM documents WHERE doc_id % 10 < 8),
+nw AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h
+       FROM documents WHERE doc_id % 10 >= 8),
+surv AS (SELECT * FROM nw WHERE h NOT IN (SELECT h FROM ex)),
+r AS (SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+      FROM surv)
+SELECT doc_id, h FROM r WHERE rk = 1
+"""
+    return QuerySpec(fn, oracle)
+
+
+# ---------------------------------------------------------------------------
 # The registry
 # ---------------------------------------------------------------------------
 
@@ -2837,20 +3067,21 @@ _VERIFY_FIRST = [
     "oxide_impute_group_mean",
     "dedup_components_star",
     "neardup_pairs_hot_bucket",
-    # 13 head slots left; rotating in proven names:
+    # 13 head slots left: the two full-CIPW queries (no hash-exact driver
+    # row yet), the six round-3 surfaces (brand new), then proven refills
     "cipw_norm_full",
     "cipw_norm_hornblende",
+    "pii_scrub_emails",
+    "petro_select_reframe",
+    "ternary_projection_eval",
+    "profile_traverse_neighborhood",
+    "petro_concat_union",
+    "dedup_incremental_antijoin",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
     "part_brand_stats",
     "topk_customers",
-    "events_hourly",
-    "events_running_totals",
-    "events_sessionize",
-    "doc_stats",
-    "doc_lang_guess",
-    "doc_quality",
 ]
 
 
@@ -3089,6 +3320,13 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     # group-mean imputation
     r["oxide_impute_group_mean"] = sql_query(["lineitem"], OXIDE_IMPUTE)
+    # round-3 driver surfaces for previously pytest-only operators
+    r["pii_scrub_emails"] = _q_pii_scrub()
+    r["petro_select_reframe"] = _q_select_reframe()
+    r["ternary_projection_eval"] = _q_ternary_projection()
+    r["profile_traverse_neighborhood"] = _q_profile_neighborhood()
+    r["petro_concat_union"] = _q_concat_union()
+    r["dedup_incremental_antijoin"] = _q_incremental_antijoin()
     # emit driver-unverified queries first (see _VERIFY_FIRST)
     missing = [k for k in _VERIFY_FIRST if k not in r]
     assert not missing, f"_VERIFY_FIRST names not in registry: {missing}"
