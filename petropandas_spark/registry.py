@@ -2682,6 +2682,22 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
 
     out["dedup_components_star"] = QuerySpec(comps_star_fn, comps_duck)
 
+    # incremental ingestion near-dup: the settled corpus contributes only
+    # its persisted signature store (no re-shingling), the new batch
+    # (doc_id % 10 ≥ 8) is signed fresh; result must equal the full
+    # recompute restricted to pairs touching the new batch — the oracle
+    # IS that restriction of the full DuckDB LSH derivation.
+    def incr_lsh_fn(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        store = _dd.minhash_signatures_portable(d.where("doc_id % 10 < 8"))
+        return _dd.lsh_incremental_pairs(store, d.where("doc_id % 10 >= 8"))
+
+    out["lsh_incremental_pairs"] = QuerySpec(
+        incr_lsh_fn,
+        f"WITH {_lsh_duck_cands()}\nSELECT * FROM cand "
+        "WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8",
+    )
+
     # LSH candidate pairs THROUGH the hot-bucket chunk-grid guard
     # (max_bucket=3 forces every bucket of >3 ids onto the distributed
     # chunk-pair path) — must be value-identical to the plain in-place
@@ -3077,11 +3093,11 @@ _VERIFY_FIRST = [
     "profile_traverse_neighborhood",
     "petro_concat_union",
     "dedup_incremental_antijoin",
+    "lsh_incremental_pairs",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
     "part_brand_stats",
-    "topk_customers",
 ]
 
 

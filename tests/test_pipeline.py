@@ -62,6 +62,26 @@ class TestDedup:
         assert sig[1] == sig[2]
         assert sig[1] != sig[3]
 
+    def test_incremental_pairs_match_full_recompute(self, spark, docs,
+                                                    tmp_path):
+        """lsh_incremental_pairs over a parquet-round-tripped signature
+        store must equal the full-corpus recompute restricted to pairs
+        touching the new batch."""
+        old = docs.where("doc_id % 10 < 8")
+        new = docs.where("doc_id % 10 >= 8")
+        store_path = str(tmp_path / "sigstore")
+        dedup.write_signature_store(
+            dedup.minhash_signatures_portable(old), store_path)
+        store = dedup.read_signature_store(spark, store_path)
+        incr = {(r.doc_a, r.doc_b)
+                for r in dedup.lsh_incremental_pairs(store, new).collect()}
+        full = {(r.doc_a, r.doc_b)
+                for r in dedup.lsh_candidate_pairs_portable(docs).collect()
+                if r.doc_a % 10 >= 8 or r.doc_b % 10 >= 8}
+        assert incr == full
+        # and nothing old↔old leaked in
+        assert all(a % 10 >= 8 or b % 10 >= 8 for a, b in incr)
+
     def test_hot_bucket_guard_matches_plain_path(self, spark):
         """A degenerate all-identical corpus lands every doc in ONE LSH
         bucket; the chunk-grid guard must emit exactly the same pair set
