@@ -232,9 +232,11 @@ def read_signature_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def lsh_incremental_pairs(store_sigs: DataFrame, new_docs: DataFrame,
+def lsh_incremental_pairs(store_sigs: DataFrame,
+                          new_docs: DataFrame | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
-                          shingle: int = 5, prefix: int = 400) -> DataFrame:
+                          shingle: int = 5, prefix: int = 400,
+                          new_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental ingestion near-dup: candidate pairs TOUCHING a new
     batch, without re-shingling the existing corpus.
 
@@ -250,9 +252,12 @@ def lsh_incremental_pairs(store_sigs: DataFrame, new_docs: DataFrame,
 
     Result ≡ ``lsh_candidate_pairs_portable(all_docs)`` filtered to
     pairs with at least one new member (the driver oracle checks
-    exactly that)."""
-    new_sigs = minhash_signatures_portable(new_docs, text_col, id_col,
-                                           shingle, prefix)
+    exactly that).  Callers that already signed the batch (the
+    streaming ingest, which also appends the signatures to the store)
+    pass ``new_sigs`` to avoid shingling it twice."""
+    if new_sigs is None:
+        new_sigs = minhash_signatures_portable(new_docs, text_col, id_col,
+                                               shingle, prefix)
     # the new side is banded once, reused on both join sides
     bn = _portable_bands(new_sigs, id_col).persist()
     ba = _portable_bands(store_sigs, id_col).unionByName(bn)

@@ -74,6 +74,64 @@ def dedup_within_stream(stream_df, arrival_col: str = "arrival_ts",
     )
 
 
+def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
+                          checkpoint: str):
+    """Continuous NEAR-dup ingestion — the streaming twin of
+    :func:`petropandas_spark.pipeline.dedup.lsh_incremental_pairs`.
+
+    Each micro-batch is MinHash-signed (the only text shingled), banded
+    against the persisted signature store at ``store_path``, and the
+    candidate pairs touching the batch land under ``pairs_path``; the
+    batch's own signatures are then appended to the store so the next
+    trigger sees them.  The settled corpus is never re-shingled — per
+    trigger the text work is O(batch), exactly the 100 TB ingestion
+    contract.
+
+    Exactly-once: ``foreachBatch`` re-runs a failed batch with the same
+    ``batch_id``; both writes are partitioned by ``batch_id`` with
+    dynamic partition overwrite, so a retry replaces its own partition
+    instead of duplicating it (idempotent).  Union of the landed pair
+    partitions over any batch ordering equals the full-corpus
+    ``lsh_candidate_pairs_portable`` pair set (each pair surfaces when
+    its later member arrives; equivalence is pytest-pinned)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local for pickling)
+
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline.sinks import backfill_partitions
+
+    def process(batch_df, batch_id):
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            sigs_new = _dd.minhash_signatures_portable(batch_df)
+            try:  # eager: parquet read resolves the path immediately
+                store = _dd.read_signature_store(
+                    spark, store_path).drop("batch_id")
+            except AnalysisException:  # first batch: no store yet
+                store = None
+            if store is None:
+                pairs = _dd.lsh_candidate_pairs_portable(batch_df)
+            else:
+                pairs = _dd.lsh_incremental_pairs(store, new_sigs=sigs_new)
+            backfill_partitions(
+                pairs.withColumn("batch_id", F.lit(batch_id)),
+                pairs_path, ["batch_id"])
+            backfill_partitions(
+                sigs_new.withColumn("batch_id", F.lit(batch_id)),
+                store_path, ["batch_id"])
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(df, path: str, checkpoint: str,
                              partition_cols: list[str] = ("lang",)):
     """Exactly-once partitioned parquet landing; drain with

@@ -88,3 +88,37 @@ def test_dedup_within_stream_bounded_state(spark, docs_dir):
         "GROUP BY content_hash HAVING COUNT(*) > 1"
     ).collect()
     assert rows == []  # every content hash appears once
+
+
+def test_neardup_ingest_stream_matches_full_recompute(spark, docs_dir,
+                                                      tmp_path):
+    """Union of per-batch incremental pair partitions == full-corpus LSH
+    recompute, for any batch split (each pair surfaces when its later
+    member arrives)."""
+    from petropandas_spark.pipeline import dedup as dd
+
+    stream = sc.read_documents_stream(
+        spark, os.path.join(docs_dir, "*"), max_files_per_trigger=1
+    )
+    store_path = str(tmp_path / "sigstore")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = sc.neardup_ingest_stream(stream, store_path, pairs_path, ckpt)
+    q.awaitTermination(180)
+
+    landed = spark.read.parquet(pairs_path)
+    got = {(r.doc_a, r.doc_b) for r in landed.collect()}
+    all_docs = spark.read.parquet(os.path.join(docs_dir, "*"))
+    # the landing dir re-lands half of batch0 verbatim in batch1 (same
+    # doc_id, same text) — collapse to distinct docs for the oracle, and
+    # drop self-pairs the re-landed ids create
+    expect = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs_portable(all_docs.distinct())
+        .collect()
+    }
+    assert got - {(a, b) for (a, b) in got if a == b} == expect
+    # store now holds one signature row per landed doc occurrence batch
+    sigs = spark.read.parquet(store_path)
+    assert sigs.select("doc_id").distinct().count() \
+        == all_docs.select("doc_id").distinct().count()
