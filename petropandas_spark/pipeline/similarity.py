@@ -273,6 +273,53 @@ class IVFIndex:
         assigned = model.transform(feats).drop("__features")
         return assigned
 
+    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Assign vectors to the FITTED centroids without re-fitting —
+        the incremental-ingest path.  The k squared-distance sums are
+        generated as literal-folded SQL (dim·k fused multiply-adds in
+        whole-stage codegen — no model object, no MLlib dependency at
+        ingest time, no interpreted higher-order functions); the cluster
+        is the first-minimum index, matching MLlib's tie rule
+        (equality with ``KMeans.transform`` is pytest-pinned)."""
+        if self.centroids is None:
+            raise ValueError("assign() requires a fitted index "
+                             "(call build() or set centroids)")
+        dists = ", ".join(
+            " + ".join(
+                f"(d{i} - {c!r}) * (d{i} - {c!r})"
+                for i, c in enumerate(center)
+            )
+            for center in self.centroids
+        )
+        dim = len(self.centroids[0])
+        doubles = [
+            F.col(vec_col).getItem(i).cast("double").alias(f"d{i}")
+            for i in range(dim)
+        ]
+        with_d = df.select("*", *doubles)
+        return (
+            with_d.withColumn("__dists", F.expr(f"array({dists})"))
+            .withColumn(
+                "cluster",
+                (F.expr("array_position(__dists, array_min(__dists))")
+                 - 1).cast("int"),
+            )
+            .drop("__dists", *[f"d{i}" for i in range(dim)])
+        )
+
+    def ingest(self, new_df: DataFrame, path: str,
+               vec_col: str = "embedding") -> None:
+        """Incremental index maintenance: assign a NEW batch to the
+        existing centroids and append it to the partitioned store —
+        only the touched cluster directories gain files, nothing is
+        rebuilt or rewritten.  At 100 TB this is the difference between
+        an ingestion job and re-clustering the corpus.  (Centroids
+        drift as the corpus grows — re-fit offline when the assigned
+        inertia degrades; the store layout is unchanged by a re-fit
+        that keeps k.)"""
+        self.assign(new_df, vec_col).write.mode("append") \
+            .partitionBy("cluster").parquet(path)
+
     def _probe_clusters(self, query: list[float], n_probe: int) -> list[int]:
         import math
 

@@ -171,6 +171,45 @@ class TestSimilarity:
         recall = len(exact & approx) / 10
         assert recall >= 0.5  # probing half the centroids
 
+    def test_ivf_assign_matches_mllib_transform(self, spark, emb):
+        """The literal-folded SQL assignment must reproduce MLlib's
+        cluster for every vector (same centroids, same first-min tie
+        rule)."""
+        index = similarity.IVFIndex(k=8)
+        built = index.build(emb).select("vec_id", "cluster")
+        sql_assigned = index.assign(emb).select(
+            "vec_id", F.col("cluster").alias("sql_cluster"))
+        mismatches = (
+            built.join(sql_assigned, "vec_id")
+            .where("cluster != sql_cluster").count()
+        )
+        assert mismatches == 0
+
+    def test_ivf_ingest_appends_only_touched_clusters(self, spark, emb,
+                                                      tmp_path):
+        """Incremental ingest: new batch lands in the partitioned store
+        without a rebuild; post-ingest search equals search over the
+        union assigned with the same centroids."""
+        old = emb.where("vec_id % 5 != 0")
+        new = emb.where("vec_id % 5 = 0")
+        index = similarity.IVFIndex(k=8)
+        assigned_old = index.build(old)
+        path = str(tmp_path / "ivf")
+        index.write_index(assigned_old, path)
+        index.ingest(new, path)
+        qv = list(emb.filter("vec_id = 1").collect()[0]["embedding"])
+        got = {r.vec_id for r in
+               index.search_store(spark, path, qv, k=10, n_probe=8)
+               .collect()}
+        union = index.assign(emb)
+        want = {r.vec_id for r in
+                index.search(union, qv, k=10, n_probe=8).collect()}
+        assert got == want
+        # store holds every vector exactly once
+        back = spark.read.parquet(path)
+        assert back.count() == emb.count()
+        assert back.select("vec_id").distinct().count() == emb.count()
+
     def test_lsh_cosine_recall_on_planted_neardups(self, spark):
         """Every planted high-cosine pair (cos ≈ 0.9999) must survive the
         LSH blocking — the banding is sized so the miss probability per
