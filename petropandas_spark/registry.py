@@ -2635,6 +2635,44 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         JACCARD_DUCK,
     )
 
+    # incremental-ANN assignment: IVFIndex.assign() against FIXED literal
+    # centroids (8 axis-aligned unit vectors — deterministic, so the
+    # DuckDB oracle replays the identical literal-folded distance
+    # expressions; a KMeans fit would not be cross-engine reproducible).
+    # This drives exactly the codegen'd argmin the incremental ingest
+    # path runs per batch.
+    _IVF_K, _IVF_DIM = 8, 64
+    _IVF_CENTROIDS = [
+        [1.0 if d == 8 * i else 0.0 for d in range(_IVF_DIM)]
+        for i in range(_IVF_K)
+    ]
+
+    def ivf_assign_fn(spark, sf_dir):
+        idx = _sim.IVFIndex(k=_IVF_K)
+        idx.centroids = _IVF_CENTROIDS
+        emb = _load(spark, sf_dir, "embeddings")
+        return idx.assign(emb).select("vec_id", "cluster")
+
+    # same expression tree, DuckDB spelling: 1-based list index, list_min /
+    # list_position (both engines' *_position are 1-based → -1 → cluster)
+    _ducksums = ", ".join(
+        " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {c!r}) * "
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {c!r})"
+            for i, c in enumerate(center)
+        )
+        for center in _IVF_CENTROIDS
+    )
+    out["ivf_assign_fixed_centroids"] = QuerySpec(
+        ivf_assign_fn,
+        f"""
+WITH d AS (SELECT vec_id, [{_ducksums}] AS dists FROM embeddings)
+SELECT vec_id,
+       CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
+FROM d
+""",
+    )
+
     # cosine near-dup pairs over the FULL embeddings table: deterministic
     # hyperplane-LSH blocking + exact in-bucket verify (every join an
     # equi-join — no nested-loop stage; see lsh_cosine_neardup_pairs).
