@@ -232,23 +232,31 @@ def read_signature_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def lsh_incremental_pairs(store_sigs: DataFrame,
+def lsh_incremental_pairs(store_sigs: DataFrame | None,
                           new_docs: DataFrame | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
                           shingle: int = 5, prefix: int = 400,
-                          new_sigs: DataFrame | None = None) -> DataFrame:
+                          new_sigs: DataFrame | None = None,
+                          max_bucket: int = 10_000) -> DataFrame:
     """Incremental ingestion near-dup: candidate pairs TOUCHING a new
     batch, without re-shingling the existing corpus.
 
     ``store_sigs`` is the persisted portable signature store
-    (:func:`write_signature_store`) for the settled corpus — the new
-    batch is signed fresh (the only text scanned), both sides are
-    banded, and a banded-new ⋈ banded-(store ∪ new) equi-join emits
-    exactly the pairs with a new member: new↔old and new↔new, never
-    old↔old (those were resolved when the old batches landed).  Per
-    batch this costs O(|new| · shingles) text work + one equi-join
-    against the band keys — at 100 TB the difference between an
-    ingestion job and a full-corpus recompute.
+    (:func:`write_signature_store`) for the settled corpus (``None`` on
+    the very first batch) — the new batch is signed fresh (the only
+    text scanned), both sides are banded, and per band bucket the
+    (new ids) × (all ids) grid emits exactly the pairs with a new
+    member: new↔old and new↔new, never old↔old (those were resolved
+    when the old batches landed).  Per batch this costs
+    O(|new| · shingles) text work + one band-key shuffle of the store's
+    signature rows — at 100 TB the difference between an ingestion job
+    and a full-corpus recompute.
+
+    The same hot-bucket guard as :func:`_bucket_pairs_any` applies: a
+    bucket's (new × all) grid is sliced into ``max_bucket``-sized
+    chunk-pair cells and round-robin repartitioned before the quadratic
+    explosion, so a degenerate dup-heavy bucket distributes across the
+    cluster instead of landing on one task.
 
     Result ≡ ``lsh_candidate_pairs_portable(all_docs)`` filtered to
     pairs with at least one new member (the driver oracle checks
@@ -256,18 +264,46 @@ def lsh_incremental_pairs(store_sigs: DataFrame,
     streaming ingest, which also appends the signatures to the store)
     pass ``new_sigs`` to avoid shingling it twice."""
     if new_sigs is None:
+        if new_docs is None:
+            raise ValueError("pass new_docs or new_sigs")
         new_sigs = minhash_signatures_portable(new_docs, text_col, id_col,
                                                shingle, prefix)
-    # the new side is banded once, reused on both join sides
-    bn = _portable_bands(new_sigs, id_col).persist()
-    ba = _portable_bands(store_sigs, id_col).unionByName(bn)
+    bn = _portable_bands(new_sigs, id_col).withColumn("__new", F.lit(True))
+    if store_sigs is None:
+        flagged = bn
+    else:
+        flagged = _portable_bands(store_sigs, id_col).withColumn(
+            "__new", F.lit(False)).unionByName(bn)
+    # one aggregation per bucket: the new-member id set and the full id
+    # set (new ⊆ all, so a single scan of the flagged union suffices)
+    buckets = (
+        flagged.groupBy("bh")
+        .agg(
+            F.sort_array(F.collect_set(
+                F.when(F.col("__new"), F.col(id_col)))).alias("ns"),
+            F.sort_array(F.collect_set(F.col(id_col))).alias("vs"),
+        )
+        .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
+    )
+    mb = max_bucket
+    ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
+    ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
+    grid = buckets.select(F.explode(F.expr(
+        f"flatten(transform(sequence(0, {ncn} - 1), i -> "
+        f"transform(sequence(0, {ncv} - 1), j -> struct("
+        f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
+        f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
+    )).alias("c"))
+    spread = grid.repartition(
+        flagged.sparkSession.sparkContext.defaultParallelism)
+    cross = ("flatten(transform(c.ca, x -> "
+             "transform(c.cb, y -> struct(x AS a, y AS b))))")
     pairs = (
-        bn.withColumnRenamed(id_col, "__nid")
-        .join(ba.withColumnRenamed(id_col, "__aid"), "bh")
-        .where(F.col("__nid") != F.col("__aid"))
+        spread.select(F.explode(F.expr(cross)).alias("p"))
+        .where(F.col("p.a") != F.col("p.b"))
         .select(
-            F.least("__nid", "__aid").alias("doc_a"),
-            F.greatest("__nid", "__aid").alias("doc_b"),
+            F.least("p.a", "p.b").alias("doc_a"),
+            F.greatest("p.a", "p.b").alias("doc_b"),
         )
         .distinct()
     )

@@ -269,7 +269,10 @@ class IVFIndex:
             k=self.k, seed=self.seed, featuresCol="__features",
             predictionCol="cluster",
         ).fit(feats)
-        self.centroids = [list(c) for c in model.clusterCenters()]
+        # plain Python floats: assign() embeds these via repr() into SQL
+        # literals, and numpy>=2 reprs np.float64 as 'np.float64(x)'
+        self.centroids = [[float(x) for x in c]
+                          for c in model.clusterCenters()]
         assigned = model.transform(feats).drop("__features")
         return assigned
 
@@ -286,7 +289,7 @@ class IVFIndex:
                              "(call build() or set centroids)")
         dists = ", ".join(
             " + ".join(
-                f"(d{i} - {c!r}) * (d{i} - {c!r})"
+                f"(d{i} - {float(c)!r}) * (d{i} - {float(c)!r})"
                 for i, c in enumerate(center)
             )
             for center in self.centroids

@@ -99,22 +99,28 @@ def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
     from petropandas_spark.pipeline import dedup as _dd
     from petropandas_spark.pipeline.sinks import backfill_partitions
 
-    def process(batch_df, batch_id):
-        from pyspark.errors import AnalysisException
+    def _store_exists(spark):
+        # explicit existence probe, NOT a broad except around the read: a
+        # present-but-unreadable store (corrupt parquet, permissions) must
+        # FAIL the batch loudly — silently degrading to batch-internal
+        # pairs would permanently drop new↔settled near-dup pairs while
+        # still appending signatures, corrupting the incremental invariant
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(store_path)
+        return p.getFileSystem(conf).exists(p)
 
+    def process(batch_df, batch_id):
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
             sigs_new = _dd.minhash_signatures_portable(batch_df)
-            try:  # eager: parquet read resolves the path immediately
+            if _store_exists(spark):
                 store = _dd.read_signature_store(
                     spark, store_path).drop("batch_id")
-            except AnalysisException:  # first batch: no store yet
+            else:  # first batch: pairs among the batch itself
                 store = None
-            if store is None:
-                pairs = _dd.lsh_candidate_pairs_portable(batch_df)
-            else:
-                pairs = _dd.lsh_incremental_pairs(store, new_sigs=sigs_new)
+            pairs = _dd.lsh_incremental_pairs(store, new_sigs=sigs_new)
             backfill_partitions(
                 pairs.withColumn("batch_id", F.lit(batch_id)),
                 pairs_path, ["batch_id"])

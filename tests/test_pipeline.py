@@ -81,6 +81,21 @@ class TestDedup:
         assert incr == full
         # and nothing old↔old leaked in
         assert all(a % 10 >= 8 or b % 10 >= 8 for a, b in incr)
+        # the hot-bucket chunk-grid path (max_bucket=2 forces every
+        # bucket onto the distributed grid) is value-identical
+        guarded = {(r.doc_a, r.doc_b)
+                   for r in dedup.lsh_incremental_pairs(
+                       store, new, max_bucket=2).collect()}
+        assert guarded == full
+        # first batch: no store yet → pairs among the batch itself
+        first = {(r.doc_a, r.doc_b)
+                 for r in dedup.lsh_incremental_pairs(None, new).collect()}
+        full_new = {(r.doc_a, r.doc_b)
+                    for r in dedup.lsh_candidate_pairs_portable(new)
+                    .collect()}
+        assert first == full_new
+        with pytest.raises(ValueError, match="new_docs or new_sigs"):
+            dedup.lsh_incremental_pairs(store)
 
     def test_hot_bucket_guard_matches_plain_path(self, spark):
         """A degenerate all-identical corpus lands every doc in ONE LSH

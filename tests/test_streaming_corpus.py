@@ -104,20 +104,19 @@ def test_neardup_ingest_stream_matches_full_recompute(spark, docs_dir,
     pairs_path = str(tmp_path / "pairs")
     ckpt = str(tmp_path / "ckpt")
     q = sc.neardup_ingest_stream(stream, store_path, pairs_path, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = still running → partial reads
 
     landed = spark.read.parquet(pairs_path)
     got = {(r.doc_a, r.doc_b) for r in landed.collect()}
     all_docs = spark.read.parquet(os.path.join(docs_dir, "*"))
     # the landing dir re-lands half of batch0 verbatim in batch1 (same
-    # doc_id, same text) — collapse to distinct docs for the oracle, and
-    # drop self-pairs the re-landed ids create
+    # doc_id, same text) — collapse to distinct docs for the oracle
     expect = {
         (r.doc_a, r.doc_b)
         for r in dd.lsh_candidate_pairs_portable(all_docs.distinct())
         .collect()
     }
-    assert got - {(a, b) for (a, b) in got if a == b} == expect
+    assert got == expect
     # store now holds one signature row per landed doc occurrence batch
     sigs = spark.read.parquet(store_path)
     assert sigs.select("doc_id").distinct().count() \

@@ -39,10 +39,13 @@ SFS = ["0.001", "0.01", "0.1"]
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # same knobs as bench.py so the two harnesses measure the same way
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("scale-sweep")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
@@ -62,7 +65,7 @@ def main() -> None:
         for sf in SFS:
             sf_dir = f"/root/testdata/sf{sf}"
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 spec.spark_fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite").save()
