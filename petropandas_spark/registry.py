@@ -2000,6 +2000,51 @@ GROUP BY doc_id
 """
 
 
+# Bigram language-model statistics: top-50 bigrams with count and a
+# RATIONAL conditional probability (count(w1 w2) · 10^6 intdiv
+# count(w1·)) — pure integer arithmetic, hash-exact across engines (a
+# float division would be, too, but the tfidf precedent keeps LM scores
+# rational).  The bigram explosion follows _exploded_shingles' pattern:
+# explode an index sequence, then codegen'd element_at — no interpreted
+# higher-order function over corpus text.  Counts are map-side
+# combinable; top-50 is a rank-limit, not a global sort.
+def _bigram_lm_sql(duck: bool) -> str:
+    # the ≥2-word filter sits INSIDE the subquery, before the index
+    # explosion: Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
+    # ANSI element_at(w, 0) would then error — correctness must not
+    # depend on filter-pushdown ordering
+    if duck:
+        bigrams = """
+SELECT w[u.i] || ' ' || w[u.i + 1] AS bigram
+FROM (SELECT w FROM (SELECT string_split_regex(lower(text), ' +') AS w
+                     FROM documents) w0 WHERE len(w) >= 2) d,
+     LATERAL (SELECT unnest(generate_series(1, len(d.w) - 1, 1)) AS i) u"""
+        div = "//"
+    else:
+        bigrams = """
+SELECT concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram
+FROM (SELECT w FROM (SELECT split(lower(text), ' +') AS w
+                     FROM documents) w0 WHERE size(w) >= 2) d
+LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"""
+        div = "DIV"
+    return f"""
+WITH bg AS ({bigrams}),
+cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+uni AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n_first
+        FROM cnt GROUP BY split_part(bigram, ' ', 1)),
+ranked AS (
+  SELECT bigram, n, n_first,
+         (n * 1000000) {div} n_first AS cond_ppm,
+         row_number() OVER (ORDER BY n DESC, bigram) AS rk
+  FROM cnt JOIN uni ON split_part(bigram, ' ', 1) = w1
+)
+SELECT bigram, CAST(n AS BIGINT) AS n,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(cond_ppm AS BIGINT) AS cond_ppm
+FROM ranked WHERE rk <= 50
+"""
+
+
 # TF-IDF top terms.  The registered spec uses a RATIONAL idf surrogate
 # ((N * 10^6) intdiv df — monotone in 1/df) instead of ln(N/df):
 # measured ln() disagrees bitwise between the JVM and libm on ~1% of
@@ -2753,7 +2798,10 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
     # window over the component key on top of the components frame.
     _LEN_SCORE = LEN_SCORE_SQL
 
-    def keeper_fn(spark, sf_dir):
+    def _ranked_components(spark, sf_dir):
+        """Per-member cluster rank (quality DESC, doc_id tiebreak) +
+        cluster size — shared by keeper selection and the end-to-end
+        near-dup-filtered corpus."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -2763,13 +2811,18 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
         )
         j = comps.join(docs, "doc_id")
         wc = Window.partitionBy("component")
-        ranked = j.select(
+        return j.select(
             "component", "doc_id", "length_score",
             F.row_number().over(
                 wc.orderBy(F.desc("length_score"), F.col("doc_id"))
             ).alias("rk"),
             F.count(F.lit(1)).over(wc).alias("n_members"),
         )
+
+    def keeper_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        ranked = _ranked_components(spark, sf_dir)
         return ranked.where("rk = 1 AND n_members >= 2").select(
             "component",
             F.col("doc_id").alias("keep_doc_id"),
@@ -2799,6 +2852,25 @@ SELECT component, doc_id AS keep_doc_id, n_members,
 FROM ranked WHERE rk = 1 AND n_members >= 2
 """
     out["dedup_cluster_keepers"] = QuerySpec(keeper_fn, keeper_duck)
+
+    # end-to-end outcome of the near-dup pipeline: the corpus with every
+    # non-keeper cluster member REMOVED (keep singletons + the best
+    # member of each cluster) — what actually lands in the training set.
+    # One left-anti join of the corpus against the drop list.
+    def filtered_fn(spark, sf_dir):
+        ranked = _ranked_components(spark, sf_dir)
+        drops = ranked.where("n_members >= 2 AND rk > 1").select("doc_id")
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        return docs.join(drops, "doc_id", "left_anti")
+
+    filtered_duck = f"""
+{keeper_duck.strip().rsplit("SELECT component", 1)[0]}
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ranked WHERE n_members >= 2 AND rk > 1)
+"""
+    out["corpus_neardup_filtered"] = QuerySpec(filtered_fn, filtered_duck)
 
     # Multimodal: the documents' text bytes stand in for opaque media
     # blobs; the Spark side runs the REAL Arrow-batched mapInPandas
@@ -3337,6 +3409,9 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["doc_tfidf_top_terms"] = sql_query(
         ["documents"], _tfidf_sql(False), _tfidf_sql(True)
+    )
+    r["doc_bigram_lm"] = sql_query(
+        ["documents"], _bigram_lm_sql(False), _bigram_lm_sql(True)
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())
