@@ -409,3 +409,40 @@ def test_melt_is_narrow_single_scan(spark, registry):
     plan = _plan(df, "simple")
     assert "Exchange" not in plan
     assert "Generate" in plan or "Expand" in plan
+
+
+def test_incremental_lsh_single_scan_no_join(spark, registry):
+    """The incremental pair path keeps the batch dedup shape: one
+    aggregation over the flagged band union, chunk-grid explosion, no
+    join operator, no nested-loop/cartesian stage anywhere."""
+    df = registry["lsh_incremental_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the chunk-grid pair explosion
+    # store side + new side read the same parquet (registry derives the
+    # store from the corpus); at most two scans, never a per-branch
+    # re-derivation explosion
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_ivf_assign_is_narrow_shuffle_free(spark, registry):
+    """Centroid assignment is a pure projection: literal-folded distance
+    sums + argmin over the scan — zero exchanges, no Python stage."""
+    df = registry["ivf_assign_fixed_centroids"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+    for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+
+
+def test_incremental_antijoin_no_bnlj(spark, registry):
+    """Exact incremental dedup: the existing-corpus fingerprint probe is
+    an equi anti-join (shuffle hash / sort-merge / broadcast — anything
+    but a nested loop), and the in-batch keeper window follows."""
+    df = registry["dedup_incremental_antijoin"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
