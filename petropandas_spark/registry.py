@@ -3204,10 +3204,10 @@ _VERIFY_FIRST = [
     "petro_concat_union",
     "dedup_incremental_antijoin",
     "lsh_incremental_pairs",
+    "ivf_assign_fixed_centroids",
+    "doc_bigram_lm",
+    "corpus_neardup_filtered",
     "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "part_brand_stats",
 ]
 
 
