@@ -362,14 +362,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     return _bucket_pairs(stacked, id_col, ["band_id", "h"])
 
 
-def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", shingle: int = 3,
-                   threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs (broadcast-sized pair lists
-    join back to the corpus; set ops on distinct shingle arrays).
-
-    Only candidate documents are shingled (semi-join first): the verify
-    stage touches the LSH survivors, never the full corpus."""
+def _pair_shingle_stats(df: DataFrame, pairs: DataFrame, text_col: str,
+                        id_col: str, shingle: int) -> DataFrame:
+    """(doc_a, doc_b, inter, n_a, n_b) — distinct-shingle intersection
+    and set sizes for candidate pairs.  Only candidate documents are
+    shingled (semi-join first): the verify stage touches the LSH
+    survivors, never the full corpus."""
     # persist + eager count: the pair plan (a full LSH derivation when
     # chained) is consumed by THREE branches below; without a
     # materialization barrier the branches' stages run concurrently and
@@ -395,20 +393,54 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     # runtime), but it CAN be a large fraction of the corpus in a
     # dup-heavy crawl, where a forced broadcast would OOM and the
     # sort-merge fallback is the right plan.
-    j = (
+    return (
         pairs.join(sh.withColumnRenamed(id_col, "doc_a")
                    .withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed(id_col, "doc_b")
               .withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
         )
-        .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (broadcast-sized pair lists
+    join back to the corpus; set ops on distinct shingle arrays)."""
+    stats = _pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    j = stats.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+    ).select("doc_a", "doc_b", "jaccard")
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def containment_verify(df: DataFrame, pairs: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle: int = 3,
+                       threshold: float = 0.8) -> DataFrame:
+    """Exact shingle CONTAINMENT on candidate pairs — the asymmetric
+    near-dup measure (Broder's containment): ``inter/|A|`` ≈ 1 means A
+    is quoted/embedded inside B even when Jaccard is low because B is
+    much longer.  Emits both directions; keeps pairs where either
+    direction clears ``threshold``.  Catches the partial-duplication
+    patterns symmetric Jaccard misses (boilerplate wrapping, article +
+    commentary, template expansion)."""
+    stats = _pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    c = stats.select(
+        "doc_a", "doc_b",
+        (F.col("inter") / F.col("n_a")).alias("containment_a"),
+        (F.col("inter") / F.col("n_b")).alias("containment_b"),
+    )
+    return c.filter(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold)
+    )
 
 
 def _star_components(nodes: DataFrame, edges: DataFrame,

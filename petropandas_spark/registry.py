@@ -2421,7 +2421,10 @@ LSH_PAIRS_DUCK = f"WITH {_lsh_duck_cands()}\nSELECT * FROM cand"
 # Jaccard verify over the portable LSH candidates: distinct 3-gram
 # shingle sets of candidate docs only; |A∩B| via the pair-restricted
 # shingle equi-join; the single BIGINT/BIGINT division is bit-equal.
-JACCARD_DUCK = f"""
+# shared pair-shingle-stats CTE chain (3-gram sets of candidate docs,
+# pair intersection + set sizes) — consumed by the Jaccard and
+# containment verify oracles
+_PAIR_STATS_CTES = f"""
 WITH {_lsh_duck_cands()},
 cids AS (
   SELECT DISTINCT doc_id FROM (
@@ -2441,13 +2444,30 @@ inter AS (
   JOIN csh a ON a.doc_id = c.doc_a
   JOIN csh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+JACCARD_DUCK = f"""
+{_PAIR_STATS_CTES}
 SELECT it.doc_a, it.doc_b,
        CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) AS jaccard
 FROM inter it
 JOIN sz sa ON sa.doc_id = it.doc_a
 JOIN sz sb ON sb.doc_id = it.doc_b
 WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
+"""
+
+# asymmetric containment (quote/embedding detection): either direction
+# clearing the threshold keeps the pair
+CONTAINMENT_DUCK = f"""
+{_PAIR_STATS_CTES}
+SELECT it.doc_a, it.doc_b,
+       CAST(it.i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+       CAST(it.i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+FROM inter it
+JOIN sz sa ON sa.doc_id = it.doc_a
+JOIN sz sb ON sb.doc_id = it.doc_b
+WHERE CAST(it.i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+   OR CAST(it.i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
 """
 
 
@@ -2678,6 +2698,42 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
             threshold=0.8,
         ),
         JACCARD_DUCK,
+    )
+    out["containment_verified_pairs"] = QuerySpec(
+        lambda spark, sf_dir: _dd.containment_verify(
+            docs(spark, sf_dir),
+            _dd.lsh_candidate_pairs_portable(docs(spark, sf_dir)),
+            threshold=0.5,
+        ),
+        CONTAINMENT_DUCK,
+    )
+
+    # RAG / context-window chunking: fixed-stride overlapping character
+    # chunks, scan-resident (explode + codegen'd substr — no shuffle)
+    def chunks_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from petropandas_spark.pipeline.chunking import chunk_documents
+
+        ch = chunk_documents(docs(spark, sf_dir), chunk_chars=500,
+                             overlap=100)
+        return ch.select(
+            "doc_id", "chunk_idx",
+            F.md5("chunk_text").alias("chunk_md5"), "n_chunks",
+        )
+
+    out["doc_chunks_overlap"] = QuerySpec(
+        chunks_fn,
+        """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(ceil(greatest(length(text) - 100, 1) / 400.0) AS INT) AS n
+  FROM documents)
+SELECT doc_id, u.i AS chunk_idx,
+       md5(substr(text, u.i * 400 + 1, 500)) AS chunk_md5,
+       n AS n_chunks
+FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1, 1)) AS i) u
+""",
     )
 
     # incremental-ANN assignment: IVFIndex.assign() against FIXED literal

@@ -97,6 +97,53 @@ class TestDedup:
         with pytest.raises(ValueError, match="new_docs or new_sigs"):
             dedup.lsh_incremental_pairs(store)
 
+    def test_containment_catches_embedded_doc(self, spark):
+        """A short doc quoted verbatim inside a much longer one has
+        containment ≈ 1 from the short side even though Jaccard is far
+        below any verify threshold."""
+        short = "the quick brown fox jumps over the lazy dog"
+        # diverse padding: repeated filler would collapse to few DISTINCT
+        # shingles and inflate the long side's containment
+        long = ("".join(f"w{i}x " for i in range(150)) + short
+                + "".join(f" y{i}z" for i in range(150)))
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": [short, long]})
+        docs = spark.createDataFrame(pdf)
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1], "doc_b": [2]}))
+        got = dedup.containment_verify(docs, pairs, threshold=0.9).collect()
+        assert len(got) == 1
+        assert got[0].containment_a > 0.95  # short ⊂ long
+        assert got[0].containment_b < 0.5
+        # and symmetric Jaccard would have rejected it
+        assert dedup.jaccard_verify(docs, pairs, threshold=0.5).count() == 0
+
+    def test_chunk_documents_covers_text_exactly(self, spark):
+        """Chunks tile the text: stride-spaced starts, overlap chars
+        shared, concatenating each chunk's non-overlap suffix (plus
+        chunk 0 whole) reconstructs the document; short/empty docs emit
+        exactly one chunk."""
+        from petropandas_spark.pipeline.chunking import chunk_documents
+
+        texts = ["", "x", "a" * 99 + "b", "".join(
+            chr(97 + (i % 26)) for i in range(1037))]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = chunk_documents(spark.createDataFrame(pdf), chunk_chars=100,
+                              overlap=20).toPandas()
+        for doc_id, text in enumerate(texts):
+            rows = out[out.doc_id == doc_id].sort_values("chunk_idx")
+            assert list(rows.chunk_idx) == list(range(len(rows)))
+            assert (rows.n_chunks == len(rows)).all()
+            rebuilt = ""
+            for _, r in rows.iterrows():
+                rebuilt += (r.chunk_text if r.chunk_idx == 0
+                            else r.chunk_text[20:])
+            assert rebuilt == text
+            if len(text) <= 100:
+                assert len(rows) == 1
+        with pytest.raises(ValueError):
+            chunk_documents(spark.createDataFrame(pdf), chunk_chars=10,
+                            overlap=10)
+
     def test_hot_bucket_guard_matches_plain_path(self, spark):
         """A degenerate all-identical corpus lands every doc in ONE LSH
         bucket; the chunk-grid guard must emit exactly the same pair set
