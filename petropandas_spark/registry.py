@@ -3505,6 +3505,37 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     # group-mean imputation
     r["oxide_impute_group_mean"] = sql_query(["lineitem"], OXIDE_IMPUTE)
+    # Z-order (Morton) clustering values — the data-skipping layout key
+    # (pipeline/layout.py).  Fixed quantization bounds keep z stable
+    # across ingestion batches; the oracle replays the identical integer
+    # interleave (floor-quantize — Spark casts truncate, DuckDB's round,
+    # so the floor is explicit on both sides).
+    def zorder_fn(spark, sf_dir):
+        from petropandas_spark.pipeline.layout import quantize, zorder_value
+
+        ev = _load(spark, sf_dir, "events")
+        qa = quantize("user_id", 0, 2000, 16)
+        qb = quantize("value", 0, 1000, 16)
+        return ev.select("event_id", zorder_value(qa, qb).alias("z"))
+
+    def _zq_duck(col, hi):
+        return (f"LEAST(CAST(floor(((LEAST(GREATEST(CAST({col} AS DOUBLE), "
+                f"0.0), {hi}.0) - 0.0) / {hi}.0) * 65536.0) AS BIGINT), "
+                f"65535)")
+
+    _z_terms = " + ".join(
+        t for i in range(16)
+        for t in (f"(((qa >> {i}) & 1) << {2 * i})",
+                  f"(((qb >> {i}) & 1) << {2 * i + 1})")
+    )
+    r["events_zorder_values"] = QuerySpec(
+        zorder_fn,
+        f"""
+WITH q AS (SELECT event_id, {_zq_duck('user_id', 2000)} AS qa,
+                  {_zq_duck('value', 1000)} AS qb FROM events)
+SELECT event_id, {_z_terms} AS z FROM q
+""",
+    )
     # round-3 driver surfaces for previously pytest-only operators
     r["pii_scrub_emails"] = _q_pii_scrub()
     r["petro_select_reframe"] = _q_select_reframe()
