@@ -3263,7 +3263,7 @@ _VERIFY_FIRST = [
     "ivf_assign_fixed_centroids",
     "doc_bigram_lm",
     "corpus_neardup_filtered",
-    "q5_local_supplier",
+    "doc_chunks_overlap",
 ]
 
 
