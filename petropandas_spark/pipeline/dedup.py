@@ -362,12 +362,22 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     return _bucket_pairs(stacked, id_col, ["band_id", "h"])
 
 
-def _pair_shingle_stats(df: DataFrame, pairs: DataFrame, text_col: str,
-                        id_col: str, shingle: int) -> DataFrame:
+def pair_shingle_stats(df: DataFrame, pairs: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle: int = 3) -> DataFrame:
     """(doc_a, doc_b, inter, n_a, n_b) — distinct-shingle intersection
     and set sizes for candidate pairs.  Only candidate documents are
     shingled (semi-join first): the verify stage touches the LSH
-    survivors, never the full corpus."""
+    survivors, never the full corpus.
+
+    Callers running MORE THAN ONE verify measure over the same
+    candidates (Jaccard + containment) should compute this once and
+    pass it to both via their ``stats=`` parameter — each call persists
+    the pair list and shingle sets for its own lifetime, so two
+    independent calls double the shingle derivation and leave two sets
+    of caches.  Caches are scoped to the consuming query; drop them
+    with ``spark.catalog.clearCache()`` (or ``unpersist`` on the
+    lineage) when the verdicts are materialized."""
     # persist + eager count: the pair plan (a full LSH derivation when
     # chained) is consumed by THREE branches below; without a
     # materialization barrier the branches' stages run concurrently and
@@ -407,12 +417,17 @@ def _pair_shingle_stats(df: DataFrame, pairs: DataFrame, text_col: str,
     )
 
 
-def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+def jaccard_verify(df: DataFrame, pairs: DataFrame | None = None,
+                   text_col: str = "text",
                    id_col: str = "doc_id", shingle: int = 3,
-                   threshold: float = 0.8) -> DataFrame:
+                   threshold: float = 0.8,
+                   stats: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (broadcast-sized pair lists
-    join back to the corpus; set ops on distinct shingle arrays)."""
-    stats = _pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    join back to the corpus; set ops on distinct shingle arrays).  Pass
+    a precomputed ``stats`` (:func:`pair_shingle_stats`) to share one
+    shingle derivation across several verify measures."""
+    if stats is None:
+        stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
     j = stats.withColumn(
         "jaccard",
         F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -420,18 +435,22 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def containment_verify(df: DataFrame, pairs: DataFrame,
+def containment_verify(df: DataFrame, pairs: DataFrame | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
                        shingle: int = 3,
-                       threshold: float = 0.8) -> DataFrame:
+                       threshold: float = 0.8,
+                       stats: DataFrame | None = None) -> DataFrame:
     """Exact shingle CONTAINMENT on candidate pairs — the asymmetric
     near-dup measure (Broder's containment): ``inter/|A|`` ≈ 1 means A
     is quoted/embedded inside B even when Jaccard is low because B is
     much longer.  Emits both directions; keeps pairs where either
     direction clears ``threshold``.  Catches the partial-duplication
     patterns symmetric Jaccard misses (boilerplate wrapping, article +
-    commentary, template expansion)."""
-    stats = _pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    commentary, template expansion).  Pass a precomputed ``stats``
+    (:func:`pair_shingle_stats`) to share one shingle derivation with
+    :func:`jaccard_verify`."""
+    if stats is None:
+        stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
     c = stats.select(
         "doc_a", "doc_b",
         (F.col("inter") / F.col("n_a")).alias("containment_a"),

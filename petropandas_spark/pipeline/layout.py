@@ -26,6 +26,9 @@ def quantize(col, lo: float, hi: float, bits: int = 16) -> Column:
     [0, 2^bits − 1].  Fixed bounds (not per-batch min/max) keep the
     z-value stable across ingestion batches — files written months
     apart still cluster consistently."""
+    if not float(lo) < float(hi):
+        raise ValueError("need lo < hi (a zero span divides by zero and "
+                         "yields all-NULL z-values)")
     col = F.col(col) if isinstance(col, str) else col
     span = float(hi) - float(lo)
     top = (1 << bits) - 1
@@ -44,6 +47,10 @@ def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
     ``2i + 1``.  A sum of ``2·bits`` shift/mask terms — one codegen'd
     projection, exactly reproducible in any engine (the driver oracle
     replays it in DuckDB)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("need 1 <= bits <= 31 (bit 2·bits−1 must stay "
+                         "below the bigint sign bit or z goes negative "
+                         "and the curve ordering breaks)")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(

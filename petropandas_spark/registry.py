@@ -2886,7 +2886,10 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
             F.col("length_score").alias("keep_score"),
         )
 
-    keeper_duck = f"""
+    # shared WITH-chain up through the per-member cluster ranking —
+    # consumed by keeper selection AND the filtered-corpus oracle (a
+    # dedicated constant, not string surgery on the final SELECT)
+    ranked_ctes = f"""
 {comps_duck.strip().rsplit("SELECT node", 1)[0]}
 , comp AS (
   SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
@@ -2902,7 +2905,9 @@ ranked AS (
            ORDER BY length_score DESC, doc_id) AS rk,
          COUNT(*) OVER (PARTITION BY component) AS n_members
   FROM scored
-)
+)"""
+    keeper_duck = f"""
+{ranked_ctes}
 SELECT component, doc_id AS keep_doc_id, n_members,
        length_score AS keep_score
 FROM ranked WHERE rk = 1 AND n_members >= 2
@@ -2921,7 +2926,7 @@ FROM ranked WHERE rk = 1 AND n_members >= 2
         return docs.join(drops, "doc_id", "left_anti")
 
     filtered_duck = f"""
-{keeper_duck.strip().rsplit("SELECT component", 1)[0]}
+{ranked_ctes}
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (
   SELECT doc_id FROM ranked WHERE n_members >= 2 AND rk > 1)
