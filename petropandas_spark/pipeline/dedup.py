@@ -228,8 +228,15 @@ def write_signature_store(sigs: DataFrame, path: str) -> None:
     sigs.write.mode("overwrite").parquet(path)
 
 
-def read_signature_store(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_signature_store(spark, path: str, schema=None) -> DataFrame:
+    """Read the store back.  Pass ``schema`` when the directory can be
+    EMPTY of data files (an empty first micro-batch writes only the
+    partition markers): schema inference over zero files raises, a
+    pinned schema yields the empty frame the caller expects."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def lsh_incremental_pairs(store_sigs: DataFrame | None,

@@ -111,13 +111,21 @@ def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
         return p.getFileSystem(conf).exists(p)
 
     def process(batch_df, batch_id):
+        from pyspark.sql.types import LongType, StructField, StructType
+
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
             sigs_new = _dd.minhash_signatures_portable(batch_df)
             if _store_exists(spark):
+                # schema pinned: an EMPTY first micro-batch leaves the
+                # store directory with partition markers but no data
+                # files, and schema inference over zero files raises
+                store_schema = StructType(
+                    list(sigs_new.schema.fields)
+                    + [StructField("batch_id", LongType())])
                 store = _dd.read_signature_store(
-                    spark, store_path).drop("batch_id")
+                    spark, store_path, schema=store_schema).drop("batch_id")
             else:  # first batch: pairs among the batch itself
                 store = None
             pairs = _dd.lsh_incremental_pairs(store, new_sigs=sigs_new)

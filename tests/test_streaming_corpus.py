@@ -121,3 +121,34 @@ def test_neardup_ingest_stream_matches_full_recompute(spark, docs_dir,
     sigs = spark.read.parquet(store_path)
     assert sigs.select("doc_id").distinct().count() \
         == all_docs.select("doc_id").distinct().count()
+
+
+def test_store_read_survives_empty_first_batch(spark, tmp_path):
+    """An empty first micro-batch leaves the signature store directory
+    with partition markers but zero data files; the schema-pinned store
+    read must yield an empty frame (not an inference error) and the
+    incremental path must then behave exactly like a first batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from petropandas_spark.pipeline import dedup as dd
+    from petropandas_spark.pipeline.sinks import backfill_partitions
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    sigs_empty = dd.minhash_signatures_portable(empty)
+    store_path = str(tmp_path / "sigstore")
+    backfill_partitions(
+        sigs_empty.withColumn("batch_id", F.lit(0)), store_path,
+        ["batch_id"])
+    store_schema = StructType(
+        list(sigs_empty.schema.fields) + [StructField("batch_id",
+                                                      LongType())])
+    store = dd.read_signature_store(
+        spark, store_path, schema=store_schema).drop("batch_id")
+    assert store.count() == 0
+    new = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    got = {(r.doc_a, r.doc_b)
+           for r in dd.lsh_incremental_pairs(store, new).collect()}
+    want = {(r.doc_a, r.doc_b)
+            for r in dd.lsh_candidate_pairs_portable(new).collect()}
+    assert got == want
