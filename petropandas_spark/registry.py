@@ -1712,6 +1712,29 @@ _TOKENS_PREP = (
 )
 _HASH_BUCKET = "((doc_id * 2654435761) % 1000)"
 
+# Training-mixture reweighting: per-source keep-rate proportional to the
+# source's mean quality (the domain-mixture knob — down-sample low-value
+# sources instead of dropping them).  Deterministic: exact integer-sum
+# mean quality → explicit-floor bucket threshold (the engines' double→int
+# casts disagree, floor doesn't) → multiplicative-hash membership, so the
+# sampled id set is stable across engines, runs, and cluster sizes.
+# Scale shape: one map-combined stats aggregate (rows = #sources),
+# broadcast back to the corpus, scan-resident filter — no corpus shuffle.
+_MIXTURE_SQL = """
+WITH s AS (
+  SELECT source, {q} AS q, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+m AS (SELECT MAX(q) AS qm FROM s),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor((q / qm) * 1000.0) AS BIGINT) AS keep_buckets
+  FROM s CROSS JOIN m
+)
+SELECT d.doc_id, d.source, w.keep_buckets
+FROM documents d JOIN w ON d.source = w.source
+WHERE {hb} < w.keep_buckets
+"""
+
 # quality filter -> exact dedup (keep lowest doc_id per content hash) ->
 # per-language corpus stats: the canonical curation funnel as ONE query
 # (filter is scan-resident; dedup is one map-combined groupBy on the
@@ -3473,6 +3496,10 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["doc_bigram_lm"] = sql_query(
         ["documents"], _bigram_lm_sql(False), _bigram_lm_sql(True)
+    )
+    r["corpus_mixture_reweighted"] = sql_query(
+        ["documents"],
+        _MIXTURE_SQL.format(q=f"{dmean(LEN_SCORE_SQL)}", hb=_HASH_BUCKET),
     )
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())
