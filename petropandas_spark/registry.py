@@ -1644,6 +1644,27 @@ SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
 FROM documents
 """
 
+
+# Normalization-tier dedup — between exact md5 and MinHash: lowercase,
+# strip non-alphanumerics, collapse whitespace, THEN hash.  Catches the
+# reformatting duplicates (case, punctuation, spacing churn) exact
+# hashing misses, at scan cost (two codegen'd regexes + one digest —
+# no shingling).  n_raw_variants counts how many DISTINCT raw bytes
+# collapsed into each normalized group (the evidence the tier earns its
+# keep).  DuckDB needs the explicit 'g' flag for replace-all.
+def _dedup_normalized_sql(duck: bool) -> str:
+    g = ", 'g'" if duck else ""
+    norm = (f"md5(regexp_replace(regexp_replace(lower(text), "
+            f"'[^a-z0-9 ]', ''{g}), ' +', ' '{g}))")
+    return f"""
+SELECT {norm} AS norm_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+FROM documents
+GROUP BY {norm}
+"""
+
 # MinHash signatures: 5-gram shingles at stride 4 over the first 400 chars;
 # one md5 per shingle; 4 independent hash views = disjoint 8-hex windows of
 # the digest; signature = per-view minimum (lexicographic on hex strings —
@@ -3453,6 +3474,10 @@ def build_registry() -> dict[str, QuerySpec]:
         ["documents"], DOC_TOKENIZE_BPE_SPARK, DOC_TOKENIZE_BPE_DUCK
     )
     r["dedup_exact"] = sql_query(["documents"], DOC_DEDUP_EXACT)
+    r["dedup_exact_normalized"] = sql_query(
+        ["documents"], _dedup_normalized_sql(False),
+        _dedup_normalized_sql(True)
+    )
     r["doc_fingerprint"] = sql_query(["documents"], DOC_FINGERPRINT)
     r["minhash_signatures"] = sql_query(
         ["documents"], DOC_MINHASH_SPARK, DOC_MINHASH_DUCK
