@@ -3526,6 +3526,30 @@ def build_registry() -> dict[str, QuerySpec]:
         ["documents"],
         _MIXTURE_SQL.format(q=f"{dmean(LEN_SCORE_SQL)}", hb=_HASH_BUCKET),
     )
+    # batch twin of the streaming Welford anomaly detector
+    # (streaming/events.py user_value_anomalies): per-user exact integer
+    # co-moments → 3σ outliers.  The filter compares |dev| > 3·σ instead
+    # of dividing (σ = 0 groups emit nothing, no inf/NaN hazard); the
+    # single sqrt is correctly rounded in both engines.
+    _ANOM = f"""
+WITH stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         {dsum('value')} AS s,
+         {dsum('value * value')} AS ss
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT e.event_id, e.user_id, e.value,
+         (e.value - st.s / st.n) AS dev,
+         sqrt(GREATEST((st.ss / st.n) - (st.s / st.n) * (st.s / st.n),
+                       0.0e0)) AS sd
+  FROM events e JOIN stats st ON e.user_id = st.user_id
+  WHERE st.n >= 20
+)
+SELECT event_id, user_id, value, dev / sd AS zscore
+FROM scored WHERE sd > 0 AND ABS(dev) > 3.0e0 * sd
+"""
+    r["events_user_value_anomalies"] = sql_query(["events"], _ANOM)
     # pipeline extension modules (simhash / LSH / jaccard / cosine pairs)
     r.update(_pipeline_queries())
     # embeddings
