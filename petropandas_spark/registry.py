@@ -1745,11 +1745,11 @@ _MIXTURE_SQL = """
 WITH s AS (
   SELECT source, {q} AS q, COUNT(*) AS n_docs FROM documents GROUP BY source
 ),
-m AS (SELECT MAX(q) AS qm FROM s),
 w AS (
   SELECT source, n_docs,
-         CAST(floor((q / qm) * 1000.0) AS BIGINT) AS keep_buckets
-  FROM s CROSS JOIN m
+         CAST(floor((q / MAX(q) OVER ()) * 1000.0) AS BIGINT)
+           AS keep_buckets
+  FROM s
 )
 SELECT d.doc_id, d.source, w.keep_buckets
 FROM documents d JOIN w ON d.source = w.source
