@@ -1,0 +1,95 @@
+"""End-to-end training-corpus curation — the 100 TB pipeline in
+miniature::
+
+    python examples/corpus_curation.py [docs.parquet] [out_dir]
+
+Stages (all lazy until each write):
+  1. exact dedup (normalized-hash tier) → keeper ids
+  2. MinHash-LSH near-dup candidates → exact Jaccard verify →
+     connected components → per-cluster best-quality keeper
+  3. PII scrub
+  4. quality-quartile tagging + deterministic train/val/test split
+  5. Hive-partitioned landing (lang) + signature store for the NEXT
+     incremental batch (``dedup.lsh_incremental_pairs``)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from petropandas_spark.pipeline import dedup  # noqa: E402
+from petropandas_spark.pipeline.scrub import scrub_pii  # noqa: E402
+from petropandas_spark.pipeline.sinks import write_partitioned  # noqa: E402
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else (
+        "/root/testdata/sf0.01/documents.parquet")
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("corpus-curation")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(src)
+
+    # 1. exact tier: keep the lowest doc_id per normalized content hash
+    norm = F.md5(F.regexp_replace(F.regexp_replace(
+        F.lower("text"), r"[^a-z0-9 ]", ""), " +", " "))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    exact_kept = (
+        docs.withColumn("__h", norm)
+        .withColumn("__rk", F.row_number().over(w))
+        .where("__rk = 1").drop("__h", "__rk")
+    )
+
+    # 2. near-dup tier: LSH candidates → Jaccard ≥ 0.8 → components →
+    #    keep the best-quality member of each cluster
+    pairs = dedup.jaccard_verify(
+        exact_kept, dedup.lsh_candidate_pairs(exact_kept), threshold=0.8)
+    comps = dedup.connected_components(
+        exact_kept.select("doc_id"), pairs.select("doc_a", "doc_b"))
+    quality = exact_kept.select(
+        "doc_id", F.length("text").alias("__len"))
+    wc = Window.partitionBy("component").orderBy(
+        F.desc("__len"), F.col("doc_id"))
+    drops = (
+        comps.join(quality, "doc_id")
+        .withColumn("__rk", F.row_number().over(wc))
+        .where("__rk > 1").select("doc_id")
+    )
+    neardup_kept = exact_kept.join(drops, "doc_id", "left_anti")
+
+    # 3 + 4. scrub, quality quartiles, deterministic split
+    curated = (
+        scrub_pii(neardup_kept)
+        .withColumn("quality_q", F.ntile(4).over(
+            Window.partitionBy("lang").orderBy(F.length("text"))))
+        .withColumn("split", F.when(
+            (F.col("doc_id") * 2654435761) % 1000 < 800, "train"
+        ).when((F.col("doc_id") * 2654435761) % 1000 < 900, "val")
+         .otherwise("test"))
+    )
+
+    # 5. landing + signature store for the next incremental batch
+    write_partitioned(curated, os.path.join(out, "corpus"), ["lang"])
+    dedup.write_signature_store(
+        dedup.minhash_signatures_portable(curated.select("doc_id", "text")),
+        os.path.join(out, "sigstore"))
+
+    back = spark.read.parquet(os.path.join(out, "corpus"))
+    back.groupBy("lang", "split").count().orderBy("lang", "split").show()
+    print(f"curated corpus + signature store under {out}")
+
+
+if __name__ == "__main__":
+    main()
