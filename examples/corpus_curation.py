@@ -88,6 +88,16 @@ def main() -> None:
 
     back = spark.read.parquet(os.path.join(out, "corpus"))
     back.groupBy("lang", "split").count().orderBy("lang", "split").show()
+
+    # 6. the NEXT landing batch: near-dup candidates against the store
+    #    without re-shingling the settled corpus (here the batch is a
+    #    stand-in resample of the source; in production it is tomorrow's
+    #    crawl)
+    store = dedup.read_signature_store(spark, os.path.join(out, "sigstore"))
+    next_batch = docs.where("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    n_pairs = dedup.lsh_incremental_pairs(store, next_batch).count()
+    print(f"next-batch incremental near-dup candidates: {n_pairs}")
     print(f"curated corpus + signature store under {out}")
 
 

@@ -19,7 +19,7 @@ Layers:
   pipeline/    scale extensions: dedup, similarity, text analysis, streaming
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 # -- reference-parity top-level surface (ref ``__init__.py:1-70``) -----------
 #
