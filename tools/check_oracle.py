@@ -104,6 +104,10 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             n_fail += 1
             print(f"✗ {name}: EXCEPTION {type(ex).__name__}: {ex}")
+        finally:
+            # several pipeline queries persist() intermediates; drop them
+            # so a full-registry run doesn't accumulate storage pressure
+            spark.catalog.clearCache()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
