@@ -21,7 +21,7 @@ import sys
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from petropandas_spark.pipeline import dedup  # noqa: E402
 from petropandas_spark.pipeline.scrub import scrub_pii  # noqa: E402
@@ -53,9 +53,13 @@ def main() -> None:
     )
 
     # 2. near-dup tier: LSH candidates → Jaccard ≥ 0.8 → components →
-    #    keep the best-quality member of each cluster
+    #    keep the best-quality member of each cluster.  The PORTABLE
+    #    (md5, 3×5-band) variant end-to-end: the signature store below
+    #    uses the same geometry, so batch 0 and every later incremental
+    #    batch apply the SAME near-dup criterion.
     pairs = dedup.jaccard_verify(
-        exact_kept, dedup.lsh_candidate_pairs(exact_kept), threshold=0.8)
+        exact_kept, dedup.lsh_candidate_pairs_portable(exact_kept),
+        threshold=0.8)
     comps = dedup.connected_components(
         exact_kept.select("doc_id"), pairs.select("doc_a", "doc_b"))
     quality = exact_kept.select(
@@ -94,8 +98,11 @@ def main() -> None:
     #    stand-in resample of the source; in production it is tomorrow's
     #    crawl)
     store = dedup.read_signature_store(spark, os.path.join(out, "sigstore"))
-    next_batch = docs.where("doc_id % 17 = 0").select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    # scrub BEFORE signing, exactly like the store side — signatures over
+    # raw text would shingle differently wherever PII was masked and
+    # silently miss those near-dups
+    next_batch = scrub_pii(docs.where("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
     n_pairs = dedup.lsh_incremental_pairs(store, next_batch).count()
     print(f"next-batch incremental near-dup candidates: {n_pairs}")
     print(f"curated corpus + signature store under {out}")

@@ -12,11 +12,12 @@ plan; nothing executes until the final ``show``.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from petropandas_spark import minerals  # noqa: E402
 from petropandas_spark.io import read_analyses  # noqa: E402

@@ -1735,10 +1735,13 @@ _HASH_BUCKET = "((doc_id * 2654435761) % 1000)"
 
 # Training-mixture reweighting: per-source keep-rate proportional to the
 # source's mean quality (the domain-mixture knob — down-sample low-value
-# sources instead of dropping them).  Deterministic: exact integer-sum
-# mean quality → explicit-floor bucket threshold (the engines' double→int
-# casts disagree, floor doesn't) → multiplicative-hash membership, so the
-# sampled id set is stable across engines, runs, and cluster sizes.
+# sources instead of dropping them; the GREATEST(…, 1) floor guarantees
+# every source keeps ≥0.1% — a source below 1/1000 of the best would
+# otherwise floor to zero buckets and vanish).  Deterministic: exact
+# integer-sum mean quality → explicit-floor bucket threshold (the
+# engines' double→int casts disagree, floor doesn't) →
+# multiplicative-hash membership, so the sampled id set is stable across
+# engines, runs, and cluster sizes.
 # Scale shape: one map-combined stats aggregate (rows = #sources),
 # broadcast back to the corpus, scan-resident filter — no corpus shuffle.
 _MIXTURE_SQL = """
@@ -1746,9 +1749,9 @@ WITH s AS (
   SELECT source, {q} AS q, COUNT(*) AS n_docs FROM documents GROUP BY source
 ),
 w AS (
-  SELECT source, n_docs,
-         CAST(floor((q / MAX(q) OVER ()) * 1000.0) AS BIGINT)
-           AS keep_buckets
+  SELECT source,
+         GREATEST(CAST(floor((q / MAX(q) OVER ()) * 1000.0) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS keep_buckets
   FROM s
 )
 SELECT d.doc_id, d.source, w.keep_buckets
@@ -3526,9 +3529,13 @@ def build_registry() -> dict[str, QuerySpec]:
         ["documents"],
         _MIXTURE_SQL.format(q=f"{dmean(LEN_SCORE_SQL)}", hb=_HASH_BUCKET),
     )
-    # batch twin of the streaming Welford anomaly detector
-    # (streaming/events.py user_value_anomalies): per-user exact integer
-    # co-moments → 3σ outliers.  The filter compares |dev| > 3·σ instead
+    # batch counterpart of the streaming Welford anomaly detector
+    # (streaming/events.py user_value_anomalies) — DELIBERATELY different
+    # semantics, not an equivalence: the stream scores each event against
+    # the user's RUNNING-PREFIX stats (online detection), this query
+    # against whole-history stats (retrospective audit), so the two emit
+    # different event sets on the same input.  Per-user exact integer
+    # co-moments → 3σ outliers; the filter compares |dev| > 3·σ instead
     # of dividing (σ = 0 groups emit nothing, no inf/NaN hazard); the
     # single sqrt is correctly rounded in both engines.
     _ANOM = f"""

@@ -74,6 +74,17 @@ def dedup_within_stream(stream_df, arrival_col: str = "arrival_ts",
     )
 
 
+def read_neardup_pairs(spark, pairs_path: str, id_type: str = "bigint"):
+    """Read back the pairs landed by :func:`neardup_ingest_stream` with a
+    PINNED schema: a run that found zero near-dups (entirely normal)
+    leaves the directory with partition markers and no data files, and
+    schema inference over zero files raises — the pinned schema yields
+    the empty frame consumers expect."""
+    return spark.read.schema(
+        f"doc_a {id_type}, doc_b {id_type}, batch_id BIGINT"
+    ).parquet(pairs_path)
+
+
 def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
                           checkpoint: str):
     """Continuous NEAR-dup ingestion — the streaming twin of
@@ -93,7 +104,10 @@ def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
     instead of duplicating it (idempotent).  Union of the landed pair
     partitions over any batch ordering equals the full-corpus
     ``lsh_candidate_pairs_portable`` pair set (each pair surfaces when
-    its later member arrives; equivalence is pytest-pinned)."""
+    its later member arrives; equivalence is pytest-pinned).  Read the
+    pairs back with :func:`read_neardup_pairs` — a zero-near-dup run
+    leaves the directory without data files, where schema inference
+    fails but the pinned-schema read yields the expected empty frame."""
     from pyspark.sql import functions as F  # noqa: F811 (local for pickling)
 
     from petropandas_spark.pipeline import dedup as _dd

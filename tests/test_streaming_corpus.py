@@ -106,7 +106,7 @@ def test_neardup_ingest_stream_matches_full_recompute(spark, docs_dir,
     q = sc.neardup_ingest_stream(stream, store_path, pairs_path, ckpt)
     assert q.awaitTermination(180)  # False = still running → partial reads
 
-    landed = spark.read.parquet(pairs_path)
+    landed = sc.read_neardup_pairs(spark, pairs_path)
     got = {(r.doc_a, r.doc_b) for r in landed.collect()}
     all_docs = spark.read.parquet(os.path.join(docs_dir, "*"))
     # the landing dir re-lands half of batch0 verbatim in batch1 (same
@@ -152,3 +152,27 @@ def test_store_read_survives_empty_first_batch(spark, tmp_path):
     want = {(r.doc_a, r.doc_b)
             for r in dd.lsh_candidate_pairs_portable(new).collect()}
     assert got == want
+
+
+def test_neardup_ingest_zero_pairs_readable(spark, tmp_path):
+    """A run that finds no near-dups must leave a READABLE (empty) pairs
+    landing — the pinned-schema read, not schema inference."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 "one two three four five six seven eight nine ten",
+                 "red orange yellow green blue indigo violet colors"],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [40] * 3,
+    })
+    land = str(tmp_path / "land")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(land)
+    stream = sc.read_documents_stream(spark, land)
+    q = sc.neardup_ingest_stream(
+        stream, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    pairs = sc.read_neardup_pairs(spark, str(tmp_path / "pairs"))
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"doc_a", "doc_b", "batch_id"}

@@ -13,17 +13,17 @@ float-heavy domain chains, and the round-3 additions.
 
 from __future__ import annotations
 
-import hashlib
 import importlib.util
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# single-sourced with the main oracle gate — a hashing fix must not have
+# to be made twice
+from check_oracle import TABLES, value_hash  # noqa: E402
 
 DEFAULT_SUBSET = [
     "events_hourly", "events_sessionize", "events_asof_last_purchase",
@@ -33,22 +33,6 @@ DEFAULT_SUBSET = [
     "doc_chunks_overlap", "containment_verified_pairs", "cipw_norm_full",
     "garnet_end_members", "weighted_mean_grouped",
 ]
-
-
-def value_hash(rows) -> str:
-    def cell(v) -> str:
-        if isinstance(v, float):
-            return repr(v)
-        if isinstance(v, list):
-            return "[" + ",".join(cell(x) for x in v) + "]"
-        return str(v)
-
-    lines = sorted("|".join(cell(v) for v in row) for row in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
 
 
 def main() -> int:
@@ -65,25 +49,30 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "entry", os.path.join(repo, "__spark_entry__.py"))
+        "entry", os.path.join(_REPO, "__spark_entry__.py"))
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     qs, oracles = m.queries(), m.oracle_sql()
 
     fails = 0
     for name in names:
-        sdf = qs[name](spark, sf_dir)
-        srows = [tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect()]
-        con.execute(f"SELECT * FROM ({oracles[name]})")
-        cols = [d[0] for d in con.description]
-        idx = [cols.index(c) for c in sorted(cols)]
-        orows = [tuple(r[i] for i in idx) for r in con.fetchall()]
-        ok = (len(srows) == len(orows)
-              and value_hash(srows) == value_hash(orows))
-        print(("OK  " if ok else "FAIL ") + f"{name} ({len(srows)} rows)")
-        fails += 0 if ok else 1
+        try:
+            sdf = qs[name](spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            srows = [tuple(r) for r in sdf.select(*s_cols).collect()]
+            con.execute(f"SELECT * FROM ({oracles[name]})")
+            cols = [d[0] for d in con.description]
+            idx = [cols.index(c) for c in sorted(cols)]
+            orows = [tuple(r[i] for i in idx) for r in con.fetchall()]
+            ok = (s_cols == sorted(cols)
+                  and len(srows) == len(orows)
+                  and value_hash(srows) == value_hash(orows))
+            print(("OK  " if ok else "FAIL ") + f"{name} ({len(srows)} rows)")
+            fails += 0 if ok else 1
+        except Exception as ex:  # noqa: BLE001 — keep checking the rest
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+            fails += 1
     print(f"{len(names) - fails} pass, {fails} fail")
     return 1 if fails else 0
 
