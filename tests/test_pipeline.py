@@ -859,3 +859,45 @@ class TestAudio:
         y, r2 = multimodal.decode_audio(bytes(out[0]["content"]))
         assert r2 == rate // 2
         assert abs(len(y) - len(x) // 2) <= 1
+
+
+class TestEdgeSemantics:
+    """Edge semantics pinned after review: NULL/empty inputs through the
+    round-3 operators must degrade gracefully, never throw."""
+
+    def test_chunk_null_text_single_null_chunk(self, spark):
+        from petropandas_spark.pipeline.chunking import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "short")], "doc_id BIGINT, text STRING")
+        out = chunk_documents(df, chunk_chars=100, overlap=20).toPandas()
+        null_rows = out[out.doc_id == 1]
+        assert len(null_rows) == 1
+        assert null_rows.iloc[0].chunk_idx == 0
+        assert null_rows.iloc[0].chunk_text is None
+
+    def test_quantize_null_and_clamping(self, spark):
+        from petropandas_spark.pipeline.layout import quantize
+
+        df = spark.createDataFrame(
+            [(None,), (-5.0,), (0.0,), (50.0,), (100.0,), (1e9,)],
+            "v DOUBLE")
+        got = [r.q for r in df.select(
+            quantize("v", 0, 100, 8).alias("q")).collect()]
+        # NULL → lo bucket (greatest/least skip NULL); below lo clamps to
+        # 0; hi and above clamp to the top bucket
+        assert got == [0, 0, 0, 128, 255, 255]
+        with pytest.raises(ValueError):
+            quantize("v", 5, 5)
+
+    def test_incremental_pairs_empty_new_batch(self, spark, docs):
+        sigs = dedup.minhash_signatures_portable(docs)
+        empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+        out = dedup.lsh_incremental_pairs(sigs, empty)
+        assert out.count() == 0
+        assert out.columns == ["doc_a", "doc_b"]
+
+    def test_containment_empty_pairs(self, spark, docs):
+        empty_pairs = spark.createDataFrame(
+            [], "doc_a BIGINT, doc_b BIGINT")
+        assert dedup.containment_verify(docs, empty_pairs).count() == 0
