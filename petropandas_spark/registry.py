@@ -3264,6 +3264,12 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
+    "dedup_exact_normalized",
+    "corpus_mixture_reweighted",
+    "events_user_value_anomalies",
+    "containment_verified_pairs",
+    "events_zorder_values",
+    # 45 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3301,8 +3307,6 @@ _VERIFY_FIRST = [
     "oxide_impute_group_mean",
     "dedup_components_star",
     "neardup_pairs_hot_bucket",
-    # 13 head slots left: the two full-CIPW queries (no hash-exact driver
-    # row yet), the six round-3 surfaces (brand new), then proven refills
     "cipw_norm_full",
     "cipw_norm_hornblende",
     "pii_scrub_emails",
@@ -3311,11 +3315,6 @@ _VERIFY_FIRST = [
     "profile_traverse_neighborhood",
     "petro_concat_union",
     "dedup_incremental_antijoin",
-    "lsh_incremental_pairs",
-    "ivf_assign_fixed_centroids",
-    "doc_bigram_lm",
-    "corpus_neardup_filtered",
-    "doc_chunks_overlap",
 ]
 
 
