@@ -77,7 +77,9 @@ def main() -> None:
     curated = (
         scrub_pii(neardup_kept)
         .withColumn("quality_q", F.ntile(4).over(
-            Window.partitionBy("lang").orderBy(F.length("text"))))
+            # doc_id tiebreak: equal-length docs must land in the same
+            # quartile on every run (determinism-everywhere stance)
+            Window.partitionBy("lang").orderBy(F.length("text"), "doc_id")))
         .withColumn("split", F.when(
             (F.col("doc_id") * 2654435761) % 1000 < 800, "train"
         ).when((F.col("doc_id") * 2654435761) % 1000 < 900, "val")

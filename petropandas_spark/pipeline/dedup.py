@@ -22,9 +22,42 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition up to the cluster's parallelism when the source arrives
     in too few input splits (a single small parquet file reads as ONE
     partition, serializing the expensive narrow shingle/hash work).  At
-    real scale the source has many splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    real scale the source has many splits and this is a no-op.
+
+    Detection is file-size math, NOT ``df.rdd.getNumPartitions()`` — the
+    RDD probe forces analysis + physical planning per call just to read a
+    count.  Spark's own split sizing (``FilePartition.maxSplitBytes``:
+    ``min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum))``
+    with ``minPartitionNum`` defaulting to the parallelism) already yields
+    ~``defaultParallelism`` scan partitions whenever the source is big
+    enough to split — under-parallelism only happens when total scan bytes
+    sit under ``target × openCostInBytes`` (4 MiB splits floor).  So: sum
+    local file sizes from ``inputFiles()`` (cheap — analyzed plan only)
+    and repartition iff the scan is in that small regime.  Non-file and
+    remote-store sources pass through untouched: at real scale they carry
+    their own split parallelism."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+    if total < target * open_cost:
         return df.repartition(target, id_col)
     return df
 
@@ -244,7 +277,8 @@ def lsh_incremental_pairs(store_sigs: DataFrame | None,
                           text_col: str = "text", id_col: str = "doc_id",
                           shingle: int = 5, prefix: int = 400,
                           new_sigs: DataFrame | None = None,
-                          max_bucket: int = 10_000) -> DataFrame:
+                          max_bucket: int = 10_000,
+                          store_shards: int = 8) -> DataFrame:
     """Incremental ingestion near-dup: candidate pairs TOUCHING a new
     batch, without re-shingling the existing corpus.
 
@@ -265,6 +299,19 @@ def lsh_incremental_pairs(store_sigs: DataFrame | None,
     explosion, so a degenerate dup-heavy bucket distributes across the
     cluster instead of landing on one task.
 
+    Beyond the pair fan-out, the AGGREGATED BUCKET ROW itself is
+    bounded: store-side band rows are salted into ``store_shards``
+    sub-buckets by id hash, and the (small, operator-sized) new-batch
+    rows are replicated to every shard — so a degenerate bucket whose
+    settled membership has grown to millions of ids collects at most
+    ``|batch| + |bucket|/store_shards`` ids per aggregated row instead
+    of one giant array on a single task.  Coverage is unchanged: a
+    new↔old pair meets exactly in the old id's shard; new↔new pairs
+    meet in every shard and collapse in the final ``distinct()``.  The
+    batch-side array stays bounded by the batch size, which the
+    ingestion operator controls.  On the first batch (no store) there
+    is nothing to shard and the plain single-bucket path runs.
+
     Result ≡ ``lsh_candidate_pairs_portable(all_docs)`` filtered to
     pairs with at least one new member (the driver oracle checks
     exactly that).  Callers that already signed the batch (the
@@ -277,14 +324,20 @@ def lsh_incremental_pairs(store_sigs: DataFrame | None,
                                                shingle, prefix)
     bn = _portable_bands(new_sigs, id_col).withColumn("__new", F.lit(True))
     if store_sigs is None:
-        flagged = bn
+        flagged = bn.withColumn("__shard", F.lit(0))
     else:
-        flagged = _portable_bands(store_sigs, id_col).withColumn(
-            "__new", F.lit(False)).unionByName(bn)
-    # one aggregation per bucket: the new-member id set and the full id
-    # set (new ⊆ all, so a single scan of the flagged union suffices)
+        ns_ = max(1, store_shards)
+        bn_repl = bn.withColumn(
+            "__shard", F.explode(F.expr(f"sequence(0, {ns_ - 1})")))
+        store_sh = _portable_bands(store_sigs, id_col).withColumn(
+            "__new", F.lit(False)).withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(ns_))
+            .cast("int"))
+        flagged = store_sh.unionByName(bn_repl)
+    # one aggregation per (bucket, shard): the new-member id set and the
+    # full id set (new ⊆ all, so a single scan of the union suffices)
     buckets = (
-        flagged.groupBy("bh")
+        flagged.groupBy("bh", "__shard")
         .agg(
             F.sort_array(F.collect_set(
                 F.when(F.col("__new"), F.col(id_col)))).alias("ns"),
@@ -434,6 +487,8 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame | None = None,
     a precomputed ``stats`` (:func:`pair_shingle_stats`) to share one
     shingle derivation across several verify measures."""
     if stats is None:
+        if pairs is None:
+            raise ValueError("jaccard_verify: pass pairs= or stats=")
         stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
     j = stats.withColumn(
         "jaccard",
@@ -457,6 +512,8 @@ def containment_verify(df: DataFrame, pairs: DataFrame | None = None,
     (:func:`pair_shingle_stats`) to share one shingle derivation with
     :func:`jaccard_verify`."""
     if stats is None:
+        if pairs is None:
+            raise ValueError("containment_verify: pass pairs= or stats=")
         stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
     c = stats.select(
         "doc_a", "doc_b",
@@ -466,6 +523,40 @@ def containment_verify(df: DataFrame, pairs: DataFrame | None = None,
     return c.filter(
         (F.col("containment_a") >= threshold)
         | (F.col("containment_b") >= threshold)
+    )
+
+
+def neardup_verdicts(df: DataFrame, pairs: DataFrame | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     shingle: int = 3,
+                     jaccard_threshold: float = 0.8,
+                     containment_threshold: float = 0.5,
+                     stats: DataFrame | None = None) -> DataFrame:
+    """Both verify measures from ONE shared :func:`pair_shingle_stats`
+    derivation — the production form when a curation pass wants the
+    symmetric (Jaccard) and asymmetric (containment) verdicts together.
+    Running :func:`jaccard_verify` and :func:`containment_verify`
+    separately re-derives the candidate shingle sets twice (two LSH
+    chains, two persist scopes); this computes the (inter, n_a, n_b)
+    triple once and both verdicts are pure row expressions on top, so
+    the second measure is free.  Keeps pairs where Jaccard clears
+    ``jaccard_threshold`` OR either containment direction clears
+    ``containment_threshold``."""
+    if stats is None:
+        if pairs is None:
+            raise ValueError("neardup_verdicts: pass pairs= or stats=")
+        stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    v = stats.select(
+        "doc_a", "doc_b",
+        (F.col("inter")
+         / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        (F.col("inter") / F.col("n_a")).alias("containment_a"),
+        (F.col("inter") / F.col("n_b")).alias("containment_b"),
+    )
+    return v.filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        | (F.col("containment_a") >= containment_threshold)
+        | (F.col("containment_b") >= containment_threshold)
     )
 
 

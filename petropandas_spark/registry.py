@@ -62,8 +62,10 @@ def _load(spark, sf_dir: str, table: str):
         # both to BIGINT UTC epoch nanoseconds: all events queries are
         # written against integer-ns arithmetic (exact and
         # engine-portable); the DuckDB oracle converts via epoch_ns().
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from petropandas_spark.streaming.events import nanos_as_long
+
+        with nanos_as_long(spark):
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if df.schema["ts"].dataType.typeName() != "long":
             # NTZ→TIMESTAMP cast is session-tz-sensitive; pin UTC so the
             # epoch matches DuckDB's tz-free epoch_ns().  The tz is baked
@@ -2517,6 +2519,22 @@ WHERE CAST(it.i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
    OR CAST(it.i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
 """
 
+# combined verdicts: one shared pair-stats derivation, both measures as
+# row expressions on top (the production form — second measure is free)
+NEARDUP_VERDICTS_DUCK = f"""
+{_PAIR_STATS_CTES}
+SELECT it.doc_a, it.doc_b,
+       CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) AS jaccard,
+       CAST(it.i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+       CAST(it.i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+FROM inter it
+JOIN sz sa ON sa.doc_id = it.doc_a
+JOIN sz sb ON sb.doc_id = it.doc_b
+WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.8
+   OR CAST(it.i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+   OR CAST(it.i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+"""
+
 
 # Shared per-doc length-score expression (pure row function — identical
 # doubles in both engines); used by survivor selection and domain stats.
@@ -2754,6 +2772,14 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         ),
         CONTAINMENT_DUCK,
     )
+    out["neardup_verdicts"] = QuerySpec(
+        lambda spark, sf_dir: _dd.neardup_verdicts(
+            docs(spark, sf_dir),
+            _dd.lsh_candidate_pairs_portable(docs(spark, sf_dir)),
+            jaccard_threshold=0.8, containment_threshold=0.5,
+        ),
+        NEARDUP_VERDICTS_DUCK,
+    )
 
     # RAG / context-window chunking: fixed-stride overlapping character
     # chunks, scan-resident (explode + codegen'd substr — no shuffle)
@@ -2974,9 +3000,10 @@ FROM ranked WHERE rk = 1 AND n_members >= 2
 
     filtered_duck = f"""
 {ranked_ctes}
-SELECT doc_id, lang, source, n_chars FROM documents
-WHERE doc_id NOT IN (
-  SELECT doc_id FROM ranked WHERE n_members >= 2 AND rk > 1)
+SELECT doc_id, lang, source, n_chars FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM ranked r
+  WHERE r.doc_id = d.doc_id AND r.n_members >= 2 AND r.rk > 1)
 """
     out["corpus_neardup_filtered"] = QuerySpec(filtered_fn, filtered_duck)
 
@@ -3244,7 +3271,8 @@ WITH ex AS (SELECT DISTINCT md5(substr(text, 1, 64)) AS h
             FROM documents WHERE doc_id % 10 < 8),
 nw AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h
        FROM documents WHERE doc_id % 10 >= 8),
-surv AS (SELECT * FROM nw WHERE h NOT IN (SELECT h FROM ex)),
+surv AS (SELECT * FROM nw
+         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = nw.h)),
 r AS (SELECT doc_id, h,
              row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
       FROM surv)
@@ -3269,7 +3297,8 @@ _VERIFY_FIRST = [
     "events_user_value_anomalies",
     "containment_verified_pairs",
     "events_zorder_values",
-    # 45 head slots left; rotating in proven names:
+    "neardup_verdicts",
+    # 44 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3314,7 +3343,6 @@ _VERIFY_FIRST = [
     "ternary_projection_eval",
     "profile_traverse_neighborhood",
     "petro_concat_union",
-    "dedup_incremental_antijoin",
 ]
 
 

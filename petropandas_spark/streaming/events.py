@@ -17,12 +17,35 @@ streaming results against the batch equivalents.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
+
+
+@contextmanager
+def nanos_as_long(spark):
+    """Scoped ``spark.sql.legacy.parquet.nanosAsLong`` — lets a
+    TIMESTAMP(NANOS) parquet load as raw BIGINT, then restores the prior
+    value so the setting never leaks into a cohabiting workload reading
+    its own nano-precision parquet.  Restoring BEFORE the action is safe:
+    the conf is resolved into the relation when the DataFrame (or the
+    pinned stream schema) is created — verified for both batch reads and
+    availableNow streams on pyspark 4.1.x in ``test_streaming.py``."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _normalize_ts(spark, df):
@@ -48,19 +71,19 @@ def _normalize_ts(spark, df):
 
 def read_events_batch(spark, path: str):
     """Batch read of an events parquet with ``ts`` as BIGINT ns."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize_ts(spark, spark.read.parquet(path))
+    with nanos_as_long(spark):
+        return _normalize_ts(spark, spark.read.parquet(path))
 
 
 def read_events_stream(spark, path: str, max_files_per_trigger: int | None = None):
     """File-source stream over an events parquet directory/file.  The
     stream schema is sniffed from a (metadata-only) batch read so both
     timestamp generations load; ``ts`` is normalized to BIGINT ns."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(spark.read.parquet(path).schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _normalize_ts(spark, reader.format("parquet").load(path))
+    with nanos_as_long(spark):
+        reader = spark.readStream.schema(spark.read.parquet(path).schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return _normalize_ts(spark, reader.format("parquet").load(path))
 
 
 def with_event_time(df):

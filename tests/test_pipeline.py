@@ -96,6 +96,13 @@ class TestDedup:
         assert first == full_new
         with pytest.raises(ValueError, match="new_docs or new_sigs"):
             dedup.lsh_incremental_pairs(store)
+        # store-shard salting (the aggregated-bucket-row ceiling guard)
+        # is value-invariant: unsharded == default == over-sharded
+        for shards in (1, 3):
+            sharded = {(r.doc_a, r.doc_b)
+                       for r in dedup.lsh_incremental_pairs(
+                           store, new, store_shards=shards).collect()}
+            assert sharded == full, f"store_shards={shards} diverged"
 
     def test_containment_catches_embedded_doc(self, spark):
         """A short doc quoted verbatim inside a much longer one has
@@ -116,6 +123,46 @@ class TestDedup:
         assert got[0].containment_b < 0.5
         # and symmetric Jaccard would have rejected it
         assert dedup.jaccard_verify(docs, pairs, threshold=0.5).count() == 0
+
+    def test_neardup_verdicts_matches_separate_verifies(self, spark):
+        """The combined shared-stats form keeps exactly the union of the
+        pairs the two separate verifies keep, with identical measure
+        values (same BIGINT/BIGINT divisions → bit-equal doubles)."""
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "the quick brown fox jumps over the lazy dogs",  # near-dup
+            3: ("".join(f"w{i}x " for i in range(120))
+                + "the quick brown fox jumps over the lazy dog"),  # embeds 1
+            4: "completely unrelated content about spark partitions",
+        }
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        pairs = spark.createDataFrame(pd.DataFrame(
+            {"doc_a": [1, 1, 1], "doc_b": [2, 3, 4]}))
+        stats = dedup.pair_shingle_stats(docs, pairs)
+        both = {(r.doc_a, r.doc_b): r for r in dedup.neardup_verdicts(
+            docs, stats=stats, jaccard_threshold=0.8,
+            containment_threshold=0.9).collect()}
+        jac = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_verify(
+            docs, stats=stats, threshold=0.8).collect()}
+        con = {(r.doc_a, r.doc_b): r for r in dedup.containment_verify(
+            docs, stats=stats, threshold=0.9).collect()}
+        assert set(both) == set(jac) | set(con)
+        assert (1, 2) in jac and (1, 3) in con and (1, 4) not in both
+        for k, r in both.items():
+            if k in jac:
+                assert r.jaccard == jac[k]
+            if k in con:
+                assert r.containment_a == con[k].containment_a
+                assert r.containment_b == con[k].containment_b
+
+    def test_verify_guards_require_pairs_or_stats(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["abc"]}))
+        for fn in (dedup.jaccard_verify, dedup.containment_verify,
+                   dedup.neardup_verdicts):
+            with pytest.raises(ValueError, match="pairs= or stats="):
+                fn(docs)
 
     def test_chunk_documents_covers_text_exactly(self, spark):
         """Chunks tile the text: stride-spaced starts, overlap chars

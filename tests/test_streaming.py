@@ -125,3 +125,38 @@ def test_load_normalizes_both_ts_precisions(spark, tmp_path):
     ns_row = _load(spark, str(tmp_path / "ns"), "events").first()
     us_row = _load(spark, str(tmp_path / "us"), "events").first()
     assert ns_row["ts"] == us_row["ts"] == micros * 1000
+
+
+def test_nanos_conf_restored_and_decode_still_works(spark, tmp_path):
+    """``nanosAsLong`` must not leak session-wide (a cohabiting workload
+    reading its own TIMESTAMP(NANOS) parquet would silently get BIGINT),
+    AND the restore must happen before the action without breaking the
+    decode — i.e. the conf is resolved into the relation at creation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from petropandas_spark.registry import _load
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_000, 2_000], pa.timestamp("ns")),
+        }),
+        d / "events.parquet",
+    )
+    for loader in (
+        lambda: _load(spark, str(d), "events"),
+        lambda: ev.read_events_batch(spark, str(d / "events.parquet")),
+    ):
+        df = loader()
+        assert spark.conf.get(key, None) == prev, "conf leaked"
+        # action AFTER restore: decode must still see the raw longs
+        assert {r.ts for r in df.select("ts").collect()} == {1_000, 2_000}
+    # streaming creation path restores too (execution covered by the
+    # stream==batch suites over the micros testdata)
+    ev.read_events_stream(spark, str(d / "events.parquet"))
+    assert spark.conf.get(key, None) == prev, "stream reader leaked conf"
