@@ -13,6 +13,8 @@ nearest centroids, cutting the scan to ``n_probe/k`` of the corpus.  At
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -106,11 +108,33 @@ def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def _pair_dot_arrow():
+    """Arrow-batched per-pair dot product: one vectorized ``einsum`` per
+    Arrow batch instead of one interpreted HOF evaluation per row.  The
+    scale path for the verify stage — per-pair cost amortizes to a few ns
+    once candidate volume is large enough to pay the Python-worker round
+    trip (see :func:`lsh_cosine_neardup_pairs` ``verify=``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(va.tolist(), dtype="float64")
+        B = np.array(vb.tolist(), dtype="float64")
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pair_dot
+
+
 def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
                              n_planes: int = 32, bands: int = 4,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             verify: str = "hof",
+                             arrow_min_pairs: int = 2_000_000) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH blocking + exact
     in-bucket verify — the 100-TB-safe shape (every join is an equi-join;
     no all-pairs/nested-loop stage anywhere in the plan).
@@ -127,7 +151,28 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     sketch table is written bucketed by band key so the self-join is
     shuffle-free.  Deterministic: the DuckDB oracle reproduces the exact
     result (same weights, same FP order) from independent SQL.
+
+    ``verify`` selects the exact-dot implementation for step 3:
+
+    * ``"hof"`` (default) — interpreted higher-order-function left-fold.
+      Measured fastest at bench scale (64-term unrolled codegen trees pay
+      compile + duplicated null checks at the join sites), and its
+      left-associated FP order matches the DuckDB oracle bit-for-bit.
+    * ``"arrow"`` — Arrow-batched pandas-UDF ``einsum``: one vectorized
+      numpy dot per batch, a narrow Arrow stage between the two candidate
+      joins.  The scale path: at 100× candidate volume the per-row
+      interpreted eval is the data-proportional cost and the batched dot
+      wins.  numpy's pairwise summation differs from the left fold in the
+      last FP bits (equivalence ≤1e-12 relative, pinned by test), so
+      threshold-boundary pairs can differ — the hash-exact driver query
+      keeps ``"hof"``.
+    * ``"auto"`` — scale-triggered: persists + counts the candidate pair
+      list (O(pairs) driver cost, same barrier rationale as
+      ``pair_shingle_stats``) and picks ``"arrow"`` when it holds at least
+      ``arrow_min_pairs`` pairs, else ``"hof"``.
     """
+    if verify not in ("hof", "arrow", "auto"):
+        raise ValueError(f"verify must be hof|arrow|auto, got {verify!r}")
     dim = dim or _vec_dim(df, vec_col)
     rpb = n_planes // bands
     W = hyperplane_weights(n_planes, dim)
@@ -186,30 +231,39 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     cand = _bucket_pairs(stacked, id_col, ["band_id", "k"]).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    # Verify-stage dot products use the HOF left-fold (`_cosine`-style)
-    # rather than `_dot_unrolled`: the candidate set is small relative to
-    # the corpus by construction, and measured at sf0.1 the 64-term
-    # unrolled trees cost more in codegen + duplicated isnotnull
-    # evaluation at the join sites (8-22s) than interpreted HOF eval
-    # (1.5-3.4s).  The fold order matches the oracle's left-associated
-    # unrolled sum, so results stay bitwise identical.
+    if verify == "auto":
+        # materialize the pair list once (it feeds both the count and the
+        # verify joins below — without the barrier the branches recompute
+        # the LSH chain) and let its size pick the dot implementation.
+        cand = cand.persist()
+        verify = "arrow" if cand.count() >= arrow_min_pairs else "hof"
+
+    # HOF left-fold dot (`_cosine`-style) rather than `_dot_unrolled`:
+    # measured at sf0.1 the 64-term unrolled trees cost more in codegen +
+    # duplicated isnotnull evaluation at the join sites (8-22s) than
+    # interpreted HOF eval (1.5-3.4s).  The fold order matches the
+    # oracle's left-associated unrolled sum — bitwise identical.
     def hdot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0.0), lambda acc, v: acc + v,
         )
 
+    # per-vector norms stay HOF either way: corpus-linear (not candidate-
+    # proportional), so they are never the scale bottleneck, and keeping
+    # them JVM-side preserves the narrow codegen'd corpus pass.
     normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
     na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                        F.col("nrm").alias("na"))
     nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
                        F.col("nrm").alias("nb"))
+    joined = cand.join(na, "id_a").join(nb, "id_b")
+    if verify == "arrow":
+        dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
+    else:
+        dot = hdot(F.col("va"), F.col("vb"))
     return (
-        cand.join(na, "id_a").join(nb, "id_b")
-        .withColumn(
-            "cosine",
-            hdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
+        joined.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )

@@ -341,6 +341,52 @@ class TestSimilarity:
         pairs = {(r.id_a, r.id_b) for r in out}
         assert {(i, 100 + i) for i in range(40)} <= pairs
 
+    def test_lsh_cosine_arrow_verify_matches_hof(self, spark):
+        """The Arrow-batched verify path (scale form) agrees with the
+        HOF fold: identical pair set, cosines within 1e-12 relative
+        (numpy pairwise summation vs left fold differ only in the last
+        FP bits).  The plan gates pin the shape: the arrow form runs the
+        dot in a narrow ArrowEvalPython stage, the default HOF form
+        stays fully JVM-side."""
+        import numpy as np
+
+        rs = np.random.RandomState(11)
+        base = rs.normal(size=(30, 16))
+        rows = [(i, base[i].tolist()) for i in range(30)]
+        rows += [
+            (100 + i, (base[i] + rs.normal(scale=1e-3, size=16)).tolist())
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kw = dict(threshold=0.9, n_planes=32, bands=4, dim=16)
+        hof_df = similarity.lsh_cosine_neardup_pairs(df, verify="hof", **kw)
+        arr_df = similarity.lsh_cosine_neardup_pairs(df, verify="arrow", **kw)
+        hof = {(r.id_a, r.id_b): r.cosine for r in hof_df.collect()}
+        arr = {(r.id_a, r.id_b): r.cosine for r in arr_df.collect()}
+        assert set(hof) == set(arr) and len(hof) >= 30
+        for k in hof:
+            assert abs(hof[k] - arr[k]) <= 1e-12 * max(1.0, abs(hof[k]))
+        from tests.test_plan_quality import _plan
+        arr_plan = _plan(arr_df)
+        hof_plan = _plan(hof_df)
+        assert "ArrowEvalPython" in arr_plan
+        assert "ArrowEvalPython" not in hof_plan
+        assert "BatchEvalPython" not in arr_plan  # vectorized, not per-row
+        # auto mode: tiny candidate volume stays HOF (JVM-side plan);
+        # a floor of 1 flips it to the arrow stage
+        auto_small = similarity.lsh_cosine_neardup_pairs(
+            df, verify="auto", arrow_min_pairs=10**9, **kw)
+        auto_flip = similarity.lsh_cosine_neardup_pairs(
+            df, verify="auto", arrow_min_pairs=1, **kw)
+        try:
+            assert "ArrowEvalPython" not in _plan(auto_small)
+            assert "ArrowEvalPython" in _plan(auto_flip)
+            assert {(r.id_a, r.id_b) for r in auto_flip.collect()} == set(hof)
+        finally:
+            spark.catalog.clearCache()  # auto persists the pair list
+        with pytest.raises(ValueError, match="hof\\|arrow\\|auto"):
+            similarity.lsh_cosine_neardup_pairs(df, verify="numpy", **kw)
+
     def test_cosine_neardup_pairs_symmetry(self, spark):
         pdf = pd.DataFrame({
             "vec_id": [1, 2, 3],
