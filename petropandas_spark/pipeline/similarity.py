@@ -480,11 +480,20 @@ class PQIndex:
         narrow projection, no shuffle, no Python)."""
         d_sub = self.dim // self.m
         code_cols = []
+
+        # squared terms as explicit products, not POWER(x, 2): pow is a
+        # libm call whose rounding is not pinned across engines, while the
+        # single-rounded product is — the DuckDB oracle replays the same
+        # left-associated (x-c)*(x-c) sums bit-for-bit (codegen CSEs the
+        # repeated difference, so no double evaluation survives).
+        def sq(col):
+            return col * col
+
         for j in range(self.m):
             base = j * d_sub
             dists = [
-                sum((F.element_at(_as_double(vec_col), base + i + 1)
-                     - F.lit(c[i])) ** 2 for i in range(d_sub))
+                sum(sq(F.element_at(_as_double(vec_col), base + i + 1)
+                       - F.lit(c[i])) for i in range(d_sub))
                 for c in self.codebooks[j]
             ]
             arr = F.array(*dists)
@@ -498,18 +507,27 @@ class PQIndex:
             F.array(*[F.col(f"c{j}") for j in range(self.m)]).alias("codes"),
         )
 
+    def adc_tables(self, query: list[float]) -> list[list[float]]:
+        """Driver-side (m × k) exact query-subvector→centroid squared
+        distances — the literals :meth:`search` bakes into the scored
+        projection.  Public so an independent oracle can embed the SAME
+        literals (single-sourced; products, not pow — see encode())."""
+        d_sub = self.dim // self.m
+        out = []
+        for j in range(self.m):
+            sub = query[j * d_sub:(j + 1) * d_sub]
+            out.append([
+                float(sum((q - c[i]) * (q - c[i]) for i, q in enumerate(sub)))
+                for c in self.codebooks[j]
+            ])
+        return out
+
     def search(self, codes_df: DataFrame, query: list[float], topk: int = 10,
                id_col: str = "vec_id") -> DataFrame:
         """ADC top-k over the codes table: returns (id, adc_dist) for the
         ``topk`` smallest approximate squared L2 distances."""
-        d_sub = self.dim // self.m
         score = F.lit(0.0)
-        for j in range(self.m):
-            sub = query[j * d_sub:(j + 1) * d_sub]
-            table = [
-                float(sum((q - c[i]) ** 2 for i, q in enumerate(sub)))
-                for c in self.codebooks[j]
-            ]
+        for j, table in enumerate(self.adc_tables(query)):
             score = score + F.element_at(
                 F.lit(table), F.element_at("codes", j + 1) + 1
             )
@@ -528,8 +546,12 @@ class PQIndex:
         Returns (id, dist) for the ``topk`` smallest exact squared L2."""
         shortlist = shortlist or 5 * topk
         cand = self.search(codes_df, query, shortlist, id_col)
+
+        def sq(col):  # see encode(): product, not POWER — engine-pinned
+            return col * col
+
         exact = sum(
-            (F.element_at(_as_double(vec_col), i + 1) - F.lit(float(q))) ** 2
+            sq(F.element_at(_as_double(vec_col), i + 1) - F.lit(float(q)))
             for i, q in enumerate(query)
         )
         return (raw_df.join(F.broadcast(cand.select(id_col)), id_col)

@@ -2847,6 +2847,80 @@ FROM d
 """,
     )
 
+    # PQ search + exact re-rank against FIXED literal codebooks (same
+    # rationale as the IVF fixed-centroid entry: a KMeans fit is not
+    # cross-engine reproducible, the ADC/encode/re-rank arithmetic is).
+    # Drives the full production PQ chain — codegen'd per-subspace argmin
+    # encode, driver-side ADC table baked into the scored projection,
+    # shortlist, broadcast-semi-join exact re-rank.
+    _PQ_M, _PQ_K, _PQ_DIM = 8, 4, 64
+    _PQ_DSUB = _PQ_DIM // _PQ_M
+    _PQ_CB = [
+        [[(_sim._mix64((j * _PQ_K + c) * _PQ_DSUB + i + 1) % 7 - 3) * 0.05
+          for i in range(_PQ_DSUB)] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+    _PQ_QUERY = [(_sim._mix64(10_000 + i) % 11 - 5) * 0.03
+                 for i in range(_PQ_DIM)]
+
+    def pq_rerank_fn(spark, sf_dir):
+        idx = _sim.PQIndex(m=_PQ_M, k=_PQ_K)
+        idx.codebooks = _PQ_CB
+        idx.dim = _PQ_DIM
+        emb = _load(spark, sf_dir, "embeddings")
+        codes = idx.encode(emb)
+        return idx.search_rerank(codes, emb, _PQ_QUERY, topk=10,
+                                 shortlist=50)
+
+    def _el(i):  # 1-based embedding element as DOUBLE (both engines cast)
+        return f"CAST(embedding[{i}] AS DOUBLE)"
+
+    # per-subspace centroid-distance arrays (left-assoc (x-c)*(x-c) sums,
+    # matching PQIndex.encode's expression order term for term)
+    _pq_dist_arrays = [
+        "[" + ", ".join(
+            " + ".join(
+                f"({_el(j * _PQ_DSUB + i + 1)} - {c[i]!r}) * "
+                f"({_el(j * _PQ_DSUB + i + 1)} - {c[i]!r})"
+                for i in range(_PQ_DSUB)
+            )
+            for c in _PQ_CB[j]
+        ) + "]"
+        for j in range(_PQ_M)
+    ]
+    _pq_codes = ", ".join(
+        f"CAST(list_position(a{j}, list_min(a{j})) - 1 AS INT) AS c{j}"
+        for j in range(_PQ_M)
+    )
+    # ADC tables: the same driver-side literals search() bakes in,
+    # single-sourced from PQIndex.adc_tables
+    _pq_idx = _sim.PQIndex(m=_PQ_M, k=_PQ_K)
+    _pq_idx.codebooks = _PQ_CB
+    _pq_idx.dim = _PQ_DIM
+    _pq_adc = "0e0 + " + " + ".join(
+        "list_extract([" + ", ".join(repr(t) for t in table)
+        + f"], c{j} + 1)"
+        for j, table in enumerate(_pq_idx.adc_tables(_PQ_QUERY))
+    )
+    _pq_exact = " + ".join(
+        f"({_el(i + 1)} - {float(q)!r}) * ({_el(i + 1)} - {float(q)!r})"
+        for i, q in enumerate(_PQ_QUERY)
+    )
+    out["pq_search_rerank"] = QuerySpec(
+        pq_rerank_fn,
+        f"""
+WITH d AS (SELECT vec_id, {", ".join(f"{arr} AS a{j}" for j, arr in
+                                     enumerate(_pq_dist_arrays))}
+           FROM embeddings),
+co AS (SELECT vec_id, {_pq_codes} FROM d),
+adc AS (SELECT vec_id, {_pq_adc} AS adc_dist FROM co),
+short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50)
+SELECT e.vec_id, {_pq_exact} AS dist
+FROM embeddings e JOIN short USING (vec_id)
+ORDER BY dist, vec_id LIMIT 10
+""",
+    )
+
     # cosine near-dup pairs over the FULL embeddings table: deterministic
     # hyperplane-LSH blocking + exact in-bucket verify (every join an
     # equi-join — no nested-loop stage; see lsh_cosine_neardup_pairs).
@@ -3298,7 +3372,8 @@ _VERIFY_FIRST = [
     "containment_verified_pairs",
     "events_zorder_values",
     "neardup_verdicts",
-    # 44 head slots left; rotating in proven names:
+    "pq_search_rerank",
+    # 43 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3342,7 +3417,6 @@ _VERIFY_FIRST = [
     "petro_select_reframe",
     "ternary_projection_eval",
     "profile_traverse_neighborhood",
-    "petro_concat_union",
 ]
 
 
