@@ -90,25 +90,33 @@ def main() -> None:
     # noise, not the query.  The min is the standard noise-floor
     # estimator; each rep rebuilds the DataFrame from scratch (plan
     # construction included, nothing cached across reps).
+    #
+    # Reps are INTERLEAVED (whole-registry cycles, min across cycles),
+    # not back-to-back per query: a multi-second host-noise window hits
+    # consecutive runs of the SAME query, so per-query back-to-back reps
+    # record the noise as that query's time (r03's 20 s containment
+    # "outlier" was exactly this — an interleaved A/B measured it within
+    # 5% of its plan-identical sibling).  Cycling the registry
+    # decorrelates the window from any single query; JIT/codegen caches
+    # are session-wide, so later cycles stay warm either way.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qs.items():
-        best = None
-        for _ in range(reps):
+    for _ in range(reps):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
             # several pipeline queries persist() intermediates (LSH
             # signatures, candidate pairs) that only matter within the
-            # query; dropped between queries so 119 runs don't accumulate
+            # query; dropped between queries so 155 runs don't accumulate
             # storage-memory pressure that GC-thrashes the tail of the run
             # (measured: dedup_components 57s dirty vs ~4s clean)
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
-        total += best
+    timings = {n: round(v, 4) for n, v in timings.items()}
+    total = sum(timings.values())
 
     full = {
         "metric": "registry_total_wall",

@@ -43,6 +43,126 @@ def referenced_names(expr: str) -> set[str]:
     return names
 
 
+def _ieee_div(a: str, b: str) -> str:
+    """Division with pandas/numpy (IEEE-754) semantics instead of Spark
+    SQL's: ``x/0`` → ±Infinity, ``0/0`` → NaN, NULL operands stay NULL.
+    Spark's ``/`` throws under ANSI (the Spark 4 default) and yields NULL
+    otherwise — both diverge from the reference dialect, and the
+    reference's own cross-group zero-fill makes zero denominators
+    reachable (plotting ``Prp/Grs`` across groups lacking ``Grs``).
+    Operand text is duplicated (a×4, b×3 — codegen CSEs the repeats), so
+    deeply NESTED divisions grow the SQL text geometrically; plot
+    expressions are shallow.  ``-0.0`` denominators take the ``+0.0``
+    sign branch (not reachable through the zero-fill, which inserts
+    ``+0.0``)."""
+    da, db = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
+    return (
+        f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), "
+        f"IF({db} = 0e0, "
+        f"IF({da} = 0e0 OR isnan({da}), CAST('NaN' AS DOUBLE), "
+        f"IF({da} > 0e0, CAST('Infinity' AS DOUBLE), "
+        f"CAST('-Infinity' AS DOUBLE))), "
+        f"{da} / {db}))"
+    )
+
+
+def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
+    """Structural (AST-based) pandas-eval → Spark SQL emitter.
+
+    The eval dialect is Python expression syntax, so ``ast.parse`` gives
+    the exact operator structure (precedence, chained comparisons,
+    ``**`` associativity) instead of token-level text substitution.
+    Backticked names are swapped for placeholders before parsing and
+    restored on emission.  Raises ``SyntaxError`` for text that is not
+    parseable Python — callers fall back to the token rewriter."""
+    import ast
+
+    placeholders: dict[str, str] = {}
+
+    def stash(m: re.Match) -> str:
+        key = f"__bt{len(placeholders)}__"
+        placeholders[key] = m.group(1)
+        return key
+
+    src = re.sub(r"`([^`]+)`", stash, expr)
+    tree = ast.parse(src, mode="eval")
+
+    _BIN = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*"}
+    _CMP = {ast.Eq: "=", ast.NotEq: "!=", ast.Lt: "<", ast.LtE: "<=",
+            ast.Gt: ">", ast.GtE: ">="}
+
+    def name_sql(name: str) -> str:
+        return "(0.0)" if name in missing else f"`{name}`"
+
+    def emit(n) -> str:
+        if isinstance(n, ast.Expression):
+            return emit(n.body)
+        if isinstance(n, ast.Constant):
+            if n.value is True or n.value is False:
+                return "TRUE" if n.value else "FALSE"
+            if n.value is None:
+                return "NULL"
+            return repr(n.value)
+        if isinstance(n, ast.Name):
+            if n.id in placeholders:
+                return name_sql(placeholders[n.id])
+            if n.id in _FUNC_MAP or n.id in _RESERVED:
+                # bare reserved word outside a call position (e.g. the
+                # unparenthesized `True`/`None` path lands in Constant;
+                # a bare `log` here shadows nothing the dialect allows)
+                raise SyntaxError(f"bare reserved name {n.id!r}")
+            return name_sql(n.id)
+        if isinstance(n, ast.UnaryOp):
+            if isinstance(n.op, ast.USub):
+                return f"(- {emit(n.operand)})"
+            if isinstance(n.op, ast.UAdd):
+                return f"(+ {emit(n.operand)})"
+            if isinstance(n.op, ast.Not):
+                return f"(NOT {emit(n.operand)})"
+            raise SyntaxError("unsupported unary op")
+        if isinstance(n, ast.BinOp):
+            if isinstance(n.op, ast.Div):
+                return _ieee_div(f"({emit(n.left)})", f"({emit(n.right)})")
+            if isinstance(n.op, ast.Pow):
+                return f"power({emit(n.left)}, {emit(n.right)})"
+            if isinstance(n.op, ast.Mod):
+                # numpy mod: sign follows the divisor → Spark pmod for
+                # positive divisors (negative divisors diverge; the
+                # dialect's plot expressions don't use them)
+                return f"pmod({emit(n.left)}, {emit(n.right)})"
+            if isinstance(n.op, ast.FloorDiv):
+                return ("floor(" +
+                        _ieee_div(f"({emit(n.left)})",
+                                  f"({emit(n.right)})") + ")")
+            op = _BIN.get(type(n.op))
+            if op is None:
+                raise SyntaxError("unsupported binary op")
+            return f"({emit(n.left)} {op} {emit(n.right)})"
+        if isinstance(n, ast.BoolOp):
+            word = " AND " if isinstance(n.op, ast.And) else " OR "
+            return "(" + word.join(emit(v) for v in n.values) + ")"
+        if isinstance(n, ast.Compare):
+            parts, left = [], n.left
+            for op, right in zip(n.ops, n.comparators):
+                sym = _CMP.get(type(op))
+                if sym is None:
+                    raise SyntaxError("unsupported comparison")
+                parts.append(f"({emit(left)} {sym} {emit(right)})")
+                left = right
+            return parts[0] if len(parts) == 1 else \
+                "(" + " AND ".join(parts) + ")"
+        if isinstance(n, ast.Call):
+            if not isinstance(n.func, ast.Name) or n.keywords:
+                raise SyntaxError("unsupported call form")
+            fname = _FUNC_MAP.get(n.func.id)
+            if fname is None:
+                raise SyntaxError(f"unknown function {n.func.id!r}")
+            return f"{fname}({', '.join(emit(a) for a in n.args)})"
+        raise SyntaxError(f"unsupported syntax: {type(n).__name__}")
+
+    return emit(tree)
+
+
 def rewrite_eval_expr(expr: str, columns: list[str]) -> str:
     """P10: pandas ``DataFrame.eval`` dialect → Spark SQL expression text.
 
@@ -50,8 +170,15 @@ def rewrite_eval_expr(expr: str, columns: list[str]) -> str:
     * names missing from *columns* inside a multi-term expression are
       substituted with ``0.0`` (the reference's cross-group default);
     * backtick quoting carries over unchanged (same syntax both dialects);
-    * numpy function names map to Spark SQL spellings (arcsin → asin, …).
-    """
+    * numpy function names map to Spark SQL spellings (arcsin → asin, …);
+    * division carries IEEE (pandas) semantics — see :func:`_ieee_div`;
+      ``**`` becomes ``power`` (Spark SQL has no ``**``).
+
+    Structure comes from a real AST pass (:func:`_ast_rewrite`) so
+    precedence, chained comparisons and ``and``/``or`` translate
+    faithfully; text that isn't parseable Python falls back to the
+    original token-level substitution (whose output Spark's parser then
+    accepts or rejects with its own error)."""
     stripped = expr.strip()
     colset = set(columns)
     if stripped in colset:
@@ -62,6 +189,10 @@ def rewrite_eval_expr(expr: str, columns: list[str]) -> str:
             raise KeyError(f"column {name!r} not found")
         return f"`{name}`"
     missing = referenced_names(expr) - colset
+    try:
+        return _ast_rewrite(expr, colset, missing)
+    except SyntaxError:
+        pass
 
     def sub(m: re.Match) -> str:
         backtick, ident = m.groups()
