@@ -50,17 +50,20 @@ def _ieee_div(a: str, b: str) -> str:
     otherwise — both diverge from the reference dialect, and the
     reference's own cross-group zero-fill makes zero denominators
     reachable (plotting ``Prp/Grs`` across groups lacking ``Grs``).
-    Operand text is duplicated (a×4, b×3 — codegen CSEs the repeats), so
+    Operand text is duplicated (a×4, b×4 — codegen CSEs the repeats), so
     deeply NESTED divisions grow the SQL text geometrically; plot
-    expressions are shallow.  ``-0.0`` denominators take the ``+0.0``
-    sign branch (not reachable through the zero-fill, which inserts
-    ``+0.0``)."""
+    expressions are shallow.  ``-0.0`` denominators flip the infinity
+    sign like IEEE requires (``(x-x) * -k`` makes them reachable): the
+    zero branch reads the sign bit off the double's string form, the
+    one place Spark exposes it — evaluated only when the denominator
+    compares equal to zero."""
     da, db = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
     return (
         f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), "
         f"IF({db} = 0e0, "
         f"IF({da} = 0e0 OR isnan({da}), CAST('NaN' AS DOUBLE), "
-        f"IF({da} > 0e0, CAST('Infinity' AS DOUBLE), "
+        f"IF(({da} > 0e0) = (CAST({db} AS STRING) NOT LIKE '-%'), "
+        f"CAST('Infinity' AS DOUBLE), "
         f"CAST('-Infinity' AS DOUBLE))), "
         f"{da} / {db}))"
     )
@@ -102,6 +105,12 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
                 return "TRUE" if n.value else "FALSE"
             if n.value is None:
                 return "NULL"
+            if isinstance(n.value, float):
+                # bare decimal literals parse as DECIMAL in Spark SQL —
+                # decimal arithmetic then rounds differently from the
+                # pandas dialect's float64.  A string→double cast is the
+                # repr round-trip (exact) in every engine.
+                return f"CAST('{n.value!r}' AS DOUBLE)"
             return repr(n.value)
         if isinstance(n, ast.Name):
             if n.id in placeholders:
@@ -134,6 +143,15 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
                 return ("floor(" +
                         _ieee_div(f"({emit(n.left)})",
                                   f"({emit(n.right)})") + ")")
+            if isinstance(n.op, ast.BitAnd):
+                # pandas-eval elementwise boolean ops: `&`/`|` are the
+                # idiomatic spellings (plain and/or are rewritten to them
+                # by pandas itself)
+                return f"({emit(n.left)} AND {emit(n.right)})"
+            if isinstance(n.op, ast.BitOr):
+                return f"({emit(n.left)} OR {emit(n.right)})"
+            if isinstance(n.op, ast.BitXor):
+                return f"({emit(n.left)} != {emit(n.right)})"
             op = _BIN.get(type(n.op))
             if op is None:
                 raise SyntaxError("unsupported binary op")

@@ -171,6 +171,27 @@ def test_function_spellings_match_reference(sdf):
         assert got.tolist() == pytest.approx(want.tolist(), rel=1e-15), expr
 
 
+def test_where_and_boolean_ops(sdf):
+    """``where(cond, a, b)`` with ``&``/``|``/comparison conditions — the
+    conditional-axis idiom.  The reference's python-engine eval cannot
+    run ``where`` (pandas MATHOPS needs numexpr for it), so the oracle
+    here is the hand-computed expectation; ``&``/``|``/``~`` themselves
+    are compared against the reference."""
+    got = (sdf.select("id", eval_expr(
+        sdf, "where((Prp > 10.0) & (Alm < 100.0), Prp, 0.0 - 1.0)")
+        .alias("v")).toPandas().sort_values("id")["v"].tolist())
+    want = [p if (p > 10.0 and a < 100.0) else -1.0
+            for p, a in zip(BASE["Prp"], BASE["Alm"])]
+    assert got == want
+    # & | compare bit-for-bit against pandas eval (python engine
+    # rewrites and/or to & | itself)
+    for expr in ("(Prp > 10.0) & (Sps < 8.0)", "(Prp > 50.0) | (Sps > 8.0)"):
+        ref = REF_EVAL(expr, BASE).tolist()
+        eng = (sdf.select("id", eval_expr(sdf, expr).alias("v"))
+               .toPandas().sort_values("id")["v"].tolist())
+        assert eng == ref, expr
+
+
 def test_rewrite_text_backtick_forms():
     cols = ["Prp", "H2O wt%", "log"]
     # backticks survive; reserved bare names become functions
@@ -206,3 +227,8 @@ def test_division_ieee_semantics(sdf, spark):
     want2, got2 = both(sdf, "(0.0 - Prp) / Grs")
     assert [repr(a) for a in want2] == [repr(b) for b in got2]
     assert got2.iloc[0] == float("-inf")
+    # NEGATIVE zero denominator flips the infinity sign (IEEE):
+    # (Sps - Sps) * -1.0 is -0.0; found by the 300-example offline fuzz
+    want3, got3 = both(sdf, "Prp / ((Sps - Sps) * (0.0 - 1.0))")
+    assert [repr(a) for a in want3] == [repr(b) for b in got3]
+    assert got3.iloc[0] == float("-inf")  # +Prp / -0.0

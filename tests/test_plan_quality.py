@@ -383,6 +383,29 @@ def test_lsh_candidate_pairs_no_self_join(spark, registry):
     assert "Join" not in gplan
 
 
+def test_spread_never_converts_to_rdd(spark, monkeypatch):
+    """dedup._spread decides from file-size math, not
+    ``df.rdd.getNumPartitions()`` — the RDD probe forced analysis +
+    physical planning per dedup query just to read a count.  Poisoning
+    the ``rdd`` property proves no code path touches it."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    from petropandas_spark.pipeline import dedup
+
+    def boom(self):
+        raise AssertionError("_spread triggered DataFrame.rdd conversion")
+
+    monkeypatch.setattr(_cdf.DataFrame, "rdd", property(boom))
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup._spread(df.select("doc_id", "text"), "doc_id")
+    # small local file → repartition branch chosen, still no RDD access
+    assert "Exchange" in _plan(out, "simple") or \
+        "Repartition" in _plan(out, "extended")
+    # in-memory source (no input files) passes through untouched
+    mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert dedup._spread(mem, "doc_id") is mem
+
+
 def test_simhash_pairs_no_self_join(spark, registry):
     """Same bucket-groupBy shape for the simhash Hamming pairs — the
     signatures ride into the buckets as structs, so the verify stage
