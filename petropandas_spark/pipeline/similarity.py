@@ -300,6 +300,55 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def within_cluster_cosine_pairs(assigned: DataFrame,
+                                threshold: float = 0.3,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                cluster_col: str = "cluster") -> DataFrame:
+    """Exact cosine pairs WITHIN each cluster of a pre-assigned corpus —
+    the SemDeDup blocking step (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means clusters bound the quadratic pair space, so pairwise exact
+    cosine runs on O(Σ|cluster|²) instead of O(n²), and cross-cluster
+    near-dups are the accepted recall tradeoff.
+
+    Pair generation reuses the bucket-groupBy explosion
+    (:func:`dedup._bucket_pairs` — ONE shuffle on the cluster key, no
+    self-join, hot-bucket chunk-grid for degenerate clusters); the
+    verify-stage dot is the HOF left-fold matching the DuckDB oracle's
+    unrolled sum bit-for-bit.  At 100 TB the assigned corpus is written
+    partitioned by cluster (:meth:`IVFIndex.write_index`), so each
+    cluster's pair stage reads one directory."""
+    from petropandas_spark.pipeline.dedup import _bucket_pairs
+
+    cand = _bucket_pairs(
+        assigned.select(F.col(id_col), F.col(cluster_col)),
+        id_col, [cluster_col],
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+
+    def hdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    e = assigned.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
+    na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+    nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"))
+    return (
+        cand.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            hdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 class IVFIndex:
     """Inverted-file ANN: KMeans centroids + cluster assignment.
 

@@ -2932,6 +2932,74 @@ ORDER BY dist, vec_id LIMIT 10
 
     out["cosine_neardup_pairs"] = QuerySpec(cosine_pairs, _lsh_cosine_oracle())
 
+    # SemDeDup-style semantic dedup (Abbas et al. 2023): fixed-centroid
+    # cluster assignment bounds the pairwise space, exact within-cluster
+    # cosine builds the near-dup graph, connected components label each
+    # semantic duplicate group with its minimum member id.  Emits the
+    # full membership map of every multi-member group (keeper = the row
+    # whose vec_id equals its component).
+    def semdedup_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        idx = _sim.IVFIndex(k=_IVF_K)
+        idx.centroids = _IVF_CENTROIDS
+        emb = _load(spark, sf_dir, "embeddings")
+        assigned = idx.assign(emb)
+        pairs = _sim.within_cluster_cosine_pairs(assigned, threshold=0.3)
+        comps = _dd.connected_components(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", a_col="id_a", b_col="id_b",
+        )
+        w = Window.partitionBy("component")
+        return (
+            comps.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .where("n_members >= 2")
+            .select("vec_id", "component", "n_members")
+        )
+
+    _sem_dot_vv = _dot_sql("v", "v", DUCKDB)
+    _sem_dot_ab = _dot_sql("na.v", "nb.v", DUCKDB)
+    # same literal-folded centroid distances as IVFIndex.assign, spelled
+    # over the CTE's pre-cast DOUBLE[] column
+    _ducksums_v = ", ".join(
+        " + ".join(
+            f"(v[{i + 1}] - {float(c)!r}) * (v[{i + 1}] - {float(c)!r})"
+            for i, c in enumerate(center)
+        )
+        for center in _IVF_CENTROIDS
+    )
+    out["semantic_dedup_groups"] = QuerySpec(
+        semdedup_fn,
+        f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v,
+             CAST(list_position([{_ducksums_v}], list_min([{_ducksums_v}]))
+                  - 1 AS INT) AS cluster
+      FROM e),
+n AS (SELECT vec_id, cluster, v, sqrt({_sem_dot_vv}) AS nrm FROM a),
+p AS (SELECT na.vec_id AS id_a, nb.vec_id AS id_b
+      FROM n na JOIN n nb
+        ON na.cluster = nb.cluster AND na.vec_id < nb.vec_id
+      WHERE {_sem_dot_ab} / (na.nrm * nb.nrm) >= 0.3e0),
+sym AS (SELECT id_a AS x, id_b AS y FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lab) AS component
+         FROM reach GROUP BY node),
+sized AS (SELECT vec_id, component,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM comp)
+SELECT vec_id, component, CAST(n_members AS BIGINT) AS n_members
+FROM sized WHERE n_members >= 2
+""",
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -3373,7 +3441,8 @@ _VERIFY_FIRST = [
     "events_zorder_values",
     "neardup_verdicts",
     "pq_search_rerank",
-    # 43 head slots left; rotating in proven names:
+    "semantic_dedup_groups",
+    # 42 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3416,7 +3485,6 @@ _VERIFY_FIRST = [
     "pii_scrub_emails",
     "petro_select_reframe",
     "ternary_projection_eval",
-    "profile_traverse_neighborhood",
 ]
 
 

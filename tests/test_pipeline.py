@@ -387,6 +387,42 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="hof\\|arrow\\|auto"):
             similarity.lsh_cosine_neardup_pairs(df, verify="numpy", **kw)
 
+    def test_semantic_dedup_within_cluster(self, spark):
+        """SemDeDup blocking: planted near-identical vectors land in the
+        same fixed-centroid cluster and form a duplicate group labeled
+        by the minimum member id; a near-dup pair SPLIT across clusters
+        is not found (the documented recall tradeoff of
+        cluster-bounded pairwise)."""
+        import numpy as np
+
+        dim = 16
+        idx = similarity.IVFIndex(k=4)
+        idx.centroids = [
+            [1.0 if d == 4 * i else 0.0 for d in range(dim)]
+            for i in range(4)
+        ]
+        base0 = [0.9 if d == 0 else 0.01 * d for d in range(dim)]
+        base1 = [0.9 if d == 4 else 0.01 * d for d in range(dim)]
+        rows = [
+            (1, base0), (2, [v + 1e-4 for v in base0]),  # dup pair, cluster 0
+            (3, base1), (4, [v + 1e-4 for v in base1]),  # dup pair, cluster 1
+            (5, [(-1.0) ** d * 0.3 for d in range(dim)]),  # loner
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned = idx.assign(df)
+        clusters = {r.vec_id: r.cluster for r in assigned.collect()}
+        assert clusters[1] == clusters[2] and clusters[3] == clusters[4]
+        assert clusters[1] != clusters[3]
+        pairs = similarity.within_cluster_cosine_pairs(assigned, 0.99)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got and (3, 4) in got
+        assert not any({a, b} == {2, 3} for a, b in got)
+        # the pair space never crosses clusters — even at threshold -1
+        # (every in-cluster pair emitted) no cross-cluster pair appears
+        all_pairs = similarity.within_cluster_cosine_pairs(assigned, -1.0)
+        for r in all_pairs.collect():
+            assert clusters[r.id_a] == clusters[r.id_b]
+
     def test_cosine_neardup_pairs_symmetry(self, spark):
         pdf = pd.DataFrame({
             "vec_id": [1, 2, 3],

@@ -31,6 +31,9 @@ QUERIES = [
     "knn_cosine_topk",
     "cipw_norm_full",
     "events_sessionize",
+    # round 4: shared-stats verify chain and the PQ ADC+re-rank chain
+    "neardup_verdicts",
+    "pq_search_rerank",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
