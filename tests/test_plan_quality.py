@@ -244,6 +244,38 @@ def test_ivf_probe_prunes_to_broadcast_join(spark, registry):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_rerank_broadcast_shortlist_rank_limit(spark, registry):
+    """pq_search_rerank: ADC top-shortlist is a rank limit over the
+    codes projection, the exact re-rank joins the raw corpus against the
+    broadcast shortlist (never a shuffle join over the floats), and the
+    final top-k is again a rank limit — no global sort anywhere."""
+    df = registry["pq_search_rerank"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_single_scan_no_join(spark, registry):
+    """The SemDeDup pair stage is the bucket-groupBy explosion on the
+    cluster key: candidate generation itself contains no join and scans
+    the assigned corpus once; the only joins in the full chain are the
+    vector lookups for the verify cosine (equi-joins)."""
+    from petropandas_spark.pipeline import similarity as _sim
+    from petropandas_spark.registry import build_registry as _br  # noqa: F401
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = _sim.IVFIndex(k=8)
+    idx.centroids = [[1.0 if d == 8 * i else 0.0 for d in range(64)]
+                     for i in range(8)]
+    pairs = _sim.within_cluster_cosine_pairs(idx.assign(emb), 0.3)
+    plan = _plan(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the in-place pair explosion
+
+
 def test_tpch_shapes_no_nested_loop(spark, registry):
     """None of the 22 TPC-H shapes may plan a nested-loop or cartesian
     stage — every join (including the decorrelated scalar subqueries of
