@@ -22,6 +22,16 @@ def test_garnet_workflow_example():
     assert "Prp" in r.stdout and "Alm" in r.stdout
 
 
+def test_embedding_curation_example(tmp_path):
+    out = str(tmp_path / "emb")
+    r = _run(["examples/embedding_curation.py",
+              "/root/testdata/sf0.001/embeddings.parquet", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "semantic dedup:" in r.stdout
+    assert "index store written" in r.stdout
+    assert os.path.isdir(os.path.join(out, "ivf_store"))
+
+
 def test_corpus_curation_example(tmp_path):
     out = str(tmp_path / "curated")
     r = _run(["examples/corpus_curation.py",
