@@ -2471,14 +2471,18 @@ LSH_PAIRS_DUCK = f"WITH {_lsh_duck_cands()}\nSELECT * FROM cand"
 # shingle sets of candidate docs only; |A∩B| via the pair-restricted
 # shingle equi-join; the single BIGINT/BIGINT division is bit-equal.
 # shared pair-shingle-stats CTE chain (3-gram sets of candidate docs,
-# pair intersection + set sizes) — consumed by the Jaccard and
-# containment verify oracles
-_PAIR_STATS_CTES = f"""
-WITH {_lsh_duck_cands()},
+# pair intersection + set sizes) — consumed by the Jaccard, containment
+# and decontamination verify oracles; parameterized over the candidate
+# CTE so a filtered pair set (cross-split decontamination) reuses the
+# identical verify arithmetic
+
+
+def _pair_stats_tail(cand: str = "cand") -> str:
+    return f"""
 cids AS (
   SELECT DISTINCT doc_id FROM (
-    SELECT doc_a AS doc_id FROM cand
-    UNION ALL SELECT doc_b FROM cand) x
+    SELECT doc_a AS doc_id FROM {cand}
+    UNION ALL SELECT doc_b FROM {cand}) x
 ),
 csh AS (
   SELECT DISTINCT d.doc_id, substr(d.text, u.i, 3) AS sh
@@ -2489,11 +2493,16 @@ csh AS (
 sz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-  FROM cand c
+  FROM {cand} c
   JOIN csh a ON a.doc_id = c.doc_a
   JOIN csh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY c.doc_a, c.doc_b
 )"""
+
+
+_PAIR_STATS_CTES = f"""
+WITH {_lsh_duck_cands()},
+{_pair_stats_tail('cand')}"""
 
 JACCARD_DUCK = f"""
 {_PAIR_STATS_CTES}
@@ -3052,6 +3061,55 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
         "WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8",
     )
 
+    # NEAR-DUP eval decontamination: the exact-collision check
+    # (corpus_contamination) misses paraphrases/reformats; this is the
+    # fuzzy variant real pipelines run — eval docs (doc_id % 10 ≥ 8)
+    # whose 3-gram Jaccard vs ANY train doc clears 0.5, found through
+    # the SAME machinery as incremental ingestion (train side = signature
+    # store only, eval batch freshly signed, cross pairs verified).  At
+    # 100 TB the train corpus is never re-shingled: O(|eval|) text work
+    # + one band-key shuffle of stored signatures.
+    def decontam_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        d = docs(spark, sf_dir)
+        train_sigs = _dd.minhash_signatures_portable(
+            d.where("doc_id % 10 < 8"))
+        pairs = _dd.lsh_incremental_pairs(
+            train_sigs, d.where("doc_id % 10 >= 8"))
+        cross = pairs.where("(doc_a % 10 >= 8) != (doc_b % 10 >= 8)")
+        ver = _dd.jaccard_verify(d, cross, threshold=0.5)
+        tagged = ver.selectExpr(
+            "IF(doc_a % 10 >= 8, doc_a, doc_b) AS eval_doc_id",
+            "jaccard",
+        )
+        return tagged.groupBy("eval_doc_id").agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+
+    out["decontamination_neardup"] = QuerySpec(
+        decontam_fn,
+        f"""
+WITH {_lsh_duck_cands()},
+crossp AS (SELECT doc_a, doc_b FROM cand
+           WHERE (doc_a % 10 >= 8) != (doc_b % 10 >= 8)),
+{_pair_stats_tail('crossp')},
+j AS (
+  SELECT it.doc_a, it.doc_b,
+         CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) AS jaccard
+  FROM inter it
+  JOIN sz sa ON sa.doc_id = it.doc_a
+  JOIN sz sb ON sb.doc_id = it.doc_b
+  WHERE CAST(it.i AS DOUBLE) / CAST(sa.n + sb.n - it.i AS DOUBLE) >= 0.5
+)
+SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS eval_doc_id,
+       COUNT(*) AS n_train_matches,
+       MAX(jaccard) AS max_jaccard
+FROM j GROUP BY 1
+""",
+    )
+
     # LSH candidate pairs THROUGH the hot-bucket chunk-grid guard
     # (max_bucket=3 forces every bucket of >3 ids onto the distributed
     # chunk-pair path) — must be value-identical to the plain in-place
@@ -3442,7 +3500,8 @@ _VERIFY_FIRST = [
     "neardup_verdicts",
     "pq_search_rerank",
     "semantic_dedup_groups",
-    # 42 head slots left; rotating in proven names:
+    "decontamination_neardup",
+    # 41 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3484,7 +3543,6 @@ _VERIFY_FIRST = [
     "cipw_norm_hornblende",
     "pii_scrub_emails",
     "petro_select_reframe",
-    "ternary_projection_eval",
 ]
 
 
