@@ -3061,6 +3061,67 @@ SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
         "WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8",
     )
 
+    # BM25 retrieval scoring: the classic probabilistic ranking function
+    # (Robertson & Spärck Jones), the workhorse of retrieval-based
+    # curation (quality-by-query, eval-set mining, RAG candidate
+    # generation).  Everything after tokenization is dialect-identical
+    # SQL; the per-term score is quantized to BIGINT fixed-point before
+    # the per-doc SUM (order-independent — a double SUM could never
+    # hash-match) and ln() is rounded at 10 decimals (libm-divergent,
+    # same convention as the other transcendental oracles).  At 100 TB:
+    # one scan-resident tokenize/explode, partial-agg counts, a
+    # broadcast-sized per-term idf table, rank-limit top-k.
+    _BM25_TERMS = "('hash', 'join', 'scan', 'filter', 'vector')"
+    _BM25_TAIL = f"""
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+       FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok WHERE t IN {_BM25_TERMS} GROUP BY doc_id, t),
+idf AS (SELECT t,
+               ROUND(LN((sd.nd - dft + 0.5e0) / (dft + 0.5e0) + 1e0),
+                     10) AS idf
+        FROM (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft
+              FROM tf GROUP BY t) d CROSS JOIN stats sd),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(idf.idf * ((tf.tf * 2.2e0) /
+              (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl.dl / sd.avgdl))))
+              * 1e9) AS BIGINT) AS ts
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.t = tf.t
+  CROSS JOIN stats sd
+)
+SELECT doc_id, CAST(SUM(ts) AS DOUBLE) / 1e9 AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+    BM25_SPARK = f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM documents LATERAL VIEW explode(split(lower(text), '[^a-z]+')) _x AS t
+  WHERE t != ''
+),
+{_BM25_TAIL}"""
+
+    BM25_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, u.t
+  FROM documents, LATERAL (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t) u
+  WHERE u.t != ''
+),
+{_BM25_TAIL}"""
+
+    def bm25_fn(spark, sf_dir):
+        docs(spark, sf_dir).createOrReplaceTempView("documents")
+        return spark.sql(BM25_SPARK)
+
+    out["bm25_search_topk"] = QuerySpec(bm25_fn, BM25_DUCK)
+
     # NEAR-DUP eval decontamination: the exact-collision check
     # (corpus_contamination) misses paraphrases/reformats; this is the
     # fuzzy variant real pipelines run — eval docs (doc_id % 10 ≥ 8)
@@ -3501,7 +3562,8 @@ _VERIFY_FIRST = [
     "pq_search_rerank",
     "semantic_dedup_groups",
     "decontamination_neardup",
-    # 41 head slots left; rotating in proven names:
+    "bm25_search_topk",
+    # 40 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3542,7 +3604,6 @@ _VERIFY_FIRST = [
     "cipw_norm_full",
     "cipw_norm_hornblende",
     "pii_scrub_emails",
-    "petro_select_reframe",
 ]
 
 

@@ -276,6 +276,19 @@ def test_semantic_dedup_pairs_single_scan_no_join(spark, registry):
     assert "Generate" in plan  # the in-place pair explosion
 
 
+def test_bm25_rank_limit_no_global_sort(spark, registry):
+    """bm25_search_topk: per-term idf and corpus stats are broadcast-
+    sized; the top-k is a rank limit (TakeOrderedAndProject), never a
+    global sort of the scored corpus."""
+    df = registry["bm25_search_topk"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the single-row stats cross-join legitimately broadcasts; what must
+    # not appear is a shuffled join of the token table against itself
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
 def test_tpch_shapes_no_nested_loop(spark, registry):
     """None of the 22 TPC-H shapes may plan a nested-loop or cartesian
     stage — every join (including the decorrelated scalar subqueries of
