@@ -304,7 +304,8 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
                                 threshold: float = 0.3,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
-                                cluster_col: str = "cluster") -> DataFrame:
+                                cluster_col: str = "cluster",
+                                verify: str = "hof") -> DataFrame:
     """Exact cosine pairs WITHIN each cluster of a pre-assigned corpus —
     the SemDeDup blocking step (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -316,9 +317,14 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
     (:func:`dedup._bucket_pairs` — ONE shuffle on the cluster key, no
     self-join, hot-bucket chunk-grid for degenerate clusters); the
     verify-stage dot is the HOF left-fold matching the DuckDB oracle's
-    unrolled sum bit-for-bit.  At 100 TB the assigned corpus is written
-    partitioned by cluster (:meth:`IVFIndex.write_index`), so each
-    cluster's pair stage reads one directory."""
+    unrolled sum bit-for-bit (``verify="arrow"`` switches to the
+    Arrow-batched numpy dot — same tradeoff as
+    :func:`lsh_cosine_neardup_pairs`; the in-cluster pair volume is the
+    data-proportional cost at scale).  At 100 TB the assigned corpus is
+    written partitioned by cluster (:meth:`IVFIndex.write_index`), so
+    each cluster's pair stage reads one directory."""
+    if verify not in ("hof", "arrow"):
+        raise ValueError(f"verify must be hof|arrow, got {verify!r}")
     from petropandas_spark.pipeline.dedup import _bucket_pairs
 
     cand = _bucket_pairs(
@@ -338,12 +344,13 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
                        F.col("nrm").alias("na"))
     nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
                        F.col("nrm").alias("nb"))
+    if verify == "arrow":
+        dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
+    else:
+        dot = hdot(F.col("va"), F.col("vb"))
     return (
         cand.join(na, "id_a").join(nb, "id_b")
-        .withColumn(
-            "cosine",
-            hdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )

@@ -422,6 +422,14 @@ class TestSimilarity:
         all_pairs = similarity.within_cluster_cosine_pairs(assigned, -1.0)
         for r in all_pairs.collect():
             assert clusters[r.id_a] == clusters[r.id_b]
+        # arrow verify path: identical pair set, cosines within 1e-12
+        arrow = {(r.id_a, r.id_b): r.cosine
+                 for r in similarity.within_cluster_cosine_pairs(
+                     assigned, 0.99, verify="arrow").collect()}
+        hof = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+        assert set(arrow) == set(hof)
+        for k in hof:
+            assert abs(arrow[k] - hof[k]) <= 1e-12 * max(1.0, abs(hof[k]))
 
     def test_cosine_neardup_pairs_symmetry(self, spark):
         pdf = pd.DataFrame({
