@@ -128,6 +128,38 @@ def _pair_dot_arrow():
     return pair_dot
 
 
+def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
+                        verify: str, id_col: str) -> DataFrame:
+    """Shared exact verify stage: join candidate ``(id_a, id_b)`` pairs
+    back to ``e`` = ``(id, v: array<double>)``, score cosine, filter.
+    Dot dispatch: ``"hof"`` = interpreted left-fold (bitwise equal to
+    the oracles' left-associated unrolled sums — the hash-exact form),
+    ``"arrow"`` = batched numpy ``einsum`` (the candidate-proportional
+    scale path; ≤1e-12 relative vs hof, pinned by test).  Norms stay
+    JVM-side either way — corpus-linear, never the bottleneck."""
+    def hdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
+    na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+    nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"))
+    if verify == "arrow":
+        dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
+    else:
+        dot = hdot(F.col("va"), F.col("vb"))
+    return (
+        cand.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
                              n_planes: int = 32, bands: int = 4,
                              vec_col: str = "embedding",
@@ -238,35 +270,12 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
         cand = cand.persist()
         verify = "arrow" if cand.count() >= arrow_min_pairs else "hof"
 
-    # HOF left-fold dot (`_cosine`-style) rather than `_dot_unrolled`:
+    # HOF left-fold dot rather than `_dot_unrolled` at bench scale:
     # measured at sf0.1 the 64-term unrolled trees cost more in codegen +
     # duplicated isnotnull evaluation at the join sites (8-22s) than
-    # interpreted HOF eval (1.5-3.4s).  The fold order matches the
-    # oracle's left-associated unrolled sum — bitwise identical.
-    def hdot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-
-    # per-vector norms stay HOF either way: corpus-linear (not candidate-
-    # proportional), so they are never the scale bottleneck, and keeping
-    # them JVM-side preserves the narrow codegen'd corpus pass.
-    normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
-    na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                       F.col("nrm").alias("na"))
-    nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                       F.col("nrm").alias("nb"))
-    joined = cand.join(na, "id_a").join(nb, "id_b")
-    if verify == "arrow":
-        dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
-    else:
-        dot = hdot(F.col("va"), F.col("vb"))
-    return (
-        joined.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cosine")
-    )
+    # interpreted HOF eval (1.5-3.4s); see :func:`_exact_cosine_pairs`
+    # for the shared verify stage and the arrow dispatch.
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col)
 
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -331,29 +340,8 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
         assigned.select(F.col(id_col), F.col(cluster_col)),
         id_col, [cluster_col],
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-
-    def hdot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-
     e = assigned.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
-    na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                       F.col("nrm").alias("na"))
-    nb = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                       F.col("nrm").alias("nb"))
-    if verify == "arrow":
-        dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
-    else:
-        dot = hdot(F.col("va"), F.col("vb"))
-    return (
-        cand.join(na, "id_a").join(nb, "id_b")
-        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cosine")
-    )
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col)
 
 
 class IVFIndex:

@@ -126,7 +126,9 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
                 return f"(- {emit(n.operand)})"
             if isinstance(n.op, ast.UAdd):
                 return f"(+ {emit(n.operand)})"
-            if isinstance(n.op, ast.Not):
+            if isinstance(n.op, (ast.Not, ast.Invert)):
+                # pandas eval's ~ is elementwise logical NOT (Spark's ~
+                # is bitwise and rejects BOOLEAN input)
                 return f"(NOT {emit(n.operand)})"
             raise SyntaxError("unsupported unary op")
         if isinstance(n, ast.BinOp):
@@ -140,9 +142,21 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
                 # dialect's plot expressions don't use them)
                 return f"pmod({emit(n.left)}, {emit(n.right)})"
             if isinstance(n.op, ast.FloorDiv):
-                return ("floor(" +
-                        _ieee_div(f"({emit(n.left)})",
-                                  f"({emit(n.right)})") + ")")
+                # pandas // is floor(a/b) in float64 with IEEE edge
+                # values preserved (inf // x = inf, x // 0 = ±inf,
+                # 0 // 0 = nan) — Spark's FLOOR(double) returns BIGINT
+                # and collapses ±inf/NaN to Long.MAX/0, so guard the
+                # non-finite branch and cast the finite floor back.
+                # The div text repeats 4× (finiteness tests + both
+                # branches) on top of _ieee_div's own operand repeats —
+                # fine for the dialect's shallow expressions.
+                div = _ieee_div(f"({emit(n.left)})", f"({emit(n.right)})")
+                return (
+                    f"IF(isnan({div}) "
+                    f"OR {div} = CAST('Infinity' AS DOUBLE) "
+                    f"OR {div} = CAST('-Infinity' AS DOUBLE), "
+                    f"{div}, CAST(FLOOR({div}) AS DOUBLE))"
+                )
             if isinstance(n.op, ast.BitAnd):
                 # pandas-eval elementwise boolean ops: `&`/`|` are the
                 # idiomatic spellings (plain and/or are rewritten to them
@@ -151,7 +165,11 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
             if isinstance(n.op, ast.BitOr):
                 return f"({emit(n.left)} OR {emit(n.right)})"
             if isinstance(n.op, ast.BitXor):
-                return f"({emit(n.left)} != {emit(n.right)})"
+                # pandas eval has no visit_BitXor — ^ is not part of the
+                # dialect; reject loudly (ValueError is not the
+                # token-fallback trigger) instead of inventing semantics
+                raise ValueError(
+                    "'^' is not part of the pandas-eval dialect")
             op = _BIN.get(type(n.op))
             if op is None:
                 raise SyntaxError("unsupported binary op")

@@ -183,13 +183,29 @@ def test_where_and_boolean_ops(sdf):
     want = [p if (p > 10.0 and a < 100.0) else -1.0
             for p, a in zip(BASE["Prp"], BASE["Alm"])]
     assert got == want
-    # & | compare bit-for-bit against pandas eval (python engine
-    # rewrites and/or to & | itself)
-    for expr in ("(Prp > 10.0) & (Sps < 8.0)", "(Prp > 50.0) | (Sps > 8.0)"):
+    # & | ~ compare bit-for-bit against pandas eval (python engine
+    # rewrites and/or to & | itself; ~ is elementwise logical NOT)
+    for expr in ("(Prp > 10.0) & (Sps < 8.0)", "(Prp > 50.0) | (Sps > 8.0)",
+                 "~(Prp > 10.0)", "~((Prp > 10.0) & (Sps < 8.0))"):
         ref = REF_EVAL(expr, BASE).tolist()
         eng = (sdf.select("id", eval_expr(sdf, expr).alias("v"))
                .toPandas().sort_values("id")["v"].tolist())
         assert eng == ref, expr
+    # ^ is rejected by pandas eval (no visit_BitXor) — rejected here too
+    with pytest.raises((ValueError, AttributeError)):
+        REF_EVAL("(Prp > 1.0) ^ (Sps > 1.0)", BASE)
+    with pytest.raises(ValueError, match="pandas-eval dialect"):
+        rewrite_eval_expr("(Prp > 1.0) ^ (Sps > 1.0)", list(BASE.columns))
+
+
+def test_floor_division_ieee_parity(sdf):
+    """// is floor(a/b) in float64 with IEEE edges preserved: inf//x,
+    x//0 → ±inf, 0//0 → nan — Spark's BIGINT floor() would collapse
+    these to Long.MAX/0."""
+    for expr in ("Prp // 2.0", "(0.0 - Prp) // 2.0", "Prp // Grs",
+                 "Alm // (Sps - Sps)"):
+        want, got = both(sdf, expr)
+        assert [repr(a) for a in want] == [repr(b) for b in got], expr
 
 
 def test_rewrite_text_backtick_forms():

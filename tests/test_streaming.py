@@ -156,7 +156,14 @@ def test_nanos_conf_restored_and_decode_still_works(spark, tmp_path):
         assert spark.conf.get(key, None) == prev, "conf leaked"
         # action AFTER restore: decode must still see the raw longs
         assert {r.ts for r in df.select("ts").collect()} == {1_000, 2_000}
-    # streaming creation path restores too (execution covered by the
-    # stream==batch suites over the micros testdata)
-    ev.read_events_stream(spark, str(d / "events.parquet"))
+    # streaming path: conf restored at creation AND a microbatch over
+    # the NANOS parquet still decodes after the restore (the pinned
+    # stream schema carries the long mapping into execution)
+    sdf = ev.read_events_stream(spark, str(d))  # file source needs a dir
     assert spark.conf.get(key, None) == prev, "stream reader leaked conf"
+    q = (sdf.writeStream.format("memory").queryName("nanos_restore_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.ts for r in
+           spark.sql("SELECT ts FROM nanos_restore_t").collect()}
+    assert got == {1_000, 2_000}, "nanos stream mis-decoded after restore"
