@@ -56,7 +56,26 @@ def _ieee_div(a: str, b: str) -> str:
     sign like IEEE requires (``(x-x) * -k`` makes them reachable): the
     zero branch reads the sign bit off the double's string form, the
     one place Spark exposes it — evaluated only when the denominator
-    compares equal to zero."""
+    compares equal to zero.
+
+    Operand text repeats inside the emitted SQL, so NESTED divisions
+    grow geometrically — past ``_BIND_THRESHOLD`` characters the
+    operands are bound ONCE via a single-element
+    ``transform(array(named_struct(...)), s -> ...)`` lambda (linear
+    growth; the lambda is interpreted, which only matters on the rare
+    deep-nest path — a depth-3 // nest previously exploded Catalyst to
+    an OOM, caught by the parity fuzz)."""
+    if len(a) + len(b) > _BIND_THRESHOLD:
+        return (f"transform(array(named_struct("
+                f"'a', CAST({a} AS DOUBLE), 'b', CAST({b} AS DOUBLE))), "
+                f"s -> {_div_core('s.a', 's.b')})[0]")
+    return _div_core(a, b)
+
+
+_BIND_THRESHOLD = 150
+
+
+def _div_core(a: str, b: str) -> str:
     da, db = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
     return (
         f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), "
@@ -67,6 +86,38 @@ def _ieee_div(a: str, b: str) -> str:
         f"CAST('-Infinity' AS DOUBLE))), "
         f"{da} / {db}))"
     )
+
+
+def _ieee_floordiv(a: str, b: str) -> str:
+    """``//`` with numpy ``floor_divide`` semantics (what pandas eval
+    computes), which is NOT ``floor(a/b)``: numpy routes through fmod —
+    ``div = (a - fmod(a,b))/b``, minus 1 when the remainder sign needed
+    adjusting, then ``floor`` with a ``+0.5`` correction for inexact
+    quotients (``npy_divmod``, numpy's public C source).  The naive
+    floor diverges one ulp away from exact multiples (21.7 // 1e-8:
+    numpy 2169999999, floor(a/b) 2170000000 — caught by the parity
+    fuzz).  b == 0 falls back to IEEE division (±inf/NaN, matching
+    numpy); a zero quotient keeps the sign of a/b via ``* 0e0``.
+    Operand text repeats many times, so this always goes through the
+    once-bound ``transform`` form (see :func:`_ieee_div`'s blowup
+    note) — the repeats are then 3-char struct references."""
+    return (f"transform(array(named_struct("
+            f"'a', CAST({a} AS DOUBLE), 'b', CAST({b} AS DOUBLE))), "
+            f"s -> {_floordiv_core('s.a', 's.b')})[0]")
+
+
+def _floordiv_core(a: str, b: str) -> str:
+    da, db = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
+    m = f"({da} % {db})"
+    adj = f"({m} != 0e0 AND (({db} < 0e0) != ({m} < 0e0)))"
+    d1 = f"((({da} - {m}) / {db}) - IF({adj}, 1e0, 0e0))"
+    fl = f"CAST(FLOOR({d1}) AS DOUBLE)"
+    fcorr = (f"IF(isnan({d1}) OR {d1} = CAST('Infinity' AS DOUBLE) "
+             f"OR {d1} = CAST('-Infinity' AS DOUBLE), {d1}, "
+             f"IF({d1} - {fl} > 0.5e0, {fl} + 1e0, {fl}))")
+    return (f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), "
+            f"IF({db} = 0e0, {_div_core(a, b)}, "
+            f"IF({d1} != 0e0, {fcorr}, ({da} / {db}) * 0e0)))")
 
 
 def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
@@ -142,21 +193,8 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
                 # dialect's plot expressions don't use them)
                 return f"pmod({emit(n.left)}, {emit(n.right)})"
             if isinstance(n.op, ast.FloorDiv):
-                # pandas // is floor(a/b) in float64 with IEEE edge
-                # values preserved (inf // x = inf, x // 0 = ±inf,
-                # 0 // 0 = nan) — Spark's FLOOR(double) returns BIGINT
-                # and collapses ±inf/NaN to Long.MAX/0, so guard the
-                # non-finite branch and cast the finite floor back.
-                # The div text repeats 4× (finiteness tests + both
-                # branches) on top of _ieee_div's own operand repeats —
-                # fine for the dialect's shallow expressions.
-                div = _ieee_div(f"({emit(n.left)})", f"({emit(n.right)})")
-                return (
-                    f"IF(isnan({div}) "
-                    f"OR {div} = CAST('Infinity' AS DOUBLE) "
-                    f"OR {div} = CAST('-Infinity' AS DOUBLE), "
-                    f"{div}, CAST(FLOOR({div}) AS DOUBLE))"
-                )
+                return _ieee_floordiv(f"({emit(n.left)})",
+                                      f"({emit(n.right)})")
             if isinstance(n.op, ast.BitAnd):
                 # pandas-eval elementwise boolean ops: `&`/`|` are the
                 # idiomatic spellings (plain and/or are rewritten to them
@@ -178,12 +216,25 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
             word = " AND " if isinstance(n.op, ast.And) else " OR "
             return "(" + word.join(emit(v) for v in n.values) + ")"
         if isinstance(n, ast.Compare):
+            # numpy comparison semantics for NaN: every comparison with
+            # NaN is False EXCEPT != (True).  Spark SQL instead orders
+            # NaN larger than everything and NaN = NaN — reachable now
+            # that IEEE division produces NaN — so guard each link.  The
+            # cast makes the guard legal for boolean operands too
+            # (CAST(TRUE AS DOUBLE) = 1.0, never NaN).
+            def link(le, ri, sym):
+                ls, rs = emit(le), emit(ri)
+                guard = (f"isnan(CAST({ls} AS DOUBLE)) OR "
+                         f"isnan(CAST({rs} AS DOUBLE))")
+                nan_val = "TRUE" if sym == "!=" else "FALSE"
+                return f"IF({guard}, {nan_val}, ({ls} {sym} {rs}))"
+
             parts, left = [], n.left
             for op, right in zip(n.ops, n.comparators):
                 sym = _CMP.get(type(op))
                 if sym is None:
                     raise SyntaxError("unsupported comparison")
-                parts.append(f"({emit(left)} {sym} {emit(right)})")
+                parts.append(link(left, right, sym))
                 left = right
             return parts[0] if len(parts) == 1 else \
                 "(" + " AND ".join(parts) + ")"

@@ -208,6 +208,26 @@ def test_floor_division_ieee_parity(sdf):
         assert [repr(a) for a in want] == [repr(b) for b in got], expr
 
 
+def test_nan_comparison_semantics(sdf):
+    """numpy: every comparison with NaN is False except != (True).
+    Spark natively orders NaN above everything and NaN = NaN — now that
+    IEEE division can produce NaN, the rewriter must guard each
+    comparison link (found by the offline 400-example fuzz)."""
+    # Prp/Grs is NaN on the Prp == 0.0 row (0/0 with Grs zero-filled)
+    for expr in ("(Prp / Grs) > 0.1", "(Prp / Grs) <= 1e6",
+                 "(Prp / Grs) == (Prp / Grs)", "(Prp / Grs) != 5.0"):
+        want, got = both(sdf, expr)
+        assert want.tolist() == got.tolist(), expr
+
+
+def test_nested_floordiv_no_plan_blowup(sdf):
+    """Operand text is bound once via the transform(named_struct) form
+    past the size threshold — a depth-3 // nest previously exploded the
+    Catalyst tree to a driver OOM."""
+    want, got = both(sdf, "((Prp // 2.0) // (Alm // 3.0)) // (Sps + 1.0)")
+    assert [repr(a) for a in want] == [repr(b) for b in got]
+
+
 def test_rewrite_text_backtick_forms():
     cols = ["Prp", "H2O wt%", "log"]
     # backticks survive; reserved bare names become functions
@@ -222,9 +242,10 @@ def test_rewrite_text_backtick_forms():
     assert rewrite_eval_expr("`H2O wt%`", cols) == "`H2O wt%`"
     # ** has no Spark SQL spelling — the AST pass emits power()
     assert rewrite_eval_expr("Prp ** 2", cols) == "power(`Prp`, 2)"
-    # chained comparison expands to the AND of its links
-    assert rewrite_eval_expr("0 < Prp < 100", cols) == \
-        "((0 < `Prp`) AND (`Prp` < 100))"
+    # chained comparison expands to the AND of its NaN-guarded links
+    chained = rewrite_eval_expr("0 < Prp < 100", cols)
+    assert chained.count("AND") >= 1 and chained.count("`Prp`") >= 2
+    assert "isnan" in chained  # numpy NaN-comparison semantics guard
 
 
 def test_division_ieee_semantics(sdf, spark):
