@@ -3323,6 +3323,50 @@ _PG_SQL = ", ".join(f"{expr} AS {name}" for name, expr in PSEUDO_GARNET)
 _PG_EXPRS = [f"{expr} AS {name}" for name, expr in PSEUDO_GARNET]
 
 
+def _q_eval_dialect_projection() -> QuerySpec:
+    """P10 capstone: the eval-dialect rewriter's OUTPUT evaluated by
+    BOTH engines.  Each pandas-eval expression (where/comparison/
+    boolean composition, IEEE division incl. a planted x/0 → ±Infinity,
+    a zero-filled missing name) is rewritten ONCE by
+    ``rewrite_eval_expr`` and the identical SQL text runs on Spark and
+    DuckDB — hash-exact means the emitted dialect (IF/isnan guards,
+    string-sign zero test, double-pinned literals) is genuinely
+    engine-portable, not merely Spark-accepted."""
+    from petropandas_spark.plotting import rewrite_eval_expr
+
+    pg_cols = [name for name, _ in PSEUDO_GARNET]
+    exprs = {
+        # conditional axis: where + comparison (NaN-guarded links)
+        "cond_axis": "where(MgO > CaO, MgO + CaO, MgO - CaO)",
+        # boolean composition over comparisons
+        "flag": "(MgO > 2.5) & ((FeO < 28.0) | ~(CaO >= 1.0))",
+        # IEEE division with a planted /0 row: MnO is 0.4 + (k%5)*0.35,
+        # so (MnO - 0.4) is exactly 0.0 whenever l_orderkey % 5 == 0
+        "ieee_ratio": "FeO / (MnO - 0.4)",
+        # cross-group zero-fill: Nd2O3 missing → 0.0
+        "zero_filled": "(MgO + Nd2O3) / 2.0",
+    }
+    rewritten = {name: rewrite_eval_expr(e, pg_cols)
+                 for name, e in exprs.items()}
+    # identical text modulo identifier quoting (backtick → double quote,
+    # the one lexical difference between the dialects; our emitted
+    # backticks only ever wrap identifiers)
+    sel = ", ".join(f"({sql.replace(chr(96), chr(34))}) AS {name}"
+                    for name, sql in rewritten.items())
+
+    def fn(spark, sf_dir):
+        raw = _load(spark, sf_dir, "lineitem").selectExpr(*_PG_EXPRS)
+        return raw.selectExpr("id", *[
+            f"({sql}) AS {name}" for name, sql in rewritten.items()
+        ])
+
+    oracle = f"""
+WITH base AS (SELECT {_PG_SQL} FROM lineitem)
+SELECT id, {sel} FROM base
+"""
+    return QuerySpec(fn, oracle)
+
+
 def _q_pii_scrub() -> QuerySpec:
     """PII scrub surface: every document gets a deterministic synthetic
     email appended (the corpus itself is PII-free), then the email mask
@@ -3563,7 +3607,8 @@ _VERIFY_FIRST = [
     "semantic_dedup_groups",
     "decontamination_neardup",
     "bm25_search_topk",
-    # 40 head slots left; rotating in proven names:
+    "eval_dialect_projection",
+    # 39 head slots left; rotating in proven names:
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -3603,7 +3648,6 @@ _VERIFY_FIRST = [
     "neardup_pairs_hot_bucket",
     "cipw_norm_full",
     "cipw_norm_hornblende",
-    "pii_scrub_emails",
 ]
 
 
@@ -3916,6 +3960,7 @@ SELECT event_id, {_z_terms} AS z FROM q
     r["pii_scrub_emails"] = _q_pii_scrub()
     r["petro_select_reframe"] = _q_select_reframe()
     r["ternary_projection_eval"] = _q_ternary_projection()
+    r["eval_dialect_projection"] = _q_eval_dialect_projection()
     r["profile_traverse_neighborhood"] = _q_profile_neighborhood()
     r["petro_concat_union"] = _q_concat_union()
     r["dedup_incremental_antijoin"] = _q_incremental_antijoin()
