@@ -112,8 +112,10 @@ def _floordiv_core(a: str, b: str) -> str:
     adj = f"({m} != 0e0 AND (({db} < 0e0) != ({m} < 0e0)))"
     d1 = f"((({da} - {m}) / {db}) - IF({adj}, 1e0, 0e0))"
     fl = f"CAST(FLOOR({d1}) AS DOUBLE)"
-    fcorr = (f"IF(isnan({d1}) OR {d1} = CAST('Infinity' AS DOUBLE) "
-             f"OR {d1} = CAST('-Infinity' AS DOUBLE), {d1}, "
+    # |d1| ≥ 2^53 bypasses FLOOR: such doubles are already integral and
+    # Spark's FLOOR(double)→BIGINT saturates at Long.MAX past 2^63
+    # (silently clamping 1e19 to 9.22e18)
+    fcorr = (f"IF(isnan({d1}) OR abs({d1}) >= 9007199254740992e0, {d1}, "
              f"IF({d1} - {fl} > 0.5e0, {fl} + 1e0, {fl}))")
     return (f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), "
             f"IF({db} = 0e0, {_div_core(a, b)}, "
@@ -219,15 +221,27 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
             # numpy comparison semantics for NaN: every comparison with
             # NaN is False EXCEPT != (True).  Spark SQL instead orders
             # NaN larger than everything and NaN = NaN — reachable now
-            # that IEEE division produces NaN — so guard each link.  The
-            # cast makes the guard legal for boolean operands too
-            # (CAST(TRUE AS DOUBLE) = 1.0, never NaN).
-            def link(le, ri, sym):
-                ls, rs = emit(le), emit(ri)
-                guard = (f"isnan(CAST({ls} AS DOUBLE)) OR "
-                         f"isnan(CAST({rs} AS DOUBLE))")
+            # that IEEE division produces NaN — so guard each link.
+            # TRY_CAST, not CAST: a plain cast THROWS under ANSI for the
+            # dialect's string comparisons (``Sample == 'grt'``), while
+            # try_cast yields NULL → guard is NULL → IF takes the plain
+            # comparison branch in both engines.  Booleans cast to
+            # 1.0/0.0, never NaN.  Past the size threshold both
+            # operands bind once through the transform struct (each
+            # link otherwise emits its operands twice: guard + compare).
+            def cmp_core(ls, rs, sym):
+                guard = (f"isnan(TRY_CAST({ls} AS DOUBLE)) OR "
+                         f"isnan(TRY_CAST({rs} AS DOUBLE))")
                 nan_val = "TRUE" if sym == "!=" else "FALSE"
                 return f"IF({guard}, {nan_val}, ({ls} {sym} {rs}))"
+
+            def link(le, ri, sym):
+                ls, rs = emit(le), emit(ri)
+                if len(ls) + len(rs) > _BIND_THRESHOLD:
+                    return (f"transform(array(named_struct("
+                            f"'a', {ls}, 'b', {rs})), "
+                            f"s -> {cmp_core('s.a', 's.b', sym)})[0]")
+                return cmp_core(ls, rs, sym)
 
             parts, left = [], n.left
             for op, right in zip(n.ops, n.comparators):

@@ -3329,9 +3329,13 @@ def _q_eval_dialect_projection() -> QuerySpec:
     boolean composition, IEEE division incl. a planted x/0 → ±Infinity,
     a zero-filled missing name) is rewritten ONCE by
     ``rewrite_eval_expr`` and the identical SQL text runs on Spark and
-    DuckDB — hash-exact means the emitted dialect (IF/isnan guards,
-    string-sign zero test, double-pinned literals) is genuinely
-    engine-portable, not merely Spark-accepted."""
+    DuckDB (modulo identifier quoting) — hash-exact means the emitted
+    dialect (IF/isnan guards, string-sign zero test, double-pinned
+    literals) is engine-portable ACROSS THIS OPERATOR SURFACE.  Scope:
+    ``//`` and operands past ``_BIND_THRESHOLD`` emit Spark's
+    ``transform(named_struct(...))`` binding, which DuckDB spells
+    differently (``list_transform``, 1-based index) — those forms are
+    Spark-side only and deliberately absent from these expressions."""
     from petropandas_spark.plotting import rewrite_eval_expr
 
     pg_cols = [name for name, _ in PSEUDO_GARNET]

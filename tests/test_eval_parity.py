@@ -199,9 +199,10 @@ def test_where_and_boolean_ops(sdf):
 
 
 def test_floor_division_ieee_parity(sdf):
-    """// is floor(a/b) in float64 with IEEE edges preserved: inf//x,
-    x//0 → ±inf, 0//0 → nan — Spark's BIGINT floor() would collapse
-    these to Long.MAX/0."""
+    """// follows numpy floor_divide (NOT naive floor(a/b) — see
+    _ieee_floordiv's npy_divmod description), in float64 with IEEE
+    edges preserved: x//0 → ±inf, 0//0 → nan — Spark's BIGINT floor()
+    would collapse these to Long.MAX/0."""
     for expr in ("Prp // 2.0", "(0.0 - Prp) // 2.0", "Prp // Grs",
                  "Alm // (Sps - Sps)"):
         want, got = both(sdf, expr)
@@ -218,6 +219,27 @@ def test_nan_comparison_semantics(sdf):
                  "(Prp / Grs) == (Prp / Grs)", "(Prp / Grs) != 5.0"):
         want, got = both(sdf, expr)
         assert want.tolist() == got.tolist(), expr
+
+
+def test_string_comparison_survives_nan_guard(spark):
+    """The NaN guard uses TRY_CAST: a plain CAST throws under ANSI for
+    the dialect's string comparisons (review regression — worked before
+    the guard, must keep working after)."""
+    pdf = BASE.assign(Sample=["grt", "cpx", "grt", "amp", "grt"])
+    sdf2 = spark.createDataFrame(pdf)
+    got = (sdf2.select("id", eval_expr(sdf2, "Sample == 'grt'").alias("v"))
+           .toPandas().sort_values("id")["v"].tolist())
+    want = REF_EVAL("Sample == 'grt'", pdf).tolist()
+    assert got == want == [True, False, True, False, True]
+
+
+def test_floordiv_huge_quotient_no_bigint_saturation(sdf):
+    """|quotient| ≥ 2^63 must not clamp to Long.MAX through Spark's
+    FLOOR(double)→BIGINT: (Alm / Prp) // Prp reaches ~1e19 on the
+    Alm=1e3, Prp=1e-8 row (review finding, confirmed vs numpy)."""
+    want, got = both(sdf, "(Alm / Prp) // Prp")
+    assert [repr(a) for a in want] == [repr(b) for b in got]
+    assert max(got) >= 9.3e18  # past Long.MAX, not clamped
 
 
 def test_nested_floordiv_no_plan_blowup(sdf):
