@@ -33,9 +33,11 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     enough to split — under-parallelism only happens when total scan bytes
     sit under ``target × openCostInBytes`` (4 MiB splits floor).  So: sum
     local file sizes from ``inputFiles()`` (cheap — analyzed plan only)
-    and repartition iff the scan is in that small regime.  Non-file and
-    remote-store sources pass through untouched: at real scale they carry
-    their own split parallelism."""
+    and repartition iff the scan is in that small regime.  Remote-store
+    (s3/hdfs/…) and locally-unreadable sources fall back to the
+    optimizer's ``sizeInBytes`` statistic — still driver-side metadata,
+    no job — so a small single-object remote source keeps the safeguard
+    instead of silently serializing the shingle/hash stage."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -47,19 +49,40 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     import os
     from urllib.parse import unquote, urlparse
 
-    total = 0
+    total: int | None = 0
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            return df
+            total = None
+            break
         try:
             total += os.path.getsize(unquote(u.path))
         except OSError:
+            total = None
+            break
+    if total is None:
+        total = _plan_size_bytes(df)
+        if total is None:
             return df
     open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
     if total < target * open_cost:
         return df.repartition(target, id_col)
     return df
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate (``LogicalPlan.stats.sizeInBytes``) — cheap
+    driver-side metadata (file-source stats come from the already-listed
+    file index; no Spark job).  ``None`` when the internal accessor is
+    unavailable (API drift) or the estimate is the conservative
+    Long.MaxValue default, which would defeat the small-scan test."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return size if 0 <= size < (1 << 62) else None
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",

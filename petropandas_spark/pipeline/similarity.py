@@ -13,7 +13,15 @@ nearest centroids, cutting the scan to ``n_probe/k`` of the corpus.  At
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+try:
+    # pandas_udf type hints resolve via module globals (the `from
+    # __future__ import annotations` stringized hints are looked up here),
+    # so `pd` must be a module-level name — but pandas is an OPTIONAL
+    # pyspark dependency, so the import must not be a hard requirement for
+    # the (pandas-free) default verify paths.
+    import pandas as pd
+except ImportError:  # pragma: no cover — container always has pandas
+    pd = None  # deferred: _pair_dot_arrow raises if verify="arrow" is used
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -114,6 +122,10 @@ def _pair_dot_arrow():
     scale path for the verify stage — per-pair cost amortizes to a few ns
     once candidate volume is large enough to pay the Python-worker round
     trip (see :func:`lsh_cosine_neardup_pairs` ``verify=``)."""
+    if pd is None:  # pragma: no cover — deferred optional-dep error
+        raise ImportError(
+            "verify='arrow' requires pandas (an optional pyspark "
+            "dependency); install pandas or use verify='hof'")
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -198,10 +210,11 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
       last FP bits (equivalence ≤1e-12 relative, pinned by test), so
       threshold-boundary pairs can differ — the hash-exact driver query
       keeps ``"hof"``.
-    * ``"auto"`` — scale-triggered: persists + counts the candidate pair
-      list (O(pairs) driver cost, same barrier rationale as
-      ``pair_shingle_stats``) and picks ``"arrow"`` when it holds at least
-      ``arrow_min_pairs`` pairs, else ``"hof"``.
+    * ``"auto"`` — scale-triggered: materializes the candidate pair list
+      once (eager ``localCheckpoint`` — GC-cleaned, never pinned in the
+      session cache; O(pairs) driver cost, same barrier rationale as
+      ``pair_shingle_stats``) and picks ``"arrow"`` when it holds at
+      least ``arrow_min_pairs`` pairs, else ``"hof"``.
     """
     if verify not in ("hof", "arrow", "auto"):
         raise ValueError(f"verify must be hof|arrow|auto, got {verify!r}")
@@ -267,7 +280,13 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
         # materialize the pair list once (it feeds both the count and the
         # verify joins below — without the barrier the branches recompute
         # the LSH chain) and let its size pick the dot implementation.
-        cand = cand.persist()
+        # localCheckpoint (eager), NOT persist: the materialized pair list
+        # is cleaned up by Spark's ContextCleaner when the DataFrame goes
+        # out of scope, instead of pinning session storage memory until an
+        # explicit unpersist/clearCache the (lazy) return value could
+        # never schedule.  Lineage truncation is harmless here — the pair
+        # list is the deliberate barrier.
+        cand = cand.localCheckpoint()
         verify = "arrow" if cand.count() >= arrow_min_pairs else "hof"
 
     # HOF left-fold dot rather than `_dot_unrolled` at bench scale:

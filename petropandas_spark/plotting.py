@@ -230,8 +230,19 @@ def _ast_rewrite(expr: str, colset: set[str], missing: set[str]) -> str:
             # operands bind once through the transform struct (each
             # link otherwise emits its operands twice: guard + compare).
             def cmp_core(ls, rs, sym):
-                guard = (f"isnan(TRY_CAST({ls} AS DOUBLE)) OR "
-                         f"isnan(TRY_CAST({rs} AS DOUBLE))")
+                # Guard only operands that are ACTUALLY float-typed at
+                # runtime: a string operand whose TEXT casts to NaN
+                # (``Sample == 'NaN'``) must compare as a plain string
+                # (pandas semantics), not trip the numeric-NaN rule.
+                # lower(typeof(..)) is portable — Spark spells
+                # 'double'/'float', DuckDB 'DOUBLE'/'FLOAT'; non-float
+                # types (int/decimal/string/bool) can never hold NaN so
+                # their guard is statically false.
+                def g(x):
+                    return (f"(lower(typeof({x})) IN ('double', 'float')"
+                            f" AND isnan(TRY_CAST({x} AS DOUBLE)))")
+
+                guard = f"{g(ls)} OR {g(rs)}"
                 nan_val = "TRUE" if sym == "!=" else "FALSE"
                 return f"IF({guard}, {nan_val}, ({ls} {sym} {rs}))"
 

@@ -233,6 +233,36 @@ def test_string_comparison_survives_nan_guard(spark):
     assert got == want == [True, False, True, False, True]
 
 
+def test_string_nan_text_not_misrouted_by_guard(spark):
+    """A STRING operand whose text casts to NaN ('NaN'/'nan') must take
+    plain string equality — pandas compares strings, never floats.  The
+    guard is typeof-gated to float operands (round-4 advice: the
+    TRY_CAST-only guard returned False for ``Sample == 'NaN'`` on rows
+    literally holding 'NaN')."""
+    pdf = BASE.assign(Sample=["grt", "NaN", "cpx", "NaN", "nan"])
+    sdf2 = spark.createDataFrame(pdf)
+
+    def run(expr):
+        got = (sdf2.select("id", eval_expr(sdf2, expr).alias("v"))
+               .toPandas().sort_values("id")["v"].tolist())
+        want = REF_EVAL(expr, pdf).tolist()
+        return got, want
+
+    got, want = run("Sample == 'NaN'")
+    assert got == want == [False, True, False, True, False]
+    got, want = run("Sample != 'NaN'")
+    assert got == want == [True, False, True, False, True]
+    got, want = run("Sample == 'nan'")
+    assert got == want == [False, False, False, False, True]
+    # float-typed operands still take numpy NaN semantics through the
+    # typeof gate — engine-produced NaN (0/0 via the zero-filled Grs on
+    # the Prp == 0.0 row; ingested NaN would arrive as NULL instead)
+    for expr in ("(Prp / Grs) == (Prp / Grs)", "(Prp / Grs) != 5.0",
+                 "(Prp / Grs) > 0.1"):
+        got, want = run(expr)
+        assert got == want, expr
+
+
 def test_floordiv_huge_quotient_no_bigint_saturation(sdf):
     """|quotient| ≥ 2^63 must not clamp to Long.MAX through Spark's
     FLOOR(double)→BIGINT: (Alm / Prp) // Prp reaches ~1e19 on the

@@ -374,16 +374,19 @@ class TestSimilarity:
         assert "BatchEvalPython" not in arr_plan  # vectorized, not per-row
         # auto mode: tiny candidate volume stays HOF (JVM-side plan);
         # a floor of 1 flips it to the arrow stage
+        spark.catalog.clearCache()  # isolate the leak check below
         auto_small = similarity.lsh_cosine_neardup_pairs(
             df, verify="auto", arrow_min_pairs=10**9, **kw)
         auto_flip = similarity.lsh_cosine_neardup_pairs(
             df, verify="auto", arrow_min_pairs=1, **kw)
-        try:
-            assert "ArrowEvalPython" not in _plan(auto_small)
-            assert "ArrowEvalPython" in _plan(auto_flip)
-            assert {(r.id_a, r.id_b) for r in auto_flip.collect()} == set(hof)
-        finally:
-            spark.catalog.clearCache()  # auto persists the pair list
+        assert "ArrowEvalPython" not in _plan(auto_small)
+        assert "ArrowEvalPython" in _plan(auto_flip)
+        assert {(r.id_a, r.id_b) for r in auto_flip.collect()} == set(hof)
+        # auto's pair-list barrier is an eager localCheckpoint, NOT a
+        # persist — nothing may remain pinned in the session cache for
+        # the caller to clean up (round-4 advice: the persist leaked)
+        jcat = spark._jsparkSession.sharedState().cacheManager()
+        assert jcat.isEmpty(), "verify='auto' leaked a cached DataFrame"
         with pytest.raises(ValueError, match="hof\\|arrow\\|auto"):
             similarity.lsh_cosine_neardup_pairs(df, verify="numpy", **kw)
 

@@ -451,6 +451,31 @@ def test_spread_never_converts_to_rdd(spark, monkeypatch):
     assert dedup._spread(mem, "doc_id") is mem
 
 
+def test_spread_remote_source_falls_back_to_plan_stats(spark, monkeypatch):
+    """A source whose files aren't locally stat-able (s3/hdfs single
+    object, simulated by poisoning getsize) must keep the small-scan
+    repartition safeguard via the optimizer's sizeInBytes statistic
+    (round-4 advice: the pass-through silently serialized the shingle
+    stage for small remote sources)."""
+    import os as _os
+
+    from petropandas_spark.pipeline import dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    # the statistic itself: driver-side metadata, small positive number
+    est = dedup._plan_size_bytes(df)
+    assert est is not None and 0 < est < (1 << 40)
+
+    def boom(path):
+        raise OSError("simulated remote object store")
+
+    monkeypatch.setattr(_os.path, "getsize", boom)
+    out = dedup._spread(df, "doc_id")
+    assert "Exchange" in _plan(out, "simple") or \
+        "Repartition" in _plan(out, "extended")
+
+
 def test_simhash_pairs_no_self_join(spark, registry):
     """Same bucket-groupBy shape for the simhash Hamming pairs — the
     signatures ride into the buckets as structs, so the verify stage
