@@ -3601,57 +3601,59 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    "dedup_exact_normalized",
-    "corpus_mixture_reweighted",
-    "events_user_value_anomalies",
-    "containment_verified_pairs",
-    "events_zorder_values",
-    "neardup_verdicts",
-    "pq_search_rerank",
-    "semantic_dedup_groups",
-    "decontamination_neardup",
-    "bm25_search_topk",
-    "eval_dialect_projection",
-    # 39 head slots left; rotating in proven names:
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_cust_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_share_threshold",
-    "q21_sole_return_supplier",
-    "events_funnel",
-    "events_funnel_summary",
-    "events_value_hour_corr",
-    "events_value_histogram",
-    "events_cohort_retention",
-    "events_gap_filled_locf",
-    "events_type_pivot",
-    "lineitem_cube",
-    "documents_profile",
-    "documents_constraints",
-    "doc_word_rarity",
-    "doc_tfidf_top_terms",
-    "simhash_signatures",
-    "lsh_candidate_pairs",
-    "events_latest_per_user",
-    "events_daily_rollup",
-    "dedup_cluster_keepers",
-    "embedding_label_centroids",
-    "bloom_pruned_semijoin",
-    "cms_heavy_hitters_exact",
-    "events_json_extract",
-    "oxides_melt_long",
-    "source_domain_stats",
-    "corpus_quality_quartiles",
-    "corpus_sample_k_per_lang",
-    "oxide_impute_group_mean",
-    "dedup_components_star",
-    "neardup_pairs_hot_bucket",
-    "cipw_norm_full",
-    "cipw_norm_hornblende",
+    # r05 rotation: the 50 least-recently-driver-verified names
+    # (48 last green in r01, 2 in r02) lead for regression re-check;
+    # all 159 registry queries have been driver-green at least once.
+    "garnet_end_members",
+    "cpx_end_members",
+    "feldspar_end_members",
+    "garnet_apfu_site_filtered",
+    "garnet_site_allocation",
+    "garnet_stoichiometry",
+    "cpx_stoichiometry",
+    "amphibole_stoichiometry",
+    "garnetfe3_end_members",
+    "opx_end_members",
+    "muscovite_end_members",
+    "biotite_end_members",
+    "staurolite_end_members",
+    "chlorite_end_members",
+    "epidote_end_members",
+    "amphibole_end_members",
+    "titanite_end_members",
+    "chloritoid_end_members",
+    "cordierite_end_members",
+    "ilmenite_end_members",
+    "spinel_end_members",
+    "to_moles",
+    "normalize_100",
+    "apfu_oxygen_basis",
+    "apfu_cation_basis",
+    "apfu_by_charge",
+    "feo_to_fe2o3",
+    "oxidize_moles",
+    "split_valence_schumacher",
+    "from_apfu_roundtrip",
+    "bulk_alumina_saturation",
+    "bulk_oxide_ratios",
+    "bulk_apatite_correction",
+    "cipw_norm_simple",
+    "thermo_bulk_prep_tc",
+    "tc_garnet_proportions",
+    "tc_biotite_proportions",
+    "tc_chlorite_proportions",
+    "tc_plagioclase_proportions",
+    "tc_muscovite_proportions",
+    "tc_staurolite_proportions",
+    "tc_clinoamphibole_proportions",
+    "tc_cpx_w24_proportions",
+    "tc_spinel_t21_proportions",
+    "oxide_means_grouped",
+    "weighted_mean_grouped",
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "tc_garnet_site_occupancies",
+    "tc_clinoamphibole_site_occupancies",
 ]
 
 
