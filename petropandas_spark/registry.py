@@ -2954,7 +2954,12 @@ ORDER BY dist, vec_id LIMIT 10
         idx = _sim.IVFIndex(k=_IVF_K)
         idx.centroids = _IVF_CENTROIDS
         emb = _load(spark, sf_dir, "embeddings")
-        assigned = idx.assign(emb)
+        # eager barrier on the assignment: the downstream chain references
+        # it three times (bucket pairs + both verify-join sides), and each
+        # reference re-analyzes + re-executes the k×dim literal-folded
+        # distance argmin (512 squared-diff terms) — measured 2× the whole
+        # query at sf0.1.  localCheckpoint: GC-cleaned, values unchanged.
+        assigned = idx.assign(emb).localCheckpoint()
         pairs = _sim.within_cluster_cosine_pairs(assigned, threshold=0.3)
         comps = _dd.connected_components(
             emb.select("vec_id"), pairs,

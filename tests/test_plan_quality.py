@@ -276,6 +276,21 @@ def test_semantic_dedup_pairs_single_scan_no_join(spark, registry):
     assert "Generate" in plan  # the in-place pair explosion
 
 
+def test_semantic_dedup_assignment_computed_once(spark, registry):
+    """The registered semantic_dedup_groups barriers the IVF assignment
+    (eager localCheckpoint) before the pair/verify/components chain —
+    without it the k×dim literal-folded distance argmin re-analyzes and
+    re-executes at every one of its three downstream references
+    (measured 2× the whole query at sf0.1).  Gate: the returned plan
+    reads the checkpointed assignment (scanned as an existing RDD), so
+    at most one embeddings parquet scan survives (the components node
+    list) and the 512-term distance tree appears nowhere."""
+    df = registry["semantic_dedup_groups"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a
