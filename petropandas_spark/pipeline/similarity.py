@@ -393,17 +393,65 @@ class IVFIndex:
         assigned = model.transform(feats).drop("__features")
         return assigned
 
-    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    # past this many k·dim distance terms the literal-folded SQL text
+    # itself becomes the bottleneck: the plan string grows as k·dim and
+    # at k=64, dim=64 (4096 squared-diff terms) Catalyst's plan
+    # serialization hit the JVM 2 GB array ceiling outright (measured:
+    # OutOfMemoryError "Required array length 2080374782 ... too large"
+    # on localCheckpoint of the assigned frame)
+    _LITERAL_TERM_CAP = 2048
+
+    def assign(self, df: DataFrame, vec_col: str = "embedding",
+               method: str = "auto") -> DataFrame:
         """Assign vectors to the FITTED centroids without re-fitting —
-        the incremental-ingest path.  The k squared-distance sums are
-        generated as literal-folded SQL (dim·k fused multiply-adds in
-        whole-stage codegen — no model object, no MLlib dependency at
-        ingest time, no interpreted higher-order functions); the cluster
-        is the first-minimum index, matching MLlib's tie rule
-        (equality with ``KMeans.transform`` is pytest-pinned)."""
+        the incremental-ingest path.  The cluster is the first-minimum
+        index, matching MLlib's tie rule (equality with
+        ``KMeans.transform`` is pytest-pinned).
+
+        ``method`` selects the distance implementation:
+
+        * ``"literal"`` — k squared-distance sums generated as
+          literal-folded SQL (dim·k fused multiply-adds in whole-stage
+          codegen; no interpreted higher-order functions).  Fastest per
+          row, but the SQL TEXT grows as k·dim — see
+          ``_LITERAL_TERM_CAP``.
+        * ``"hof"`` — centroids as ONE array-of-arrays literal (plan
+          text linear in k·dim data, not expression nodes) with an
+          interpreted ``transform``/``aggregate`` left fold.  Bit-equal
+          to the literal path: the fold is the same left-associated sum
+          (``0.0 + t0 == t0`` exactly; every squared-diff term is
+          ``+0.0``-signed), pinned by test.  The large-k path.
+        * ``"auto"`` (default) — ``literal`` up to
+          ``_LITERAL_TERM_CAP`` k·dim terms, ``hof`` beyond.
+        """
         if self.centroids is None:
             raise ValueError("assign() requires a fitted index "
                              "(call build() or set centroids)")
+        if method not in ("auto", "literal", "hof"):
+            raise ValueError(f"method must be auto|literal|hof, "
+                             f"got {method!r}")
+        k, dim = len(self.centroids), len(self.centroids[0])
+        if method == "auto":
+            method = "literal" if k * dim <= self._LITERAL_TERM_CAP \
+                else "hof"
+        if method == "hof":
+            cents = F.array(*[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in self.centroids
+            ])
+            v = _as_double(vec_col)
+            dists = F.transform(cents, lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda acc, t: acc + t))
+            return (
+                df.withColumn("__dists", dists)
+                .withColumn(
+                    "cluster",
+                    (F.expr("array_position(__dists, "
+                            "array_min(__dists))") - 1).cast("int"),
+                )
+                .drop("__dists")
+            )
         dists = ", ".join(
             " + ".join(
                 f"(d{i} - {float(c)!r}) * (d{i} - {float(c)!r})"
@@ -411,7 +459,6 @@ class IVFIndex:
             )
             for center in self.centroids
         )
-        dim = len(self.centroids[0])
         doubles = [
             F.col(vec_col).getItem(i).cast("double").alias(f"d{i}")
             for i in range(dim)

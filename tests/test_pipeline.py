@@ -294,6 +294,41 @@ class TestSimilarity:
         )
         assert mismatches == 0
 
+    def test_ivf_assign_hof_path_bit_equal_and_scales_in_k(self, spark,
+                                                           emb):
+        """assign(method="hof") — the large-k path (centroids as ONE
+        array literal + interpreted left fold) — must agree with the
+        literal-folded SQL on every vector: the fold is the same
+        left-associated sum, so the distances are bit-equal, not just
+        argmin-equal.  And it must actually scale in k: k=64 (4096
+        terms) OOM'd the literal path's plan serialization at the JVM
+        2 GB array ceiling; the hof path plans it without trouble."""
+        index = similarity.IVFIndex(k=8)
+        index.centroids = [[1.0 if d == 8 * i else 0.0 for d in range(64)]
+                           for i in range(8)]
+        lit = index.assign(emb, method="literal").select(
+            "vec_id", F.col("cluster").alias("lit_cluster"))
+        hof = index.assign(emb, method="hof").select(
+            "vec_id", F.col("cluster").alias("hof_cluster"))
+        assert lit.join(hof, "vec_id").where(
+            "lit_cluster != hof_cluster").count() == 0
+        # auto dispatch: 8×64 = 512 terms stays literal (no lambda in
+        # the plan), k=64 flips to the hof form (lambda present)
+        def has_lambda(df):
+            return "lambdafunction" in df._jdf.queryExecution() \
+                .analyzed().toString().lower()
+
+        assert not has_lambda(index.assign(emb))
+        big = similarity.IVFIndex(k=64)
+        big.centroids = [[1.0 if d == i else 0.0 for d in range(64)]
+                         for i in range(64)]
+        out = big.assign(emb)  # auto → hof; must plan + run
+        assert has_lambda(out)
+        counts = out.groupBy("cluster").count()
+        assert counts.count() >= 2  # multiple clusters actually used
+        with pytest.raises(ValueError, match="auto\\|literal\\|hof"):
+            index.assign(emb, method="fast")
+
     def test_ivf_ingest_appends_only_touched_clusters(self, spark, emb,
                                                       tmp_path):
         """Incremental ingest: new batch lands in the partitioned store

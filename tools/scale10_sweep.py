@@ -1,0 +1,152 @@
+"""Synthetic 10× scale tier: materialize ten DISJOINT key-shifted copies
+of the sf0.1 tables (≈ sf1: 6M lineitem, 50k documents, 20k embeddings,
+1M events) and time flagship queries on them, printing one JSON line per
+query with the sf0.1 time alongside for the scaling ratio::
+
+    python tools/scale10_sweep.py            # builds .scale10/ once, then times
+
+Copy construction keeps every chain non-degenerate:
+
+* every BIGINT ``*key``/``*_id`` column shifts by ``copy × 10^9`` — the
+  ten copies are disjoint subgraphs, so join cardinalities scale exactly
+  linearly (10 independent sf0.1 graphs = the sf1 shape);
+* document text is vowel-rotated per copy (deterministic ``translate``)
+  so the dedup chains see DISTINCT near-miss documents, not ten exact
+  duplicates of everything (which would measure the hot-bucket guard,
+  not the normal path);
+* embeddings get a per-copy epsilon on element 0 — cosine-distinct
+  (multiplying the whole vector would be invisible to cosine).
+
+The output dir lives under the repo (``.scale10/``, gitignored) because
+the sandbox must not write outside it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(_REPO, ".scale10")
+COPIES = 10
+SHIFT = 10**9
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# small dims replicated verbatim ONCE (their keys are referenced modulo
+# the shift by nothing — region/nation keys are not shifted in the fact
+# copies, so keep a single copy to preserve the join fan-in)
+UNSHIFTED = {"region", "nation"}
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "garnet_end_members",
+    "doc_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verified_neardups",
+    "knn_cosine_topk",
+    "cosine_neardup_pairs",
+    "semantic_dedup_groups",
+    "events_sessionize",
+]
+
+
+def _build(spark) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    os.makedirs(OUT, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        if t in UNSHIFTED:
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        key_cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, LongType)
+            and (f.name.endswith("key") or f.name.endswith("_id"))
+        ]
+        copies = []
+        for i in range(COPIES):
+            c = df
+            for k in key_cols:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if t == "documents":
+                # deterministic per-copy vowel rotation → distinct
+                # shingle sets per copy (not ten exact duplicates)
+                rot = "aeiouaeiou"[i % 5:i % 5 + 5]
+                c = c.withColumn("text", F.expr(
+                    f"translate(text, 'aeiou', '{rot}')"))
+            if t == "embeddings":
+                c = c.withColumn("embedding", F.expr(
+                    f"transform(embedding, (x, j) -> CAST(x + "
+                    f"IF(j = 0, {i}e-4, 0e0) AS FLOAT))"))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+        print(f"built {t}: x{1 if t in UNSHIFTED else COPIES}")
+
+
+def main() -> int:
+    if "--clean" in sys.argv[1:]:
+        shutil.rmtree(OUT, ignore_errors=True)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale10-sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _build(spark)
+
+    from petropandas_spark.registry import build_registry
+
+    reg = build_registry()
+
+    def run(name: str, sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        return round(best, 3)
+
+    for name in QUERIES:
+        t_01 = run(name, SRC)
+        t_10 = run(name, OUT)
+        print(json.dumps({
+            "query": name, "sf0.1": t_01, "x10": t_10,
+            "ratio": round(t_10 / t_01, 2) if t_01 else None,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
