@@ -2846,14 +2846,28 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1, 1)) AS i) u
         )
         for center in _IVF_CENTROIDS
     )
-    out["ivf_assign_fixed_centroids"] = QuerySpec(
-        ivf_assign_fn,
-        f"""
+    _ivf_assign_oracle = f"""
 WITH d AS (SELECT vec_id, [{_ducksums}] AS dists FROM embeddings)
 SELECT vec_id,
        CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
 FROM d
-""",
+"""
+    out["ivf_assign_fixed_centroids"] = QuerySpec(
+        ivf_assign_fn, _ivf_assign_oracle,
+    )
+
+    # the LARGE-k assignment path (centroids as one array literal + an
+    # interpreted left fold, auto-dispatched past 2048 k·dim terms —
+    # here forced) against the SAME oracle: the fold is bit-equal to
+    # the literal-folded sums, so one oracle pins both implementations.
+    def ivf_assign_hof_fn(spark, sf_dir):
+        idx = _sim.IVFIndex(k=_IVF_K)
+        idx.centroids = _IVF_CENTROIDS
+        emb = _load(spark, sf_dir, "embeddings")
+        return idx.assign(emb, method="hof").select("vec_id", "cluster")
+
+    out["ivf_assign_large_k_path"] = QuerySpec(
+        ivf_assign_hof_fn, _ivf_assign_oracle,
     )
 
     # PQ search + exact re-rank against FIXED literal codebooks (same
@@ -3609,6 +3623,7 @@ _VERIFY_FIRST = [
     # r05 rotation: the 50 least-recently-driver-verified names
     # (48 last green in r01, 2 in r02) lead for regression re-check;
     # all 159 registry queries have been driver-green at least once.
+    "ivf_assign_large_k_path",  # r5 addition, never driver-checked
     "garnet_end_members",
     "cpx_end_members",
     "feldspar_end_members",
@@ -3658,7 +3673,6 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_topk",
     "tc_garnet_site_occupancies",
-    "tc_clinoamphibole_site_occupancies",
 ]
 
 
