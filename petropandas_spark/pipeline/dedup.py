@@ -583,6 +583,92 @@ def neardup_verdicts(df: DataFrame, pairs: DataFrame | None = None,
     )
 
 
+def repeated_span_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram: int = 32,
+                        window: int = 8, prefix: int | None = 400,
+                        max_bucket: int = 10_000) -> DataFrame:
+    """SPAN-level exact duplication across documents — the complement of
+    document-level MinHash/SimHash dedup: find document pairs sharing an
+    exact ``gram``-character substring (copy-pasted boilerplate, quoted
+    passages, templated sections), per "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2021), which removes
+    repeated SPANS, not whole documents.  Their suffix-array build is a
+    global sort of the concatenated corpus; the Spark-shaped equivalent
+    here is positional winnowing (Schleimer/Wilkerson/Aiken) — a local
+    fingerprint sample with a window guarantee: any shared span of at
+    least ``gram + window - 1`` characters shares at least one SELECTED
+    fingerprint, so no long duplicate span is missed.
+
+    Stages (each shuffle keyed, no self-join):
+
+    1. grams: every ``gram``-char substring hashed (explode + codegen'd
+       substr/md5 — one narrow pass, text never shuffled);
+    2. winnow: per-document trailing-window MIN over the gram hashes
+       (one doc-keyed shuffle) → the selected fingerprint SET; each
+       selected hash keeps its FIRST occurrence position;
+    3. pair: bucket-groupBy explosion on the fingerprint hash
+       (:func:`_bucket_pairs_any` — one hash-keyed shuffle, hot-bucket
+       chunk-grid for corpus-wide boilerplate grams);
+    4. verify + report: join the two gram texts back (equi-joins) and
+       keep pairs whose spans match EXACTLY (md5 collision guard — the
+       operator's claim is exact, not probable, duplication), then
+       aggregate per pair: how many distinct selected spans are shared,
+       the first shared position in each document, and the minimum
+       shared-gram digest as a stable sample id.
+
+    Every value is engine-reproducible (md5 + substr + window MIN), so
+    the DuckDB oracle replays the chain exactly (hash-exact driver row).
+    At 100 TB the fingerprint table is ~1/``window`` of the corpus
+    grams, carries (hash, id, pos) — never text — and the verify stage
+    touches candidate documents only."""
+    src = _src_sql(text_col, prefix)
+    g = _spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.expr(f"explode(sequence(1, greatest(length({src}) "
+               f"- {gram - 1}, 1)))").alias("i"),
+        F.expr(src).alias("__t"),
+    ).select(
+        id_col, "i",
+        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(id_col).orderBy("i")
+         .rowsBetween(0, window - 1))
+    winnowed = g.select(
+        id_col, F.min("h").over(w).alias("h")
+    ).distinct()
+    sel = (
+        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
+        .join(winnowed, [id_col, "h"])
+    )
+    keyed = sel.select(
+        "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        .alias("v"),
+    )
+    pairs = _bucket_pairs_any(keyed, "v", ["h"], max_bucket).select(
+        F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
+        F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    txt = df.select(F.col(id_col), F.expr(src).alias("__t"))
+    ga = txt.select(F.col(id_col).alias("doc_a"),
+                    F.col("__t").alias("__ta"))
+    gb = txt.select(F.col(id_col).alias("doc_b"),
+                    F.col("__t").alias("__tb"))
+    verified = (
+        pairs.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("__sa", F.expr(f"substr(__ta, pos_a, {gram})"))
+        .withColumn("__sb", F.expr(f"substr(__tb, pos_b, {gram})"))
+        .where(F.col("__sa") == F.col("__sb"))
+    )
+    return verified.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct(F.md5("__sa")).alias("n_shared_spans"),
+        F.min("pos_a").cast("bigint").alias("first_pos_a"),
+        F.min("pos_b").cast("bigint").alias("first_pos_b"),
+        F.min(F.md5("__sa")).alias("sample_span_md5"),
+    )
+
+
 def _star_components(nodes: DataFrame, edges: DataFrame,
                      id_col: str = "doc_id",
                      a_col: str = "doc_a", b_col: str = "doc_b",

@@ -1632,6 +1632,39 @@ SELECT doc_id, fp FROM (
 ) w GROUP BY doc_id, fp
 """
 
+# Span-level exact duplication oracle (repeated_span_pairs): positional
+# winnowing over 32-char gram md5s (trailing window 8, first 400 chars),
+# fingerprint-equality pair generation (self-join here — the Spark side
+# uses the bucket-groupBy explosion; different algorithms, identical
+# rows), exact substring verify, per-pair span report.
+REPEATED_SPANS_DUCK = """
+WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
+g AS (SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 32)) AS h
+      FROM d, LATERAL (SELECT unnest(generate_series(1,
+               greatest(length(d.t) - 31, 1))) AS i) u),
+wmin AS (SELECT DISTINCT doc_id,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
+         FROM g),
+sel AS (SELECT g.doc_id, g.h, MIN(g.i) AS pos
+        FROM g JOIN wmin USING (doc_id, h) GROUP BY g.doc_id, g.h),
+p AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
+v AS (SELECT p.doc_a, p.doc_b, p.pos_a, p.pos_b,
+             substr(da.t, CAST(p.pos_a AS INT), 32) AS sa
+      FROM p JOIN d da ON da.doc_id = p.doc_a
+             JOIN d db ON db.doc_id = p.doc_b
+      WHERE substr(da.t, CAST(p.pos_a AS INT), 32)
+            = substr(db.t, CAST(p.pos_b AS INT), 32))
+SELECT doc_a, doc_b,
+       CAST(COUNT(DISTINCT md5(sa)) AS BIGINT) AS n_shared_spans,
+       CAST(MIN(pos_a) AS BIGINT) AS first_pos_a,
+       CAST(MIN(pos_b) AS BIGINT) AS first_pos_b,
+       MIN(md5(sa)) AS sample_span_md5
+FROM v GROUP BY doc_a, doc_b
+"""
+
 DOC_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -2789,6 +2822,14 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         ),
         NEARDUP_VERDICTS_DUCK,
     )
+    # span-level exact duplication (Lee et al. 2021's "exact substring"
+    # tier, positional-winnowing formulation — see repeated_span_pairs);
+    # oracle = independent DuckDB replay (self-join pair generation vs
+    # Spark's bucket-groupBy — different algorithms, identical rows)
+    out["repeated_span_pairs"] = QuerySpec(
+        lambda spark, sf_dir: _dd.repeated_span_pairs(docs(spark, sf_dir)),
+        REPEATED_SPANS_DUCK,
+    )
 
     # RAG / context-window chunking: fixed-stride overlapping character
     # chunks, scan-resident (explode + codegen'd substr — no shuffle)
@@ -3624,6 +3665,7 @@ _VERIFY_FIRST = [
     # (48 last green in r01, 2 in r02) lead for regression re-check;
     # all 159 registry queries have been driver-green at least once.
     "ivf_assign_large_k_path",  # r5 addition, never driver-checked
+    "repeated_span_pairs",  # r5 addition, never driver-checked
     "garnet_end_members",
     "cpx_end_members",
     "feldspar_end_members",
@@ -3672,7 +3714,6 @@ _VERIFY_FIRST = [
     "weighted_mean_grouped",
     "q1_pricing_summary",
     "q3_shipping_topk",
-    "tc_garnet_site_occupancies",
 ]
 
 

@@ -156,6 +156,39 @@ class TestDedup:
                 assert r.containment_a == con[k].containment_a
                 assert r.containment_b == con[k].containment_b
 
+    def test_repeated_span_pairs_finds_planted_copy_paste(self, spark):
+        """Span-level exact duplication: a 60-char passage pasted into
+        two otherwise-unrelated documents must surface as a pair (the
+        winnowing guarantee: any shared span of at least gram+window-1
+        = 39 chars shares a selected fingerprint), while documents with
+        no shared 32-gram must not pair.  Both pasted copies start at
+        different offsets — the report carries the per-document first
+        shared positions."""
+        pasted = ("this exact passage was copied verbatim between two "
+                  "documents")  # 59 chars
+        texts = {
+            1: "intro alpha beta gamma. " + pasted + " tail one here.",
+            2: "completely different opening words precede it. "
+               + pasted + " other ending.",
+            3: "no shared content at all in this third document xyzzy.",
+        }
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        got = {(r.doc_a, r.doc_b): r
+               for r in dedup.repeated_span_pairs(docs).collect()}
+        assert set(got) == {(1, 2)}
+        r = got[(1, 2)]
+        assert r.n_shared_spans >= 1
+        # first shared positions land inside each doc's pasted region
+        assert texts[1][r.first_pos_a - 1:].startswith(
+            texts[2][r.first_pos_b - 1:r.first_pos_b - 1 + 32])
+        # plan shape: bucket-groupBy pair generation — no self-join of
+        # the fingerprint derivation, no nested-loop stage
+        from tests.test_plan_quality import _plan
+        plan = _plan(dedup.repeated_span_pairs(docs), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_verify_guards_require_pairs_or_stats(self, spark):
         docs = spark.createDataFrame(
             pd.DataFrame({"doc_id": [1], "text": ["abc"]}))
