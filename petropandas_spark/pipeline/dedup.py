@@ -669,6 +669,116 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def shared_span_extents(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram: int = 32,
+                        window: int = 8, prefix: int | None = 400,
+                        min_span: int | None = None,
+                        max_bucket: int = 10_000) -> DataFrame:
+    """MAXIMAL shared spans between document pairs — the exact extent of
+    each copy-pasted passage, not just its existence
+    (:func:`repeated_span_pairs` reports the latter).
+
+    A shared span of length L contains L-gram+1 matching ``gram``-char
+    substrings whose positions advance in LOCKSTEP: ``pos_b - pos_a`` is
+    constant across the span.  So after the winnowed candidate stage
+    (same chain as :func:`repeated_span_pairs`), matching gram positions
+    are grouped by (pair, offset delta) and contiguous position runs are
+    found with the islands-and-gaps trick (``pos - ROW_NUMBER()`` is
+    constant within a step-1 run) — maximal-span extraction as pure
+    windowed SQL, no per-pair loops, both engines replay it exactly.
+
+    Output: one row per maximal span —
+    ``(doc_a, doc_b, pos_a, pos_b, span_len, span_md5)``.
+    ``min_span`` defaults to ``gram``; spans of at least
+    ``gram + window - 1`` chars are GUARANTEED found (winnow window
+    bound), shorter ones best-effort (deterministically so).
+
+    Scale shape: the full-resolution gram match runs on CANDIDATE
+    documents only (semi-join prune); the match volume per pair is
+    bounded by occurrences, and every join is an equi-join.  Spans are
+    measured within ``prefix`` (positions are full-text coordinates, so
+    downstream removal applies directly)."""
+    if min_span is None:
+        min_span = gram
+    from pyspark.sql import Window
+
+    src = _src_sql(text_col, prefix)
+    base = _spread(df.select(id_col, text_col), id_col)
+    g = base.select(
+        F.col(id_col),
+        F.expr(f"explode(sequence(1, greatest(length({src}) "
+               f"- {gram - 1}, 1)))").alias("i"),
+        F.expr(src).alias("__t"),
+    ).select(
+        id_col, "i",
+        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
+    )
+    # winnowed candidate pairs (subsampled detection), exact-verified,
+    # then distinct — the expensive full-resolution match below touches
+    # only these pairs.  Eager localCheckpoint: the pair list feeds the
+    # id prune AND the match join (GC-cleaned, never session-cached).
+    wspec = (Window.partitionBy(id_col).orderBy("i")
+             .rowsBetween(0, window - 1))
+    winnowed = g.select(id_col, F.min("h").over(wspec).alias("h")) \
+        .distinct()
+    sel = (
+        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
+        .join(winnowed, [id_col, "h"])
+    )
+    keyed = sel.select(
+        "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        .alias("v"),
+    )
+    cpairs = _bucket_pairs_any(keyed, "v", ["h"], max_bucket).select(
+        F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
+        F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
+    )
+    txt = df.select(F.col(id_col), F.expr(src).alias("__t"))
+    ta = txt.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = txt.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+    cand = (
+        cpairs.join(ta, "doc_a").join(tb, "doc_b")
+        .where(F.expr(f"substr(__ta, pos_a, {gram})")
+               == F.expr(f"substr(__tb, pos_b, {gram})"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint()
+    )
+    ids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
+        cand.select(F.col("doc_b").alias(id_col))).distinct()
+    gc = g.join(F.broadcast(ids), id_col, "semi")
+    ga = gc.select(F.col(id_col).alias("doc_a"), F.col("i").alias("pa"),
+                   "h")
+    gb = gc.select(F.col(id_col).alias("doc_b"), F.col("i").alias("pb"),
+                   "h")
+    m = cand.join(ga, "doc_a").join(gb, ["doc_b", "h"]).select(
+        "doc_a", "doc_b", "pa", "pb",
+        (F.col("pb") - F.col("pa")).alias("delta"),
+    )
+    runw = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(runw))
+    spans = runs.groupBy("doc_a", "doc_b", "delta", "grp").agg(
+        F.min("pa").alias("pos_a"),
+        F.min("pb").alias("pos_b"),
+        (F.max("pa") - F.min("pa") + F.lit(gram)).alias("span_len"),
+    ).where(F.col("span_len") >= min_span)
+    # full-span exact compare (not just md5-equal grams): the whole
+    # extent's text must match on both sides — the operator's claim is
+    # exact duplication, md5 only names the span in the output
+    return (
+        spans.join(ta, "doc_a").join(tb, "doc_b")
+        .where(F.expr("substr(__ta, pos_a, span_len)")
+               == F.expr("substr(__tb, pos_b, span_len)"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("pos_a").cast("bigint").alias("pos_a"),
+            F.col("pos_b").cast("bigint").alias("pos_b"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+            F.md5(F.expr("substr(__ta, pos_a, span_len)"))
+            .alias("span_md5"),
+        )
+    )
+
+
 def _star_components(nodes: DataFrame, edges: DataFrame,
                      id_col: str = "doc_id",
                      a_col: str = "doc_a", b_col: str = "doc_b",

@@ -1665,6 +1665,52 @@ SELECT doc_a, doc_b,
 FROM v GROUP BY doc_a, doc_b
 """
 
+# Maximal shared-span extents oracle (shared_span_extents): winnowed
+# candidate pairs, full-resolution gram match on candidates, lockstep
+# (constant position delta) runs via the islands-and-gaps ROW_NUMBER
+# trick, full-span exact compare.  Self-join pair generation here vs the
+# Spark bucket-groupBy — different algorithms, identical rows.
+SHARED_SPAN_EXTENTS_DUCK = """
+WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
+g AS (SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 32)) AS h
+      FROM d, LATERAL (SELECT unnest(generate_series(1,
+               greatest(length(d.t) - 31, 1))) AS i) u),
+wmin AS (SELECT DISTINCT doc_id,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
+         FROM g),
+sel AS (SELECT g.doc_id, g.h, MIN(g.i) AS pos
+        FROM g JOIN wmin USING (doc_id, h) GROUP BY g.doc_id, g.h),
+cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN d da ON da.doc_id = a.doc_id
+            JOIN d db ON db.doc_id = b.doc_id
+       WHERE substr(da.t, CAST(a.pos AS INT), 32)
+             = substr(db.t, CAST(b.pos AS INT), 32)),
+m AS (SELECT cp.doc_a, cp.doc_b, ga.i AS pa, gb.i AS pb,
+             gb.i - ga.i AS delta
+      FROM cp JOIN g ga ON ga.doc_id = cp.doc_a
+              JOIN g gb ON gb.doc_id = cp.doc_b AND gb.h = ga.h),
+r AS (SELECT doc_a, doc_b, delta, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
+                                     ORDER BY pa) AS grp
+      FROM m),
+s AS (SELECT doc_a, doc_b, delta, grp,
+             MIN(pa) AS pos_a, MIN(pb) AS pos_b,
+             MAX(pa) - MIN(pa) + 32 AS span_len
+      FROM r GROUP BY doc_a, doc_b, delta, grp)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.pos_a AS BIGINT) AS pos_a,
+       CAST(s.pos_b AS BIGINT) AS pos_b,
+       CAST(s.span_len AS BIGINT) AS span_len,
+       md5(substr(da.t, CAST(s.pos_a AS INT), CAST(s.span_len AS INT)))
+         AS span_md5
+FROM s JOIN d da ON da.doc_id = s.doc_a
+       JOIN d db ON db.doc_id = s.doc_b
+WHERE substr(da.t, CAST(s.pos_a AS INT), CAST(s.span_len AS INT))
+      = substr(db.t, CAST(s.pos_b AS INT), CAST(s.span_len AS INT))
+"""
+
 DOC_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -2830,6 +2876,12 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         lambda spark, sf_dir: _dd.repeated_span_pairs(docs(spark, sf_dir)),
         REPEATED_SPANS_DUCK,
     )
+    # maximal extent of each shared span (lockstep-delta runs) — the
+    # full Lee-et-al exact-substring report, not just pair existence
+    out["shared_span_extents"] = QuerySpec(
+        lambda spark, sf_dir: _dd.shared_span_extents(docs(spark, sf_dir)),
+        SHARED_SPAN_EXTENTS_DUCK,
+    )
 
     # RAG / context-window chunking: fixed-stride overlapping character
     # chunks, scan-resident (explode + codegen'd substr — no shuffle)
@@ -3666,6 +3718,7 @@ _VERIFY_FIRST = [
     # all 159 registry queries have been driver-green at least once.
     "ivf_assign_large_k_path",  # r5 addition, never driver-checked
     "repeated_span_pairs",  # r5 addition, never driver-checked
+    "shared_span_extents",  # r5 addition, never driver-checked
     "garnet_end_members",
     "cpx_end_members",
     "feldspar_end_members",
@@ -3713,7 +3766,6 @@ _VERIFY_FIRST = [
     "oxide_means_grouped",
     "weighted_mean_grouped",
     "q1_pricing_summary",
-    "q3_shipping_topk",
 ]
 
 

@@ -189,6 +189,107 @@ class TestDedup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_shared_span_extents_exact_maximal_lengths(self, spark):
+        """Extent extraction recovers each planted passage EXACTLY —
+        position and full maximal length, not just the 32-char seed:
+        two distinct passages shared by one pair yield two extent rows
+        whose span_len equals the true pasted length, at the correct
+        per-document offsets; md5 of the extent matches the passage."""
+        import hashlib
+
+        # aperiodic passages (a repeated phrase inside a passage creates
+        # REAL secondary shifted-delta spans, which the algorithm
+        # correctly reports) with distinct boundary characters in each
+        # host (a shared boundary char is a REAL one-char extension)
+        p1 = "alpha seven kilo zebra quebec india xray whiskey november"
+        p2 = "unique second passage with entirely different word content"
+        t1 = "first doc intro:" + p1 + "|tail of one doc. " + p2 + "@end."
+        t2 = "second preamble;" + p1 + "#mid part here then" + p2 + "%fin."
+        t3 = "unrelated third document with nothing shared qq ww ee rr."
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [t1, t2, t3]}))
+        rows = dedup.shared_span_extents(docs).collect()
+        got = {(r.doc_a, r.doc_b, r.span_len): r for r in rows}
+        assert all(k[0] == 1 and k[1] == 2 for k in got), rows
+        lens = sorted(k[2] for k in got)
+        assert lens == [len(p1), len(p2)], (lens, len(p1), len(p2))
+        for r in rows:
+            span_a = t1[r.pos_a - 1:r.pos_a - 1 + r.span_len]
+            span_b = t2[r.pos_b - 1:r.pos_b - 1 + r.span_len]
+            assert span_a == span_b
+            assert r.span_md5 == hashlib.md5(span_a.encode()).hexdigest()
+        # spans must be MAXIMAL: extending either end breaks equality
+        for r in rows:
+            a0, b0 = r.pos_a - 1, r.pos_b - 1
+            if a0 > 0 and b0 > 0:
+                assert t1[a0 - 1] != t2[b0 - 1]
+            assert t1[a0 + r.span_len:a0 + r.span_len + 1] != \
+                t2[b0 + r.span_len:b0 + r.span_len + 1]
+
+    def test_shared_span_extents_matches_bruteforce(self, spark):
+        """Randomized cross-check against an independent Python brute
+        force (all pairs, all grams — no winnowing): every brute-force
+        maximal span of at least gram+window-1 = 39 chars (the winnow
+        GUARANTEE region) must be reported exactly; every engine row
+        (including best-effort sub-39 spans) must be a true maximal
+        shared span per direct text comparison."""
+        import itertools
+        import random
+
+        rng = random.Random(20260814)
+        vocab = [f"w{i:02d}" for i in range(40)]
+        passages = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 20)))
+            for _ in range(4)
+        ]
+
+        def doc():
+            words = [rng.choice(vocab) for _ in range(rng.randint(15, 40))]
+            if rng.random() < 0.7:  # plant a shared passage mid-doc
+                k = rng.randrange(len(words))
+                words[k:k] = [rng.choice(passages)]
+            return " ".join(words)
+
+        texts = {i: doc() for i in range(1, 13)}
+        GRAM, PREFIX = 32, 400
+
+        def bf_spans():
+            out = set()
+            for ia, ib in itertools.combinations(sorted(texts), 2):
+                ta, tb = texts[ia][:PREFIX], texts[ib][:PREFIX]
+                gb: dict[str, list[int]] = {}
+                for j in range(max(len(tb) - GRAM + 1, 1)):
+                    gb.setdefault(tb[j:j + GRAM], []).append(j)
+                runs: dict[int, list[int]] = {}
+                for i in range(max(len(ta) - GRAM + 1, 1)):
+                    for j in gb.get(ta[i:i + GRAM], []):
+                        runs.setdefault(j - i, []).append(i)
+                for delta, pis in runs.items():
+                    pis = sorted(pis)
+                    start = prev = pis[0]
+                    for p in pis[1:] + [None]:
+                        if p is not None and p == prev + 1:
+                            prev = p
+                            continue
+                        out.add((ia, ib, start + 1, start + delta + 1,
+                                 prev - start + GRAM))
+                        if p is not None:
+                            start = prev = p
+            return out
+
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        got = {(r.doc_a, r.doc_b, r.pos_a, r.pos_b, r.span_len)
+               for r in dedup.shared_span_extents(docs).collect()}
+        want = bf_spans()
+        guaranteed = {s for s in want if s[4] >= GRAM + 8 - 1}
+        assert guaranteed, "fixture planted no guaranteed-length spans"
+        missing = guaranteed - got
+        assert not missing, f"missed guaranteed spans: {sorted(missing)[:5]}"
+        # soundness: every engine row is a true brute-force maximal span
+        extra = got - want
+        assert not extra, f"phantom spans: {sorted(extra)[:5]}"
+
     def test_verify_guards_require_pairs_or_stats(self, spark):
         docs = spark.createDataFrame(
             pd.DataFrame({"doc_id": [1], "text": ["abc"]}))
