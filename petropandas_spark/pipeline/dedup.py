@@ -779,6 +779,53 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     )
 
 
+def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               **span_kwargs) -> DataFrame:
+    """Span REMOVAL — the second half of exact-substring dedup (Lee et
+    al. 2021 keep ONE occurrence of a duplicated span and drop the
+    rest): for every document that appears as the ``doc_b`` (higher-id)
+    side of a shared span, excise its LONGEST shared span and emit the
+    cleaned text's digest plus an audit trail.  One span per document
+    per pass (iterate for pathological multi-span docs — each pass is
+    one job); the ``doc_a`` occurrence survives as the keeper.
+
+    Deterministic keeper rule: longest span first, then smallest
+    position, digest, partner id — total order, so every engine picks
+    the same span.  Span coordinates come from the extent stage's
+    prefix window and are full-text coordinates, so the splice applies
+    directly to the complete document.
+
+    Returns ``(doc_id, removed_at, removed_len, n_spans, cleaned_md5)``
+    for AFFECTED documents only."""
+    if spans is None:
+        spans = shared_span_extents(df, text_col, id_col, **span_kwargs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_b").orderBy(
+        F.desc("span_len"), F.asc("pos_b"), F.asc("span_md5"),
+        F.asc("doc_a"))
+    pick = (
+        spans.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(
+            Window.partitionBy("doc_b")))
+        .where(F.col("__rk") == 1)
+        .select(F.col("doc_b").alias(id_col),
+                F.col("pos_b").alias("removed_at"),
+                F.col("span_len").alias("removed_len"),
+                F.col("__n").alias("n_spans"))
+    )
+    return pick.join(df.select(id_col, text_col), id_col).select(
+        id_col, "removed_at", "removed_len", "n_spans",
+        F.md5(F.expr(
+            f"concat(substr(`{text_col}`, 1, CAST(removed_at AS INT) - 1), "
+            f"substr(`{text_col}`, CAST(removed_at AS INT) "
+            f"+ CAST(removed_len AS INT)))"
+        )).alias("cleaned_md5"),
+    )
+
+
 def _star_components(nodes: DataFrame, edges: DataFrame,
                      id_col: str = "doc_id",
                      a_col: str = "doc_a", b_col: str = "doc_b",

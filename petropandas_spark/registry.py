@@ -2882,6 +2882,27 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         lambda spark, sf_dir: _dd.shared_span_extents(docs(spark, sf_dir)),
         SHARED_SPAN_EXTENTS_DUCK,
     )
+    # span removal (keep the doc_a occurrence, excise doc_b's longest)
+    out["corpus_span_removed"] = QuerySpec(
+        lambda spark, sf_dir: _dd.remove_longest_shared_span(
+            docs(spark, sf_dir)),
+        f"""
+WITH spans AS ({SHARED_SPAN_EXTENTS_DUCK}),
+pick AS (SELECT doc_b AS doc_id, pos_b AS removed_at,
+                span_len AS removed_len,
+                COUNT(*) OVER (PARTITION BY doc_b) AS n_spans,
+                ROW_NUMBER() OVER (PARTITION BY doc_b
+                    ORDER BY span_len DESC, pos_b, span_md5, doc_a) AS rk
+         FROM spans)
+SELECT p.doc_id, p.removed_at, p.removed_len,
+       CAST(p.n_spans AS BIGINT) AS n_spans,
+       md5(substr(d.text, 1, CAST(p.removed_at AS INT) - 1)
+           || substr(d.text, CAST(p.removed_at AS INT)
+                             + CAST(p.removed_len AS INT))) AS cleaned_md5
+FROM pick p JOIN documents d USING (doc_id)
+WHERE p.rk = 1
+""",
+    )
 
     # RAG / context-window chunking: fixed-stride overlapping character
     # chunks, scan-resident (explode + codegen'd substr — no shuffle)
@@ -3719,6 +3740,7 @@ _VERIFY_FIRST = [
     "ivf_assign_large_k_path",  # r5 addition, never driver-checked
     "repeated_span_pairs",  # r5 addition, never driver-checked
     "shared_span_extents",  # r5 addition, never driver-checked
+    "corpus_span_removed",  # r5 addition, never driver-checked
     "garnet_end_members",
     "cpx_end_members",
     "feldspar_end_members",
@@ -3765,7 +3787,6 @@ _VERIFY_FIRST = [
     "tc_spinel_t21_proportions",
     "oxide_means_grouped",
     "weighted_mean_grouped",
-    "q1_pricing_summary",
 ]
 
 

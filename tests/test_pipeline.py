@@ -290,6 +290,27 @@ class TestDedup:
         extra = got - want
         assert not extra, f"phantom spans: {sorted(extra)[:5]}"
 
+    def test_remove_longest_shared_span_splices_correctly(self, spark):
+        """Removal audit: the cleaned digest equals md5 of the document
+        with its longest shared span spliced out (1-based coordinates,
+        full-text splice), only doc_b sides are touched, and n_spans
+        counts every extent the doc participated in."""
+        import hashlib
+
+        p1 = "alpha seven kilo zebra quebec india xray whiskey november"
+        t1 = "first doc intro:" + p1 + "|tail of one doc ends here."
+        t2 = "second preamble;" + p1 + "#closing part of doc two."
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2], "text": [t1, t2]}))
+        rows = dedup.remove_longest_shared_span(docs).collect()
+        assert [r.doc_id for r in rows] == [2]  # doc_a=1 is the keeper
+        r = rows[0]
+        a0 = r.removed_at - 1
+        expect = t2[:a0] + t2[a0 + r.removed_len:]
+        assert p1 not in expect  # the span is actually gone
+        assert r.cleaned_md5 == hashlib.md5(expect.encode()).hexdigest()
+        assert r.n_spans == 1
+
     def test_verify_guards_require_pairs_or_stats(self, spark):
         docs = spark.createDataFrame(
             pd.DataFrame({"doc_id": [1], "text": ["abc"]}))
