@@ -31,6 +31,7 @@ AUDIT = [
     "lsh_incremental_pairs",        # incremental store path
     "pq_search_rerank",             # PQ ADC shortlist + exact re-rank
     "dedup_exact",                  # hash-groupBy dedup
+    "shared_span_extents",          # span-level exact dedup (r5)
     "knn_ivf_topk",                 # partition-pruned ANN probe
     "garnet_end_members",           # domain chain (narrow codegen)
     "q3_shipping_topk",             # TPC-H join + rank limit
@@ -62,10 +63,15 @@ def _summarize(plan: str) -> list[str]:
             "0 parquet scans here means the chain reads the checkpoint")
     n_ex = len(re.findall(r"\bExchange\b", plan))
     out.append(f"exchanges (shuffles incl. broadcast): {n_ex}")
-    # formatted mode marks whole-stage-codegen'd operators with a `*`
+    # formatted mode marks whole-stage-codegen'd operators with a `*`;
+    # AQE plans print no markers until execution finalizes the stages
     ops = re.findall(r"([*]?)[-\s:+]*(\w+) \(\d+\)", plan.split("\n\n")[0])
     gen = sum(1 for star, _ in ops if star)
-    out.append(f"codegen'd operators: {gen}/{len(ops)}")
+    if "AdaptiveSparkPlan" in plan and gen == 0:
+        out.append(f"codegen'd operators: n/a pre-execution "
+                   f"(AdaptiveSparkPlan, {len(ops)} operators)")
+    else:
+        out.append(f"codegen'd operators: {gen}/{len(ops)}")
     joins = sorted(set(re.findall(
         r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)\b", plan)))
