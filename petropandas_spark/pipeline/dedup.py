@@ -621,27 +621,7 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
     At 100 TB the fingerprint table is ~1/``window`` of the corpus
     grams, carries (hash, id, pos) — never text — and the verify stage
     touches candidate documents only."""
-    src = _src_sql(text_col, prefix)
-    g = _spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        F.expr(f"explode(sequence(1, greatest(length({src}) "
-               f"- {gram - 1}, 1)))").alias("i"),
-        F.expr(src).alias("__t"),
-    ).select(
-        id_col, "i",
-        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
-    )
-    from pyspark.sql import Window
-
-    w = (Window.partitionBy(id_col).orderBy("i")
-         .rowsBetween(0, window - 1))
-    winnowed = g.select(
-        id_col, F.min("h").over(w).alias("h")
-    ).distinct()
-    sel = (
-        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
-        .join(winnowed, [id_col, "h"])
-    )
+    sel = winnow_fingerprints(df, text_col, id_col, gram, window, prefix)
     keyed = sel.select(
         "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
         .alias("v"),
@@ -650,6 +630,58 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
         F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
         F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
     ).where(F.col("doc_a") != F.col("doc_b"))
+    return _verified_span_report(df, pairs, text_col, id_col, gram,
+                                 prefix)
+
+
+def _positional_grams(df: DataFrame, text_col: str, id_col: str,
+                      gram: int, prefix: int | None) -> DataFrame:
+    """(id, i, h) — every ``gram``-char substring position hashed (one
+    narrow explode + codegen'd substr/md5 pass; text never shuffled)."""
+    src = _src_sql(text_col, prefix)
+    return _spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.expr(f"explode(sequence(1, greatest(length({src}) "
+               f"- {gram - 1}, 1)))").alias("i"),
+        F.expr(src).alias("__t"),
+    ).select(
+        id_col, "i",
+        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
+    )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram: int = 32,
+                        window: int = 8,
+                        prefix: int | None = 400) -> DataFrame:
+    """(id, h, pos) — the winnow-SELECTED gram fingerprints with each
+    hash's first occurrence position: per-document trailing-window MIN
+    over the gram hashes (one doc-keyed shuffle), distinct selected
+    values.  ~1/``window`` of the grams survive, and any shared span of
+    ``gram + window - 1`` chars keeps at least one selected hash (the
+    winnowing guarantee).  This is the SPAN-dedup store schema — persist
+    with :func:`write_winnow_store` for incremental ingestion."""
+    from pyspark.sql import Window
+
+    g = _positional_grams(df, text_col, id_col, gram, prefix)
+    w = (Window.partitionBy(id_col).orderBy("i")
+         .rowsBetween(0, window - 1))
+    winnowed = g.select(
+        id_col, F.min("h").over(w).alias("h")
+    ).distinct()
+    return (
+        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
+        .join(winnowed, [id_col, "h"])
+    )
+
+
+def _verified_span_report(df: DataFrame, pairs: DataFrame,
+                          text_col: str, id_col: str, gram: int,
+                          prefix: int | None) -> DataFrame:
+    """Exact-verify candidate gram matches (md5 collision guard) and
+    aggregate the per-pair span report — shared by the full and the
+    incremental detection paths."""
+    src = _src_sql(text_col, prefix)
     txt = df.select(F.col(id_col), F.expr(src).alias("__t"))
     ga = txt.select(F.col(id_col).alias("doc_a"),
                     F.col("__t").alias("__ta"))
@@ -703,28 +735,12 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     src = _src_sql(text_col, prefix)
-    base = _spread(df.select(id_col, text_col), id_col)
-    g = base.select(
-        F.col(id_col),
-        F.expr(f"explode(sequence(1, greatest(length({src}) "
-               f"- {gram - 1}, 1)))").alias("i"),
-        F.expr(src).alias("__t"),
-    ).select(
-        id_col, "i",
-        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
-    )
+    g = _positional_grams(df, text_col, id_col, gram, prefix)
     # winnowed candidate pairs (subsampled detection), exact-verified,
     # then distinct — the expensive full-resolution match below touches
     # only these pairs.  Eager localCheckpoint: the pair list feeds the
     # id prune AND the match join (GC-cleaned, never session-cached).
-    wspec = (Window.partitionBy(id_col).orderBy("i")
-             .rowsBetween(0, window - 1))
-    winnowed = g.select(id_col, F.min("h").over(wspec).alias("h")) \
-        .distinct()
-    sel = (
-        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
-        .join(winnowed, [id_col, "h"])
-    )
+    sel = winnow_fingerprints(df, text_col, id_col, gram, window, prefix)
     keyed = sel.select(
         "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
         .alias("v"),
@@ -776,6 +792,112 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
             F.md5(F.expr("substr(__ta, pos_a, span_len)"))
             .alias("span_md5"),
         )
+    )
+
+
+def write_winnow_store(fps: DataFrame, path: str) -> None:
+    """Persist a winnow fingerprint store (``doc_id, h, pos``) — the
+    span-dedup analogue of :func:`write_signature_store`: incremental
+    ingestion reads it back instead of re-gramming settled text."""
+    fps.write.mode("overwrite").parquet(path)
+
+
+def read_winnow_store(spark, path: str, schema=None) -> DataFrame:
+    """Read the winnow store back (``schema`` for possibly-empty
+    first-batch directories, as with :func:`read_signature_store`)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def span_incremental_pairs(store_fps: DataFrame | None,
+                           new_docs: DataFrame | None = None,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           gram: int = 32, window: int = 8,
+                           prefix: int | None = 400,
+                           new_fps: DataFrame | None = None,
+                           max_bucket: int = 10_000,
+                           store_shards: int = 8) -> DataFrame:
+    """Incremental SPAN-dedup candidates: gram matches touching a new
+    batch, without re-gramming the settled corpus — the span-tier
+    analogue of :func:`lsh_incremental_pairs`.
+
+    ``store_fps`` is the persisted winnow fingerprint store
+    (:func:`winnow_fingerprints` schema; ``None`` on the first batch).
+    Only the batch is grammed and winnowed; both sides bucket on the
+    fingerprint hash, and per bucket the (new values) × (all values)
+    grid emits exactly the matches with a new member — new↔old and
+    new↔new, never old↔old.  Same hot-bucket chunk-grid and store-shard
+    salting as the MinHash path (a corpus-wide boilerplate gram's
+    settled membership collects at most ``|batch| + |bucket|/shards``
+    entries per aggregated row).
+
+    Returns candidate ``(doc_a, pos_a, doc_b, pos_b)`` matches
+    (``doc_a < doc_b``) — the store carries no text, so exact
+    verification joins the document table downstream
+    (:func:`_verified_span_report`), touching candidate docs only.
+    Result ≡ the full-corpus detection filtered to pairs with at least
+    one new member (driver-oracle-checked)."""
+    if new_fps is None:
+        if new_docs is None:
+            raise ValueError("pass new_docs or new_fps")
+        new_fps = winnow_fingerprints(new_docs, text_col, id_col, gram,
+                                      window, prefix)
+
+    def keyed(fps):
+        return fps.select(
+            "h",
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            .alias("v"),
+        )
+
+    bn = keyed(new_fps).withColumn("__new", F.lit(True))
+    if store_fps is None:
+        flagged = bn.withColumn("__shard", F.lit(0))
+    else:
+        ns_ = max(1, store_shards)
+        bn_repl = bn.withColumn(
+            "__shard", F.explode(F.expr(f"sequence(0, {ns_ - 1})")))
+        store_sh = keyed(store_fps).withColumn(
+            "__new", F.lit(False)).withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col("v.d")), F.lit(ns_))
+            .cast("int"))
+        flagged = store_sh.unionByName(bn_repl)
+    buckets = (
+        flagged.groupBy("h", "__shard")
+        .agg(
+            F.sort_array(F.collect_set(
+                F.when(F.col("__new"), F.col("v")))).alias("ns"),
+            F.sort_array(F.collect_set(F.col("v"))).alias("vs"),
+        )
+        .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
+    )
+    mb = max_bucket
+    ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
+    ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
+    grid = buckets.select(F.explode(F.expr(
+        f"flatten(transform(sequence(0, {ncn} - 1), i -> "
+        f"transform(sequence(0, {ncv} - 1), j -> struct("
+        f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
+        f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
+    )).alias("c"))
+    spread = grid.repartition(
+        flagged.sparkSession.sparkContext.defaultParallelism)
+    cross = ("flatten(transform(c.ca, x -> "
+             "transform(c.cb, y -> struct(x AS a, y AS b))))")
+    return (
+        spread.select(F.explode(F.expr(cross)).alias("p"))
+        .where(F.col("p.a.d") != F.col("p.b.d"))
+        .select(
+            F.least("p.a", "p.b").alias("__lo"),
+            F.greatest("p.a", "p.b").alias("__hi"),
+        )
+        .select(
+            F.col("__lo.d").alias("doc_a"), F.col("__lo.p").alias("pos_a"),
+            F.col("__hi.d").alias("doc_b"), F.col("__hi.p").alias("pos_b"),
+        )
+        .distinct()
     )
 
 

@@ -1636,7 +1636,19 @@ SELECT doc_id, fp FROM (
 # winnowing over 32-char gram md5s (trailing window 8, first 400 chars),
 # fingerprint-equality pair generation (self-join here — the Spark side
 # uses the bucket-groupBy explosion; different algorithms, identical
-# rows), exact substring verify, per-pair span report.
+# rows), exact substring verify, per-pair span report.  The incremental
+# variant adds a new-member predicate to the pair stage (batch = the
+# doc_id % 10 >= 8 convention shared with lsh_incremental_pairs).
+def _span_pairs_duck(pair_pred: str = "") -> str:
+    return REPEATED_SPANS_DUCK.replace(
+        "AND a.doc_id < b.doc_id",
+        "AND a.doc_id < b.doc_id" + pair_pred,
+    )
+
+
+SPAN_INCREMENTAL_PRED = (
+    " AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)")
+
 REPEATED_SPANS_DUCK = """
 WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
 g AS (SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 32)) AS h
@@ -2882,6 +2894,20 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         lambda spark, sf_dir: _dd.shared_span_extents(docs(spark, sf_dir)),
         SHARED_SPAN_EXTENTS_DUCK,
     )
+    # incremental span detection: winnow store for the settled 80%,
+    # only the 20% batch is grammed; result ≡ full detection filtered
+    # to pairs touching the batch (the oracle checks exactly that)
+    def span_inc_fn(spark, sf_dir):
+        d = docs(spark, sf_dir)
+        store = _dd.winnow_fingerprints(d.where("doc_id % 10 < 8"))
+        cand = _dd.span_incremental_pairs(store,
+                                          d.where("doc_id % 10 >= 8"))
+        return _dd._verified_span_report(d, cand, "text", "doc_id", 32,
+                                         400)
+
+    out["span_incremental_pairs"] = QuerySpec(
+        span_inc_fn, _span_pairs_duck(SPAN_INCREMENTAL_PRED),
+    )
     # span removal (keep the doc_a occurrence, excise doc_b's longest)
     out["corpus_span_removed"] = QuerySpec(
         lambda spark, sf_dir: _dd.remove_longest_shared_span(
@@ -3741,6 +3767,7 @@ _VERIFY_FIRST = [
     "repeated_span_pairs",  # r5 addition, never driver-checked
     "shared_span_extents",  # r5 addition, never driver-checked
     "corpus_span_removed",  # r5 addition, never driver-checked
+    "span_incremental_pairs",  # r5 addition, never driver-checked
     "garnet_end_members",
     "cpx_end_members",
     "feldspar_end_members",
@@ -3786,7 +3813,6 @@ _VERIFY_FIRST = [
     "tc_cpx_w24_proportions",
     "tc_spinel_t21_proportions",
     "oxide_means_grouped",
-    "weighted_mean_grouped",
 ]
 
 

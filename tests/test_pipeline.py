@@ -290,6 +290,49 @@ class TestDedup:
         extra = got - want
         assert not extra, f"phantom spans: {sorted(extra)[:5]}"
 
+    def test_span_incremental_matches_filtered_full_recompute(
+            self, spark, tmp_path):
+        """The incremental span path — winnow store READ FROM PARQUET
+        (the production contract), only the batch grammed — must emit
+        exactly the full-corpus candidate matches that touch the batch:
+        new↔old and new↔new, never old↔old."""
+        p = "alpha seven kilo zebra quebec india xray whiskey november"
+        texts = {
+            1: "settled one:" + p + "|more settled words here.",
+            2: "settled two;" + p + "#settled tail text.",
+            3: "settled three with no shared passage at all qq ww.",
+            10: "batch doc preamble!" + p + "%batch ending words.",
+            11: "another batch document sharing nothing zz xx cc vv.",
+        }
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        settled = docs.where("doc_id < 10")
+        batch = docs.where("doc_id >= 10")
+        path = str(tmp_path / "winnow_store")
+        dedup.write_winnow_store(dedup.winnow_fingerprints(settled), path)
+        store = dedup.read_winnow_store(spark, path)
+        inc = {(r.doc_a, r.pos_a, r.doc_b, r.pos_b) for r in
+               dedup.span_incremental_pairs(store, batch).collect()}
+        # full recompute over everything, filtered to batch-touching
+        sel = dedup.winnow_fingerprints(docs)
+        k = sel.select("h", F.struct(
+            F.col("doc_id").alias("d"), F.col("pos").alias("p")).alias("v"))
+        from petropandas_spark.pipeline.dedup import _bucket_pairs_any
+        full = {(r.doc_a, r.pos_a, r.doc_b, r.pos_b) for r in
+                _bucket_pairs_any(k, "v", ["h"]).select(
+                    F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
+                    F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
+                ).collect()}
+        want = {t for t in full if t[0] >= 10 or t[2] >= 10}
+        assert inc == want
+        assert any(t[0] < 10 and t[2] >= 10 for t in inc)  # new↔old seen
+        assert not any(t[0] < 10 and t[2] < 10 for t in inc)  # no old↔old
+        # first batch: no store
+        first = dedup.span_incremental_pairs(None, batch)
+        assert {(r.doc_a, r.doc_b) for r in first.collect()} == set()
+        with pytest.raises(ValueError, match="new_docs or new_fps"):
+            dedup.span_incremental_pairs(store)
+
     def test_remove_longest_shared_span_splices_correctly(self, spark):
         """Removal audit: the cleaned digest equals md5 of the document
         with its longest shared span spliced out (1-based coordinates,
