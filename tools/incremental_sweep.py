@@ -66,6 +66,23 @@ def main() -> None:
                 dd.lsh_incremental_pairs(s, b)))
             spark.catalog.clearCache()
         out["incremental"][f"batch_{pct}pct_s"] = t
+    # span tier (round 5): same contract against the winnow store
+    out["span_full_recompute_s"] = timed(
+        lambda: drain(dd.repeated_span_pairs(docs)))
+    out["span_incremental"] = {}
+    for pct in (5, 20, 50):
+        new = docs.where(f"doc_id % 100 < {pct}")
+        old = docs.where(f"doc_id % 100 >= {pct}")
+        with tempfile.TemporaryDirectory() as tmp:
+            store_path = os.path.join(tmp, "winnow_store")
+            dd.write_winnow_store(dd.winnow_fingerprints(old), store_path)
+            store = dd.read_winnow_store(spark, store_path)
+            t = timed(lambda s=store, b=new: drain(
+                dd._verified_span_report(
+                    docs, dd.span_incremental_pairs(s, b),
+                    "text", "doc_id", 32, 400)))
+            spark.catalog.clearCache()
+        out["span_incremental"][f"batch_{pct}pct_s"] = t
     print(json.dumps(out))
 
 
