@@ -160,6 +160,77 @@ def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
     )
 
 
+def read_span_matches(spark, matches_path: str, id_type: str = "bigint"):
+    """Pinned-schema reader for :func:`span_ingest_stream` landings (a
+    zero-match run leaves no data files; inference would raise)."""
+    return spark.read.schema(
+        f"doc_a {id_type}, pos_a INT, doc_b {id_type}, pos_b INT, "
+        f"batch_id BIGINT"
+    ).parquet(matches_path)
+
+
+def span_ingest_stream(stream_df, store_path: str, matches_path: str,
+                       checkpoint: str):
+    """Continuous SPAN-dedup ingestion — the streaming twin of
+    :func:`petropandas_spark.pipeline.dedup.span_incremental_pairs`,
+    exactly parallel to :func:`neardup_ingest_stream`:
+
+    each micro-batch is grammed + winnowed (the only text touched),
+    bucketed against the persisted winnow store, and the candidate gram
+    matches touching the batch land under ``matches_path``; the batch's
+    fingerprints append to the store for the next trigger.  Same
+    exactly-once contract (both writes partitioned by ``batch_id`` with
+    dynamic partition overwrite → idempotent retries), same invariant:
+    union of the landed match partitions over any batch ordering equals
+    the full-corpus candidate match set (pytest-pinned)."""
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline.sinks import backfill_partitions
+
+    def _store_exists(spark):
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(store_path)
+        return p.getFileSystem(conf).exists(p)
+
+    def process(batch_df, batch_id):
+        from pyspark.sql.types import (IntegerType, StringType,
+                                       StructField, StructType)
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            fps_new = _dd.winnow_fingerprints(batch_df)
+            if _store_exists(spark):
+                id_field = fps_new.schema["doc_id"]
+                store_schema = StructType([
+                    id_field,
+                    StructField("h", StringType()),
+                    StructField("pos", IntegerType()),
+                    StructField("batch_id",
+                                fps_new.schema["doc_id"].dataType),
+                ])
+                store = _dd.read_winnow_store(
+                    spark, store_path, schema=store_schema).drop("batch_id")
+            else:
+                store = None
+            matches = _dd.span_incremental_pairs(store, new_fps=fps_new)
+            backfill_partitions(
+                matches.withColumn("batch_id", F.lit(batch_id)),
+                matches_path, ["batch_id"])
+            backfill_partitions(
+                fps_new.withColumn("batch_id", F.lit(batch_id)),
+                store_path, ["batch_id"])
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(df, path: str, checkpoint: str,
                              partition_cols: list[str] = ("lang",)):
     """Exactly-once partitioned parquet landing; drain with

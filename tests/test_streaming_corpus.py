@@ -176,3 +176,42 @@ def test_neardup_ingest_zero_pairs_readable(spark, tmp_path):
     pairs = sc.read_neardup_pairs(spark, str(tmp_path / "pairs"))
     assert pairs.count() == 0
     assert set(pairs.columns) == {"doc_a", "doc_b", "batch_id"}
+
+
+def test_span_ingest_stream_matches_full_recompute(spark, docs_dir,
+                                                   tmp_path):
+    """Span-tier streaming twin: union of per-batch winnow-store match
+    partitions == full-corpus span candidate set, for any batch split
+    (each match surfaces when its later member arrives).  Re-landed
+    duplicate docs collapse to distinct for the oracle, as in the
+    MinHash twin."""
+    from pyspark.sql import functions as F
+
+    from petropandas_spark.pipeline import dedup as dd
+    from petropandas_spark.pipeline.dedup import _bucket_pairs_any
+
+    stream = sc.read_documents_stream(
+        spark, os.path.join(docs_dir, "*"), max_files_per_trigger=1
+    )
+    store_path = str(tmp_path / "winnowstore")
+    matches_path = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt_span")
+    q = sc.span_ingest_stream(stream, store_path, matches_path, ckpt)
+    assert q.awaitTermination(180)
+
+    landed = sc.read_span_matches(spark, matches_path)
+    got = {(r.doc_a, r.pos_a, r.doc_b, r.pos_b) for r in landed.collect()}
+    all_docs = spark.read.parquet(os.path.join(docs_dir, "*")).distinct()
+    sel = dd.winnow_fingerprints(all_docs)
+    keyed = sel.select("h", F.struct(
+        F.col("doc_id").alias("d"), F.col("pos").alias("p")).alias("v"))
+    expect = {(r.doc_a, r.pos_a, r.doc_b, r.pos_b) for r in
+              _bucket_pairs_any(keyed, "v", ["h"]).select(
+                  F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
+                  F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
+              ).collect()}
+    assert got == expect
+    # store holds fingerprints for every distinct landed doc
+    fps = spark.read.parquet(store_path)
+    assert fps.select("doc_id").distinct().count() \
+        == all_docs.select("doc_id").distinct().count()
