@@ -295,6 +295,66 @@ def read_signature_store(spark, path: str, schema=None) -> DataFrame:
     return reader.parquet(path)
 
 
+def _flag_and_shard(new_keyed: DataFrame, store_keyed: DataFrame | None,
+                    shard_on, store_shards: int) -> DataFrame:
+    """Tag incremental-bucket inputs: new rows ``__new=True`` replicated
+    to every store shard; store rows salted into ``store_shards``
+    sub-buckets by ``shard_on`` (bounds the aggregated bucket row to
+    ``|batch| + |bucket|/shards`` values).  ``store_keyed=None`` (first
+    batch) degenerates to one unsharded bucket set."""
+    bn = new_keyed.withColumn("__new", F.lit(True))
+    if store_keyed is None:
+        return bn.withColumn("__shard", F.lit(0))
+    ns_ = max(1, store_shards)
+    bn_repl = bn.withColumn(
+        "__shard", F.explode(F.expr(f"sequence(0, {ns_ - 1})")))
+    store_sh = store_keyed.withColumn(
+        "__new", F.lit(False)).withColumn(
+        "__shard", F.pmod(F.xxhash64(shard_on), F.lit(ns_)).cast("int"))
+    return store_sh.unionByName(bn_repl)
+
+
+def _incremental_value_pairs(flagged: DataFrame, val_col: str,
+                             key_cols: list[str],
+                             max_bucket: int) -> DataFrame:
+    """Per (bucket, shard): the (new values) × (all values) grid —
+    exactly the pairs with at least one new member (new↔old and
+    new↔new, never old↔old), chunk-gridded like
+    :func:`_bucket_pairs_any` so a hot bucket's quadratic fan-out
+    distributes across tasks.  Shared by the MinHash and span
+    incremental paths (one copy of the shard/flag/chunk-grid machinery
+    — a hot-bucket or salting fix lands in both).  Returns ``(a, b)``
+    value pairs, ``a != b``, not yet deduplicated (new↔new pairs meet
+    in every shard; callers ``distinct()`` after their projection)."""
+    buckets = (
+        flagged.groupBy(*key_cols, "__shard")
+        .agg(
+            F.sort_array(F.collect_set(
+                F.when(F.col("__new"), F.col(val_col)))).alias("ns"),
+            F.sort_array(F.collect_set(F.col(val_col))).alias("vs"),
+        )
+        .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
+    )
+    mb = max_bucket
+    ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
+    ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
+    grid = buckets.select(F.explode(F.expr(
+        f"flatten(transform(sequence(0, {ncn} - 1), i -> "
+        f"transform(sequence(0, {ncv} - 1), j -> struct("
+        f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
+        f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
+    )).alias("c"))
+    spread = grid.repartition(
+        flagged.sparkSession.sparkContext.defaultParallelism)
+    cross = ("flatten(transform(c.ca, x -> "
+             "transform(c.cb, y -> struct(x AS a, y AS b))))")
+    return (
+        spread.select(F.explode(F.expr(cross)).alias("p"))
+        .where(F.col("p.a") != F.col("p.b"))
+        .select("p.a", "p.b")
+    )
+
+
 def lsh_incremental_pairs(store_sigs: DataFrame | None,
                           new_docs: DataFrame | None = None,
                           text_col: str = "text", id_col: str = "doc_id",
@@ -345,52 +405,19 @@ def lsh_incremental_pairs(store_sigs: DataFrame | None,
             raise ValueError("pass new_docs or new_sigs")
         new_sigs = minhash_signatures_portable(new_docs, text_col, id_col,
                                                shingle, prefix)
-    bn = _portable_bands(new_sigs, id_col).withColumn("__new", F.lit(True))
-    if store_sigs is None:
-        flagged = bn.withColumn("__shard", F.lit(0))
-    else:
-        ns_ = max(1, store_shards)
-        bn_repl = bn.withColumn(
-            "__shard", F.explode(F.expr(f"sequence(0, {ns_ - 1})")))
-        store_sh = _portable_bands(store_sigs, id_col).withColumn(
-            "__new", F.lit(False)).withColumn(
-            "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(ns_))
-            .cast("int"))
-        flagged = store_sh.unionByName(bn_repl)
-    # one aggregation per (bucket, shard): the new-member id set and the
-    # full id set (new ⊆ all, so a single scan of the union suffices)
-    buckets = (
-        flagged.groupBy("bh", "__shard")
-        .agg(
-            F.sort_array(F.collect_set(
-                F.when(F.col("__new"), F.col(id_col)))).alias("ns"),
-            F.sort_array(F.collect_set(F.col(id_col))).alias("vs"),
-        )
-        .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
+    flagged = _flag_and_shard(
+        _portable_bands(new_sigs, id_col),
+        None if store_sigs is None else _portable_bands(store_sigs, id_col),
+        F.col(id_col), store_shards,
     )
-    mb = max_bucket
-    ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
-    ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
-    grid = buckets.select(F.explode(F.expr(
-        f"flatten(transform(sequence(0, {ncn} - 1), i -> "
-        f"transform(sequence(0, {ncv} - 1), j -> struct("
-        f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
-        f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
-    )).alias("c"))
-    spread = grid.repartition(
-        flagged.sparkSession.sparkContext.defaultParallelism)
-    cross = ("flatten(transform(c.ca, x -> "
-             "transform(c.cb, y -> struct(x AS a, y AS b))))")
-    pairs = (
-        spread.select(F.explode(F.expr(cross)).alias("p"))
-        .where(F.col("p.a") != F.col("p.b"))
+    return (
+        _incremental_value_pairs(flagged, id_col, ["bh"], max_bucket)
         .select(
-            F.least("p.a", "p.b").alias("doc_a"),
-            F.greatest("p.a", "p.b").alias("doc_b"),
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
         )
         .distinct()
     )
-    return pairs
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -637,16 +664,26 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
 def _positional_grams(df: DataFrame, text_col: str, id_col: str,
                       gram: int, prefix: int | None) -> DataFrame:
     """(id, i, h) — every ``gram``-char substring position hashed (one
-    narrow explode + codegen'd substr/md5 pass; text never shuffled)."""
+    narrow explode + codegen'd substr/md5 pass; text never shuffled).
+
+    Documents shorter than ``gram`` chars emit NO positions: a doc that
+    cannot contain a full gram cannot share one (the shingle helpers'
+    ``greatest(…, 1)`` whole-short-text floor is deliberately absent —
+    with it, every pair of empty/short-identical docs fabricated a
+    truncated "span" whose reported length exceeded the documents)."""
     src = _src_sql(text_col, prefix)
-    return _spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        F.expr(f"explode(sequence(1, greatest(length({src}) "
-               f"- {gram - 1}, 1)))").alias("i"),
-        F.expr(src).alias("__t"),
-    ).select(
-        id_col, "i",
-        F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
+    return (
+        _spread(df.select(id_col, text_col), id_col)
+        .where(F.expr(f"length({src}) >= {gram}"))
+        .select(
+            F.col(id_col),
+            F.expr(f"explode(sequence(1, length({src}) "
+                   f"- {gram - 1}))").alias("i"),
+            F.expr(src).alias("__t"),
+        ).select(
+            id_col, "i",
+            F.expr(f"md5(substr(__t, i, {gram}))").alias("h"),
+        )
     )
 
 
@@ -660,18 +697,28 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     values.  ~1/``window`` of the grams survive, and any shared span of
     ``gram + window - 1`` chars keeps at least one selected hash (the
     winnowing guarantee).  This is the SPAN-dedup store schema — persist
-    with :func:`write_winnow_store` for incremental ingestion."""
+    with :func:`write_winnow_store` for incremental ingestion.
+
+    ONE pass over the gram table: the window MIN selects ``(h, i)``
+    STRUCTS (field-order comparison: hash first, position as the
+    tie-break — identical ordering in DuckDB, so the oracle replays
+    it), then a groupBy keeps each selected hash's earliest selected
+    position.  The earlier two-branch form (window-min values joined
+    back to a first-occurrence aggregate) derived the gram explosion
+    TWICE with no exchange reuse — the doubled text scan + md5 pass is
+    exactly the data-proportional cost at 100 TB.  ``pos`` is the
+    earliest position a selecting window recorded for the hash (a real
+    occurrence — the verify stage only needs one); the selected hash
+    SET is identical to the two-branch form's."""
     from pyspark.sql import Window
 
     g = _positional_grams(df, text_col, id_col, gram, prefix)
     w = (Window.partitionBy(id_col).orderBy("i")
          .rowsBetween(0, window - 1))
-    winnowed = g.select(
-        id_col, F.min("h").over(w).alias("h")
-    ).distinct()
     return (
-        g.groupBy(id_col, "h").agg(F.min("i").alias("pos"))
-        .join(winnowed, [id_col, "h"])
+        g.select(id_col, F.min(F.struct("h", "i")).over(w).alias("m"))
+        .select(id_col, F.col("m.h").alias("h"), F.col("m.i").alias("i"))
+        .groupBy(id_col, "h").agg(F.min("i").alias("pos"))
     )
 
 
@@ -739,7 +786,10 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     # winnowed candidate pairs (subsampled detection), exact-verified,
     # then distinct — the expensive full-resolution match below touches
     # only these pairs.  Eager localCheckpoint: the pair list feeds the
-    # id prune AND the match join (GC-cleaned, never session-cached).
+    # id prune AND the match join (GC-cleaned, never session-cached;
+    # executor loss before the joins fails the query rather than
+    # recomputing — the candidate list is tiny, so reliable-storage
+    # checkpointing would cost more than re-running on preemption).
     sel = winnow_fingerprints(df, text_col, id_col, gram, window, prefix)
     keyed = sel.select(
         "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
@@ -852,46 +902,17 @@ def span_incremental_pairs(store_fps: DataFrame | None,
             .alias("v"),
         )
 
-    bn = keyed(new_fps).withColumn("__new", F.lit(True))
-    if store_fps is None:
-        flagged = bn.withColumn("__shard", F.lit(0))
-    else:
-        ns_ = max(1, store_shards)
-        bn_repl = bn.withColumn(
-            "__shard", F.explode(F.expr(f"sequence(0, {ns_ - 1})")))
-        store_sh = keyed(store_fps).withColumn(
-            "__new", F.lit(False)).withColumn(
-            "__shard", F.pmod(F.xxhash64(F.col("v.d")), F.lit(ns_))
-            .cast("int"))
-        flagged = store_sh.unionByName(bn_repl)
-    buckets = (
-        flagged.groupBy("h", "__shard")
-        .agg(
-            F.sort_array(F.collect_set(
-                F.when(F.col("__new"), F.col("v")))).alias("ns"),
-            F.sort_array(F.collect_set(F.col("v"))).alias("vs"),
-        )
-        .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
+    flagged = _flag_and_shard(
+        keyed(new_fps),
+        None if store_fps is None else keyed(store_fps),
+        F.col("v.d"), store_shards,
     )
-    mb = max_bucket
-    ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
-    ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
-    grid = buckets.select(F.explode(F.expr(
-        f"flatten(transform(sequence(0, {ncn} - 1), i -> "
-        f"transform(sequence(0, {ncv} - 1), j -> struct("
-        f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
-        f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
-    )).alias("c"))
-    spread = grid.repartition(
-        flagged.sparkSession.sparkContext.defaultParallelism)
-    cross = ("flatten(transform(c.ca, x -> "
-             "transform(c.cb, y -> struct(x AS a, y AS b))))")
     return (
-        spread.select(F.explode(F.expr(cross)).alias("p"))
-        .where(F.col("p.a.d") != F.col("p.b.d"))
+        _incremental_value_pairs(flagged, "v", ["h"], max_bucket)
+        .where(F.col("a.d") != F.col("b.d"))
         .select(
-            F.least("p.a", "p.b").alias("__lo"),
-            F.greatest("p.a", "p.b").alias("__hi"),
+            F.least("a", "b").alias("__lo"),
+            F.greatest("a", "b").alias("__hi"),
         )
         .select(
             F.col("__lo.d").alias("doc_a"), F.col("__lo.p").alias("pos_a"),
@@ -920,23 +941,29 @@ def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
     directly to the complete document.
 
     Returns ``(doc_id, removed_at, removed_len, n_spans, cleaned_md5)``
-    for AFFECTED documents only."""
+    for AFFECTED documents only.  ``n_spans`` counts every extent the
+    document participates in on EITHER side (a doc can be the keeper of
+    one pair and the duplicate of another — the triage audit needs the
+    full participation count, not just the removed side)."""
     if spans is None:
         spans = shared_span_extents(df, text_col, id_col, **span_kwargs)
     from pyspark.sql import Window
 
+    counts = (
+        spans.select(F.col("doc_a").alias(id_col))
+        .unionByName(spans.select(F.col("doc_b").alias(id_col)))
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    )
     w = Window.partitionBy("doc_b").orderBy(
         F.desc("span_len"), F.asc("pos_b"), F.asc("span_md5"),
         F.asc("doc_a"))
     pick = (
         spans.withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(
-            Window.partitionBy("doc_b")))
         .where(F.col("__rk") == 1)
         .select(F.col("doc_b").alias(id_col),
                 F.col("pos_b").alias("removed_at"),
-                F.col("span_len").alias("removed_len"),
-                F.col("__n").alias("n_spans"))
+                F.col("span_len").alias("removed_len"))
+        .join(counts, id_col)
     )
     return pick.join(df.select(id_col, text_col), id_col).select(
         id_col, "removed_at", "removed_len", "n_spans",

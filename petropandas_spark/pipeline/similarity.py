@@ -284,8 +284,13 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
         # is cleaned up by Spark's ContextCleaner when the DataFrame goes
         # out of scope, instead of pinning session storage memory until an
         # explicit unpersist/clearCache the (lazy) return value could
-        # never schedule.  Lineage truncation is harmless here — the pair
-        # list is the deliberate barrier.
+        # never schedule.  Trade-off: checkpoint blocks are executor-local
+        # and lineage is truncated, so losing an executor between the
+        # barrier and the verify joins fails the query instead of
+        # recomputing (persist recovered transparently).  On clusters with
+        # preemptible executors / aggressive dynamic allocation, pass
+        # verify="hof"/"arrow" explicitly — the auto barrier is the only
+        # checkpointed stage on this path.
         cand = cand.localCheckpoint()
         verify = "arrow" if cand.count() >= arrow_min_pairs else "hof"
 

@@ -1653,13 +1653,15 @@ REPEATED_SPANS_DUCK = """
 WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
 g AS (SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 32)) AS h
       FROM d, LATERAL (SELECT unnest(generate_series(1,
-               greatest(length(d.t) - 31, 1))) AS i) u),
-wmin AS (SELECT DISTINCT doc_id,
-                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
-         FROM g),
-sel AS (SELECT g.doc_id, g.h, MIN(g.i) AS pos
-        FROM g JOIN wmin USING (doc_id, h) GROUP BY g.doc_id, g.h),
+               length(d.t) - 31)) AS i) u
+      WHERE length(d.t) >= 32),
+wm AS (SELECT doc_id,
+              MIN(struct_pack(h := h, i := i)) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+       FROM g),
+sel AS (SELECT doc_id, m.h AS h, MIN(m.i) AS pos
+        FROM wm GROUP BY doc_id, m.h),
 p AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
              b.doc_id AS doc_b, b.pos AS pos_b
       FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -1686,13 +1688,15 @@ SHARED_SPAN_EXTENTS_DUCK = """
 WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
 g AS (SELECT d.doc_id, u.i, md5(substr(d.t, u.i, 32)) AS h
       FROM d, LATERAL (SELECT unnest(generate_series(1,
-               greatest(length(d.t) - 31, 1))) AS i) u),
-wmin AS (SELECT DISTINCT doc_id,
-                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
-         FROM g),
-sel AS (SELECT g.doc_id, g.h, MIN(g.i) AS pos
-        FROM g JOIN wmin USING (doc_id, h) GROUP BY g.doc_id, g.h),
+               length(d.t) - 31)) AS i) u
+      WHERE length(d.t) >= 32),
+wm AS (SELECT doc_id,
+              MIN(struct_pack(h := h, i := i)) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+       FROM g),
+sel AS (SELECT doc_id, m.h AS h, MIN(m.i) AS pos
+        FROM wm GROUP BY doc_id, m.h),
 cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
             JOIN d da ON da.doc_id = a.doc_id
@@ -2914,18 +2918,21 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
             docs(spark, sf_dir)),
         f"""
 WITH spans AS ({SHARED_SPAN_EXTENTS_DUCK}),
+cnt AS (SELECT doc_id, COUNT(*) AS n_spans FROM (
+          SELECT doc_a AS doc_id FROM spans
+          UNION ALL SELECT doc_b FROM spans) GROUP BY doc_id),
 pick AS (SELECT doc_b AS doc_id, pos_b AS removed_at,
                 span_len AS removed_len,
-                COUNT(*) OVER (PARTITION BY doc_b) AS n_spans,
                 ROW_NUMBER() OVER (PARTITION BY doc_b
                     ORDER BY span_len DESC, pos_b, span_md5, doc_a) AS rk
          FROM spans)
 SELECT p.doc_id, p.removed_at, p.removed_len,
-       CAST(p.n_spans AS BIGINT) AS n_spans,
+       CAST(c.n_spans AS BIGINT) AS n_spans,
        md5(substr(d.text, 1, CAST(p.removed_at AS INT) - 1)
            || substr(d.text, CAST(p.removed_at AS INT)
                              + CAST(p.removed_len AS INT))) AS cleaned_md5
-FROM pick p JOIN documents d USING (doc_id)
+FROM pick p JOIN cnt c USING (doc_id)
+     JOIN documents d USING (doc_id)
 WHERE p.rk = 1
 """,
     )

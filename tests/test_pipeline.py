@@ -258,10 +258,10 @@ class TestDedup:
             for ia, ib in itertools.combinations(sorted(texts), 2):
                 ta, tb = texts[ia][:PREFIX], texts[ib][:PREFIX]
                 gb: dict[str, list[int]] = {}
-                for j in range(max(len(tb) - GRAM + 1, 1)):
+                for j in range(len(tb) - GRAM + 1):
                     gb.setdefault(tb[j:j + GRAM], []).append(j)
                 runs: dict[int, list[int]] = {}
-                for i in range(max(len(ta) - GRAM + 1, 1)):
+                for i in range(len(ta) - GRAM + 1):
                     for j in gb.get(ta[i:i + GRAM], []):
                         runs.setdefault(j - i, []).append(i)
                 for delta, pis in runs.items():
@@ -337,22 +337,47 @@ class TestDedup:
         """Removal audit: the cleaned digest equals md5 of the document
         with its longest shared span spliced out (1-based coordinates,
         full-text splice), only doc_b sides are touched, and n_spans
-        counts every extent the doc participated in."""
+        counts every extent the doc participates in on EITHER side (a
+        doc can be one pair's keeper and another's duplicate)."""
         import hashlib
 
         p1 = "alpha seven kilo zebra quebec india xray whiskey november"
         t1 = "first doc intro:" + p1 + "|tail of one doc ends here."
         t2 = "second preamble;" + p1 + "#closing part of doc two."
+        t3 = "third opener..." + p1 + "$and a third distinct ending."
         docs = spark.createDataFrame(pd.DataFrame(
-            {"doc_id": [1, 2], "text": [t1, t2]}))
-        rows = dedup.remove_longest_shared_span(docs).collect()
-        assert [r.doc_id for r in rows] == [2]  # doc_a=1 is the keeper
-        r = rows[0]
-        a0 = r.removed_at - 1
-        expect = t2[:a0] + t2[a0 + r.removed_len:]
-        assert p1 not in expect  # the span is actually gone
-        assert r.cleaned_md5 == hashlib.md5(expect.encode()).hexdigest()
-        assert r.n_spans == 1
+            {"doc_id": [1, 2, 3], "text": [t1, t2, t3]}))
+        rows = {r.doc_id: r
+                for r in dedup.remove_longest_shared_span(docs).collect()}
+        # extents: (1,2), (1,3), (2,3) — docs 2 and 3 are doc_b sides
+        assert set(rows) == {2, 3}
+        texts = {2: t2, 3: t3}
+        for did, r in rows.items():
+            a0 = r.removed_at - 1
+            expect = texts[did][:a0] + texts[did][a0 + r.removed_len:]
+            assert p1 not in expect  # the span is actually gone
+            assert r.cleaned_md5 == \
+                hashlib.md5(expect.encode()).hexdigest()
+            # each doc participates in two extents (review finding: the
+            # doc_b-only window undercounted this)
+            assert r.n_spans == 2
+
+    def test_span_tier_ignores_sub_gram_documents(self, spark):
+        """Documents shorter than the gram cannot share a full gram, so
+        they must produce NO fingerprints, NO pairs, and NO fabricated
+        spans (review finding: the shingle-style whole-short-text floor
+        paired every empty doc with every other and reported span_len
+        32 on 0-char documents)."""
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["", "", "N/A", "N/A",
+                     "this document is comfortably longer than one gram"],
+        }))
+        assert dedup.winnow_fingerprints(
+            docs).where("doc_id <= 4").count() == 0
+        assert dedup.repeated_span_pairs(docs).count() == 0
+        assert dedup.shared_span_extents(docs).count() == 0
+        assert dedup.remove_longest_shared_span(docs).count() == 0
 
     def test_verify_guards_require_pairs_or_stats(self, spark):
         docs = spark.createDataFrame(

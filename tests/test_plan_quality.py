@@ -491,6 +491,22 @@ def test_spread_remote_source_falls_back_to_plan_stats(spark, monkeypatch):
         "Repartition" in _plan(out, "extended")
 
 
+def test_winnow_fingerprints_single_gram_pass(spark):
+    """The winnow selection is ONE pass over the gram explosion (struct
+    window-min + groupBy) — the earlier two-branch self-join derived
+    the corpus scan + explode + md5 stage twice with no exchange reuse
+    (review finding; the doubled text-gram pass is the
+    data-proportional cost at scale)."""
+    from petropandas_spark.pipeline import dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    plan = _plan(dedup.winnow_fingerprints(df), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_simhash_pairs_no_self_join(spark, registry):
     """Same bucket-groupBy shape for the simhash Hamming pairs — the
     signatures ride into the buckets as structs, so the verify stage
