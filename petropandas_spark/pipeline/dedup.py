@@ -640,8 +640,10 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
        keep pairs whose spans match EXACTLY (md5 collision guard — the
        operator's claim is exact, not probable, duplication), then
        aggregate per pair: how many distinct selected spans are shared,
-       the first shared position in each document, and the minimum
-       shared-gram digest as a stable sample id.
+       the earliest winnow-SELECTED shared position in each document
+       (a real occurrence; not necessarily the hash's first occurrence
+       — see :func:`winnow_fingerprints`), and the minimum shared-gram
+       digest as a stable sample id.
 
     Every value is engine-reproducible (md5 + substr + window MIN), so
     the DuckDB oracle replays the chain exactly (hash-exact driver row).
@@ -657,7 +659,7 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
         F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
         F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
     ).where(F.col("doc_a") != F.col("doc_b"))
-    return _verified_span_report(df, pairs, text_col, id_col, gram,
+    return verified_span_report(df, pairs, text_col, id_col, gram,
                                  prefix)
 
 
@@ -691,10 +693,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", gram: int = 32,
                         window: int = 8,
                         prefix: int | None = 400) -> DataFrame:
-    """(id, h, pos) — the winnow-SELECTED gram fingerprints with each
-    hash's first occurrence position: per-document trailing-window MIN
-    over the gram hashes (one doc-keyed shuffle), distinct selected
-    values.  ~1/``window`` of the grams survive, and any shared span of
+    """(id, h, pos) — the winnow-SELECTED gram fingerprints, each with
+    the earliest position a selecting window recorded for the hash:
+    per-document trailing-window MIN over the gram hashes (one
+    doc-keyed shuffle), distinct selected values.  ~1/``window`` of the
+    grams survive, and any shared span of
     ``gram + window - 1`` chars keeps at least one selected hash (the
     winnowing guarantee).  This is the SPAN-dedup store schema — persist
     with :func:`write_winnow_store` for incremental ingestion.
@@ -722,7 +725,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
-def _verified_span_report(df: DataFrame, pairs: DataFrame,
+def verified_span_report(df: DataFrame, pairs: DataFrame,
                           text_col: str, id_col: str, gram: int,
                           prefix: int | None) -> DataFrame:
     """Exact-verify candidate gram matches (md5 collision guard) and
@@ -886,7 +889,7 @@ def span_incremental_pairs(store_fps: DataFrame | None,
     Returns candidate ``(doc_a, pos_a, doc_b, pos_b)`` matches
     (``doc_a < doc_b``) — the store carries no text, so exact
     verification joins the document table downstream
-    (:func:`_verified_span_report`), touching candidate docs only.
+    (:func:`verified_span_report`), touching candidate docs only.
     Result ≡ the full-corpus detection filtered to pairs with at least
     one new member (driver-oracle-checked)."""
     if new_fps is None:
@@ -946,7 +949,12 @@ def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
     one pair and the duplicate of another — the triage audit needs the
     full participation count, not just the removed side)."""
     if spans is None:
-        spans = shared_span_extents(df, text_col, id_col, **span_kwargs)
+        # eager barrier: the extent list is referenced THREE times below
+        # (both count sides + the pick) — without it the full-resolution
+        # extent chain plans and executes up to 3×.  Tiny frame; same
+        # GC-cleaned / executor-loss trade-off as the other barriers.
+        spans = shared_span_extents(
+            df, text_col, id_col, **span_kwargs).localCheckpoint()
     from pyspark.sql import Window
 
     counts = (

@@ -2906,7 +2906,7 @@ def _pipeline_queries() -> dict[str, QuerySpec]:
         store = _dd.winnow_fingerprints(d.where("doc_id % 10 < 8"))
         cand = _dd.span_incremental_pairs(store,
                                           d.where("doc_id % 10 >= 8"))
-        return _dd._verified_span_report(d, cand, "text", "doc_id", 32,
+        return _dd.verified_span_report(d, cand, "text", "doc_id", 32,
                                          400)
 
     out["span_incremental_pairs"] = QuerySpec(

@@ -85,6 +85,72 @@ def read_neardup_pairs(spark, pairs_path: str, id_type: str = "bigint"):
     ).parquet(pairs_path)
 
 
+def _incremental_ingest_stream(stream_df, store_path: str,
+                               landing_path: str, checkpoint: str,
+                               derive, candidates):
+    """Shared exactly-once incremental-ingest scaffold for the MinHash
+    and span twins — ONE copy of the store-probe / pinned-schema read /
+    twin backfill machinery (a fix here lands in both tiers).
+
+    ``derive(batch_df)`` → the batch's store artifact (signatures /
+    fingerprints; the only stage that touches text);
+    ``candidates(store_or_None, artifact)`` → the matches to land.
+
+    Exactly-once: ``foreachBatch`` re-runs a failed batch with the same
+    ``batch_id``; both writes are partitioned by ``batch_id`` with
+    dynamic partition overwrite, so a retry replaces its own partition
+    instead of duplicating it (idempotent)."""
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline.sinks import backfill_partitions
+
+    def _store_exists(spark):
+        # explicit existence probe, NOT a broad except around the read: a
+        # present-but-unreadable store (corrupt parquet, permissions) must
+        # FAIL the batch loudly — silently degrading to batch-internal
+        # pairs would permanently drop new↔settled pairs while still
+        # appending the artifact, corrupting the incremental invariant
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(store_path)
+        return p.getFileSystem(conf).exists(p)
+
+    def process(batch_df, batch_id):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            art = derive(batch_df)
+            if _store_exists(spark):
+                # schema pinned: an EMPTY first micro-batch leaves the
+                # store directory with partition markers but no data
+                # files, and schema inference over zero files raises.
+                # batch_id is always the long foreachBatch epoch id.
+                store_schema = StructType(
+                    list(art.schema.fields)
+                    + [StructField("batch_id", LongType())])
+                store = _dd.read_signature_store(
+                    spark, store_path, schema=store_schema).drop("batch_id")
+            else:  # first batch: matches among the batch itself
+                store = None
+            matches = candidates(store, art)
+            backfill_partitions(
+                matches.withColumn("batch_id", F.lit(batch_id)),
+                landing_path, ["batch_id"])
+            backfill_partitions(
+                art.withColumn("batch_id", F.lit(batch_id)),
+                store_path, ["batch_id"])
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
                           checkpoint: str):
     """Continuous NEAR-dup ingestion — the streaming twin of
@@ -98,65 +164,21 @@ def neardup_ingest_stream(stream_df, store_path: str, pairs_path: str,
     trigger the text work is O(batch), exactly the 100 TB ingestion
     contract.
 
-    Exactly-once: ``foreachBatch`` re-runs a failed batch with the same
-    ``batch_id``; both writes are partitioned by ``batch_id`` with
-    dynamic partition overwrite, so a retry replaces its own partition
-    instead of duplicating it (idempotent).  Union of the landed pair
-    partitions over any batch ordering equals the full-corpus
-    ``lsh_candidate_pairs_portable`` pair set (each pair surfaces when
-    its later member arrives; equivalence is pytest-pinned).  Read the
-    pairs back with :func:`read_neardup_pairs` — a zero-near-dup run
-    leaves the directory without data files, where schema inference
-    fails but the pinned-schema read yields the expected empty frame."""
-    from pyspark.sql import functions as F  # noqa: F811 (local for pickling)
-
+    Union of the landed pair partitions over any batch ordering equals
+    the full-corpus ``lsh_candidate_pairs_portable`` pair set (each
+    pair surfaces when its later member arrives; equivalence is
+    pytest-pinned).  Read the pairs back with
+    :func:`read_neardup_pairs` — a zero-near-dup run leaves the
+    directory without data files, where schema inference fails but the
+    pinned-schema read yields the expected empty frame.  Exactly-once
+    semantics: see :func:`_incremental_ingest_stream`."""
     from petropandas_spark.pipeline import dedup as _dd
-    from petropandas_spark.pipeline.sinks import backfill_partitions
 
-    def _store_exists(spark):
-        # explicit existence probe, NOT a broad except around the read: a
-        # present-but-unreadable store (corrupt parquet, permissions) must
-        # FAIL the batch loudly — silently degrading to batch-internal
-        # pairs would permanently drop new↔settled near-dup pairs while
-        # still appending signatures, corrupting the incremental invariant
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(store_path)
-        return p.getFileSystem(conf).exists(p)
-
-    def process(batch_df, batch_id):
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            sigs_new = _dd.minhash_signatures_portable(batch_df)
-            if _store_exists(spark):
-                # schema pinned: an EMPTY first micro-batch leaves the
-                # store directory with partition markers but no data
-                # files, and schema inference over zero files raises
-                store_schema = StructType(
-                    list(sigs_new.schema.fields)
-                    + [StructField("batch_id", LongType())])
-                store = _dd.read_signature_store(
-                    spark, store_path, schema=store_schema).drop("batch_id")
-            else:  # first batch: pairs among the batch itself
-                store = None
-            pairs = _dd.lsh_incremental_pairs(store, new_sigs=sigs_new)
-            backfill_partitions(
-                pairs.withColumn("batch_id", F.lit(batch_id)),
-                pairs_path, ["batch_id"])
-            backfill_partitions(
-                sigs_new.withColumn("batch_id", F.lit(batch_id)),
-                store_path, ["batch_id"])
-        finally:
-            batch_df.unpersist()
-
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=_dd.minhash_signatures_portable,
+        candidates=lambda store, sigs: _dd.lsh_incremental_pairs(
+            store, new_sigs=sigs),
     )
 
 
@@ -173,61 +195,22 @@ def span_ingest_stream(stream_df, store_path: str, matches_path: str,
                        checkpoint: str):
     """Continuous SPAN-dedup ingestion — the streaming twin of
     :func:`petropandas_spark.pipeline.dedup.span_incremental_pairs`,
-    exactly parallel to :func:`neardup_ingest_stream`:
+    exactly parallel to :func:`neardup_ingest_stream` (one shared
+    scaffold — :func:`_incremental_ingest_stream`):
 
     each micro-batch is grammed + winnowed (the only text touched),
     bucketed against the persisted winnow store, and the candidate gram
     matches touching the batch land under ``matches_path``; the batch's
-    fingerprints append to the store for the next trigger.  Same
-    exactly-once contract (both writes partitioned by ``batch_id`` with
-    dynamic partition overwrite → idempotent retries), same invariant:
+    fingerprints append to the store for the next trigger.  Invariant:
     union of the landed match partitions over any batch ordering equals
     the full-corpus candidate match set (pytest-pinned)."""
     from petropandas_spark.pipeline import dedup as _dd
-    from petropandas_spark.pipeline.sinks import backfill_partitions
 
-    def _store_exists(spark):
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(store_path)
-        return p.getFileSystem(conf).exists(p)
-
-    def process(batch_df, batch_id):
-        from pyspark.sql.types import (IntegerType, StringType,
-                                       StructField, StructType)
-
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            fps_new = _dd.winnow_fingerprints(batch_df)
-            if _store_exists(spark):
-                id_field = fps_new.schema["doc_id"]
-                store_schema = StructType([
-                    id_field,
-                    StructField("h", StringType()),
-                    StructField("pos", IntegerType()),
-                    StructField("batch_id",
-                                fps_new.schema["doc_id"].dataType),
-                ])
-                store = _dd.read_winnow_store(
-                    spark, store_path, schema=store_schema).drop("batch_id")
-            else:
-                store = None
-            matches = _dd.span_incremental_pairs(store, new_fps=fps_new)
-            backfill_partitions(
-                matches.withColumn("batch_id", F.lit(batch_id)),
-                matches_path, ["batch_id"])
-            backfill_partitions(
-                fps_new.withColumn("batch_id", F.lit(batch_id)),
-                store_path, ["batch_id"])
-        finally:
-            batch_df.unpersist()
-
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_ingest_stream(
+        stream_df, store_path, matches_path, checkpoint,
+        derive=_dd.winnow_fingerprints,
+        candidates=lambda store, fps: _dd.span_incremental_pairs(
+            store, new_fps=fps),
     )
 
 

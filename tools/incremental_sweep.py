@@ -78,7 +78,7 @@ def main() -> None:
             dd.write_winnow_store(dd.winnow_fingerprints(old), store_path)
             store = dd.read_winnow_store(spark, store_path)
             t = timed(lambda s=store, b=new: drain(
-                dd._verified_span_report(
+                dd.verified_span_report(
                     docs, dd.span_incremental_pairs(s, b),
                     "text", "doc_id", 32, 400)))
             spark.catalog.clearCache()
