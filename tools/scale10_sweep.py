@@ -54,6 +54,9 @@ QUERIES = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_verified_neardups",
+    "repeated_span_pairs",
+    "shared_span_extents",
+    "span_incremental_pairs",
     "knn_cosine_topk",
     "cosine_neardup_pairs",
     "semantic_dedup_groups",
