@@ -7,10 +7,14 @@ Stages (all lazy until each write):
   1. exact dedup (normalized-hash tier) → keeper ids
   2. MinHash-LSH near-dup candidates → exact Jaccard verify →
      connected components → per-cluster best-quality keeper
-  3. PII scrub
-  4. quality-quartile tagging + deterministic train/val/test split
-  5. Hive-partitioned landing (lang) + signature store for the NEXT
-     incremental batch (``dedup.lsh_incremental_pairs``)
+  3. SPAN-level exact-substring dedup (Lee et al. 2021): excise
+     copy-pasted passages the document-level tiers keep (the docs
+     differ overall but share a verbatim span)
+  4. PII scrub
+  5. quality-quartile tagging + deterministic train/val/test split
+  6. Hive-partitioned landing (lang) + signature AND winnow stores for
+     the NEXT incremental batch (``dedup.lsh_incremental_pairs``,
+     ``dedup.span_incremental_pairs``)
 """
 
 from __future__ import annotations
@@ -73,9 +77,26 @@ def main() -> None:
     )
     neardup_kept = exact_kept.join(drops, "doc_id", "left_anti")
 
-    # 3 + 4. scrub, quality quartiles, deterministic split
+    # 3. span tier: documents that SURVIVED the document-level tiers can
+    #    still share verbatim passages (boilerplate, quotes, templates).
+    #    Report them and splice the longest one out of the duplicate
+    #    side — the audit digest shows what the splice produced.
+    span_audit = dedup.remove_longest_shared_span(neardup_kept)
+    spliced = (
+        neardup_kept.join(span_audit.select(
+            "doc_id", "removed_at", "removed_len"), "doc_id", "left")
+        .withColumn("text", F.when(
+            F.col("removed_at").isNotNull(),
+            F.expr("concat(substr(text, 1, CAST(removed_at AS INT) - 1),"
+                   " substr(text, CAST(removed_at AS INT)"
+                   " + CAST(removed_len AS INT)))"),
+        ).otherwise(F.col("text")))
+        .drop("removed_at", "removed_len")
+    )
+
+    # 4 + 5. scrub, quality quartiles, deterministic split
     curated = (
-        scrub_pii(neardup_kept)
+        scrub_pii(spliced)
         .withColumn("quality_q", F.ntile(4).over(
             # doc_id tiebreak: equal-length docs must land in the same
             # quartile on every run (determinism-everywhere stance)
@@ -86,11 +107,14 @@ def main() -> None:
          .otherwise("test"))
     )
 
-    # 5. landing + signature store for the next incremental batch
+    # 6. landing + both incremental stores for the next batch
     write_partitioned(curated, os.path.join(out, "corpus"), ["lang"])
     dedup.write_signature_store(
         dedup.minhash_signatures_portable(curated.select("doc_id", "text")),
         os.path.join(out, "sigstore"))
+    dedup.write_winnow_store(
+        dedup.winnow_fingerprints(curated.select("doc_id", "text")),
+        os.path.join(out, "winnowstore"))
 
     back = spark.read.parquet(os.path.join(out, "corpus"))
     back.groupBy("lang", "split").count().orderBy("lang", "split").show()
@@ -106,8 +130,11 @@ def main() -> None:
     next_batch = scrub_pii(docs.where("doc_id % 17 = 0").select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
     n_pairs = dedup.lsh_incremental_pairs(store, next_batch).count()
+    wstore = dedup.read_winnow_store(spark, os.path.join(out, "winnowstore"))
+    n_spans = dedup.span_incremental_pairs(wstore, next_batch).count()
     print(f"next-batch incremental near-dup candidates: {n_pairs}")
-    print(f"curated corpus + signature store under {out}")
+    print(f"next-batch incremental span-match candidates: {n_spans}")
+    print(f"curated corpus + signature/winnow stores under {out}")
 
 
 if __name__ == "__main__":

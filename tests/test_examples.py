@@ -37,6 +37,8 @@ def test_corpus_curation_example(tmp_path):
     r = _run(["examples/corpus_curation.py",
               "/root/testdata/sf0.001/documents.parquet", out])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "signature store" in r.stdout
+    assert "signature/winnow stores" in r.stdout
+    assert "incremental span-match candidates" in r.stdout
     assert os.path.isdir(os.path.join(out, "corpus"))
     assert os.path.isdir(os.path.join(out, "sigstore"))
+    assert os.path.isdir(os.path.join(out, "winnowstore"))
