@@ -69,3 +69,46 @@ def test_check_stoichiometry_identical(spark, garnet_pdf):
         minerals.GARNET, carry=["id"],
     )
     assert_identical(*run_both(spark, garnet_pdf, plan))
+
+
+def test_span_dedup_unicode_dual_engine(spark):
+    """Span detection on NON-ASCII text must agree across engines:
+    substr/length count CHARACTERS in both dialects while md5 hashes
+    UTF-8 BYTES — a shared CJK/emoji passage exercises exactly that
+    seam (positions in char coordinates, hashes over multi-byte
+    encodings).  Runs the registered repeated_span_pairs oracle SQL on
+    the same frame in DuckDB and compares row-for-row."""
+    from petropandas_spark.pipeline import dedup
+    from petropandas_spark.registry import REPEATED_SPANS_DUCK
+
+    passage = ("机器学习模型的训练数据需要仔细的去重处理，"
+               "否则模型会记住重复的内容 🚀 and mixed ascii too")
+    assert len(passage) >= 39  # inside the winnow guarantee
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "第一篇文档的开头。" + passage + "第一篇的结尾部分。",
+            "completely different opening → " + passage + " ← the end",
+            "这篇文档没有共享内容，完全是独立的文本数据而已。",
+        ],
+    })
+    got = (
+        dedup.repeated_span_pairs(spark.createDataFrame(pdf))
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(REPEATED_SPANS_DUCK).df()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 1  # only the (1, 2) pair
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c
+    # the reported first position is a char coordinate into the passage
+    r = got.iloc[0]
+    span = pdf.text[0][r.first_pos_a - 1:r.first_pos_a - 1 + 32]
+    assert span in passage or span in pdf.text[0]
+    assert span == pdf.text[1][r.first_pos_b - 1:r.first_pos_b - 1 + 32]
