@@ -30,41 +30,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from petropandas_spark.registry import build_registry  # noqa: E402
 
 
-def green_names() -> tuple[set[str], list[str]]:
-    """(queries green in any round, queries failing in the newest round)."""
-    green: set[str] = set()
+def green_names() -> tuple[dict[str, int], list[str]]:
+    """({query: round of LAST green row}, queries failing in the newest round).
+
+    The round number lets the caller rotate STALEST-first: the head-50
+    should re-check the queries whose most recent driver verification is
+    oldest, so every registry query's driver check stays a bounded number
+    of rounds old.
+    """
+    last_green: dict[str, int] = {}
     newest_fail: list[str] = []
     files = sorted(glob.glob(
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_r*.json")
     ))
     for path in files:
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         data = json.load(open(path))
         fails = []
         for name, row in data.items():
             if row.get("hash_match"):
-                green.add(name)
+                last_green[name] = rnd
             elif row.get("err") == "no_oracle" and row.get("spark_rows"):
                 # weaker rows-only signal: driver ran the Spark side
-                green.add(name)
+                last_green[name] = rnd
             elif row.get("err") or row.get("hash_match") is False:
                 fails.append(name)
         newest_fail = fails  # keep only the last file's failures
-    return green, newest_fail
+    return last_green, newest_fail
 
 
-def render(names: list[str], green: set[str]) -> str:
-    unproven = [n for n in names if n not in green]
-    proven = [n for n in names if n in green]
+def render(names: list[str], last_green: dict[str, int]) -> str:
+    unproven = [n for n in names if n not in last_green]
+    # stalest first: sort proven names by the round of their last green
+    # driver row (ascending), tie-broken by registry order for stability.
+    order = {n: i for i, n in enumerate(names)}
+    proven = sorted((n for n in names if n in last_green),
+                    key=lambda n: (last_green[n], order[n]))
     lines = ["_VERIFY_FIRST = ["]
+    if unproven:
+        lines.append("    # never driver-checked — always lead:")
     for n in unproven:
         lines.append(f'    "{n}",')
     cap_left = 50 - len(unproven)
     if cap_left > 0:
-        lines.append(f"    # {cap_left} head slots left; rotating in "
-                     "proven names:")
+        lines.append(f"    # {cap_left} head slots left; stalest proven "
+                     "names (last-green round in comment):")
         for n in proven[:cap_left]:
-            lines.append(f'    "{n}",')
+            lines.append(f'    "{n}",  # r{last_green[n]:02d}')
     lines.append("]")
     return "\n".join(lines)
 
@@ -93,13 +106,13 @@ def apply_to_registry(block: str) -> None:
 
 def main() -> int:
     names = list(build_registry())
-    green, newest_fail = green_names()
-    unproven = [n for n in names if n not in green]
+    last_green, newest_fail = green_names()
+    unproven = [n for n in names if n not in last_green]
     print(f"# registry: {len(names)} queries; green in some round: "
           f"{len(names) - len(unproven)}; never green: {len(unproven)}")
     if newest_fail:
         print(f"# FAILING in newest round (fix first!): {newest_fail}")
-    block = render(names, green)
+    block = render(names, last_green)
     if "--apply" in sys.argv[1:]:
         apply_to_registry(block)
         print("# applied to petropandas_spark/registry.py")
