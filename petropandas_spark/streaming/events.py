@@ -209,6 +209,59 @@ def purchase_attribution(df, attribution: str = "30 minutes",
     )
 
 
+def welford_prefix_scan(rows, count: int, mean: float, m2: float,
+                        threshold_sigma: float = 3.0):
+    """Vectorized Welford prefix scan in arrival (event-time) order.
+
+    Row ``i`` is judged against the statistics of the carried-in state
+    combined with values ``0..i-1``.  Instead of a per-row Python loop,
+    the prefix (count, mean, M2) at every position is computed in one
+    shot from shifted cumulative sums (Chan et al.'s pairwise-combine
+    identity, with the batch side centered on its first value to avoid
+    catastrophic cancellation).  Equal to the sequential recurrence up
+    to float rounding (~1e-16 relative); the stream==batch pin runs at
+    1e-9 tolerance.  Returns ``(anomaly_rows, count', mean', m2')`` where
+    the primed state is the carried state combined with the whole batch —
+    the chunked micro-batch handoff stays a closed form.
+    """
+    import numpy as np
+
+    rows = rows.sort_values(["ts", "event_id"])
+    v = rows["value"].to_numpy(dtype=np.float64)
+    n = v.size
+    if n == 0:
+        return [], count, mean, m2
+    # prefix i = carried state ⊕ first i batch values, for i = 0..n
+    idx = np.arange(n + 1, dtype=np.float64)
+    centered = v - v[0]
+    cs = np.concatenate(([0.0], np.cumsum(centered)))
+    css = np.concatenate(([0.0], np.cumsum(centered * centered)))
+    tot = count + idx
+    safe_i = np.maximum(idx, 1.0)
+    safe_t = np.maximum(tot, 1.0)
+    mean_b = v[0] + cs / safe_i           # batch-prefix mean (idx > 0)
+    m2_b = np.maximum(css - cs * cs / safe_i, 0.0)
+    mean_pre = np.where(tot > 0,
+                        (count * mean + v[0] * idx + cs) / safe_t, mean)
+    delta = np.where(idx > 0, mean_b - mean, 0.0)
+    m2_pre = m2 + m2_b + delta * delta * (count * idx / safe_t)
+    # anomaly test for row i uses the prefix BEFORE it (position i)
+    pre_n, pre_mean, pre_m2 = tot[:n], mean_pre[:n], m2_pre[:n]
+    std = np.sqrt(np.maximum(pre_m2, 0.0) / safe_t[:n])
+    hit = (pre_n >= 5) & (std > 0) & (
+        np.abs(v - pre_mean) > threshold_sigma * std)
+    out = []
+    if hit.any():
+        uid = rows["user_id"].to_numpy()[hit]
+        eid = rows["event_id"].to_numpy()[hit]
+        ts = rows["ts"].to_numpy()[hit]
+        z = (v[hit] - pre_mean[hit]) / std[hit]
+        out = [(int(u), int(e), int(t), float(val), float(zz))
+               for u, e, t, val, zz
+               in zip(uid, eid, ts, v[hit], z)]
+    return out, int(count) + int(n), float(mean_pre[n]), float(m2_pre[n])
+
+
 def user_value_anomalies(df, threshold_sigma: float = 3.0,
                          delay: str = "30 minutes"):
     """Custom stateful operator via ``applyInPandasWithState``: per-user
@@ -230,22 +283,8 @@ def user_value_anomalies(df, threshold_sigma: float = 3.0,
     )
     state_schema = "count BIGINT, mean DOUBLE, m2 DOUBLE"
 
-    def scan_group(rows: pd.DataFrame, count: int, mean: float, m2: float):
-        """Welford update in arrival (event-time) order; collect anomalies."""
-        rows = rows.sort_values(["ts", "event_id"])
-        out = []
-        for _, r in rows.iterrows():
-            v = float(r["value"])
-            if count >= 5:
-                std = (m2 / count) ** 0.5
-                if std > 0 and abs(v - mean) > threshold_sigma * std:
-                    out.append((int(r["user_id"]), int(r["event_id"]),
-                                int(r["ts"]), v, (v - mean) / std))
-            count += 1
-            d = v - mean
-            mean += d / count
-            m2 += d * (v - mean)
-        return out, count, mean, m2
+    def scan_group(rows, count, mean, m2):
+        return welford_prefix_scan(rows, count, mean, m2, threshold_sigma)
 
     def update(key, pdfs, state):
         count, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)

@@ -167,3 +167,55 @@ def test_nanos_conf_restored_and_decode_still_works(spark, tmp_path):
     got = {r.ts for r in
            spark.sql("SELECT ts FROM nanos_restore_t").collect()}
     assert got == {1_000, 2_000}, "nanos stream mis-decoded after restore"
+
+
+def test_welford_prefix_scan_matches_sequential_recurrence():
+    """The vectorized prefix scan (cumsum + Chan combine) must agree with
+    the textbook sequential Welford recurrence — same anomaly set, same
+    z-scores, same carried-out state — and be invariant to micro-batch
+    chunking of the same event sequence."""
+    import numpy as np
+
+    def sequential(rows, count, mean, m2, k=3.0):
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for _, r in rows.iterrows():
+            v = float(r["value"])
+            if count >= 5:
+                std = (m2 / count) ** 0.5
+                if std > 0 and abs(v - mean) > k * std:
+                    out.append((int(r["user_id"]), int(r["event_id"]),
+                                int(r["ts"]), v, (v - mean) / std))
+            count += 1
+            d = v - mean
+            mean += d / count
+            m2 += d * (v - mean)
+        return out, count, mean, m2
+
+    rng = np.random.default_rng(7)
+    n = 400
+    vals = rng.normal(1000.0, 5.0, n)
+    vals[rng.choice(n, 12, replace=False)] += rng.choice(
+        [-60.0, 60.0], 12)  # clear outliers
+    pdf = pd.DataFrame({
+        "user_id": np.full(n, 42, dtype=np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.arange(n, dtype=np.int64) * 10,
+        "value": vals,
+    })
+    got, gc, gm, g2 = ev.welford_prefix_scan(pdf, 0, 0.0, 0.0)
+    exp, ec, em, e2 = sequential(pdf, 0, 0.0, 0.0)
+    assert gc == ec and abs(gm - em) < 1e-9 and abs(g2 - e2) < 1e-6
+    assert [r[:3] for r in got] == [r[:3] for r in exp]
+    np.testing.assert_allclose([r[4] for r in got], [r[4] for r in exp],
+                               rtol=1e-9)
+    # chunk invariance: feeding the same rows in 3 micro-batches with the
+    # state handed across the boundary reproduces the single-pass result
+    chunks = [pdf.iloc[:97], pdf.iloc[97:250], pdf.iloc[250:]]
+    st, rows2 = (0, 0.0, 0.0), []
+    for c in chunks:
+        r, *st = ev.welford_prefix_scan(c, *st)
+        rows2.extend(r)
+    assert [r[:3] for r in rows2] == [r[:3] for r in got]
+    assert st[0] == gc
+    np.testing.assert_allclose(st[1:], [gm, g2], rtol=1e-9, atol=1e-9)
