@@ -1166,6 +1166,36 @@ class TestPQ:
                                   shortlist=200).collect()]
         assert len(set(wider) & set(exact)) >= len(set(got) & set(exact))
 
+    def test_fit_on_sample_encode_full(self, spark, emb):
+        """The documented scale contract (similarity.py PQIndex docstring):
+        fit codebooks on a SAMPLE, encode the full corpus with them.  Fit
+        on a deterministic 20% slice, encode 100% (including the 80% the
+        fit never saw), and assert the encode covers every row with valid
+        codes and ADC+re-rank still clears the recall floor."""
+        from petropandas_spark.pipeline.similarity import PQIndex
+
+        sample = emb.filter("vec_id % 5 = 0")   # disjoint-majority fit set
+        assert 0 < sample.count() < emb.count()
+        pq = PQIndex(m=8, k=16).fit(sample)
+        codes = pq.encode(emb).cache()
+        try:
+            assert codes.count() == emb.count()
+            bad = codes.filter(
+                "size(codes) <> 8 OR exists(codes, c -> c < 0 OR c >= 16)"
+            ).count()
+            assert bad == 0
+            # query OUTSIDE the fit sample: its vector was never clustered
+            q = [float(x) for x in
+                 emb.filter("vec_id = 7").first()["embedding"]]
+            got = [r["vec_id"] for r in
+                   pq.search_rerank(codes, emb, q, topk=10,
+                                    shortlist=100).collect()]
+            exact = self._exact_topk(emb, q, 10)
+            assert got[0] == exact[0]           # self-hit survives sampling
+            assert len(set(got) & set(exact)) >= 5  # sampled-fit recall floor
+        finally:
+            codes.unpersist()
+
 
 class TestIVFStore:
     """IVF index persisted partitioned-by-cluster: probes must be
