@@ -983,6 +983,102 @@ def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
     )
 
 
+def remove_shared_spans(df: DataFrame, spans: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        emit_text: bool = False,
+                        **span_kwargs) -> DataFrame:
+    """Single-pass MULTI-span removal — excise EVERY shared span a
+    document carries on its duplicate (``doc_b``) side in one job.
+
+    :func:`remove_longest_shared_span` drops one span per document per
+    pass; boilerplate-heavy corpora (headers + footers + nav chrome —
+    the common web-scale case) would need k sequential jobs.  Here all
+    of a document's ``doc_b``-side extents are merged into maximal
+    islands first (interval union — overlapping or adjacent spans
+    coalesce), then every island is spliced out in one fold.  Removing
+    the UNION of duplicated intervals is exactly Lee et al. 2021's
+    drop-all-repeats semantics: every character covered by at least one
+    shared span goes, and the ``doc_a`` occurrences survive as keepers.
+
+    All set algebra is windowed SQL both engines replay exactly:
+    islands via the running-max-end break trick (a new island starts
+    where ``s`` exceeds every earlier interval's end), the splice via
+    one ``aggregate`` fold over the per-document sorted island array —
+    no per-row Python, no iteration, one shuffle on ``id_col`` (the
+    window, the island groupBy, and the doc aggregate all cluster on
+    it, so the exchange is reused).
+
+    Returns ``(doc_id, n_islands, removed_chars, n_spans, cleaned_md5)``
+    for affected documents; ``emit_text=True`` adds the spliced
+    ``cleaned_text`` itself (the pipeline-facing output — md5 keeps the
+    audit row narrow).  ``n_spans`` counts extents the document touches
+    on EITHER side, as in :func:`remove_longest_shared_span`."""
+    if spans is None:
+        # eager barrier: the extent chain is referenced twice below
+        # (participation counts + the interval set) — same trade-off as
+        # remove_longest_shared_span's barrier.
+        spans = shared_span_extents(
+            df, text_col, id_col, **span_kwargs).localCheckpoint()
+    from pyspark.sql import Window
+
+    counts = (
+        spans.select(F.col("doc_a").alias(id_col))
+        .unionByName(spans.select(F.col("doc_b").alias(id_col)))
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    iv = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("span_len")).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "brk",
+            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+            .otherwise(0))
+        .withColumn("isl", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    agg = isl.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("removed_chars"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
+    )
+    txt = F.col(text_col)
+    cleaned = F.aggregate(
+        "__ivs",
+        F.struct(F.lit(1).cast("bigint").alias("p"),
+                 F.lit("").alias("acc")),
+        lambda acc, x: F.struct(
+            x["e"].alias("p"),
+            F.concat(
+                acc["acc"],
+                txt.substr(acc["p"].cast("int"),
+                           (x["s"] - acc["p"]).cast("int")),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            txt.substr(acc["p"].cast("int"),
+                       (F.length(txt) - acc["p"] + 1).cast("int")),
+        ),
+    )
+    cols = [id_col, "n_islands", "removed_chars", "n_spans",
+            F.md5(cleaned).alias("cleaned_md5")]
+    if emit_text:
+        cols.append(cleaned.alias("cleaned_text"))
+    return (
+        agg.join(counts, id_col)
+        .join(df.select(id_col, text_col), id_col)
+        .select(*cols)
+    )
+
+
 def _star_components(nodes: DataFrame, edges: DataFrame,
                      id_col: str = "doc_id",
                      a_col: str = "doc_a", b_col: str = "doc_b",

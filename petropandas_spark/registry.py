@@ -2936,6 +2936,58 @@ FROM pick p JOIN cnt c USING (doc_id)
 WHERE p.rk = 1
 """,
     )
+    # single-pass MULTI-span removal (drop-all-repeats): every doc_b-side
+    # extent merges into interval-union islands, all spliced in one job.
+    # Oracle replays the island algebra (running-max-end break trick) and
+    # rebuilds the cleaned text as ordered kept segments via string_agg —
+    # a different splice mechanism than Spark's aggregate() fold, same
+    # string.
+    out["corpus_spans_removed_all"] = QuerySpec(
+        lambda spark, sf_dir: _dd.remove_shared_spans(
+            docs(spark, sf_dir)),
+        f"""
+WITH spans AS ({SHARED_SPAN_EXTENTS_DUCK}),
+cnt AS (SELECT doc_id, COUNT(*) AS n_spans FROM (
+          SELECT doc_a AS doc_id FROM spans
+          UNION ALL SELECT doc_b FROM spans) GROUP BY doc_id),
+iv AS (SELECT doc_b AS doc_id, pos_b AS s, pos_b + span_len AS e
+       FROM spans),
+mk AS (SELECT doc_id, s, e,
+        CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             THEN 1 ELSE 0 END AS brk
+      FROM iv),
+grp AS (SELECT doc_id, s, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM mk),
+isl AS (SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e
+        FROM grp GROUP BY doc_id, g),
+seg AS (SELECT doc_id, s AS ord, s,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps
+        FROM isl),
+parts AS (
+  SELECT seg.doc_id, seg.ord,
+         substr(d.text, CAST(seg.ps AS INT),
+                CAST(seg.s - seg.ps AS INT)) AS piece
+  FROM seg JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, 9223372036854775807 AS ord,
+         substr(d.text, CAST(t.me AS INT)) AS piece
+  FROM (SELECT doc_id, MAX(e) AS me FROM isl GROUP BY doc_id) t
+       JOIN documents d USING (doc_id)),
+agg AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned
+        FROM parts GROUP BY doc_id),
+st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(SUM(e - s) AS BIGINT) AS removed_chars
+       FROM isl GROUP BY doc_id)
+SELECT st.doc_id, st.n_islands, st.removed_chars,
+       CAST(c.n_spans AS BIGINT) AS n_spans,
+       md5(a.cleaned) AS cleaned_md5
+FROM st JOIN cnt c USING (doc_id) JOIN agg a USING (doc_id)
+""",
+    )
 
     # RAG / context-window chunking: fixed-stride overlapping character
     # chunks, scan-resident (explode + codegen'd substr — no shuffle)
@@ -3767,6 +3819,8 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
+    # never driver-checked — always lead:
+    "corpus_spans_removed_all",
     # 50 head slots left; stalest proven names (last-green round in comment):
     "weighted_mean_grouped",  # r01
     "q1_pricing_summary",  # r01
@@ -3817,7 +3871,6 @@ _VERIFY_FIRST = [
     "cosine_neardup_pairs",  # r02
     "dedup_components",  # r02
     "media_byte_stats",  # r02
-    "media_frame_checksums",  # r02
 ]
 
 

@@ -362,6 +362,52 @@ class TestDedup:
             # doc_b-only window undercounted this)
             assert r.n_spans == 2
 
+    def test_remove_shared_spans_excises_all_islands_one_pass(self, spark):
+        """Multi-span removal: a boilerplate-heavy doc carrying TWO
+        distinct shared passages loses BOTH in one pass (the single-span
+        operator needs two); the splice equals a Python interval-union
+        reference computed from the collected extents, and emit_text
+        returns the actual cleaned string."""
+        import hashlib
+
+        hdr = "standard header boilerplate alpha bravo charlie delta."
+        ftr = "common footer legal notice echo foxtrot golf hotel india"
+        t1 = hdr + " unique keeper-one body text goes right here okay."
+        t2 = "distinct keeper-two body copy sits in this doc. " + ftr
+        t3 = hdr + " the middle is original content of doc three. " + ftr
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [t1, t2, t3]}))
+        spans = dedup.shared_span_extents(docs).localCheckpoint()
+        out = {r.doc_id: r for r in
+               dedup.remove_shared_spans(docs, spans=spans,
+                                         emit_text=True).collect()}
+        # doc 3 is the doc_b side of both pairs — one pass removes both
+        assert 3 in out
+        r3 = out[3]
+        ivs = sorted((r.pos_b, r.pos_b + r.span_len)
+                     for r in spans.collect() if r.doc_b == 3)
+        merged = []
+        for s, e in ivs:  # interval-union reference
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect, last = "", 1
+        for s, e in merged:
+            expect += t3[last - 1:s - 1]
+            last = e
+        expect += t3[last - 1:]
+        assert r3.n_islands == len(merged) == 2
+        assert r3.removed_chars == sum(e - s for s, e in merged)
+        assert r3.cleaned_text == expect
+        assert r3.cleaned_md5 == hashlib.md5(expect.encode()).hexdigest()
+        assert hdr not in r3.cleaned_text and ftr not in r3.cleaned_text
+        # keeper occurrences survive untouched (docs 1 and 2 are only
+        # doc_a sides of their pairs with 3)
+        for d in (1, 2):
+            if d in out:
+                assert out[d].removed_chars < len(hdr)
+
     def test_span_tier_ignores_sub_gram_documents(self, spark):
         """Documents shorter than the gram cannot share a full gram, so
         they must produce NO fingerprints, NO pairs, and NO fabricated

@@ -570,3 +570,36 @@ def test_incremental_antijoin_no_bnlj(spark, registry):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_span_removal_single_doc_shuffle(spark):
+    """remove_shared_spans: the island merge (window), island groupBy,
+    and per-doc splice aggregate all cluster on doc_id — ONE exchange
+    feeds the whole chain (no per-stage re-shuffle), every join is an
+    equi-join, and the splice fold stays JVM-side (no Python stage)."""
+    import pandas as pd
+
+    from petropandas_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    spans = spark.createDataFrame(pd.DataFrame({
+        "doc_a": [1, 2], "doc_b": [3, 3],
+        "pos_a": [1, 1], "pos_b": [1, 40],
+        "span_len": [32, 32], "span_md5": ["x", "y"],
+    })).selectExpr("doc_a", "doc_b",
+                   "CAST(pos_a AS BIGINT) pos_a",
+                   "CAST(pos_b AS BIGINT) pos_b",
+                   "CAST(span_len AS BIGINT) span_len", "span_md5")
+    out = dedup.remove_shared_spans(docs, spans=spans)
+    plan = _plan(out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+    # exactly two hash exchanges: ONE feeding the whole island chain
+    # (window -> island groupBy -> doc splice-aggregate, all clustered
+    # on doc_id) and one for the participation-count union — the
+    # documents join side broadcasts (or AQE decides at runtime)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Window") == 2  # running-max-end + island id
