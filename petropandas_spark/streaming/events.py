@@ -317,3 +317,107 @@ def user_value_anomalies(df, threshold_sigma: float = 3.0,
         )
 
     return d.groupBy("user_id").applyInPandas(batch_fn, out_schema)
+
+
+def funnel_merge(state_arrays, new_by_type):
+    """Merge per-type timestamp arrays and recompute the chained funnel.
+
+    ``state_arrays``: 4 sorted-distinct numpy int64 arrays
+    (signup/view/click/purchase); ``new_by_type``: 4 arrays of this
+    batch's timestamps.  Returns ``(merged_arrays, t1..t4, depth)``.
+    Because the state keeps the DISTINCT per-type timestamps — not a
+    scalar running min — the chained semantics (earliest view at-or-
+    after the earliest signup, …) stay EXACT under out-of-order and
+    cross-batch arrival: a late-arriving earlier signup re-qualifies
+    views already seen.  State size is O(distinct event times per user
+    per type), the price of exactness; the registered batch funnel
+    (``events_funnel``) is the one-shot equivalent."""
+    import numpy as np
+
+    merged = [np.unique(np.concatenate([s, n])) if n.size else s
+              for s, n in zip(state_arrays, new_by_type)]
+    ts = [None, None, None, None]
+    prev = None
+    for i, arr in enumerate(merged):
+        cand = arr if i == 0 else arr[arr >= prev]
+        if cand.size:
+            ts[i] = int(cand.min())
+        prev = ts[i]
+        if prev is None:  # deeper levels stay NULL once a level is missing
+            break
+    depth = sum(1 for t in ts if t is not None)
+    return merged, ts, depth
+
+
+def funnel_progress(df, delay: str = "30 minutes"):
+    """Streaming twin of the registered ``events_funnel`` query: per-user
+    signup→view→click→purchase chained-min funnel, emitted incrementally
+    as events arrive (``applyInPandasWithState``).
+
+    Each emission carries ``n_events`` (monotone count of the user's
+    events seen so far) so a consumer — or the stream==batch pin — can
+    select the LATEST row per user; after the stream drains, that row
+    equals the batch funnel exactly.  On a batch DataFrame the same
+    fold runs once per user and ``n_events`` is the user's total."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, n_events BIGINT, signup_ts BIGINT, "
+        "view_ts BIGINT, click_ts BIGINT, purchase_ts BIGINT, "
+        "funnel_depth INT"
+    )
+    state_schema = (
+        "n BIGINT, signup ARRAY<BIGINT>, view ARRAY<BIGINT>, "
+        "click ARRAY<BIGINT>, purchase ARRAY<BIGINT>"
+    )
+    kinds = ("signup", "view", "click", "purchase")
+
+    def by_type(pdf: pd.DataFrame):
+        et = pdf["event_type"].to_numpy()
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        return [ts[et == k] for k in kinds]
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, *arrs = state.get
+            arrs = [np.asarray(a if a is not None else [], dtype=np.int64)
+                    for a in arrs]
+        else:
+            n, arrs = 0, [np.array([], dtype=np.int64) for _ in kinds]
+        uid = None
+        for pdf in pdfs:
+            if len(pdf):
+                uid = int(pdf["user_id"].iloc[0])
+                n += len(pdf)
+                new = by_type(pdf)
+                arrs, ts, depth = funnel_merge(arrs, new)
+        state.update((int(n), *[[int(x) for x in a] for a in arrs]))
+        if uid is not None:
+            yield pd.DataFrame([{
+                "user_id": uid, "n_events": int(n),
+                "signup_ts": ts[0], "view_ts": ts[1],
+                "click_ts": ts[2], "purchase_ts": ts[3],
+                "funnel_depth": int(depth),
+            }])
+
+    d = _maybe_watermark(with_event_time(df), delay)
+    if d.isStreaming:
+        return d.groupBy("user_id").applyInPandasWithState(
+            update, out_schema, state_schema,
+            "append", GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = [np.array([], dtype=np.int64) for _ in kinds]
+        _, ts, depth = funnel_merge(empty, by_type(pdf))
+        return pd.DataFrame([{
+            "user_id": int(pdf["user_id"].iloc[0]),
+            "n_events": int(len(pdf)),
+            "signup_ts": ts[0], "view_ts": ts[1],
+            "click_ts": ts[2], "purchase_ts": ts[3],
+            "funnel_depth": int(depth),
+        }])
+
+    return d.groupBy("user_id").applyInPandas(batch_fn, out_schema)

@@ -219,3 +219,60 @@ def test_welford_prefix_scan_matches_sequential_recurrence():
     assert [r[:3] for r in rows2] == [r[:3] for r in got]
     assert st[0] == gc
     np.testing.assert_allclose(st[1:], [gm, g2], rtol=1e-9, atol=1e-9)
+
+
+def test_funnel_stream_matches_batch_and_registered_sql(spark, tmp_path):
+    """Streaming funnel twin: the per-user chained-min funnel emitted
+    incrementally over ≥3 micro-batches (maxFilesPerTrigger=1, shuffled
+    file order → cross-batch, out-of-order arrival) converges to the
+    batch twin, and the batch twin equals the registered events_funnel
+    SQL row-for-row."""
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    batch = _batch_events(spark)
+    # 3 files split by a hash that interleaves users across files, so
+    # most users' funnels are assembled across micro-batches
+    for i in range(3):
+        batch.filter(f"pmod(event_id, 3) = {i}").coalesce(1) \
+            .write.mode("overwrite").parquet(str(d / f"f{i}"))
+    import shutil
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    n = 0
+    for sub in sorted(d.iterdir()):
+        for f in sub.glob("part-*.parquet"):
+            shutil.copy(f, staged / f"part-{n:03d}.parquet")
+            n += 1
+    assert n == 3
+
+    stream = ev.read_events_stream(spark, str(staged),
+                                   max_files_per_trigger=1)
+    # collect() keeps nullable BIGINT exact — toPandas would coerce the
+    # nanosecond timestamps through float64 and round them (ulp 256 at
+    # 1.7e18)
+    out = ev.run_to_memory(ev.funnel_progress(stream), "t_funnel",
+                           output_mode="append").collect()
+    # several emissions per user across micro-batches; keep the latest
+    per_user = {}
+    n_emissions = {}
+    for r in out:
+        n_emissions[r.user_id] = n_emissions.get(r.user_id, 0) + 1
+        best = per_user.get(r.user_id)
+        if best is None or r.n_events > best.n_events:
+            per_user[r.user_id] = r
+    assert max(n_emissions.values()) > 1
+    latest = sorted((r.user_id, r.n_events, r.signup_ts, r.view_ts,
+                     r.click_ts, r.purchase_ts, r.funnel_depth)
+                    for r in per_user.values())
+    got_batch = sorted((r.user_id, r.n_events, r.signup_ts, r.view_ts,
+                        r.click_ts, r.purchase_ts, r.funnel_depth)
+                       for r in ev.funnel_progress(batch).collect())
+    assert latest == got_batch
+
+    # the batch twin (minus the emission counter) == registered SQL
+    from petropandas_spark.registry import build_registry
+    sql = sorted((r.user_id, r.signup_ts, r.view_ts, r.click_ts,
+                  r.purchase_ts, r.funnel_depth)
+                 for r in build_registry()["events_funnel"]
+                 .spark_fn(spark, "/root/testdata/sf0.001").collect())
+    assert [(t[0],) + t[2:] for t in got_batch] == sql
