@@ -751,49 +751,21 @@ def verified_span_report(df: DataFrame, pairs: DataFrame,
     )
 
 
-def shared_span_extents(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", gram: int = 32,
-                        window: int = 8, prefix: int | None = 400,
-                        min_span: int | None = None,
-                        max_bucket: int = 10_000) -> DataFrame:
-    """MAXIMAL shared spans between document pairs — the exact extent of
-    each copy-pasted passage, not just its existence
-    (:func:`repeated_span_pairs` reports the latter).
-
-    A shared span of length L contains L-gram+1 matching ``gram``-char
-    substrings whose positions advance in LOCKSTEP: ``pos_b - pos_a`` is
-    constant across the span.  So after the winnowed candidate stage
-    (same chain as :func:`repeated_span_pairs`), matching gram positions
-    are grouped by (pair, offset delta) and contiguous position runs are
-    found with the islands-and-gaps trick (``pos - ROW_NUMBER()`` is
-    constant within a step-1 run) — maximal-span extraction as pure
-    windowed SQL, no per-pair loops, both engines replay it exactly.
-
-    Output: one row per maximal span —
-    ``(doc_a, doc_b, pos_a, pos_b, span_len, span_md5)``.
-    ``min_span`` defaults to ``gram``; spans of at least
-    ``gram + window - 1`` chars are GUARANTEED found (winnow window
-    bound), shorter ones best-effort (deterministically so).
-
-    Scale shape: the full-resolution gram match runs on CANDIDATE
-    documents only (semi-join prune); the match volume per pair is
-    bounded by occurrences, and every join is an equi-join.  Spans are
-    measured within ``prefix`` (positions are full-text coordinates, so
-    downstream removal applies directly)."""
-    if min_span is None:
-        min_span = gram
+def _span_extents_pairs(docs: DataFrame, text_col: str, id_col: str,
+                        gram: int, window: int, prefix: int | None,
+                        min_span: int, max_bucket: int) -> DataFrame:
+    """Per-pair extent core over ``docs`` (winnow detection → bucket
+    candidate pairs → exact gram verify → full-resolution lockstep
+    match → islands-and-gaps runs → full-span verify).  Used directly
+    on the whole corpus when duplication is light, and on distinct-text
+    representatives by the collapse path of
+    :func:`shared_span_extents`."""
     from pyspark.sql import Window
 
     src = _src_sql(text_col, prefix)
-    g = _positional_grams(df, text_col, id_col, gram, prefix)
-    # winnowed candidate pairs (subsampled detection), exact-verified,
-    # then distinct — the expensive full-resolution match below touches
-    # only these pairs.  Eager localCheckpoint: the pair list feeds the
-    # id prune AND the match join (GC-cleaned, never session-cached;
-    # executor loss before the joins fails the query rather than
-    # recomputing — the candidate list is tiny, so reliable-storage
-    # checkpointing would cost more than re-running on preemption).
-    sel = winnow_fingerprints(df, text_col, id_col, gram, window, prefix)
+    g = _positional_grams(docs, text_col, id_col, gram, prefix)
+    sel = winnow_fingerprints(docs, text_col, id_col, gram, window,
+                              prefix)
     keyed = sel.select(
         "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
         .alias("v"),
@@ -802,9 +774,16 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
         F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
         F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
     )
-    txt = df.select(F.col(id_col), F.expr(src).alias("__t"))
+    txt = docs.select(F.col(id_col), F.expr(src).alias("__t"))
     ta = txt.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
     tb = txt.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+    # winnowed candidate pairs (subsampled detection), exact-verified,
+    # then distinct — the expensive full-resolution match below touches
+    # only these pairs.  Eager localCheckpoint: the pair list feeds the
+    # id prune AND the match join (GC-cleaned, never session-cached;
+    # executor loss before the joins fails the query rather than
+    # recomputing — the candidate list is tiny, so reliable-storage
+    # checkpointing would cost more than re-running on preemption).
     cand = (
         cpairs.join(ta, "doc_a").join(tb, "doc_b")
         .where(F.expr(f"substr(__ta, pos_a, {gram})")
@@ -846,6 +825,206 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
             .alias("span_md5"),
         )
     )
+
+
+def shared_span_extents(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram: int = 32,
+                        window: int = 8, prefix: int | None = 400,
+                        min_span: int | None = None,
+                        max_bucket: int = 10_000,
+                        collapse_threshold: float = 0.05) -> DataFrame:
+    """MAXIMAL shared spans between document pairs — the exact extent of
+    each copy-pasted passage, not just its existence
+    (:func:`repeated_span_pairs` reports the latter).
+
+    A shared span of length L contains L-gram+1 matching ``gram``-char
+    substrings whose positions advance in LOCKSTEP: ``pos_b - pos_a`` is
+    constant across the span.  After the winnowed candidate stage (same
+    chain as :func:`repeated_span_pairs`), matching gram positions are
+    grouped by (pair, offset delta) and contiguous position runs are
+    found with the islands-and-gaps trick (``pos - ROW_NUMBER()`` is
+    constant within a step-1 run) — maximal-span extraction as pure
+    windowed SQL, no per-pair loops, both engines replay it exactly.
+
+    Output: one row per maximal span —
+    ``(doc_a, doc_b, pos_a, pos_b, span_len, span_md5)``.
+    ``min_span`` defaults to ``gram``; spans of at least
+    ``gram + window - 1`` chars are GUARANTEED found (winnow window
+    bound), shorter ones best-effort (deterministically so).
+
+    Duplication-mass bound (the 100 TB shape): extent rows are a pure
+    function of the two TEXTS, so on a duplication-heavy corpus
+    identical texts collapse FIRST — tier-1 hash groupBy picks one
+    representative per distinct (prefix) text, the whole tier (winnow
+    detection, bucket pairing, full-resolution match, extent verify)
+    runs on representatives only, pairs of identical documents never
+    enter detection at all (their extents are synthesized: the common
+    prefix is one span, a projection; internal ≥gram repeats come from
+    a SCAN-LOCAL neighbor check on the sorted per-doc gram array — no
+    gram self-join shuffle), and a final membership-expansion join fans
+    the per-text extents back to every document pair.  Output is
+    row-identical to the per-pair algorithm while gram-matching work
+    scales with DISTINCT text mass, not corpus mass.
+
+    The strategy is picked ADAPTIVELY from the tier-1 hash statistics
+    (two tiny driver-side counts on a checkpointed digest frame, the
+    same move AQE makes from shuffle statistics): when excess duplicate
+    mass is below ``collapse_threshold`` of the corpus, the collapse
+    machinery cannot pay for its extra stages (~15 small jobs of fixed
+    scheduling+codegen latency — measured 2.6 s vs 9 s on a 5k-doc
+    corpus with 1.4 % duplicates) and the per-pair core runs directly;
+    past the threshold the collapse path wins outright (measured
+    23.8 s → ~15 s on a 50 %-duplicated ×10 corpus, and the gap widens
+    with duplication since the per-pair core is quadratic in copies).
+
+    Scale shape: the full-resolution gram match runs on CANDIDATE
+    documents only (semi-join prune); the match volume per pair is
+    bounded by occurrences, and every join is an equi-join.  Spans are
+    measured within ``prefix`` (positions are full-text coordinates, so
+    downstream removal applies directly)."""
+    if min_span is None:
+        min_span = gram
+    from pyspark.sql import Window
+
+    src = _src_sql(text_col, prefix)
+    # --- tier-1 statistics: gstats has one row per distinct text
+    # (checkpointed; referenced by detection + expansion); the strategy
+    # decision needs only its two aggregate counts.
+    th = df.select(F.col(id_col), F.md5(F.expr(src)).alias("__th"))
+    gstats = (th.groupBy("__th")
+              .agg(F.min(id_col).alias("rep"),
+                   F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint())
+    n_docs, n_texts = gstats.agg(
+        F.sum("cnt"), F.count(F.lit(1))).collect()[0]
+    if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
+        return _span_extents_pairs(df, text_col, id_col, gram, window,
+                                   prefix, min_span, max_bucket)
+    # doc→text-hash membership, checkpointed ONCE on the collapse path
+    # only (id + 32-char digest per doc, no text) — the md5 scan runs
+    # once and both expansion sides read the materialized frame.
+    th = th.localCheckpoint()
+
+    repdocs = df.join(gstats.select(F.col("rep").alias(id_col)),
+                      id_col, "semi")
+    # --- cross-text extents: the per-pair core over representatives
+    # only (texts are pairwise DISTINCT here, so every emitted pair is
+    # a genuine cross-text extent).
+    rep_ext = _span_extents_pairs(repdocs, text_col, id_col, gram,
+                                  window, prefix, min_span, max_bucket)
+
+    # --- identical-text extents (groups with ≥2 members): between two
+    # copies of one text, the delta-0 lockstep run is ALWAYS the whole
+    # common prefix — a projection, no gram work; the remaining extents
+    # are the text's internal ≥gram repeats (delta ≠ 0).
+    dup_reps = gstats.where(F.col("cnt") >= 2).select(
+        F.col("rep").alias(id_col))
+    dup_docs = df.join(dup_reps, id_col, "semi")
+    dt = dup_docs.select(F.col(id_col).alias("rep"),
+                         F.expr(src).alias("__t"))
+    # One COMPACT pass over the duplicated-group texts: length, digest,
+    # and the repeated-gram positions, checkpointed WITHOUT the text
+    # (id + digest + a ~always-empty array per row) — full_span and the
+    # internal-repeat chain both read this frame instead of re-scanning
+    # the corpus.  Internal repeats are a per-document property, so the
+    # repeated-gram positions are extracted SCAN-LOCALLY: sort the
+    # doc's gram array by hash and keep entries whose neighbor shares
+    # the hash — no shuffle, no self-join of the 9-figure gram table;
+    # natural text yields ~zero rows.  The sorted gram array is bound
+    # ONCE as a lambda variable (the single-element-array trick): a
+    # plain projected alias would be re-inlined by Catalyst's
+    # projection collapse into every element_at reference, turning the
+    # neighbor scan O(L² log L).
+    dupinfo = dt.where(F.length("__t") >= gram).select(
+        "rep",
+        F.length("__t").cast("bigint").alias("__len"),
+        F.md5("__t").alias("__md5"),
+        F.expr(f"""
+          flatten(transform(
+            array(array_sort(transform(
+              sequence(1, length(__t) - {gram - 1}),
+              i -> struct(md5(substr(__t, i, {gram})) AS h,
+                          CAST(i AS BIGINT) AS pos)))),
+            sg -> filter(transform(sg, (e, k) ->
+              IF((k > 0 AND element_at(sg, k).h = e.h)
+                 OR (k < size(sg) - 1 AND element_at(sg, k + 2).h = e.h),
+                 e, NULL)), x -> x IS NOT NULL)))
+        """).alias("__rg"),
+    ).localCheckpoint()
+    full_span = dupinfo.where(F.col("__len") >= max(gram, min_span)).select(
+        "rep",
+        F.lit(1).cast("bigint").alias("pos_a"),
+        F.lit(1).cast("bigint").alias("pos_b"),
+        F.col("__len").alias("span_len"),
+        F.col("__md5").alias("span_md5"),
+    )
+    rg = (dupinfo.where(F.size("__rg") > 0)
+          .select("rep", F.explode("__rg").alias("e"))
+          .select("rep", F.col("e.h").alias("h"),
+                  F.col("e.pos").alias("pos")))
+    md = (
+        rg.select("rep", F.col("pos").alias("pa"), "h")
+        .join(rg.select("rep", F.col("pos").alias("pb"), "h"),
+              ["rep", "h"])
+        .where(F.col("pa") != F.col("pb"))
+        .select("rep", "pa", "pb", (F.col("pb") - F.col("pa")).alias("delta"))
+    )
+    mruns = md.withColumn(
+        "grp", F.col("pa") - F.row_number().over(
+            Window.partitionBy("rep", "delta").orderBy("pa")))
+    mspans = mruns.groupBy("rep", "delta", "grp").agg(
+        F.min("pa").alias("pos_a"),
+        F.min("pb").alias("pos_b"),
+        (F.max("pa") - F.min("pa") + F.lit(gram)).alias("span_len"),
+    ).where(F.col("span_len") >= min_span)
+    off_ext = (
+        mspans.join(dt, "rep")
+        .where(F.expr("substr(__t, pos_a, span_len)")
+               == F.expr("substr(__t, pos_b, span_len)"))
+        .select(
+            "rep",
+            F.col("pos_a").cast("bigint").alias("pos_a"),
+            F.col("pos_b").cast("bigint").alias("pos_b"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+            F.md5(F.expr("substr(__t, pos_a, span_len)"))
+            .alias("span_md5"),
+        )
+    )
+    self_ext = full_span.unionByName(off_ext)
+
+    # --- membership expansion: fan per-text extents back to document
+    # pairs.  Cross-text pairs swap (pos_a, pos_b) when the id order
+    # flips group orientation; identical-text pairs take the symmetric
+    # self-extent set as-is.
+    mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
+    mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
+    cross = (
+        rep_ext
+        .join(gstats.select(F.col("rep").alias("doc_a"),
+                            F.col("__th").alias("tha")), "doc_a")
+        .join(gstats.select(F.col("rep").alias("doc_b"),
+                            F.col("__th").alias("thb")), "doc_b")
+        .join(mem_a, "tha").join(mem_b, "thb")
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            F.when(F.col("xa") < F.col("xb"), F.col("pos_a"))
+            .otherwise(F.col("pos_b")).alias("pos_a"),
+            F.when(F.col("xa") < F.col("xb"), F.col("pos_b"))
+            .otherwise(F.col("pos_a")).alias("pos_b"),
+            "span_len", "span_md5",
+        )
+    )
+    within = (
+        self_ext
+        .join(gstats.select("rep", "__th"), "rep")
+        .join(mem_a.withColumnRenamed("tha", "__th"), "__th")
+        .join(mem_b.withColumnRenamed("thb", "__th"), "__th")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"),
+                "pos_a", "pos_b", "span_len", "span_md5")
+    )
+    return cross.unionByName(within)
 
 
 def write_winnow_store(fps: DataFrame, path: str) -> None:

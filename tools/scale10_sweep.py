@@ -141,6 +141,37 @@ def main() -> int:
             spark.catalog.clearCache()
         return round(best, 3)
 
+    if "--span-full" in sys.argv[1:]:
+        # Span tier WITHOUT the prefix cap: the registered span queries
+        # pin prefix=400; at 100 TB the interesting regime is
+        # full-document grams (prefix=None), where the gram table is
+        # doc_chars rows at full resolution and ~doc_chars/window rows
+        # after winnowing.  Times the two headline span ops on full
+        # text at sf0.1 and ×10, and prints the gram-table volumes so
+        # the scale doc can name the data-proportional cost.
+        from pyspark.sql import functions as SF
+
+        from petropandas_spark.pipeline import dedup as _dd
+
+        for sf_dir, tag in ((SRC, "sf0.1"), (OUT, "x10")):
+            d = spark.read.parquet(os.path.join(sf_dir,
+                                                "documents.parquet"))
+            chars = d.agg(SF.sum(SF.length("text"))).collect()[0][0]
+            fps = _dd.winnow_fingerprints(d, prefix=None).count()
+            print(json.dumps({"tier": tag, "doc_chars": int(chars),
+                              "winnow_fps": int(fps)}))
+            for op in ("repeated_span_pairs", "shared_span_extents"):
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    getattr(_dd, op)(d, prefix=None).write.format(
+                        "noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                print(json.dumps({"query": f"{op}_fulltext", "tier": tag,
+                                  "sec": round(best, 3)}))
+        return 0
+
     for name in QUERIES:
         t_01 = run(name, SRC)
         t_10 = run(name, OUT)
