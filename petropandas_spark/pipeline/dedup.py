@@ -241,11 +241,67 @@ def _bucket_pairs(keyed: DataFrame, id_col: str,
     )
 
 
+def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
+                            prefix: int | None,
+                            collapse_threshold: float):
+    """Tier-1 exact-duplicate collapse decision, shared by the span and
+    LSH candidate tiers.  Computes per-doc (prefix-)text digests and
+    their group statistics, then decides from two driver-side counts on
+    the checkpointed digest frame (the same move AQE makes from shuffle
+    statistics) whether identical-text collapse will pay for its extra
+    stages.  Returns ``None`` when duplication is light (caller runs
+    its per-pair core directly), else ``(th, gstats, repdocs)``:
+    checkpointed doc→digest membership, per-distinct-text
+    ``(__th, rep, cnt)``, and the representative-document frame."""
+    src = _src_sql(text_col, prefix)
+    th = df.select(F.col(id_col), F.md5(F.expr(src)).alias("__th"))
+    gstats = (th.groupBy("__th")
+              .agg(F.min(id_col).alias("rep"),
+                   F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint())
+    n_docs, n_texts = gstats.agg(
+        F.sum("cnt"), F.count(F.lit(1))).collect()[0]
+    if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
+        return None
+    th = th.localCheckpoint()  # id + 32-char digest per doc, no text
+    repdocs = df.join(gstats.select(F.col("rep").alias(id_col)),
+                      id_col, "semi")
+    return th, gstats, repdocs
+
+
+def _expand_member_pairs(rep_pairs: DataFrame, th: DataFrame,
+                         gstats: DataFrame, id_col: str) -> DataFrame:
+    """Fan representative-level unordered ``(doc_a, doc_b)`` pairs back
+    to member-document pairs, and add every within-group pair (members
+    of one text group are pairwise guaranteed candidates — identical
+    text ⇒ identical signature ⇒ same bucket in every band)."""
+    mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
+    mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
+    cross = (
+        rep_pairs
+        .join(gstats.select(F.col("rep").alias("doc_a"),
+                            F.col("__th").alias("tha")), "doc_a")
+        .join(gstats.select(F.col("rep").alias("doc_b"),
+                            F.col("__th").alias("thb")), "doc_b")
+        .join(mem_a, "tha").join(mem_b, "thb")
+        .select(F.least("xa", "xb").alias("doc_a"),
+                F.greatest("xa", "xb").alias("doc_b"))
+    )
+    within = (
+        mem_a.join(mem_b.withColumnRenamed("thb", "tha"), "tha")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"))
+    )
+    return cross.unionByName(within)
+
+
 def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  shingle: int = 5,
                                  prefix: int = 400,
-                                 max_bucket: int = 10_000) -> DataFrame:
+                                 max_bucket: int = 10_000,
+                                 collapse_threshold: float = 0.05
+                                 ) -> DataFrame:
     """LSH banding over the portable md5 MinHash signatures: band key =
     salted md5 of consecutive signature values (band index baked into
     the salt, so one string column is the whole bucket key), then
@@ -255,10 +311,28 @@ def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
     (1/3)^(1/5) ≈ 0.80 sits exactly at the downstream Jaccard-verify
     gate, so the candidate set stays tight (measured 7× fewer false
     candidates than 4×4 banding at sf0.1 with zero change in the
-    verified ≥0.8 pair set)."""
-    sigs = minhash_signatures_portable(df, text_col, id_col, shingle, prefix)
-    return _bucket_pairs(_portable_bands(sigs, id_col), id_col, ["bh"],
-                         max_bucket)
+    verified ≥0.8 pair set).
+
+    Duplication-mass bound: candidate pairs are a pure function of the
+    two texts, and a text group's members are pairwise guaranteed
+    candidates (identical signatures share every band), so on a
+    duplication-heavy corpus the shingle+signature+bucket work runs on
+    DISTINCT texts only and membership expansion rebuilds the full pair
+    set — the quadratic same-text bucket explosion (measured
+    2.2 → 16.4 s at the 50 %-duplicated ×10 tier in round 5) never
+    happens.  Strategy picked adaptively as in
+    :func:`shared_span_extents`; output row-identical either way."""
+    collapsed = _adaptive_text_collapse(df, text_col, id_col, prefix,
+                                        collapse_threshold)
+    docs = df if collapsed is None else collapsed[2]
+    sigs = minhash_signatures_portable(docs, text_col, id_col, shingle,
+                                       prefix)
+    pairs = _bucket_pairs(_portable_bands(sigs, id_col), id_col, ["bh"],
+                          max_bucket)
+    if collapsed is None:
+        return pairs
+    th, gstats, _ = collapsed
+    return _expand_member_pairs(pairs, th, gstats, id_col)
 
 
 def _portable_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -450,12 +524,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = 16,
                         bands: int = 4, shingle: int = 5,
-                        prefix: int = 400) -> DataFrame:
+                        prefix: int = 400,
+                        collapse_threshold: float = 0.05) -> DataFrame:
     """LSH banding: signature rows → (band, hash-of-band-rows) keys →
     :func:`_bucket_pairs` (one bucket-key shuffle, no self-join) →
-    distinct candidate pairs."""
+    distinct candidate pairs.  Adaptive exact-duplicate collapse as in
+    :func:`lsh_candidate_pairs_portable` (identical texts never enter
+    the bucket explosion on duplication-heavy corpora)."""
+    collapsed = _adaptive_text_collapse(df, text_col, id_col, prefix,
+                                        collapse_threshold)
+    docs = df if collapsed is None else collapsed[2]
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, prefix)
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle,
+                              prefix)
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
                      for r in range(rows_per_band)]).alias(f"band{b}")
@@ -469,7 +550,11 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.h")
-    return _bucket_pairs(stacked, id_col, ["band_id", "h"])
+    pairs = _bucket_pairs(stacked, id_col, ["band_id", "h"])
+    if collapsed is None:
+        return pairs
+    th, gstats, _ = collapsed
+    return _expand_member_pairs(pairs, th, gstats, id_col)
 
 
 def pair_shingle_stats(df: DataFrame, pairs: DataFrame,
@@ -887,26 +972,14 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     src = _src_sql(text_col, prefix)
-    # --- tier-1 statistics: gstats has one row per distinct text
-    # (checkpointed; referenced by detection + expansion); the strategy
-    # decision needs only its two aggregate counts.
-    th = df.select(F.col(id_col), F.md5(F.expr(src)).alias("__th"))
-    gstats = (th.groupBy("__th")
-              .agg(F.min(id_col).alias("rep"),
-                   F.count(F.lit(1)).alias("cnt"))
-              .localCheckpoint())
-    n_docs, n_texts = gstats.agg(
-        F.sum("cnt"), F.count(F.lit(1))).collect()[0]
-    if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
+    # --- tier-1 statistics + adaptive strategy pick (shared helper,
+    # also used by the LSH candidate tier).
+    collapsed = _adaptive_text_collapse(df, text_col, id_col, prefix,
+                                        collapse_threshold)
+    if collapsed is None:
         return _span_extents_pairs(df, text_col, id_col, gram, window,
                                    prefix, min_span, max_bucket)
-    # doc→text-hash membership, checkpointed ONCE on the collapse path
-    # only (id + 32-char digest per doc, no text) — the md5 scan runs
-    # once and both expansion sides read the materialized frame.
-    th = th.localCheckpoint()
-
-    repdocs = df.join(gstats.select(F.col("rep").alias(id_col)),
-                      id_col, "semi")
+    th, gstats, repdocs = collapsed
     # --- cross-text extents: the per-pair core over representatives
     # only (texts are pairwise DISTINCT here, so every emitted pair is
     # a genuine cross-text extent).

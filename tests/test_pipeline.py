@@ -51,6 +51,28 @@ class TestDedup:
             ids = sorted(g.ids)
             assert (ids[0], ids[1]) in vset
 
+    def test_lsh_collapse_path_matches_bypass(self, spark, docs):
+        """The adaptive exact-duplicate collapse inside the LSH candidate
+        tiers must be row-invisible: on a corpus where half the docs are
+        exact copies, the collapse path (threshold forced to 0) and the
+        per-pair bypass (threshold forced above 1) emit the SAME pair
+        set, for both the portable and xxhash64 variants."""
+        base = docs.limit(60).select("doc_id", "text")
+        copies = base.selectExpr("doc_id + 1000000 AS doc_id", "text")
+        corpus = base.unionByName(copies)
+        for fn in (dedup.lsh_candidate_pairs_portable,
+                   dedup.lsh_candidate_pairs):
+            collapse = {(r.doc_a, r.doc_b) for r in
+                        fn(corpus, collapse_threshold=0.0).collect()}
+            bypass = {(r.doc_a, r.doc_b) for r in
+                      fn(corpus, collapse_threshold=2.0).collect()}
+            assert collapse == bypass, fn.__name__
+            # the twin pairs themselves are present (identical texts
+            # are guaranteed candidates)
+            twin = {(r.doc_id, r.doc_id + 1000000)
+                    for r in base.select("doc_id").collect()}
+            assert twin <= collapse, fn.__name__
+
     def test_simhash_identical_texts_same_signature(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2, 3],
