@@ -255,15 +255,18 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     ``(__th, rep, cnt)``, and the representative-document frame."""
     src = _src_sql(text_col, prefix)
     th = df.select(F.col(id_col), F.md5(F.expr(src)).alias("__th"))
-    gstats = (th.groupBy("__th")
-              .agg(F.min(id_col).alias("rep"),
-                   F.count(F.lit(1)).alias("cnt"))
-              .localCheckpoint())
+    gstats = th.groupBy("__th").agg(F.min(id_col).alias("rep"),
+                                    F.count(F.lit(1)).alias("cnt"))
+    # the decision itself is ONE fused job (scan → two-level agg); the
+    # checkpoints are paid only on the collapse path, so a
+    # low-duplication corpus spends one small aggregation on the
+    # statistics and nothing else
     n_docs, n_texts = gstats.agg(
         F.sum("cnt"), F.count(F.lit(1))).collect()[0]
     if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
         return None
     th = th.localCheckpoint()  # id + 32-char digest per doc, no text
+    gstats = gstats.localCheckpoint()
     repdocs = df.join(gstats.select(F.col("rep").alias(id_col)),
                       id_col, "semi")
     return th, gstats, repdocs
