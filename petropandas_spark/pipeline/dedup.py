@@ -254,7 +254,18 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     checkpointed doc→digest membership, per-distinct-text
     ``(__th, rep, cnt)``, and the representative-document frame."""
     src = _src_sql(text_col, prefix)
-    th = df.select(F.col(id_col), F.md5(F.expr(src)).alias("__th"))
+    # NULL texts get a non-hex sentinel digest (md5 emits 32 hex chars,
+    # so no collision) instead of md5(NULL)=NULL: the bypass path
+    # groups NULL band keys / NULL buckets together (SQL GROUP BY
+    # NULL-equality), so NULL-text docs ARE pairwise candidates there —
+    # with a NULL digest the null-rejecting equi-joins in
+    # _expand_member_pairs would silently drop those pairs and the
+    # candidate set would depend on which strategy fired.  The span
+    # tier is indifferent (NULL text produces no grams on either path;
+    # the sentinel group's extents filter out on length(__t)).
+    th = df.select(
+        F.col(id_col),
+        F.coalesce(F.md5(F.expr(src)), F.lit("__NULL_TEXT__")).alias("__th"))
     gstats = th.groupBy("__th").agg(F.min(id_col).alias("rep"),
                                     F.count(F.lit(1)).alias("cnt"))
     # the decision itself is ONE fused job (scan → two-level agg); the
@@ -266,7 +277,13 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
         return None
     th = th.localCheckpoint()  # id + 32-char digest per doc, no text
-    gstats = gstats.localCheckpoint()
+    # re-derive the group stats from the CHECKPOINTED digest frame: the
+    # original gstats still carries the scan→md5 lineage, so
+    # checkpointing it directly would re-run a third corpus pass —
+    # aggregating the narrow (id, digest) frame is equivalent and free.
+    gstats = th.groupBy("__th").agg(
+        F.min(id_col).alias("rep"),
+        F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     repdocs = df.join(gstats.select(F.col("rep").alias(id_col)),
                       id_col, "semi")
     return th, gstats, repdocs
@@ -1071,7 +1088,12 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     # --- membership expansion: fan per-text extents back to document
     # pairs.  Cross-text pairs swap (pos_a, pos_b) when the id order
     # flips group orientation; identical-text pairs take the symmetric
-    # self-extent set as-is.
+    # self-extent set as-is.  This mirrors the join shape of
+    # _expand_member_pairs (pair tier) with extent payload columns
+    # threaded through — a semantic change to either expansion (join
+    # null-handling, orientation rules) must be applied to BOTH; the
+    # NULL-digest hazard itself is closed at the source by
+    # _adaptive_text_collapse's sentinel.
     mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
     mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
     cross = (
@@ -1180,6 +1202,17 @@ def span_incremental_pairs(store_fps: DataFrame | None,
     )
 
 
+def _span_participation_counts(spans: DataFrame, id_col: str) -> DataFrame:
+    """Per-document count of extents the doc touches on EITHER side —
+    the shared audit column of both span removers (a doc can be the
+    keeper of one pair and the duplicate of another)."""
+    return (
+        spans.select(F.col("doc_a").alias(id_col))
+        .unionByName(spans.select(F.col("doc_b").alias(id_col)))
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
 def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
                                text_col: str = "text",
                                id_col: str = "doc_id",
@@ -1212,11 +1245,7 @@ def remove_longest_shared_span(df: DataFrame, spans: DataFrame | None = None,
             df, text_col, id_col, **span_kwargs).localCheckpoint()
     from pyspark.sql import Window
 
-    counts = (
-        spans.select(F.col("doc_a").alias(id_col))
-        .unionByName(spans.select(F.col("doc_b").alias(id_col)))
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    )
+    counts = _span_participation_counts(spans, id_col)
     w = Window.partitionBy("doc_b").orderBy(
         F.desc("span_len"), F.asc("pos_b"), F.asc("span_md5"),
         F.asc("doc_a"))
@@ -1276,11 +1305,7 @@ def remove_shared_spans(df: DataFrame, spans: DataFrame | None = None,
             df, text_col, id_col, **span_kwargs).localCheckpoint()
     from pyspark.sql import Window
 
-    counts = (
-        spans.select(F.col("doc_a").alias(id_col))
-        .unionByName(spans.select(F.col("doc_b").alias(id_col)))
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    )
+    counts = _span_participation_counts(spans, id_col)
     iv = spans.select(
         F.col("doc_b").alias(id_col),
         F.col("pos_b").alias("s"),

@@ -3821,7 +3821,7 @@ SELECT doc_id, h FROM r WHERE rk = 1
 _VERIFY_FIRST = [
     # never driver-checked — always lead:
     "corpus_spans_removed_all",
-    # 50 head slots left; stalest proven names (last-green round in comment):
+    # 49 head slots left; stalest proven names (last-green round in comment):
     "weighted_mean_grouped",  # r01
     "q1_pricing_summary",  # r01
     "q3_shipping_topk",  # r01

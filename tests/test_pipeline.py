@@ -73,6 +73,53 @@ class TestDedup:
                     for r in base.select("doc_id").collect()}
             assert twin <= collapse, fn.__name__
 
+    def test_lsh_collapse_keeps_null_text_pairs(self, spark, docs):
+        """NULL-text documents pair with each other on the bypass path
+        (NULL band keys share one bucket under SQL GROUP BY), so the
+        collapse path must emit the same pairs — regression for the
+        md5(NULL)=NULL digest silently vanishing through the
+        null-rejecting membership joins.  A below-shingle-length short
+        text also lands in the NULL bucket (empty shingle set → NULL
+        signature) and must pair with the NULL docs on both paths."""
+        from pyspark.sql import types as T
+
+        extra = spark.createDataFrame(
+            [(9000001, None), (9000002, None), (9000003, "ab")],
+            T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]))
+        corpus = docs.limit(40).select("doc_id", "text").unionByName(extra)
+        for fn in (dedup.lsh_candidate_pairs_portable,
+                   dedup.lsh_candidate_pairs):
+            collapse = {(r.doc_a, r.doc_b) for r in
+                        fn(corpus, collapse_threshold=0.0).collect()}
+            bypass = {(r.doc_a, r.doc_b) for r in
+                      fn(corpus, collapse_threshold=2.0).collect()}
+            assert collapse == bypass, fn.__name__
+            assert (9000001, 9000002) in collapse, fn.__name__
+
+    def test_span_collapse_ignores_null_texts(self, spark):
+        """The span tier produces no extents for NULL texts on either
+        path (no grams exist); the sentinel digest must not leak a
+        bogus full-text span for the NULL group."""
+        from pyspark.sql import types as T
+
+        rows = [(i, "shared boilerplate header text for every doc "
+                 f"plus unique tail {i}") for i in range(6)]
+        rows += [(100, None), (101, None), (102, None)]
+        corpus = spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]))
+        for thr in (0.0, 2.0):
+            ext = dedup.shared_span_extents(
+                corpus, gram=10, window=4, collapse_threshold=thr)
+            touched = {r.doc_a for r in ext.collect()} | {
+                r.doc_b for r in ext.collect()}
+            assert not ({100, 101, 102} & touched), thr
+
     def test_simhash_identical_texts_same_signature(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2, 3],
