@@ -15,6 +15,8 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -241,18 +243,52 @@ def _bucket_pairs(keyed: DataFrame, id_col: str,
     )
 
 
+#: duplication statistics remembered per (logical plan, digest spec) —
+#: the decision scan is a corpus PROPERTY, so a curation funnel that
+#: runs several dedup tiers over one corpus should pay it once, the
+#: same way the engine reuses catalog/table statistics.  Bounded LRU;
+#: a hash collision or a re-read of an externally mutated path can at
+#: worst flip the strategy HEURISTIC — both strategies are pinned
+#: row-identical, so the cache can never change results.
+_TEXT_STATS_CACHE: "OrderedDict[tuple, tuple[int, int]]" = OrderedDict()
+_TEXT_STATS_CACHE_MAX = 64
+
+
+def _text_stats(th: DataFrame, cache_key: tuple | None) -> tuple[int, int]:
+    """(n_docs, n_distinct_texts) for a (id, digest) frame — one
+    shuffle-free scan (partial count + HyperLogLog partials, a few KB
+    per partition at any corpus size), memoized per logical plan."""
+    if cache_key is not None and cache_key in _TEXT_STATS_CACHE:
+        _TEXT_STATS_CACHE.move_to_end(cache_key)
+        return _TEXT_STATS_CACHE[cache_key]
+    n_docs, n_texts = th.agg(
+        F.count(F.lit(1)),
+        F.approx_count_distinct("__th", rsd=0.02)).collect()[0]
+    if cache_key is not None:
+        _TEXT_STATS_CACHE[cache_key] = (n_docs, n_texts)
+        while len(_TEXT_STATS_CACHE) > _TEXT_STATS_CACHE_MAX:
+            _TEXT_STATS_CACHE.popitem(last=False)
+    return n_docs, n_texts
+
+
 def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
                             prefix: int | None,
                             collapse_threshold: float):
     """Tier-1 exact-duplicate collapse decision, shared by the span and
     LSH candidate tiers.  Computes per-doc (prefix-)text digests and
-    their group statistics, then decides from two driver-side counts on
-    the checkpointed digest frame (the same move AQE makes from shuffle
-    statistics) whether identical-text collapse will pay for its extra
-    stages.  Returns ``None`` when duplication is light (caller runs
-    its per-pair core directly), else ``(th, gstats, repdocs)``:
-    checkpointed doc→digest membership, per-distinct-text
-    ``(__th, rep, cnt)``, and the representative-document frame."""
+    decides from two driver-side counts (the same move AQE makes from
+    shuffle statistics) whether identical-text collapse will pay for
+    its extra stages.  The decision itself is ONE scan with a
+    partial-aggregated ``count`` + HyperLogLog distinct — no per-doc
+    shuffle: at corpus scale the groupBy(digest) exchange this replaces
+    moves one row per document just to produce two numbers, while HLL
+    partials are a few KB per partition regardless of corpus size.
+    The ±2 % HLL error only matters within ±2 % of the threshold, where
+    either strategy is fine — both are pinned row-identical.  Returns
+    ``None`` when duplication is light (caller runs its per-pair core
+    directly), else ``(th, gstats, repdocs)``: checkpointed doc→digest
+    membership, per-distinct-text ``(__th, rep, cnt)``, and the
+    representative-document frame."""
     src = _src_sql(text_col, prefix)
     # NULL texts get a non-hex sentinel digest (md5 emits 32 hex chars,
     # so no collision) instead of md5(NULL)=NULL: the bypass path
@@ -266,15 +302,16 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     th = df.select(
         F.col(id_col),
         F.coalesce(F.md5(F.expr(src)), F.lit("__NULL_TEXT__")).alias("__th"))
-    gstats = th.groupBy("__th").agg(F.min(id_col).alias("rep"),
-                                    F.count(F.lit(1)).alias("cnt"))
-    # the decision itself is ONE fused job (scan → two-level agg); the
-    # checkpoints are paid only on the collapse path, so a
-    # low-duplication corpus spends one small aggregation on the
-    # statistics and nothing else
-    n_docs, n_texts = gstats.agg(
-        F.sum("cnt"), F.count(F.lit(1))).collect()[0]
-    if n_docs is None or (n_docs - n_texts) <= collapse_threshold * n_docs:
+    # checkpoints and the exact per-group stats are paid only on the
+    # collapse path, so a low-duplication corpus spends one shuffle-free
+    # scan on the statistics (memoized across tiers over one corpus)
+    # and nothing else
+    try:
+        cache_key = (df.semanticHash(), text_col, id_col, prefix)
+    except Exception:  # pragma: no cover - plan hashing unavailable
+        cache_key = None
+    n_docs, n_texts = _text_stats(th, cache_key)
+    if not n_docs or (n_docs - n_texts) <= collapse_threshold * n_docs:
         return None
     th = th.localCheckpoint()  # id + 32-char digest per doc, no text
     # re-derive the group stats from the CHECKPOINTED digest frame: the

@@ -73,6 +73,37 @@ class TestDedup:
                     for r in base.select("doc_id").collect()}
             assert twin <= collapse, fn.__name__
 
+    def test_text_stats_cache_memoizes_per_plan(self, spark, docs):
+        """The duplication-statistics scan memoizes per logical plan:
+        a second decision over a semantically identical frame must not
+        run another Spark job, while a different corpus gets its own
+        entry.  A stale/collided hit can only flip the strategy
+        heuristic (both paths are pinned row-identical), so the cache
+        is a pure statistics reuse, never a correctness surface."""
+        dedup._TEXT_STATS_CACHE.clear()
+        base = docs.limit(30).select("doc_id", "text")
+        dedup._adaptive_text_collapse(base, "text", "doc_id", 400, 0.05)
+        assert len(dedup._TEXT_STATS_CACHE) == 1
+        key, stats = next(iter(dedup._TEXT_STATS_CACHE.items()))
+        # a freshly-built but semantically identical plan hits the entry
+        again = docs.limit(30).select("doc_id", "text")
+        dedup._adaptive_text_collapse(again, "text", "doc_id", 400, 0.05)
+        assert len(dedup._TEXT_STATS_CACHE) == 1
+        assert dedup._TEXT_STATS_CACHE[key] == stats
+        # a different corpus (and a different digest spec) key separately
+        other = docs.limit(10).select("doc_id", "text")
+        dedup._adaptive_text_collapse(other, "text", "doc_id", 400, 0.05)
+        dedup._adaptive_text_collapse(base, "text", "doc_id", 100, 0.05)
+        assert len(dedup._TEXT_STATS_CACHE) == 3
+        # thresholds compare against the CACHED stats, so forcing the
+        # two strategies still works after a hit
+        dup = base.unionByName(
+            base.selectExpr("doc_id + 5000000 AS doc_id", "text"))
+        assert dedup._adaptive_text_collapse(
+            dup, "text", "doc_id", 400, 2.0) is None
+        assert dedup._adaptive_text_collapse(
+            dup, "text", "doc_id", 400, 0.0) is not None
+
     def test_lsh_collapse_keeps_null_text_pairs(self, spark, docs):
         """NULL-text documents pair with each other on the bypass path
         (NULL band keys share one bucket under SQL GROUP BY), so the
