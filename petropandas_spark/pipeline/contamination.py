@@ -48,16 +48,35 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def contaminated_docs(corpus: DataFrame, evalset: DataFrame,
-                      n: int = 13,
-                      corpus_id: str = "doc_id",
-                      eval_id: str = "doc_id") -> DataFrame:
-    """Corpus documents sharing at least one token n-gram with the eval
-    set: ``(doc_id, n_shared_ngrams, n_eval_docs_hit)``."""
-    c = ngram_hashes(corpus, corpus_id, n=n)
-    e = ngram_hashes(evalset, eval_id, n=n).withColumnRenamed(
+def eval_ngram_hashes(evalset: DataFrame, eval_id: str = "doc_id",
+                      n: int = 13) -> DataFrame:
+    """The eval side of the collision join as a reusable frame
+    (``__eval_id``, ``ngram_hash``).  Derive it ONCE and pass it to
+    :func:`contaminated_docs`/:func:`decontaminate` via ``eval_hashes``
+    when the same eval set gates many corpus slices — the streaming
+    ingest twin and any funnel that decontaminates per-shard should not
+    re-gram the (static) eval set every call."""
+    return ngram_hashes(evalset, eval_id, n=n).withColumnRenamed(
         eval_id, "__eval_id"
     )
+
+
+def contaminated_docs(corpus: DataFrame, evalset: DataFrame | None = None,
+                      n: int = 13,
+                      corpus_id: str = "doc_id",
+                      eval_id: str = "doc_id",
+                      eval_hashes: DataFrame | None = None) -> DataFrame:
+    """Corpus documents sharing at least one token n-gram with the eval
+    set: ``(doc_id, n_shared_ngrams, n_eval_docs_hit)``.  Pass either
+    the raw ``evalset`` or a precomputed :func:`eval_ngram_hashes`
+    frame."""
+    if eval_hashes is None:
+        if evalset is None:
+            raise ValueError("contaminated_docs: pass evalset= or "
+                             "eval_hashes=")
+        eval_hashes = eval_ngram_hashes(evalset, eval_id, n=n)
+    c = ngram_hashes(corpus, corpus_id, n=n)
+    e = eval_hashes
     return (
         c.join(F.broadcast(e), "ngram_hash")
         .groupBy(corpus_id)
@@ -68,11 +87,13 @@ def contaminated_docs(corpus: DataFrame, evalset: DataFrame,
     )
 
 
-def decontaminate(corpus: DataFrame, evalset: DataFrame,
-                  n: int = 13, corpus_id: str = "doc_id") -> DataFrame:
+def decontaminate(corpus: DataFrame, evalset: DataFrame | None = None,
+                  n: int = 13, corpus_id: str = "doc_id",
+                  eval_hashes: DataFrame | None = None) -> DataFrame:
     """The corpus minus contaminated documents (left-anti join on the
     broadcast contaminated-id set)."""
-    bad = contaminated_docs(corpus, evalset, n=n, corpus_id=corpus_id)
+    bad = contaminated_docs(corpus, evalset, n=n, corpus_id=corpus_id,
+                            eval_hashes=eval_hashes)
     return corpus.join(
         F.broadcast(bad.select(corpus_id)), corpus_id, "left_anti"
     )

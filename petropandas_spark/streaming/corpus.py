@@ -16,6 +16,10 @@ have streaming twins here with the same semantics:
   * ``dedup_within_stream`` — additionally drop re-arrivals inside the
     stream itself via ``dropDuplicatesWithinWatermark`` on the content
     hash (bounded state: entries expire with the watermark);
+  * ``decontaminate_ingest_stream`` — reject documents sharing an
+    ≥n-token n-gram with a static eval set BEFORE they land (streaming
+    twin of ``pipeline/contamination.decontaminate``; eval grams derived
+    once, per-batch broadcast anti-join, zero stream state);
   * ``write_partitioned_stream`` — exactly-once landing into
     Hive-partitioned parquet (``partitionBy(lang)``) with a checkpoint;
     downstream batch readers get partition pruning on day one.
@@ -211,6 +215,55 @@ def span_ingest_stream(stream_df, store_path: str, matches_path: str,
         derive=_dd.winnow_fingerprints,
         candidates=lambda store, fps: _dd.span_incremental_pairs(
             store, new_fps=fps),
+    )
+
+
+def read_clean_documents(spark, landing_path: str):
+    """Pinned-schema reader for :func:`decontaminate_ingest_stream`
+    landings (an all-contaminated run leaves no data files; inference
+    would raise)."""
+    return spark.read.schema(
+        DOCUMENTS_SCHEMA + ", batch_id BIGINT"
+    ).parquet(landing_path)
+
+
+def decontaminate_ingest_stream(stream_df, evalset, landing_path: str,
+                                checkpoint: str, n: int = 13):
+    """Continuous DECONTAMINATION at ingest — the streaming twin of
+    :func:`petropandas_spark.pipeline.contamination.decontaminate`
+    (reference has no streaming surface; this extends the batch rule of
+    ``pipeline/contamination.py`` to document arrival, the shape a live
+    training-data intake needs: reject eval-contaminated documents
+    before they ever land).
+
+    The eval side is STATIC and tiny, so its n-gram hashes are derived
+    ONCE up front (``eval_ngram_hashes`` → ``localCheckpoint``, cutting
+    the per-trigger lineage to a checkpointed broadcast side); each
+    micro-batch then runs the exact batch collision rule — explode →
+    ``xxhash64`` grams, broadcast equi-join, anti-join — and lands only
+    clean documents.  No stream state at all: the verdict is a pure
+    per-document function of (document, eval set), so union of the
+    landed partitions over ANY batch split equals batch
+    ``decontaminate`` over the full corpus (pytest-pinned).
+    Exactly-once: landings are partitioned by ``batch_id`` with dynamic
+    partition overwrite, so a replayed batch replaces its own partition
+    (idempotent), as in :func:`_incremental_ingest_stream`."""
+    from petropandas_spark.pipeline import contamination as _ct
+    from petropandas_spark.pipeline.sinks import backfill_partitions
+
+    eval_hashes = _ct.eval_ngram_hashes(evalset, n=n).localCheckpoint()
+
+    def process(batch_df, batch_id):
+        clean = _ct.decontaminate(batch_df, n=n, eval_hashes=eval_hashes)
+        backfill_partitions(
+            clean.withColumn("batch_id", F.lit(batch_id)),
+            landing_path, ["batch_id"])
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -123,6 +123,39 @@ def test_neardup_ingest_stream_matches_full_recompute(spark, docs_dir,
         == all_docs.select("doc_id").distinct().count()
 
 
+def test_decontaminate_ingest_stream_matches_batch(spark, docs_dir,
+                                                   tmp_path):
+    """Union of per-batch clean landings == batch ``decontaminate`` over
+    the full landing dir, for any batch split (the verdict is a pure
+    per-document function of a STATIC eval set — no cross-batch
+    interaction by construction, and this pins the plumbing: the
+    once-derived eval grams, the per-batch anti-join, the idempotent
+    batch_id landing)."""
+    from petropandas_spark.pipeline import contamination as ct
+
+    all_docs = spark.read.parquet(os.path.join(docs_dir, "*"))
+    # eval set = three landed documents verbatim → they (and their
+    # re-landed duplicates) are contaminated by construction
+    evalset = (all_docs.orderBy("doc_id").limit(3)
+               .select("doc_id", "text"))
+    stream = sc.read_documents_stream(
+        spark, os.path.join(docs_dir, "*"), max_files_per_trigger=1
+    )
+    landing = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    q = sc.decontaminate_ingest_stream(stream, evalset, landing, ckpt, n=8)
+    assert q.awaitTermination(180)
+
+    got = sorted(r.doc_id for r in
+                 sc.read_clean_documents(spark, landing).collect())
+    want = sorted(r.doc_id for r in
+                  ct.decontaminate(all_docs, evalset, n=8).collect())
+    assert got == want
+    eval_ids = {r.doc_id for r in evalset.collect()}
+    assert eval_ids.isdisjoint(got)   # the planted contamination is gone
+    assert got                        # and clean docs survived
+
+
 def test_store_read_survives_empty_first_batch(spark, tmp_path):
     """An empty first micro-batch leaves the signature store directory
     with partition markers but zero data files; the schema-pinned store
