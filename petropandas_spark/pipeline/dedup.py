@@ -256,14 +256,21 @@ _TEXT_STATS_CACHE_MAX = 64
 
 def _text_stats(th: DataFrame, cache_key: tuple | None) -> tuple[int, int]:
     """(n_docs, n_distinct_texts) for a (id, digest) frame — one
-    shuffle-free scan (partial count + HyperLogLog partials, a few KB
-    per partition at any corpus size), memoized per logical plan."""
+    shuffle-free scan (partial count + HyperLogLog partials, constant
+    ~64 KB per partition at any corpus size), memoized per logical
+    plan."""
     if cache_key is not None and cache_key in _TEXT_STATS_CACHE:
         _TEXT_STATS_CACHE.move_to_end(cache_key)
         return _TEXT_STATS_CACHE[cache_key]
+    # rsd must sit well under the decision threshold: 0.5 % error vs
+    # the 5 % default keeps the pick stable (a 2 % rsd flipped the
+    # sf0.001 corpus, 2.2 % true dup mass estimated at 5.2 %), and at
+    # low cardinality HLL++'s sparse mode is exact.  The sketch is
+    # ~64 KB per partition partial — still constant-size vs the per-doc
+    # exchange this replaces.
     n_docs, n_texts = th.agg(
         F.count(F.lit(1)),
-        F.approx_count_distinct("__th", rsd=0.02)).collect()[0]
+        F.approx_count_distinct("__th", rsd=0.005)).collect()[0]
     if cache_key is not None:
         _TEXT_STATS_CACHE[cache_key] = (n_docs, n_texts)
         while len(_TEXT_STATS_CACHE) > _TEXT_STATS_CACHE_MAX:
@@ -283,8 +290,8 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     shuffle: at corpus scale the groupBy(digest) exchange this replaces
     moves one row per document just to produce two numbers, while HLL
     partials are a few KB per partition regardless of corpus size.
-    The ±2 % HLL error only matters within ±2 % of the threshold, where
-    either strategy is fine — both are pinned row-identical.  Returns
+    The ±0.5 % HLL error only matters within ±0.5 % of the threshold,
+    where either strategy is fine — both are pinned row-identical.  Returns
     ``None`` when duplication is light (caller runs its per-pair core
     directly), else ``(th, gstats, repdocs)``: checkpointed doc→digest
     membership, per-distinct-text ``(__th, rep, cnt)``, and the
