@@ -10,9 +10,13 @@ Stages (all lazy until each write):
   3. SPAN-level exact-substring dedup (Lee et al. 2021): excise
      copy-pasted passages the document-level tiers keep (the docs
      differ overall but share a verbatim span)
-  4. PII scrub
-  5. quality-quartile tagging + deterministic train/val/test split
-  6. Hive-partitioned landing (lang) + signature AND winnow stores for
+  4. benchmark decontamination (the GPT-3 appendix-C rule: drop any
+     document sharing a ≥13-token n-gram with the eval set; eval grams
+     derived ONCE — the same frame gates the streaming intake via
+     ``streaming.corpus.decontaminate_ingest_stream``)
+  5. PII scrub
+  6. quality-quartile tagging + deterministic train/val/test split
+  7. Hive-partitioned landing (lang) + signature AND winnow stores for
      the NEXT incremental batch (``dedup.lsh_incremental_pairs``,
      ``dedup.span_incremental_pairs``)
 """
@@ -27,7 +31,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from petropandas_spark.pipeline import dedup  # noqa: E402
+from petropandas_spark.pipeline import contamination, dedup  # noqa: E402
 from petropandas_spark.pipeline.scrub import scrub_pii  # noqa: E402
 from petropandas_spark.pipeline.sinks import write_partitioned  # noqa: E402
 
@@ -94,9 +98,18 @@ def main() -> None:
         .drop("removed_at", "removed_len")
     )
 
-    # 4 + 5. scrub, quality quartiles, deterministic split
+    # 4. decontamination: the eval set here is a stand-in (a handful of
+    #    held-out documents); in production it is the benchmark suite.
+    #    Gram hashes are derived once — reuse the same frame for any
+    #    other corpus slice (and the streaming intake twin).
+    evalset = docs.where("doc_id % 97 = 3").select("doc_id", "text")
+    eval_hashes = contamination.eval_ngram_hashes(evalset).localCheckpoint()
+    decontaminated = contamination.decontaminate(
+        spliced, eval_hashes=eval_hashes)
+
+    # 5 + 6. scrub, quality quartiles, deterministic split
     curated = (
-        scrub_pii(spliced)
+        scrub_pii(decontaminated)
         .withColumn("quality_q", F.ntile(4).over(
             # doc_id tiebreak: equal-length docs must land in the same
             # quartile on every run (determinism-everywhere stance)
@@ -107,7 +120,7 @@ def main() -> None:
          .otherwise("test"))
     )
 
-    # 6. landing + both incremental stores for the next batch
+    # 7. landing + both incremental stores for the next batch
     write_partitioned(curated, os.path.join(out, "corpus"), ["lang"])
     dedup.write_signature_store(
         dedup.minhash_signatures_portable(curated.select("doc_id", "text")),
@@ -119,7 +132,7 @@ def main() -> None:
     back = spark.read.parquet(os.path.join(out, "corpus"))
     back.groupBy("lang", "split").count().orderBy("lang", "split").show()
 
-    # 6. the NEXT landing batch: near-dup candidates against the store
+    # 8. the NEXT landing batch: near-dup candidates against the store
     #    without re-shingling the settled corpus (here the batch is a
     #    stand-in resample of the source; in production it is tomorrow's
     #    crawl)
