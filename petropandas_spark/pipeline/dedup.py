@@ -629,6 +629,17 @@ def pair_shingle_stats(df: DataFrame, pairs: DataFrame,
     shingled (semi-join first): the verify stage touches the LSH
     survivors, never the full corpus.
 
+    Deliberately NOT collapsed by text digest the way the candidate
+    tiers are: a per-distinct-digest variant (shingle sets per distinct
+    text, intersections per digest pair, fan-back joins) was built and
+    measured a net LOSS at every tested tier — ×10 50 %-dup short docs
+    1.0 → 5.1 s, 4 KB-doc 50 %-dup corpus 1.3 → 11.0 s — because it
+    trades two pair-side joins for ~8 exchanges plus two broadcasts of
+    the big shingle-set arrays, while the intersection work it saves is
+    cheap JVM column work.  The candidate-tier collapse already keeps
+    the PAIR COUNT bounded by distinct-text mass, which is where the
+    quadratic danger lives; the verify stage is linear in pairs.
+
     Callers running MORE THAN ONE verify measure over the same
     candidates (Jaccard + containment) should compute this once and
     pass it to both via their ``stats=`` parameter — each call persists
@@ -689,9 +700,15 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame | None = None,
         if pairs is None:
             raise ValueError("jaccard_verify: pass pairs= or stats=")
         stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    # try_divide: a pair of EMPTY shingle sets (NULL-text docs pair in
+    # the candidate tier's NULL bucket; collect_set drops their NULL
+    # shingle) makes the union size 0 — Jaccard is undefined there, and
+    # under ANSI mode a plain division aborts the whole job.  NULL
+    # fails the >= threshold filter, so undefined pairs drop cleanly.
     j = stats.withColumn(
         "jaccard",
-        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        F.try_divide(F.col("inter"),
+                     F.col("n_a") + F.col("n_b") - F.col("inter")),
     ).select("doc_a", "doc_b", "jaccard")
     return j.filter(F.col("jaccard") >= threshold)
 
@@ -714,10 +731,12 @@ def containment_verify(df: DataFrame, pairs: DataFrame | None = None,
         if pairs is None:
             raise ValueError("containment_verify: pass pairs= or stats=")
         stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
+    # try_divide, as in jaccard_verify: an EMPTY shingle set (NULL-text
+    # candidate) makes containment undefined; NULL fails the filter.
     c = stats.select(
         "doc_a", "doc_b",
-        (F.col("inter") / F.col("n_a")).alias("containment_a"),
-        (F.col("inter") / F.col("n_b")).alias("containment_b"),
+        F.try_divide("inter", "n_a").alias("containment_a"),
+        F.try_divide("inter", "n_b").alias("containment_b"),
     )
     return c.filter(
         (F.col("containment_a") >= threshold)
@@ -747,10 +766,11 @@ def neardup_verdicts(df: DataFrame, pairs: DataFrame | None = None,
         stats = pair_shingle_stats(df, pairs, text_col, id_col, shingle)
     v = stats.select(
         "doc_a", "doc_b",
-        (F.col("inter")
-         / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
-        (F.col("inter") / F.col("n_a")).alias("containment_a"),
-        (F.col("inter") / F.col("n_b")).alias("containment_b"),
+        F.try_divide(
+            F.col("inter"),
+            F.col("n_a") + F.col("n_b") - F.col("inter")).alias("jaccard"),
+        F.try_divide("inter", "n_a").alias("containment_a"),
+        F.try_divide("inter", "n_b").alias("containment_b"),
     )
     return v.filter(
         (F.col("jaccard") >= jaccard_threshold)

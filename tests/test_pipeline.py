@@ -151,6 +151,40 @@ class TestDedup:
                 r.doc_b for r in ext.collect()}
             assert not ({100, 101, 102} & touched), thr
 
+    def test_verify_survives_null_text_candidate_pairs(self, spark, docs):
+        """NULL-text docs reach the verify stage as candidate pairs (the
+        NULL band bucket pairs them) with EMPTY shingle sets — the
+        ``greatest(…, 1)`` explode floor emits one NULL shingle that
+        ``collect_set`` drops.  Jaccard/containment are undefined there
+        (0/0); under ANSI mode a plain division aborted the whole job.
+        try_divide yields NULL, which fails every threshold filter, so
+        the undefined pairs drop cleanly from all three verify surfaces."""
+        from pyspark.sql import types as T
+
+        extra = spark.createDataFrame(
+            [(9000001, None), (9000002, None)],
+            T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]))
+        corpus = docs.limit(20).select("doc_id", "text").unionByName(extra)
+        pairs = dedup.lsh_candidate_pairs_portable(corpus)
+        assert (9000001, 9000002) in {
+            (r.doc_a, r.doc_b) for r in pairs.collect()}
+        stats = dedup.pair_shingle_stats(corpus, pairs)
+        null_rows = [r for r in stats.collect()
+                     if r.doc_a == 9000001 and r.doc_b == 9000002]
+        assert null_rows and null_rows[0].n_a == 0  # empty sets, kept
+        for verdict in (
+            dedup.jaccard_verify(corpus, stats=stats, threshold=0.0),
+            dedup.containment_verify(corpus, stats=stats, threshold=0.0),
+            dedup.neardup_verdicts(corpus, stats=stats,
+                                   jaccard_threshold=0.0,
+                                   containment_threshold=0.0),
+        ):
+            got = {(r.doc_a, r.doc_b) for r in verdict.collect()}
+            assert (9000001, 9000002) not in got
+
     def test_simhash_identical_texts_same_signature(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2, 3],
