@@ -36,7 +36,11 @@ def _cosine(a, b):
     )
     n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (n1 * n2)
+    # try_divide: an all-zero vector has norm 0 and undefined cosine —
+    # a plain division aborts the whole job under ANSI mode.  NULL
+    # ranks last in top-k (desc is nulls-last) and fails every
+    # threshold filter, so zero vectors drop cleanly.
+    return F.try_divide(dot, n1 * n2)
 
 
 def _dot_unrolled(a: str, b: str, dim: int):
@@ -166,7 +170,8 @@ def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
         dot = hdot(F.col("va"), F.col("vb"))
     return (
         cand.join(na, "id_a").join(nb, "id_b")
-        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .withColumn("cosine",
+                    F.try_divide(dot, F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
@@ -326,7 +331,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine", _dot_unrolled("va", "vb", dim) / (F.col("na") * F.col("nb"))
+            "cosine",
+            F.try_divide(_dot_unrolled("va", "vb", dim),
+                         F.col("na") * F.col("nb"))
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -952,6 +952,27 @@ class TestSimilarity:
         pairs = {(r.id_a, r.id_b) for r in out}
         assert pairs == {(1, 2)}
 
+    def test_zero_norm_vectors_drop_instead_of_aborting(self, spark):
+        """An all-zero embedding (dirty data at corpus scale) has an
+        undefined cosine; under ANSI mode a plain norm division aborted
+        the whole job.  try_divide gives NULL — ranked last in top-k and
+        dropped by every threshold filter — on all three cosine paths."""
+        pdf = pd.DataFrame({
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [0.999, 0.01],
+                          [0.0, 0.0], [0.0, 0.0]],
+        })
+        e = spark.createDataFrame(pdf)
+        pairs = {(r.id_a, r.id_b) for r in
+                 similarity.cosine_neardup_pairs(e, threshold=0.99)
+                 .collect()}
+        assert pairs == {(1, 2)}  # zero-vector pairs filtered, no abort
+        top = similarity.brute_force_topk(e, [1.0, 0.0], k=4).collect()
+        assert [r.vec_id for r in top][:2] == [1, 2]  # zeros rank last
+        assert {r.vec_id for r in top[2:]} == {3, 4}
+        lsh = similarity.lsh_cosine_neardup_pairs(e, threshold=0.99)
+        assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(1, 2)}
+
 
 class TestMultimodal:
     @staticmethod
