@@ -12,7 +12,8 @@ Reference semantics: ``/root/reference/src/petropandas/_calc.py:44-443``.
 from __future__ import annotations
 
 from petropandas_spark import core
-from petropandas_spark.sqlgen import Plan, add_chain, clip, flit, safe_denom
+from petropandas_spark.sqlgen import (Plan, add_chain, clip, flit, ieee_div,
+                                      safe_denom)
 
 
 def moles_expr(col: str, units: str = "wt%"):
@@ -94,10 +95,15 @@ def add_to_apfu(
             m = (lambda q, c=c: q(c)) if units == "moles" else (
                 lambda q, c=c, mw=mw: f"{q(c)} / {mw}"
             )
+            # ieee_div, matching the reference's UNGUARDED factor
+            # (_calc.py:296-299): an all-zero row has Σmoles = 0, where
+            # pandas gives factor = +inf and apfu = 0·inf = NaN — Spark's
+            # 0.0 * Infinity is NaN too, while a plain / would abort the
+            # job under ANSI mode.
             st.add(
                 ion,
                 lambda q, m=m, cp=flit(cat_per[c]), rn=flit(ref_n): (
-                    f"(({m(q)}) * {cp}) * ({rn} / {den(q)})"
+                    f"(({m(q)}) * {cp}) * ({ieee_div(rn, den(q))})"
                 ),
             )
             out_cols.append(ion)
@@ -136,8 +142,12 @@ def add_to_apfu_by_charge(
         )
         st.add(
             c,
+            # ieee_div: the reference's factor is unguarded
+            # (_calc.py:342) — an all-zero row gives +inf and
+            # 0·inf = NaN in pandas and Spark alike; plain / aborts
+            # under ANSI.
             lambda q, m=m, cp=flit(cat_per[c]), tc=flit(float(target_charges)): (
-                f"(({m(q)}) * {cp}) * ({tc} / {den(q)})"
+                f"(({m(q)}) * {cp}) * ({ieee_div(tc, den(q))})"
             ),
         )
     return list(ox)
@@ -231,7 +241,10 @@ def add_from_apfu(
 
 def add_normalize(plan: Plan, cols: list[str], carry: list[str] = ()) -> list[str]:
     """U9 ``normalize``: scale each row's formula columns to sum 100
-    (ref ``_calc.py:432-443``)."""
+    (ref ``_calc.py:432-443``).  The reference divides UNGUARDED —
+    pandas gives the all-zero row NaN (0/0) — so the division is
+    :func:`ieee_div`, not ``/``: Spark's ``/`` would abort the whole
+    job on that row under ANSI mode."""
     fcols = core.formula_cols(cols)
 
     def rowsum(q):
@@ -240,7 +253,8 @@ def add_normalize(plan: Plan, cols: list[str], carry: list[str] = ()) -> list[st
     st = plan.stage()
     st.passthrough(list(carry))
     for c in fcols:
-        st.add(c, lambda q, c=c: f"({q(c)} / {rowsum(q)}) * 100e0")
+        st.add(c, lambda q, c=c:
+               f"({ieee_div(q(c), rowsum(q))}) * 100e0")
     return fcols
 
 

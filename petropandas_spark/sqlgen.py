@@ -93,6 +93,32 @@ def safe_denom(e: str) -> str:
     return f"(CASE WHEN {e} = 0e0 THEN 1e0 ELSE {e} END)"
 
 
+def ieee_div(num: str, den: str) -> str:
+    """Division with pandas/numpy (IEEE-754) semantics in BOTH dialects:
+    ``x/0`` → ±Infinity, ``0/0`` → NaN, NULL operands stay NULL.  Spark's
+    ``/`` ABORTS the job on a zero denominator under ANSI mode (the
+    Spark 4 default) and DuckDB's yields NULL — both diverge from the
+    reference's pandas arithmetic, and zero denominators are reachable
+    from real data (an all-zero analysis row sums to 0).  Operand text
+    repeats (num ×4, den ×3) — whole-stage codegen CSEs the repeats, so
+    this is SQL-text growth only; keep operands shallow.  A ``-0.0``
+    denominator takes the positive-zero branch (numeric ``=`` treats
+    ``-0.0 = 0.0`` in both engines) — the sign-bit treatment lives in
+    the plotting eval dialect's Spark-only ``_ieee_div``, which this
+    helper deliberately does not replicate because ``CAST(x AS STRING)``
+    is not portable to DuckDB and a negative-zero row sum is not
+    reachable from physical data."""
+    return (
+        f"(CASE WHEN {num} IS NULL OR {den} IS NULL THEN "
+        f"CAST(NULL AS DOUBLE) "
+        f"WHEN {den} = 0e0 THEN "
+        f"(CASE WHEN {num} = 0e0 OR isnan({num}) THEN {flit(float('nan'))} "
+        f"WHEN {num} > 0e0 THEN {flit(float('inf'))} "
+        f"ELSE {flit(float('-inf'))} END) "
+        f"ELSE {num} / {den} END)"
+    )
+
+
 def where_positive(value: str, cond_subject: str, otherwise: float = 0.0) -> str:
     """``value.where(cond_subject > 0, otherwise)`` (pandas semantics)."""
     return (

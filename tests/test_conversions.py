@@ -50,6 +50,43 @@ def test_normalize(spark):
     assert out["Sample"].iloc[0] == "a"
 
 
+def test_normalize_all_zero_row_yields_nan_not_abort(spark):
+    """A blank analysis row (all oxides 0 — real below-detection data)
+    sums to 0; the reference's unguarded pandas division gives NaN for
+    every cell, and Spark's plain ``/`` ABORTED the whole job under
+    ANSI mode.  ieee_div reproduces the pandas row exactly while
+    leaving non-blank rows bit-identical."""
+    import math
+
+    pdf = pd.DataFrame([
+        {"SiO2": 30.0, "MgO": 20.0, "Sample": "a"},
+        {"SiO2": 0.0, "MgO": 0.0, "Sample": "blank"},
+    ])
+    out = (_pf(spark, pdf).normalize().df.toPandas()
+           .sort_values("Sample").reset_index(drop=True))
+    assert out["SiO2"].iloc[0] == pytest.approx(60.0)
+    assert math.isnan(out["SiO2"].iloc[1])
+    assert math.isnan(out["MgO"].iloc[1])
+
+
+def test_apfu_all_zero_row_yields_nan_not_abort(spark):
+    """Same hazard as normalize: the APFU oxygen/charge factor divides
+    by the row's mole sum, which is 0 on a blank analysis row — the
+    reference's unguarded pandas factor gives +inf and 0·inf = NaN
+    per cell; Spark's plain ``/`` aborted the job under ANSI mode."""
+    import math
+
+    pdf = pd.DataFrame([
+        {"SiO2": 40.0, "MgO": 10.0, "Sample": "a"},
+        {"SiO2": 0.0, "MgO": 0.0, "Sample": "blank"},
+    ])
+    out = (_pf(spark, pdf).cations(n_oxygens=12).df.toPandas()
+           .sort_values("Sample").reset_index(drop=True))
+    si = [c for c in out.columns if c.startswith("Si")][0]
+    assert out[si].iloc[0] > 0
+    assert math.isnan(out[si].iloc[1])
+
+
 def test_ingest_cleans_negatives_and_nans(spark):
     pdf = pd.DataFrame([{"SiO2": -1.0, "MgO": None, "Sample": "x"}])
     out = PetroFrame.ingest(spark.createDataFrame(pdf)).df.toPandas()
