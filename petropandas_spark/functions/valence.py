@@ -9,7 +9,8 @@ Reference semantics: ``/root/reference/src/petropandas/_calc.py:701-842``.
 from __future__ import annotations
 
 from petropandas_spark import core
-from petropandas_spark.sqlgen import Plan, add_chain, clip_lower, flit
+from petropandas_spark.sqlgen import (Plan, add_chain, clip_lower, flit,
+                                      ieee_div)
 
 VALENCE_PAIRS: dict[str, dict[str, int]] = {
     "Fe": {"low_charge": 2, "high_charge": 3},
@@ -21,7 +22,11 @@ VALENCE_PAIRS: dict[str, dict[str, int]] = {
 def _droop_high(q, cols, total_col, n_oxygens, ideal_cations):
     """Droop (1987): F = 2·n_oxy·(1 − ideal/S), high = total − clip(total − clip(F,0), 0)."""
     S = add_chain([q(c) for c in cols])
-    F = f"2e0 * {flit(float(n_oxygens))} * (1e0 - {flit(float(ideal_cations))} / {S})"
+    # ieee_div: the reference divides unguarded (_calc.py:728) — a
+    # zero APFU sum gives ideal/0 = +inf, F = -inf, clip → high = 0 in
+    # pandas; Spark's plain / would abort the job under ANSI mode.
+    F = (f"2e0 * {flit(float(n_oxygens))} * "
+         f"(1e0 - {ieee_div(flit(float(ideal_cations)), S)})")
     high = clip_lower(F, 0.0)
     low = clip_lower(f"({q(total_col)} - {high})", 0.0)
     return f"({q(total_col)} - {low})"
@@ -39,11 +44,14 @@ def _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations):
         elif core.is_oxide(c):
             opc[c] = (2.0 * core.oxygens_per(c)) / core.cations_per(c) / 2.0
     present = [c for c in cols if c in opc]
-    # norm = ideal/S; oxy_from_cations = Σ (apfu·norm·opc)
-    norm = f"({flit(float(ideal_cations))} / {S})"
+    # norm = ideal/S; oxy_from_cations = Σ (apfu·norm·opc).  Both
+    # divisions use ieee_div to mirror the reference's unguarded pandas
+    # arithmetic (_calc.py:753,773): a zero APFU sum flows inf/NaN
+    # through the chain to a NaN split instead of aborting under ANSI.
+    norm = ieee_div(flit(float(ideal_cations)), S)
     oxy = add_chain([f"({q(c)} * {norm}) * {flit(opc[c])}" for c in present])
     high_apfu = clip_lower(f"2e0 * ({flit(float(n_oxygens))} - {oxy})", 0.0)
-    high_scaled = f"({high_apfu} / {norm})"
+    high_scaled = ieee_div(high_apfu, norm)
     high = clip_lower(high_scaled, 0.0)
     low = clip_lower(f"({q(total_col)} - {high})", 0.0)
     return f"({q(total_col)} - {low})"

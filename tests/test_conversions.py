@@ -87,6 +87,26 @@ def test_apfu_all_zero_row_yields_nan_not_abort(spark):
     assert math.isnan(out[si].iloc[1])
 
 
+def test_split_valence_blank_row_yields_nan_not_abort(spark):
+    """Droop and Schumacher divide by the row's APFU sum (reference
+    _calc.py:728,753 — unguarded); a blank analysis row must flow NaN
+    through the split on both methods instead of aborting under ANSI."""
+    import math
+
+    pdf = pd.DataFrame([
+        {"SiO2": 38.0, "FeO": 30.0, "MgO": 5.0, "Sample": "a"},
+        {"SiO2": 0.0, "FeO": 0.0, "MgO": 0.0, "Sample": "blank"},
+    ])
+    pf = _pf(spark, pdf).cations(n_oxygens=12)
+    for method in ("droop", "schumacher"):
+        out = pf.split_valence("Fe", method=method).df.toPandas()
+        blank = out[out["Sample"] == "blank"].iloc[0]
+        good = out[out["Sample"] == "a"].iloc[0]
+        fe = [c for c in out.columns if c.startswith("Fe")]
+        assert fe and all(math.isnan(blank[c]) for c in fe), method
+        assert all(not math.isnan(good[c]) for c in fe), method
+
+
 def test_ingest_cleans_negatives_and_nans(spark):
     pdf = pd.DataFrame([{"SiO2": -1.0, "MgO": None, "Sample": "x"}])
     out = PetroFrame.ingest(spark.createDataFrame(pdf)).df.toPandas()
