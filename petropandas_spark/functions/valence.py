@@ -48,6 +48,13 @@ def _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations):
     # divisions use ieee_div to mirror the reference's unguarded pandas
     # arithmetic (_calc.py:753,773): a zero APFU sum flows inf/NaN
     # through the chain to a NaN split instead of aborting under ANSI.
+    # SQL-text growth note: norm embeds the row-sum S (N terms) three
+    # times and high_scaled repeats high_apfu (which embeds norm per
+    # column, O(N²) text) four more — quadratic in the APFU column
+    # count with a ~12× constant.  Bounded in practice: mineral APFU
+    # frames carry ≤ ~20 columns (amphibole, the widest registered
+    # user, compiles and stays hash-exact), and codegen's
+    # subexpression elimination dedups the repeats at runtime.
     norm = ieee_div(flit(float(ideal_cations)), S)
     oxy = add_chain([f"({q(c)} * {norm}) * {flit(opc[c])}" for c in present])
     high_apfu = clip_lower(f"2e0 * ({flit(float(n_oxygens))} - {oxy})", 0.0)

@@ -51,13 +51,22 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
 def eval_ngram_hashes(evalset: DataFrame, eval_id: str = "doc_id",
                       n: int = 13) -> DataFrame:
     """The eval side of the collision join as a reusable frame
-    (``__eval_id``, ``ngram_hash``).  Derive it ONCE and pass it to
-    :func:`contaminated_docs`/:func:`decontaminate` via ``eval_hashes``
-    when the same eval set gates many corpus slices — the streaming
-    ingest twin and any funnel that decontaminates per-shard should not
-    re-gram the (static) eval set every call."""
-    return ngram_hashes(evalset, eval_id, n=n).withColumnRenamed(
-        eval_id, "__eval_id"
+    (``__eval_id``, ``ngram_hash``, ``__n``).  Derive it ONCE and pass
+    it to :func:`contaminated_docs`/:func:`decontaminate` via
+    ``eval_hashes`` when the same eval set gates many corpus slices —
+    the streaming ingest twin and any funnel that decontaminates
+    per-shard should not re-gram the (static) eval set every call.
+
+    The frame is LAZY like any other: to actually pay the gram
+    derivation once, materialize it (``persist()`` + an action) before
+    the reuse loop — the streaming twin does.  ``__n`` records the
+    gram size so a consumer called with a DIFFERENT ``n`` fails loudly
+    instead of silently matching nothing (disjoint hash spaces would
+    let every contaminated document through)."""
+    return (
+        ngram_hashes(evalset, eval_id, n=n)
+        .withColumnRenamed(eval_id, "__eval_id")
+        .withColumn("__n", F.lit(int(n)))
     )
 
 
@@ -75,6 +84,20 @@ def contaminated_docs(corpus: DataFrame, evalset: DataFrame | None = None,
             raise ValueError("contaminated_docs: pass evalset= or "
                              "eval_hashes=")
         eval_hashes = eval_ngram_hashes(evalset, eval_id, n=n)
+    if "__n" in eval_hashes.columns:
+        # the gram sizes MUST agree: n-token corpus grams and m-token
+        # eval grams live in disjoint hash spaces, so a mismatch would
+        # silently match nothing and wave every contaminated document
+        # through.  The eval side is tiny by construction (and cached
+        # by any caller following the eval_ngram_hashes contract), so
+        # the one-row probe is cheap.
+        probe = eval_hashes.select("__n").head(1)
+        if probe and probe[0][0] != n:
+            raise ValueError(
+                f"contaminated_docs: eval_hashes was built with "
+                f"n={probe[0][0]} but n={n} was requested — rebuild "
+                f"the eval frame or pass the matching n")
+        eval_hashes = eval_hashes.drop("__n")
     c = ngram_hashes(corpus, corpus_id, n=n)
     e = eval_hashes
     return (

@@ -264,10 +264,12 @@ def _text_stats(th: DataFrame, cache_key: tuple | None) -> tuple[int, int]:
         return _TEXT_STATS_CACHE[cache_key]
     # rsd must sit well under the decision threshold: 0.5 % error vs
     # the 5 % default keeps the pick stable (a 2 % rsd flipped the
-    # sf0.001 corpus, 2.2 % true dup mass estimated at 5.2 %), and at
-    # low cardinality HLL++'s sparse mode is exact.  The sketch is
-    # ~64 KB per partition partial — still constant-size vs the per-doc
-    # exchange this replaces.
+    # sf0.001 corpus, 2.2 % true dup mass estimated at 5.2 %).  Spark's
+    # HLL++ has no sparse mode — small cardinalities go through the
+    # linear-counting correction, which stays within rsd but is NOT
+    # exact — so the margin, not exactness, is what makes the pick
+    # stable.  The sketch is ~64 KB per partition partial — still
+    # constant-size vs the per-doc exchange this replaces.
     n_docs, n_texts = th.agg(
         F.count(F.lit(1)),
         F.approx_count_distinct("__th", rsd=0.005)).collect()[0]

@@ -237,8 +237,10 @@ def decontaminate_ingest_stream(stream_df, evalset, landing_path: str,
     before they ever land).
 
     The eval side is STATIC and tiny, so its n-gram hashes are derived
-    ONCE up front (``eval_ngram_hashes`` → ``localCheckpoint``, cutting
-    the per-trigger lineage to a checkpointed broadcast side); each
+    ONCE up front (``eval_ngram_hashes`` → eager ``persist``: cached
+    blocks make every trigger reuse the derivation, and unlike a
+    ``localCheckpoint`` the LINEAGE survives, so losing an executor's
+    blocks mid-stream recomputes instead of killing the query); each
     micro-batch then runs the exact batch collision rule — explode →
     ``xxhash64`` grams, broadcast equi-join, anti-join — and lands only
     clean documents.  No stream state at all: the verdict is a pure
@@ -251,13 +253,23 @@ def decontaminate_ingest_stream(stream_df, evalset, landing_path: str,
     from petropandas_spark.pipeline import contamination as _ct
     from petropandas_spark.pipeline.sinks import backfill_partitions
 
-    eval_hashes = _ct.eval_ngram_hashes(evalset, n=n).localCheckpoint()
+    eval_hashes = _ct.eval_ngram_hashes(evalset, n=n).persist()
+    eval_hashes.count()  # materialize once, before the first trigger
 
     def process(batch_df, batch_id):
-        clean = _ct.decontaminate(batch_df, n=n, eval_hashes=eval_hashes)
-        backfill_partitions(
-            clean.withColumn("batch_id", F.lit(batch_id)),
-            landing_path, ["batch_id"])
+        # the decontaminate plan consumes the micro-batch twice (gram
+        # derivation + the anti-join left side) — persist like the
+        # sibling _incremental_ingest_stream scaffold so each trigger
+        # reads its files once
+        batch_df = batch_df.persist()
+        try:
+            clean = _ct.decontaminate(batch_df, n=n,
+                                      eval_hashes=eval_hashes)
+            backfill_partitions(
+                clean.withColumn("batch_id", F.lit(batch_id)),
+                landing_path, ["batch_id"])
+        finally:
+            batch_df.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -156,6 +156,27 @@ def test_decontaminate_ingest_stream_matches_batch(spark, docs_dir,
     assert got                        # and clean docs survived
 
 
+def test_eval_hashes_gram_size_mismatch_fails_loudly(spark, docs_dir):
+    """A precomputed eval-gram frame built with one n and consumed with
+    another lives in a disjoint hash space — the collision join would
+    silently match nothing and wave every contaminated document
+    through.  The __n marker makes that a loud error."""
+    import pytest
+
+    from petropandas_spark.pipeline import contamination as ct
+
+    docs = spark.read.parquet(os.path.join(docs_dir, "*"))
+    evalset = docs.limit(2).select("doc_id", "text")
+    eh = ct.eval_ngram_hashes(evalset, n=8)
+    with pytest.raises(ValueError, match="n=8"):
+        ct.decontaminate(docs, eval_hashes=eh, n=13)
+    # matching n passes through
+    assert ct.decontaminate(docs, eval_hashes=eh, n=8).count() >= 0
+    # a frame without the marker (user-built) skips validation
+    assert ct.decontaminate(
+        docs, eval_hashes=eh.drop("__n"), n=8).count() >= 0
+
+
 def test_store_read_survives_empty_first_batch(spark, tmp_path):
     """An empty first micro-batch leaves the signature store directory
     with partition markers but zero data files; the schema-pinned store
