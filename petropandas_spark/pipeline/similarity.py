@@ -46,9 +46,15 @@ def _cosine(a, b):
 def _dot_unrolled(a: str, b: str, dim: int):
     """Dot product as `dim` element_at terms — whole-stage-codegen'd,
     unlike aggregate()/zip_with() lambdas which Spark interprets (~10×
-    slower in the all-pairs hot path)."""
+    slower in the all-pairs hot path).  try_element_at, not element_at:
+    under ANSI mode (the Spark 4 default) a single TRUNCATED embedding
+    row would abort the whole job on an out-of-bounds index; the try
+    variant NULLs the term, the dot goes NULL, and the NULL verdict
+    drops from threshold filters / ranks last in top-k — the same
+    convention as zero-norm vectors."""
     return sum(
-        (F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)),
+        (F.try_element_at(a, F.lit(i + 1)) * F.try_element_at(b, F.lit(i + 1))
+         for i in range(dim)),
         F.lit(0.0),
     )
 
@@ -242,7 +248,12 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     terms = ex.select(
         id_col,
         *[
-            (F.col("vq") * F.element_at(warrs[p], F.col("j") + 1)).alias(f"t{p}")
+            # try_element_at: a LONGER-than-dim vector explodes to j
+            # beyond the literal weight array — NULL the term (the
+            # vector's bucket goes NULL; NULL-bucket pairs then die at
+            # the cosine verify) instead of aborting under ANSI
+            (F.col("vq") * F.try_element_at(warrs[p], F.col("j") + 1))
+            .alias(f"t{p}")
             for p in range(n_planes)
         ],
     )
@@ -471,8 +482,13 @@ class IVFIndex:
             )
             for center in self.centroids
         )
+        # try_element_at (1-based), not getItem: a truncated vector
+        # row aborts the whole assignment job under ANSI; NULL elements
+        # flow NULL distances and the garbage row gets an arbitrary
+        # (harmless) assignment instead of killing the index build
         doubles = [
-            F.col(vec_col).getItem(i).cast("double").alias(f"d{i}")
+            F.try_element_at(vec_col, F.lit(i + 1)).cast("double")
+            .alias(f"d{i}")
             for i in range(dim)
         ]
         with_d = df.select("*", *doubles)
@@ -614,7 +630,8 @@ class PQIndex:
         for j in range(self.m):
             base = j * d_sub
             dists = [
-                sum(sq(F.element_at(_as_double(vec_col), base + i + 1)
+                sum(sq(F.try_element_at(_as_double(vec_col),
+                                        F.lit(base + i + 1))
                        - F.lit(c[i])) for i in range(d_sub))
                 for c in self.codebooks[j]
             ]
@@ -650,11 +667,17 @@ class PQIndex:
         ``topk`` smallest approximate squared L2 distances."""
         score = F.lit(0.0)
         for j, table in enumerate(self.adc_tables(query)):
-            score = score + F.element_at(
-                F.lit(table), F.element_at("codes", j + 1) + 1
+            # try_element_at on the codes array: a malformed (short)
+            # codes row NULLs the score instead of aborting; the inner
+            # table lookup then propagates the NULL
+            score = score + F.try_element_at(
+                F.lit(table), F.try_element_at("codes", F.lit(j + 1)) + 1
             )
+        # asc is NULLS FIRST in Spark — malformed rows must rank LAST,
+        # not claim the top-k
         return (codes_df.select(id_col, score.alias("adc_dist"))
-                .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(topk))
+                .orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
+                .limit(topk))
 
     def search_rerank(self, codes_df: DataFrame, raw_df: DataFrame,
                       query: list[float], topk: int = 10,
@@ -673,10 +696,12 @@ class PQIndex:
             return col * col
 
         exact = sum(
-            sq(F.element_at(_as_double(vec_col), i + 1) - F.lit(float(q)))
+            sq(F.try_element_at(_as_double(vec_col), F.lit(i + 1))
+               - F.lit(float(q)))
             for i, q in enumerate(query)
         )
         return (raw_df.join(F.broadcast(cand.select(id_col)), id_col)
                 .select(id_col, exact.alias("dist"))
-                .orderBy(F.asc("dist"), F.asc(id_col)).limit(topk))
+                .orderBy(F.asc_nulls_last("dist"), F.asc(id_col))
+                .limit(topk))
 

@@ -952,6 +952,32 @@ class TestSimilarity:
         pairs = {(r.id_a, r.id_b) for r in out}
         assert pairs == {(1, 2)}
 
+    def test_truncated_vectors_drop_instead_of_aborting(self, spark):
+        """A wrong-dimension embedding row (truncated write, schema
+        drift) hit ANSI's INVALID_ARRAY_INDEX in every unrolled
+        fixed-dim path and killed the whole job.  try_element_at NULLs
+        the affected score, which drops from threshold filters and
+        ranks last in top-k — well-formed rows are unaffected."""
+        pdf = pd.DataFrame({
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.999, 0.01], [1.0]],
+        })
+        e = spark.createDataFrame(pdf)
+        pairs = {(r.id_a, r.id_b) for r in
+                 similarity.cosine_neardup_pairs(e, threshold=0.99)
+                 .collect()}
+        assert pairs == {(1, 2)}
+        lsh = similarity.lsh_cosine_neardup_pairs(e, threshold=0.99)
+        assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(1, 2)}
+        # PQ: fit on well-formed rows, encode/search a table containing
+        # the truncated row — ADC and exact re-rank must not abort and
+        # the malformed row must not claim the top-k
+        good = e.where("vec_id < 3")
+        pq = similarity.PQIndex(m=2, k=2).fit(good, dim=2)
+        codes = pq.encode(e)
+        top = pq.search_rerank(codes, e, [1.0, 0.0], topk=2)
+        assert [r.vec_id for r in top.collect()] == [1, 2]
+
     def test_zero_norm_vectors_drop_instead_of_aborting(self, spark):
         """An all-zero embedding (dirty data at corpus scale) has an
         undefined cosine; under ANSI mode a plain norm division aborted
