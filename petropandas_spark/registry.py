@@ -2763,11 +2763,16 @@ FROM events
 GROUP BY event_type
 """
 
+# TRY_CAST in both dialects: a single malformed value in a 100 TB
+# props column ('"k": "oops"') would abort the whole job under ANSI
+# mode with a plain CAST; both engines' try variant yields NULL, which
+# the COUNT/SUM/MIN/MAX aggregates skip identically — hash-exact on
+# clean data, robust on dirty.
 EVENTS_JSON_SPARK = _EVENTS_JSON_TMPL.format(
-    k="CAST(get_json_object(props, '$.k') AS BIGINT)"
+    k="TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
 )
 EVENTS_JSON_DUCK = _EVENTS_JSON_TMPL.format(
-    k="CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    k="TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
 )
 
 

@@ -112,3 +112,31 @@ def test_span_dedup_unicode_dual_engine(spark):
     span = pdf.text[0][r.first_pos_a - 1:r.first_pos_a - 1 + 32]
     assert span in passage or span in pdf.text[0]
     assert span == pdf.text[1][r.first_pos_b - 1:r.first_pos_b - 1 + 32]
+
+
+def test_events_json_malformed_value_null_in_both_engines(spark):
+    """A malformed numeric field in the props JSON ('oops') must yield
+    NULL through TRY_CAST in BOTH engines — a plain CAST aborts the
+    whole Spark job under ANSI mode and errors in DuckDB — and the
+    aggregates must then agree on the dirty frame too."""
+    from petropandas_spark.registry import (EVENTS_JSON_DUCK,
+                                            EVENTS_JSON_SPARK)
+
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": "oops"}'),
+        ("view", "{}"),
+        ("view", '{"k": 7}'),
+    ]
+    sdf = spark.createDataFrame(rows, "event_type string, props string")
+    sdf.createOrReplaceTempView("events")
+    got = {tuple(r) for r in
+           spark.sql(EVENTS_JSON_SPARK).collect()}
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows,
+                                        columns=["event_type", "props"]))
+    want = {tuple(r) for r in con.execute(EVENTS_JSON_DUCK).fetchall()}
+    spark.catalog.dropTempView("events")
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    assert by_type["click"][1:4] == (2, 1, 3)  # n_events, n_with_k, sum_k
