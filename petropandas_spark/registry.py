@@ -363,9 +363,18 @@ def sql_query(tables: list[str], sql: str, duck_sql: str | None = None) -> Query
 # are correctly rounded in both engines, so determinism survives any
 # magnitude; only sub-quantum precision degrades.
 def dsum(expr: str, scale: int = 6) -> str:
+    """Order-independent exact sum: round each row into fixed-point,
+    sum exactly, divide once.  The accumulator is DECIMAL(38,0), not
+    BIGINT: per-row scaled values stay far under 2^53 (so the double →
+    decimal cast is exact), but a 100 TB fact table's SUM crosses 2^63
+    around sf3000 where a BIGINT accumulator would abort under ANSI
+    mode — DECIMAL(38,0) carries ~1e38 of headroom and is exact
+    (Int128-backed) in both Spark and DuckDB, and the final value is
+    the same double after the closing division."""
     q = 10**scale
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {q}e0) AS BIGINT)) AS DOUBLE) / {q}e0)"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {q}e0) AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / {q}e0)"
     )
 
 
@@ -1109,20 +1118,20 @@ EVENTS_DAILY_ROLLUP = f"""
 WITH hourly AS (
   SELECT (ts {{div}} {_HOUR_NS}) AS hour_bucket, event_type,
          COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 1000000e0) AS BIGINT)) AS v6
+         SUM(CAST(ROUND(value * 1000000e0) AS DECIMAL(38,0))) AS v6
   FROM {{src}}
   GROUP BY (ts {{div}} {_HOUR_NS}), event_type
 )
 SELECT (hour_bucket {{div}} 24) AS day_bucket, event_type,
        CAST(SUM(n) AS BIGINT) AS n_events,
-       CAST(CAST(SUM(v6) AS BIGINT) AS DOUBLE) / 1000000e0 AS total_value
+       CAST(SUM(v6) AS DOUBLE) / 1000000e0 AS total_value
 FROM hourly
 GROUP BY (hour_bucket {{div}} 24), event_type
 """
 
 EVENTS_RUNNING = """
 SELECT event_id, user_id, ts AS ts_ns,
-       (CAST(SUM(CAST(ROUND(value * 1000000e0) AS BIGINT))
+       (CAST(SUM(CAST(ROUND(value * 1000000e0) AS DECIMAL(38,0)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) / 1000000e0) AS running_value,
@@ -2352,7 +2361,8 @@ def _centroids_sql(duck: bool) -> str:
                "LATERAL VIEW posexplode(embedding) u AS j, v) t")
     return f"""
 SELECT label, CAST(j AS BIGINT) AS dim,
-       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000000e0) AS BIGINT))
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000000e0)
+                     AS DECIMAL(38,0)))
             AS DOUBLE) / 1000000000e0 / COUNT(*) AS centroid
 FROM {src}
 GROUP BY label, j
@@ -2681,8 +2691,8 @@ SELECT id, grp,
        CAST(mgo_raw IS NULL AS BIGINT) AS was_imputed,
        COALESCE(
          mgo_raw,
-         CAST(CAST(SUM(CAST(ROUND(mgo_raw * 1000000e0) AS BIGINT))
-                   OVER (PARTITION BY grp) AS BIGINT) AS DOUBLE)
+         CAST(SUM(CAST(ROUND(mgo_raw * 1000000e0) AS DECIMAL(38,0)))
+                   OVER (PARTITION BY grp) AS DOUBLE)
            / 1000000e0 / COUNT(mgo_raw) OVER (PARTITION BY grp)
        ) AS mgo_filled
 FROM g
