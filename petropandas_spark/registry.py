@@ -364,17 +364,21 @@ def sql_query(tables: list[str], sql: str, duck_sql: str | None = None) -> Query
 # magnitude; only sub-quantum precision degrades.
 def dsum(expr: str, scale: int = 6) -> str:
     """Order-independent exact sum: round each row into fixed-point,
-    sum exactly, divide once.  The accumulator is DECIMAL(38,0), not
-    BIGINT: per-row scaled values stay far under 2^53 (so the double →
-    decimal cast is exact), but a 100 TB fact table's SUM crosses 2^63
-    around sf3000 where a BIGINT accumulator would abort under ANSI
-    mode — DECIMAL(38,0) carries ~1e38 of headroom and is exact
-    (Int128-backed) in both Spark and DuckDB, and the final value is
-    the same double after the closing division."""
+    sum exactly, divide once.  The accumulator is deliberately BIGINT:
+    Spark executes decimal sums above precision 18 outside the
+    long-backed fast path, and an A/B at sf0.1 measured DECIMAL(38,0)
+    at 3.5-4× on the wide-scan queries (q1 0.59 → 2.06 s,
+    lineitem_rollup 0.90 → 3.56 s) — too hot a tax on every scan for a
+    ceiling that sits around sf3000 (where Σ|rounded·10^scale| crosses
+    2^63; ANSI aborts loudly rather than wrapping, so the ceiling is
+    detected, not silent).  Past that operating point the scale-correct
+    move is HIERARCHICAL aggregation, not a wider accumulator on the
+    hot scan: BIGINT partials per bounded bucket, DECIMAL(38,0)
+    recombination over the few partials — exactly the shape
+    EVENTS_DAILY_ROLLUP demonstrates (hourly BIGINT → daily DECIMAL)."""
     q = 10**scale
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {q}e0) AS DECIMAL(38,0))) "
-        f"AS DOUBLE) / {q}e0)"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {q}e0) AS BIGINT)) AS DOUBLE) / {q}e0)"
     )
 
 
@@ -1113,25 +1117,31 @@ FROM (
 # pattern (at 100 TB the hourly aggregate is stored and the daily job
 # reads only it).  Sums stay BIGINT micro-units through both levels, so
 # re-aggregation is exact and order-free; the divide happens once at the
-# end.
+# end.  Accumulator tiering (the hierarchical idiom dsum's docstring
+# points at): the HOT hourly scan sums in BIGINT — partials are bounded
+# by one hour-bucket's volume (~2e18 at extreme event rates, under the
+# 2^63 ceiling) — and the cheap second level recombines the few hourly
+# partials per day in DECIMAL(38,0), where the ceiling would otherwise
+# compound and where decimal's 3-4× per-row cost is amortized away.
 EVENTS_DAILY_ROLLUP = f"""
 WITH hourly AS (
   SELECT (ts {{div}} {_HOUR_NS}) AS hour_bucket, event_type,
          COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 1000000e0) AS DECIMAL(38,0))) AS v6
+         SUM(CAST(ROUND(value * 1000000e0) AS BIGINT)) AS v6
   FROM {{src}}
   GROUP BY (ts {{div}} {_HOUR_NS}), event_type
 )
 SELECT (hour_bucket {{div}} 24) AS day_bucket, event_type,
        CAST(SUM(n) AS BIGINT) AS n_events,
-       CAST(SUM(v6) AS DOUBLE) / 1000000e0 AS total_value
+       CAST(SUM(CAST(v6 AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000e0 AS total_value
 FROM hourly
 GROUP BY (hour_bucket {{div}} 24), event_type
 """
 
 EVENTS_RUNNING = """
 SELECT event_id, user_id, ts AS ts_ns,
-       (CAST(SUM(CAST(ROUND(value * 1000000e0) AS DECIMAL(38,0)))
+       (CAST(SUM(CAST(ROUND(value * 1000000e0) AS BIGINT))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) / 1000000e0) AS running_value,
