@@ -784,7 +784,8 @@ def neardup_verdicts(df: DataFrame, pairs: DataFrame | None = None,
 def repeated_span_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", gram: int = 32,
                         window: int = 8, prefix: int | None = 400,
-                        max_bucket: int = 10_000) -> DataFrame:
+                        max_bucket: int = 10_000,
+                        collapse_threshold: float = 0.05) -> DataFrame:
     """SPAN-level exact duplication across documents — the complement of
     document-level MinHash/SimHash dedup: find document pairs sharing an
     exact ``gram``-character substring (copy-pasted boilerplate, quoted
@@ -820,8 +821,25 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
     the DuckDB oracle replays the chain exactly (hash-exact driver row).
     At 100 TB the fingerprint table is ~1/``window`` of the corpus
     grams, carries (hash, id, pos) — never text — and the verify stage
-    touches candidate documents only."""
-    sel = winnow_fingerprints(df, text_col, id_col, gram, window, prefix)
+    touches candidate documents only.
+
+    Duplication-mass bound, the same adaptive tier-1 collapse as
+    :func:`shared_span_extents` (the report row is a pure function of
+    the two prefix-texts): heavy duplication grams/winnows DISTINCT
+    texts only, computes the rep-level report, and fans it back to
+    member pairs with an orientation-aware (first_pos_a, first_pos_b)
+    swap; identical-text member pairs take a SYNTHESIZED self-report —
+    exact because the winnow frame keeps one row per (doc, hash) whose
+    gram trivially matches itself, so the pair core's verified matches
+    for an identical pair are precisely the selected set:
+    ``n_shared = countDistinct(h)``, ``first_pos = min(pos)``,
+    ``sample = min(h)`` (``h`` IS ``md5(gram text)``).  Output
+    row-identical on both strategies (pinned)."""
+    collapsed = _adaptive_text_collapse(df, text_col, id_col, prefix,
+                                        collapse_threshold)
+    docs = df if collapsed is None else collapsed[2]
+    sel = winnow_fingerprints(docs, text_col, id_col, gram, window,
+                              prefix)
     keyed = sel.select(
         "h", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
         .alias("v"),
@@ -830,8 +848,57 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
         F.col("a.d").alias("doc_a"), F.col("a.p").alias("pos_a"),
         F.col("b.d").alias("doc_b"), F.col("b.p").alias("pos_b"),
     ).where(F.col("doc_a") != F.col("doc_b"))
-    return verified_span_report(df, pairs, text_col, id_col, gram,
-                                 prefix)
+    rep = verified_span_report(docs, pairs, text_col, id_col, gram,
+                               prefix)
+    if collapsed is None:
+        return rep
+    th, gstats, repdocs = collapsed
+    selfrep = (
+        winnow_fingerprints(repdocs, text_col, id_col, gram, window,
+                            prefix)
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("h").alias("n_shared_spans"),
+            F.min("pos").cast("bigint").alias("first_pos_a"),
+            F.min("pos").cast("bigint").alias("first_pos_b"),
+            F.min("h").alias("sample_span_md5"),
+        )
+        .withColumnRenamed(id_col, "rep")
+    )
+    # membership expansion mirrors shared_span_extents' (orientation
+    # swap on the positional payload; a change to either must land in
+    # both)
+    mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
+    mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
+    cross = (
+        rep
+        .join(gstats.select(F.col("rep").alias("doc_a"),
+                            F.col("__th").alias("tha")), "doc_a")
+        .join(gstats.select(F.col("rep").alias("doc_b"),
+                            F.col("__th").alias("thb")), "doc_b")
+        .join(mem_a, "tha").join(mem_b, "thb")
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "n_shared_spans",
+            F.when(F.col("xa") < F.col("xb"), F.col("first_pos_a"))
+            .otherwise(F.col("first_pos_b")).alias("first_pos_a"),
+            F.when(F.col("xa") < F.col("xb"), F.col("first_pos_b"))
+            .otherwise(F.col("first_pos_a")).alias("first_pos_b"),
+            "sample_span_md5",
+        )
+    )
+    within = (
+        selfrep
+        .join(gstats.select("rep", "__th"), "rep")
+        .join(mem_a.withColumnRenamed("tha", "__th"), "__th")
+        .join(mem_b.withColumnRenamed("thb", "__th"), "__th")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"),
+                "n_shared_spans", "first_pos_a", "first_pos_b",
+                "sample_span_md5")
+    )
+    return cross.unionByName(within)
 
 
 def _positional_grams(df: DataFrame, text_col: str, id_col: str,

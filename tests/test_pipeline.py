@@ -496,6 +496,33 @@ class TestDedup:
             # doc_b-only window undercounted this)
             assert r.n_spans == 2
 
+    def test_repeated_span_pairs_collapse_matches_bypass(self, spark):
+        """The pair REPORT gets the same tier-1 collapse as the extent
+        stage: triplicate groups (synthesized self-reports), a cross
+        pair whose member id order flips the group orientation (the
+        first_pos_a/first_pos_b swap), and NULL/sub-gram docs must all
+        be row-identical to the per-pair bypass."""
+        from pyspark.sql import types as T
+
+        docs = (spark.read.parquet(DOCS).limit(25)
+                .select("doc_id", "text"))
+        trip = (docs
+                .unionByName(docs.selectExpr(
+                    "doc_id + 1000000 AS doc_id", "text"))
+                .unionByName(docs.selectExpr(
+                    "doc_id + 2000000 AS doc_id", "text")))
+        extra = spark.createDataFrame(
+            [(9000001, None), (9000002, "ab")],
+            T.StructType([T.StructField("doc_id", T.LongType()),
+                          T.StructField("text", T.StringType())]))
+        corpus = trip.unionByName(extra)
+        collapse = {tuple(r) for r in dedup.repeated_span_pairs(
+            corpus, collapse_threshold=0.0).collect()}
+        bypass = {tuple(r) for r in dedup.repeated_span_pairs(
+            corpus, collapse_threshold=2.0).collect()}
+        assert collapse == bypass
+        assert collapse  # the triplicates guarantee within-group rows
+
     def test_shared_span_extents_collapses_exact_duplicates(self, spark):
         """Tier-1 collapse inside the extent stage: exact-duplicate
         groups (a triplicate), a text with an INTERNAL ≥gram repeat
