@@ -853,9 +853,15 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
     if collapsed is None:
         return rep
     th, gstats, repdocs = collapsed
+    # aggregate the ALREADY-BUILT winnow frame (docs IS repdocs on this
+    # path) rather than re-deriving it — a second winnow chain would
+    # re-run the full gram explosion over the representative corpus —
+    # and only for groups that can produce within-pairs (cnt >= 2; the
+    # expansion discards singleton groups anyway)
+    dup_reps = gstats.where(F.col("cnt") >= 2).select(
+        F.col("rep").alias(id_col))
     selfrep = (
-        winnow_fingerprints(repdocs, text_col, id_col, gram, window,
-                            prefix)
+        sel.join(dup_reps, id_col, "semi")
         .groupBy(id_col)
         .agg(
             F.countDistinct("h").alias("n_shared_spans"),

@@ -143,28 +143,51 @@ def _pair_dot_arrow():
     def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.array(va.tolist(), dtype="float64")
-        B = np.array(vb.tolist(), dtype="float64")
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        # callers pre-filter both sides to the corpus dim, so batches
+        # are homogeneous on the fast path; the ragged fallback is
+        # defense-in-depth (a ragged batch would otherwise throw
+        # numpy's inhomogeneous-shape error and abort the JOB) — the
+        # mismatched row gets NaN, which fails every threshold filter
+        la, lb = va.map(len), vb.map(len)
+        if la.nunique() == 1 and lb.nunique() == 1 and la.iat[0] == lb.iat[0]:
+            A = np.array(va.tolist(), dtype="float64")
+            B = np.array(vb.tolist(), dtype="float64")
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+        out = np.full(len(va), np.nan)
+        for i, (a, b) in enumerate(zip(va, vb)):
+            if len(a) == len(b):
+                out[i] = float(np.dot(np.asarray(a, dtype="float64"),
+                                      np.asarray(b, dtype="float64")))
+        return pd.Series(out)
 
     return pair_dot
 
 
 def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
-                        verify: str, id_col: str) -> DataFrame:
+                        verify: str, id_col: str,
+                        dim: int | None = None) -> DataFrame:
     """Shared exact verify stage: join candidate ``(id_a, id_b)`` pairs
     back to ``e`` = ``(id, v: array<double>)``, score cosine, filter.
     Dot dispatch: ``"hof"`` = interpreted left-fold (bitwise equal to
     the oracles' left-associated unrolled sums — the hash-exact form),
     ``"arrow"`` = batched numpy ``einsum`` (the candidate-proportional
     scale path; ≤1e-12 relative vs hof, pinned by test).  Norms stay
-    JVM-side either way — corpus-linear, never the bottleneck."""
+    JVM-side either way — corpus-linear, never the bottleneck.
+
+    ``dim`` enforces the dirty-data contract on the zip_with/einsum
+    dots, which would otherwise score SAME-LENGTH wrong-dimension rows
+    as if they were valid (two truncated ``[1.0]`` vectors zip to
+    cosine 1.0): wrong-dimension rows are filtered out of the verify
+    side, so their candidate pairs drop at the inner join — the same
+    fate the unrolled-dot paths give them via try_element_at NULLs."""
     def hdot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0.0), lambda acc, v: acc + v,
         )
 
+    if dim is not None:
+        e = e.where(F.size("v") == int(dim))
     normed = e.withColumn("nrm", F.sqrt(hdot(F.col("v"), F.col("v"))))
     na = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                        F.col("nrm").alias("na"))
@@ -249,9 +272,12 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
         id_col,
         *[
             # try_element_at: a LONGER-than-dim vector explodes to j
-            # beyond the literal weight array — NULL the term (the
-            # vector's bucket goes NULL; NULL-bucket pairs then die at
-            # the cosine verify) instead of aborting under ANSI
+            # beyond the literal weight array — NULL that term instead
+            # of aborting under ANSI.  Note SUM skips NULL inputs, so
+            # the row still gets a REAL bucket over its first dim
+            # elements and survives to the candidate stage; the verify
+            # stage's corpus-dim filter is what actually drops it
+            # (_exact_cosine_pairs dim=).
             (F.col("vq") * F.try_element_at(warrs[p], F.col("j") + 1))
             .alias(f"t{p}")
             for p in range(n_planes)
@@ -315,7 +341,7 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     # duplicated isnotnull evaluation at the join sites (8-22s) than
     # interpreted HOF eval (1.5-3.4s); see :func:`_exact_cosine_pairs`
     # for the shared verify stage and the arrow dispatch.
-    return _exact_cosine_pairs(e, cand, threshold, verify, id_col)
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col, dim)
 
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -356,7 +382,8 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 cluster_col: str = "cluster",
-                                verify: str = "hof") -> DataFrame:
+                                verify: str = "hof",
+                                dim: int | None = None) -> DataFrame:
     """Exact cosine pairs WITHIN each cluster of a pre-assigned corpus —
     the SemDeDup blocking step (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -382,8 +409,13 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
         assigned.select(F.col(id_col), F.col(cluster_col)),
         id_col, [cluster_col],
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    # wrong-dimension rows are assigned cluster NULL and would PAIR in
+    # the NULL bucket; the dim filter inside the verify stage drops
+    # those pairs at the join (contract: garbage loses its row, never
+    # the job, and never fabricates a verdict)
+    dim = dim or _vec_dim(assigned, vec_col)
     e = assigned.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    return _exact_cosine_pairs(e, cand, threshold, verify, id_col)
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col, dim)
 
 
 class IVFIndex:
@@ -668,11 +700,16 @@ class PQIndex:
         score = F.lit(0.0)
         for j, table in enumerate(self.adc_tables(query)):
             # try_element_at on the codes array: a malformed (short)
-            # codes row NULLs the score instead of aborting; the inner
-            # table lookup then propagates the NULL
-            score = score + F.try_element_at(
-                F.lit(table), F.try_element_at("codes", F.lit(j + 1)) + 1
-            )
+            # codes row NULLs the score instead of aborting.  The code
+            # VALUE is range-checked too: our encoder emits 0..k-1, but
+            # a corrupt/foreign codes store could hold negatives, where
+            # index 0 aborts EVEN under try semantics
+            # (INVALID_INDEX_OF_ZERO) and index < 0 silently reads from
+            # the table's END — both must be NULL, never a job abort or
+            # a fabricated distance.
+            c = F.try_element_at("codes", F.lit(j + 1))
+            score = score + F.when(
+                c >= 0, F.try_element_at(F.lit(table), c + 1))
         # asc is NULLS FIRST in Spark — malformed rows must rank LAST,
         # not claim the top-k
         return (codes_df.select(id_col, score.alias("adc_dist"))

@@ -1115,9 +1115,10 @@ FROM (
 # Continuous-aggregate rollup: the daily table derives from the HOURLY
 # partials, not the raw events — the hypertable/materialized-rollup
 # pattern (at 100 TB the hourly aggregate is stored and the daily job
-# reads only it).  Sums stay BIGINT micro-units through both levels, so
-# re-aggregation is exact and order-free; the divide happens once at the
-# end.  Accumulator tiering (the hierarchical idiom dsum's docstring
+# reads only it).  Sums are BIGINT micro-units on the hourly scan and
+# DECIMAL(38,0) at the daily recombination, so re-aggregation is exact
+# and order-free; the divide happens once at the end.  Accumulator
+# tiering (the hierarchical idiom dsum's docstring
 # points at): the HOT hourly scan sums in BIGINT — partials are bounded
 # by one hour-bucket's volume (~2e18 at extreme event rates, under the
 # 2^63 ceiling) — and the cheap second level recombines the few hourly

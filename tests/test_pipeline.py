@@ -986,16 +986,32 @@ class TestSimilarity:
         the affected score, which drops from threshold filters and
         ranks last in top-k — well-formed rows are unaffected."""
         pdf = pd.DataFrame({
-            "vec_id": [1, 2, 3],
-            "embedding": [[1.0, 0.0], [0.999, 0.01], [1.0]],
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [0.999, 0.01], [1.0], [1.0]],
         })
         e = spark.createDataFrame(pdf)
         pairs = {(r.id_a, r.id_b) for r in
-                 similarity.cosine_neardup_pairs(e, threshold=0.99)
+                 similarity.cosine_neardup_pairs(e, threshold=0.99,
+                                                 dim=2)
                  .collect()}
         assert pairs == {(1, 2)}
-        lsh = similarity.lsh_cosine_neardup_pairs(e, threshold=0.99)
-        assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(1, 2)}
+        # TWO truncated rows of the SAME length share every LSH bucket
+        # (their sketch sums skip the NULL terms identically) and would
+        # zip to a fabricated cosine of 1.0 — the corpus-dim filter in
+        # the verify stage must drop the pair on both verify dispatches
+        for verify in ("hof", "arrow"):
+            lsh = similarity.lsh_cosine_neardup_pairs(
+                e, threshold=0.99, dim=2, verify=verify)
+            assert ({(r.id_a, r.id_b) for r in lsh.collect()}
+                    <= {(1, 2)}), verify
+        # SemDeDup blocking: truncated rows land in the NULL cluster
+        # together; their in-cluster pair must also drop
+        idx = similarity.IVFIndex(k=2)
+        idx.build(e.where("vec_id < 3"))
+        assigned = idx.assign(e)
+        within = similarity.within_cluster_cosine_pairs(
+            assigned, threshold=0.99, dim=2)
+        assert {(r.id_a, r.id_b) for r in within.collect()} <= {(1, 2)}
         # PQ: fit on well-formed rows, encode/search a table containing
         # the truncated row — ADC and exact re-rank must not abort and
         # the malformed row must not claim the top-k
