@@ -335,30 +335,78 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     return th, gstats, repdocs
 
 
-def _expand_member_pairs(rep_pairs: DataFrame, th: DataFrame,
-                         gstats: DataFrame, id_col: str) -> DataFrame:
-    """Fan representative-level unordered ``(doc_a, doc_b)`` pairs back
-    to member-document pairs, and add every within-group pair (members
-    of one text group are pairwise guaranteed candidates — identical
-    text ⇒ identical signature ⇒ same bucket in every band)."""
+def _expand_member_rows(rep_rows: DataFrame, th: DataFrame,
+                        gstats: DataFrame, id_col: str,
+                        swap: tuple = (),
+                        carry: tuple = (),
+                        self_rows: DataFrame | None = None) -> DataFrame:
+    """THE membership expansion of every collapse tier — fan
+    representative-level ``(doc_a, doc_b, payload…)`` rows back to
+    member-document pairs (``doc_a < doc_b``), shared by the LSH
+    candidate tiers, the span extent stage, and the span pair report
+    (one mechanism; a fix to join null-handling or orientation rules
+    lands everywhere — the NULL-digest hazard is closed at the source
+    by :func:`_adaptive_text_collapse`'s sentinel).
+
+    ``swap``: ``[(col_a, col_b), …]`` payload pairs that follow pair
+    ORIENTATION — swapped when a member pair's id order flips the
+    representative pair's orientation (positions, per-side counts).
+    ``carry``: orientation-independent payload columns.
+    ``self_rows``: per-representative ``(rep, payload…)`` rows fanned
+    as-is to every within-group member pair (identical texts make the
+    payload symmetric by construction); ``None`` emits bare
+    within-group pairs (the candidate tiers' form — members of one
+    text group are pairwise guaranteed candidates: identical text ⇒
+    identical signature ⇒ same bucket in every band).
+
+    Callers re-``select`` their exact output column order (the union
+    here is by name)."""
     mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
     mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
+    flip = F.col("xa") < F.col("xb")
+    cols = [F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b")]
+    for a_col, b_col in swap:
+        cols.append(F.when(flip, F.col(a_col))
+                    .otherwise(F.col(b_col)).alias(a_col))
+        cols.append(F.when(flip, F.col(b_col))
+                    .otherwise(F.col(a_col)).alias(b_col))
+    cols += [F.col(c) for c in carry]
     cross = (
-        rep_pairs
+        rep_rows
         .join(gstats.select(F.col("rep").alias("doc_a"),
                             F.col("__th").alias("tha")), "doc_a")
         .join(gstats.select(F.col("rep").alias("doc_b"),
                             F.col("__th").alias("thb")), "doc_b")
         .join(mem_a, "tha").join(mem_b, "thb")
-        .select(F.least("xa", "xb").alias("doc_a"),
-                F.greatest("xa", "xb").alias("doc_b"))
+        .select(*cols)
     )
-    within = (
-        mem_a.join(mem_b.withColumnRenamed("thb", "tha"), "tha")
-        .where(F.col("xa") < F.col("xb"))
-        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"))
-    )
+    payload = [c for a_b in swap for c in a_b] + list(carry)
+    if self_rows is None:
+        within = (
+            mem_a.join(mem_b.withColumnRenamed("thb", "tha"), "tha")
+            .where(F.col("xa") < F.col("xb"))
+            .select(F.col("xa").alias("doc_a"),
+                    F.col("xb").alias("doc_b"))
+        )
+    else:
+        within = (
+            self_rows
+            .join(gstats.select("rep", "__th"), "rep")
+            .join(mem_a.withColumnRenamed("tha", "__th"), "__th")
+            .join(mem_b.withColumnRenamed("thb", "__th"), "__th")
+            .where(F.col("xa") < F.col("xb"))
+            .select(F.col("xa").alias("doc_a"),
+                    F.col("xb").alias("doc_b"), *payload)
+        )
     return cross.unionByName(within)
+
+
+def _expand_member_pairs(rep_pairs: DataFrame, th: DataFrame,
+                         gstats: DataFrame, id_col: str) -> DataFrame:
+    """Bare-pair form of :func:`_expand_member_rows` (the LSH candidate
+    tiers)."""
+    return _expand_member_rows(rep_pairs, th, gstats, id_col)
 
 
 def lsh_candidate_pairs_portable(df: DataFrame, text_col: str = "text",
@@ -871,40 +919,13 @@ def repeated_span_pairs(df: DataFrame, text_col: str = "text",
         )
         .withColumnRenamed(id_col, "rep")
     )
-    # membership expansion mirrors shared_span_extents' (orientation
-    # swap on the positional payload; a change to either must land in
-    # both)
-    mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
-    mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
-    cross = (
-        rep
-        .join(gstats.select(F.col("rep").alias("doc_a"),
-                            F.col("__th").alias("tha")), "doc_a")
-        .join(gstats.select(F.col("rep").alias("doc_b"),
-                            F.col("__th").alias("thb")), "doc_b")
-        .join(mem_a, "tha").join(mem_b, "thb")
-        .select(
-            F.least("xa", "xb").alias("doc_a"),
-            F.greatest("xa", "xb").alias("doc_b"),
-            "n_shared_spans",
-            F.when(F.col("xa") < F.col("xb"), F.col("first_pos_a"))
-            .otherwise(F.col("first_pos_b")).alias("first_pos_a"),
-            F.when(F.col("xa") < F.col("xb"), F.col("first_pos_b"))
-            .otherwise(F.col("first_pos_a")).alias("first_pos_b"),
-            "sample_span_md5",
-        )
-    )
-    within = (
-        selfrep
-        .join(gstats.select("rep", "__th"), "rep")
-        .join(mem_a.withColumnRenamed("tha", "__th"), "__th")
-        .join(mem_b.withColumnRenamed("thb", "__th"), "__th")
-        .where(F.col("xa") < F.col("xb"))
-        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"),
-                "n_shared_spans", "first_pos_a", "first_pos_b",
-                "sample_span_md5")
-    )
-    return cross.unionByName(within)
+    return _expand_member_rows(
+        rep, th, gstats, id_col,
+        swap=(("first_pos_a", "first_pos_b"),),
+        carry=("n_shared_spans", "sample_span_md5"),
+        self_rows=selfrep,
+    ).select("doc_a", "doc_b", "n_shared_spans", "first_pos_a",
+             "first_pos_b", "sample_span_md5")
 
 
 def _positional_grams(df: DataFrame, text_col: str, id_col: str,
@@ -1224,44 +1245,16 @@ def shared_span_extents(df: DataFrame, text_col: str = "text",
     )
     self_ext = full_span.unionByName(off_ext)
 
-    # --- membership expansion: fan per-text extents back to document
-    # pairs.  Cross-text pairs swap (pos_a, pos_b) when the id order
-    # flips group orientation; identical-text pairs take the symmetric
-    # self-extent set as-is.  This mirrors the join shape of
-    # _expand_member_pairs (pair tier) with extent payload columns
-    # threaded through — a semantic change to either expansion (join
-    # null-handling, orientation rules) must be applied to BOTH; the
-    # NULL-digest hazard itself is closed at the source by
-    # _adaptive_text_collapse's sentinel.
-    mem_a = th.select(F.col("__th").alias("tha"), F.col(id_col).alias("xa"))
-    mem_b = th.select(F.col("__th").alias("thb"), F.col(id_col).alias("xb"))
-    cross = (
-        rep_ext
-        .join(gstats.select(F.col("rep").alias("doc_a"),
-                            F.col("__th").alias("tha")), "doc_a")
-        .join(gstats.select(F.col("rep").alias("doc_b"),
-                            F.col("__th").alias("thb")), "doc_b")
-        .join(mem_a, "tha").join(mem_b, "thb")
-        .select(
-            F.least("xa", "xb").alias("doc_a"),
-            F.greatest("xa", "xb").alias("doc_b"),
-            F.when(F.col("xa") < F.col("xb"), F.col("pos_a"))
-            .otherwise(F.col("pos_b")).alias("pos_a"),
-            F.when(F.col("xa") < F.col("xb"), F.col("pos_b"))
-            .otherwise(F.col("pos_a")).alias("pos_b"),
-            "span_len", "span_md5",
-        )
-    )
-    within = (
-        self_ext
-        .join(gstats.select("rep", "__th"), "rep")
-        .join(mem_a.withColumnRenamed("tha", "__th"), "__th")
-        .join(mem_b.withColumnRenamed("thb", "__th"), "__th")
-        .where(F.col("xa") < F.col("xb"))
-        .select(F.col("xa").alias("doc_a"), F.col("xb").alias("doc_b"),
-                "pos_a", "pos_b", "span_len", "span_md5")
-    )
-    return cross.unionByName(within)
+    # --- membership expansion (the shared _expand_member_rows): cross
+    # pairs swap (pos_a, pos_b) when the member id order flips group
+    # orientation; identical-text pairs take the symmetric self-extent
+    # set as-is (the off-diagonal self-join emits both orders).
+    return _expand_member_rows(
+        rep_ext, th, gstats, id_col,
+        swap=(("pos_a", "pos_b"),),
+        carry=("span_len", "span_md5"),
+        self_rows=self_ext,
+    ).select("doc_a", "doc_b", "pos_a", "pos_b", "span_len", "span_md5")
 
 
 def write_winnow_store(fps: DataFrame, path: str) -> None:
