@@ -64,9 +64,20 @@ def main() -> None:
         # default 240 MB JIT code cache mid-run; once it fills, late
         # queries execute interpreted (measured 2-5× slower).  Standard
         # Spark tuning: reserve a bigger cache up front.
+        #
+        # -XX:-DontCompileHugeMethods: HotSpot skips JIT for methods over
+        # 8000 bytecode; a deep fused projection chain (amphibole
+        # stoichiometry: 23 collapsed-into-one-span Projects, consume()
+        # = 9736 bytecode) then runs in the BYTECODE INTERPRETER — the
+        # whole-stage "codegen" compiles fine but never JITs, measured
+        # 6.1 s → 1.6 s at sf0.1 with the flag.  Standard Spark-at-scale
+        # tuning (Databricks runtime default); pairs with the reserved
+        # code cache above.  On a real cluster set it in
+        # spark.executor.extraJavaOptions too (docs/scale.md).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

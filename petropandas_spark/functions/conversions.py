@@ -12,8 +12,8 @@ Reference semantics: ``/root/reference/src/petropandas/_calc.py:44-443``.
 from __future__ import annotations
 
 from petropandas_spark import core
-from petropandas_spark.sqlgen import (Plan, add_chain, clip, flit, ieee_div,
-                                      safe_denom)
+from petropandas_spark.sqlgen import (Ctx, Plan, add_chain, clip, flit,
+                                      ieee_div, safe_denom)
 
 
 def moles_expr(col: str, units: str = "wt%"):
@@ -76,8 +76,7 @@ def add_to_apfu(
     elem = [c for c in core.formula_cols(cols) if c not in ox]
 
     out_cols: list[str] = []
-    st = plan.stage()
-    st.passthrough(list(carry))
+    factor_col = None
     if ox:
         cat_per = {c: float(core.cations_per(c)) for c in ox}
         if n_oxygens is not None:
@@ -86,24 +85,36 @@ def add_to_apfu(
         else:
             ref_n, per = float(n_cations), cat_per
 
-        def den(q):
-            return add_chain(_moles_terms(q, ox, units, per))
+        # The normalisation factor is bound ONCE as a named stage column
+        # (the reference computes it once as a Series, _calc.py:296-299;
+        # pandas semantics preserved by ieee_div: an all-zero row has
+        # Σmoles = 0 → factor = +inf → apfu = 0·inf = NaN in pandas and
+        # Spark alike, where a plain / would abort the job under ANSI
+        # mode).  Inlining it textually per output column made the stage
+        # O(N²) in SQL text (ieee_div repeats the N-term denominator ×3)
+        # — and because each apfu column is referenced exactly once by
+        # the first downstream consumer stage, CollapseProject merged the
+        # exploded tree into the consumer, blowing past codegen limits
+        # (measured 5× wall on the amphibole chain).  As a column the
+        # factor is referenced N times, so the projection boundary holds.
+        factor_col = f"__apfu_f_{len(plan.stages)}"
+        ctx = Ctx(plan, list(carry) + [c for c in cols if c not in set(carry)])
+        ctx.let([(factor_col, lambda q: ieee_div(
+            flit(ref_n), add_chain(_moles_terms(q, ox, units, per))))])
 
+    st = plan.stage()
+    st.passthrough(list(carry))
+    if ox:
         for c in ox:
             ion = core.oxide_to_ion_col(c)
             mw = flit(core.MW(c))
             m = (lambda q, c=c: q(c)) if units == "moles" else (
                 lambda q, c=c, mw=mw: f"{q(c)} / {mw}"
             )
-            # ieee_div, matching the reference's UNGUARDED factor
-            # (_calc.py:296-299): an all-zero row has Σmoles = 0, where
-            # pandas gives factor = +inf and apfu = 0·inf = NaN — Spark's
-            # 0.0 * Infinity is NaN too, while a plain / would abort the
-            # job under ANSI mode.
             st.add(
                 ion,
-                lambda q, m=m, cp=flit(cat_per[c]), rn=flit(ref_n): (
-                    f"(({m(q)}) * {cp}) * ({ieee_div(rn, den(q))})"
+                lambda q, m=m, cp=flit(cat_per[c]), f=factor_col: (
+                    f"(({m(q)}) * {cp}) * ({q(f)})"
                 ),
             )
             out_cols.append(ion)
@@ -130,8 +141,15 @@ def add_to_apfu_by_charge(
     }
     cat_per = {c: float(core.cations_per(c)) for c in ox}
 
-    def den(q):
-        return add_chain(_moles_terms(q, ox, units, charge_per))
+    # factor bound once as a named column — see add_to_apfu for the
+    # rationale (same reference semantics, _calc.py:342: unguarded pandas
+    # factor; ieee_div keeps the NaN flow without the ANSI abort, and the
+    # named binding keeps the stage O(N) in SQL text).
+    factor_col = f"__apfuq_f_{len(plan.stages)}"
+    ctx = Ctx(plan, list(carry) + [c for c in cols if c not in set(carry)])
+    ctx.let([(factor_col, lambda q: ieee_div(
+        flit(float(target_charges)),
+        add_chain(_moles_terms(q, ox, units, charge_per))))])
 
     st = plan.stage()
     st.passthrough(list(carry))
@@ -142,12 +160,8 @@ def add_to_apfu_by_charge(
         )
         st.add(
             c,
-            # ieee_div: the reference's factor is unguarded
-            # (_calc.py:342) — an all-zero row gives +inf and
-            # 0·inf = NaN in pandas and Spark alike; plain / aborts
-            # under ANSI.
-            lambda q, m=m, cp=flit(cat_per[c]), tc=flit(float(target_charges)): (
-                f"(({m(q)}) * {cp}) * ({ieee_div(tc, den(q))})"
+            lambda q, m=m, cp=flit(cat_per[c]), f=factor_col: (
+                f"(({m(q)}) * {cp}) * ({q(f)})"
             ),
         )
     return list(ox)
@@ -247,14 +261,18 @@ def add_normalize(plan: Plan, cols: list[str], carry: list[str] = ()) -> list[st
     job on that row under ANSI mode."""
     fcols = core.formula_cols(cols)
 
-    def rowsum(q):
-        return add_chain([q(c) for c in fcols])
+    # rowsum bound once as a named column (O(N) stage text instead of
+    # O(N²) — see add_to_apfu); arithmetic unchanged, pandas computes the
+    # same per-row sum once.
+    rs_col = f"__norm_rs_{len(plan.stages)}"
+    ctx = Ctx(plan, list(carry) + [c for c in cols if c not in set(carry)])
+    ctx.let([(rs_col, lambda q: add_chain([q(c) for c in fcols]))])
 
     st = plan.stage()
     st.passthrough(list(carry))
     for c in fcols:
         st.add(c, lambda q, c=c:
-               f"({ieee_div(q(c), rowsum(q))}) * 100e0")
+               f"({ieee_div(q(c), q(rs_col))}) * 100e0")
     return fcols
 
 

@@ -9,7 +9,7 @@ Reference semantics: ``/root/reference/src/petropandas/_calc.py:701-842``.
 from __future__ import annotations
 
 from petropandas_spark import core
-from petropandas_spark.sqlgen import (Plan, add_chain, clip_lower, flit,
+from petropandas_spark.sqlgen import (Ctx, Plan, add_chain, clip_lower, flit,
                                       ieee_div)
 
 VALENCE_PAIRS: dict[str, dict[str, int]] = {
@@ -25,6 +25,8 @@ def _droop_high(q, cols, total_col, n_oxygens, ideal_cations):
     # ieee_div: the reference divides unguarded (_calc.py:728) — a
     # zero APFU sum gives ideal/0 = +inf, F = -inf, clip → high = 0 in
     # pandas; Spark's plain / would abort the job under ANSI mode.
+    # Text growth is LINEAR here (S repeats ×3 inside ieee_div, used
+    # once) — measured no plan-time cost, so no named stage needed.
     F = (f"2e0 * {flit(float(n_oxygens))} * "
          f"(1e0 - {ieee_div(flit(float(ideal_cations)), S)})")
     high = clip_lower(F, 0.0)
@@ -32,9 +34,25 @@ def _droop_high(q, cols, total_col, n_oxygens, ideal_cations):
     return f"({q(total_col)} - {low})"
 
 
-def _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations):
-    """Schumacher (1991) high-charge APFU (ref ``_calc.py:734-780``)."""
-    S = add_chain([q(c) for c in cols])
+def _schumacher_stages(
+    ctx: Ctx, cols, total_col, n_oxygens, ideal_cations, tag: str
+):
+    """Schumacher (1991) high-charge APFU (ref ``_calc.py:734-780``).
+
+    ``S``, ``norm``, ``oxy`` and the clipped high-charge APFU are bound as
+    NAMED stage columns instead of textual inlining: the inlined form
+    embedded the N-term row-sum inside ``norm``, ``norm`` inside every
+    ``oxy`` term (O(N²) SQL text) and repeated the whole thing again in
+    the rescale — runtime codegen CSE dedups the arithmetic, but Catalyst
+    ANALYSIS time on the exploded tree does not (measured ~5 s of pure
+    plan time per amphibole-width query, a 5-8.6× wall regression).  As
+    named columns each expression is analyzed once; CollapseProject keeps
+    them as separate projections because re-inlining would duplicate
+    non-cheap expressions.  Arithmetic is unchanged — same IEEE-754
+    operation tree, bit-identical results in both dialects.
+
+    Returns the quote->expr builder for the high-charge output column.
+    """
     # oxygens demanded per cation (charge/2), from ion charge or oxide ratio
     opc: dict[str, float] = {}
     for c in cols:
@@ -44,24 +62,29 @@ def _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations):
         elif core.is_oxide(c):
             opc[c] = (2.0 * core.oxygens_per(c)) / core.cations_per(c) / 2.0
     present = [c for c in cols if c in opc]
-    # norm = ideal/S; oxy_from_cations = Σ (apfu·norm·opc).  Both
-    # divisions use ieee_div to mirror the reference's unguarded pandas
-    # arithmetic (_calc.py:753,773): a zero APFU sum flows inf/NaN
-    # through the chain to a NaN split instead of aborting under ANSI.
-    # SQL-text growth note: norm embeds the row-sum S (N terms) three
-    # times and high_scaled repeats high_apfu (which embeds norm per
-    # column, O(N²) text) four more — quadratic in the APFU column
-    # count with a ~12× constant.  Bounded in practice: mineral APFU
-    # frames carry ≤ ~20 columns (amphibole, the widest registered
-    # user, compiles and stays hash-exact), and codegen's
-    # subexpression elimination dedups the repeats at runtime.
-    norm = ieee_div(flit(float(ideal_cations)), S)
-    oxy = add_chain([f"({q(c)} * {norm}) * {flit(opc[c])}" for c in present])
-    high_apfu = clip_lower(f"2e0 * ({flit(float(n_oxygens))} - {oxy})", 0.0)
-    high_scaled = ieee_div(high_apfu, norm)
-    high = clip_lower(high_scaled, 0.0)
-    low = clip_lower(f"({q(total_col)} - {high})", 0.0)
-    return f"({q(total_col)} - {low})"
+    # Both divisions use ieee_div to mirror the reference's unguarded
+    # pandas arithmetic (_calc.py:753,773): a zero APFU sum flows
+    # inf/NaN through the chain to a NaN split instead of aborting
+    # under ANSI.
+    c_s, c_norm, c_oxy, c_high = (
+        f"__vs_{tag}_S", f"__vs_{tag}_norm", f"__vs_{tag}_oxy",
+        f"__vs_{tag}_high",
+    )
+    ctx.let([(c_s, lambda q: add_chain([q(c) for c in cols]))])
+    ctx.let([(c_norm,
+              lambda q: ieee_div(flit(float(ideal_cations)), q(c_s)))])
+    ctx.let([(c_oxy, lambda q: add_chain(
+        [f"({q(c)} * {q(c_norm)}) * {flit(opc[c])}" for c in present]))])
+    ctx.let([(c_high, lambda q: clip_lower(
+        f"2e0 * ({flit(float(n_oxygens))} - {q(c_oxy)})", 0.0))])
+
+    def high(q):
+        high_scaled = ieee_div(q(c_high), q(c_norm))
+        h = clip_lower(high_scaled, 0.0)
+        low = clip_lower(f"({q(total_col)} - {h})", 0.0)
+        return f"({q(total_col)} - {low})"
+
+    return high
 
 
 def add_split_valence(
@@ -99,10 +122,14 @@ def add_split_valence(
 
     total_col = core.detect_col(cols, element)
 
-    def high(q):
-        if method == "droop":
+    if method == "droop":
+        def high(q):
             return _droop_high(q, cols, total_col, n_oxygens, ideal_cations)
-        return _schumacher_high(q, cols, total_col, n_oxygens, ideal_cations)
+    else:
+        ctx = Ctx(plan, list(carry) + cols)
+        high = _schumacher_stages(
+            ctx, cols, total_col, n_oxygens, ideal_cations, tag=element
+        )
 
     out = []
     st = plan.stage()

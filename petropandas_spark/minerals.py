@@ -27,7 +27,8 @@ from petropandas_spark.functions.conversions import (
 )
 from petropandas_spark.functions.scores import add_stoichiometry_scores
 from petropandas_spark.functions.valence import add_split_valence
-from petropandas_spark.sqlgen import Plan, add_chain, flit, safe_denom
+from petropandas_spark.sqlgen import (Ctx, Plan,  # noqa: F401 — Ctx re-export
+                                      add_chain, flit, safe_denom)
 
 
 @dataclass(frozen=True)
@@ -54,47 +55,9 @@ class MineralConfig:
 
 
 # ---------------------------------------------------------------------------
-# Expression-chain helper: named intermediates over a Plan
-# ---------------------------------------------------------------------------
-
-
-class Ctx:
-    """Tracks the live column set while appending stages to a Plan.
-
-    ``let`` opens a new stage that passes every live column through and
-    defines new named columns; expressions reference the previous stage's
-    aliases only, keeping expression trees flat.
-    """
-
-    def __init__(self, plan: Plan, cols: list[str]):
-        self.plan = plan
-        self.cols = list(cols)
-
-    def let(self, defs: list[tuple[str, object]], drop: set[str] | None = None):
-        st = self.plan.stage()
-        drop = drop or set()
-        new_names = {n for n, _ in defs}
-        keep = [c for c in self.cols if c not in drop and c not in new_names]
-        st.passthrough(keep)
-        for name, e in defs:
-            st.add(name, e)
-        self.cols = keep + [n for n, _ in defs]
-        return self
-
-    def col(self, name: str):
-        """quote->expr for a live column, or literal 0 if absent
-        (ref ``Mineral._col``, ``_minerals.py:105-108``)."""
-        if name in self.cols:
-            return lambda q, n=name: q(n)
-        return lambda q: "0e0"
-
-    def select(self, names: list[str]) -> None:
-        """Final projection restricted to *names* in order."""
-        st = self.plan.stage()
-        st.passthrough(list(names))
-        self.cols = list(names)
-
-
+# Expression-chain helper: Ctx (named intermediates over a Plan) now lives in
+# sqlgen.py so leaf modules (functions/valence.py) can use it without a
+# circular import; re-exported above for existing importers.
 # ---------------------------------------------------------------------------
 # M1+M2: preprocess + raw APFU (+ valence splits)
 # ---------------------------------------------------------------------------

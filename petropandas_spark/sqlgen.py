@@ -218,3 +218,44 @@ class Plan:
             where = f" WHERE {' AND '.join(preds)}" if preds else ""
             sql = f"SELECT {select} FROM ({sql}){where}"
         return sql
+
+
+class Ctx:
+    """Tracks the live column set while appending stages to a Plan.
+
+    ``let`` opens a new stage that passes every live column through and
+    defines new named columns; expressions reference the previous stage's
+    aliases only, keeping expression trees flat.  Binding an intermediate
+    as a named column (instead of inlining its text) is also the
+    PLAN-TIME guard: Catalyst's ``CollapseProject`` refuses to merge a
+    projection that would duplicate a non-cheap expression, so a column
+    referenced N times downstream is analyzed once, not N times.
+    """
+
+    def __init__(self, plan: Plan, cols: list[str]):
+        self.plan = plan
+        self.cols = list(cols)
+
+    def let(self, defs: list[tuple[str, object]], drop: set[str] | None = None):
+        st = self.plan.stage()
+        drop = drop or set()
+        new_names = {n for n, _ in defs}
+        keep = [c for c in self.cols if c not in drop and c not in new_names]
+        st.passthrough(keep)
+        for name, e in defs:
+            st.add(name, e)
+        self.cols = keep + [n for n, _ in defs]
+        return self
+
+    def col(self, name: str):
+        """quote->expr for a live column, or literal 0 if absent
+        (ref ``Mineral._col``, ``_minerals.py:105-108``)."""
+        if name in self.cols:
+            return lambda q, n=name: q(n)
+        return lambda q: "0e0"
+
+    def select(self, names: list[str]) -> None:
+        """Final projection restricted to *names* in order."""
+        st = self.plan.stage()
+        st.passthrough(list(names))
+        self.cols = list(names)
