@@ -30,6 +30,28 @@ from petropandas_spark.sqlgen import Plan, add_chain
 TOTAL_COL = "__petro_total"
 
 
+def ieee_div_col(num, den):
+    """Column-level twin of :func:`sqlgen.ieee_div` — pandas/numpy IEEE-754
+    division semantics (0/0 → NaN, x/0 → ±inf, NULL propagates) for plan
+    fragments built with pyspark Columns instead of dual-dialect SQL text.
+    Spark's bare ``/`` aborts the job on a zero denominator under ANSI
+    mode (the Spark 4 default); CASE branches evaluate lazily, so the
+    division only runs when the denominator is non-zero."""
+    from pyspark.sql import functions as F
+
+    nan = F.lit(float("nan"))
+    return (
+        F.when(num.isNull() | den.isNull(), F.lit(None).cast("double"))
+        .when(
+            den == 0.0,
+            F.when((num == 0.0) | F.isnan(num), nan)
+            .when(num > 0.0, F.lit(float("inf")))
+            .otherwise(F.lit(float("-inf"))),
+        )
+        .otherwise(num / den)
+    )
+
+
 def clean_plan(cols: list[str]) -> tuple[Plan, list[str], list[str]]:
     """P1 clean-on-access (ref ``_accessors.py:101-129``): strip whitespace
     from names, apply ALIASES, ``coalesce(c,0)`` + ``greatest(c,0)`` on
@@ -421,9 +443,15 @@ class PetroFrame:
         if weights is None:
             aggs = [F.avg(f"`{c}`").alias(c) for c in cols]
         else:
+            # ieee_div_col: the reference divides the grouped sums
+            # unguarded (``grouped.div(weight_sums)``,
+            # ``_accessors.py:710-719``) — an all-zero-weight group is
+            # NaN in pandas; Spark's bare / would abort the job under
+            # ANSI mode.
             w = F.col(f"`{weights}`")
             aggs = [
-                (F.sum(F.col(f"`{c}`") * w) / F.sum(w)).alias(c) for c in cols
+                ieee_div_col(F.sum(F.col(f"`{c}`") * w), F.sum(w)).alias(c)
+                for c in cols
             ]
         if groupby is not None:
             out = self.df.groupBy(groupby).agg(*aggs)

@@ -9,6 +9,7 @@ from petropandas_spark.hpxeos.metapelite import (
     _CA, _FE2, _FE3, _MG, _SI, _AL, _TI,
 )
 from petropandas_spark.minerals import MineralConfig
+from petropandas_spark.sqlgen import ieee_div
 
 _CR = "Cr{3+}"
 
@@ -36,7 +37,7 @@ def _g_w24_vars(ctx, ic):
         ("cr", lambda q: f"({ic(_CR)(q)} / 2e0)"),
         ("t", lambda q: f"({ic(_TI)(q)} / 2e0)"),
         ("x", lambda q: (
-            f"({ic(_FE2)(q)} / ({ic(_FE2)(q)} + {ic(_MG)(q)} - {ic(_TI)(q)}))"
+            ieee_div(ic(_FE2)(q), f"({ic(_FE2)(q)} + {ic(_MG)(q)} - {ic(_TI)(q)})")
         )),
     ])
 
@@ -60,7 +61,7 @@ _MN_ = "Mn{2+}"
 
 
 def _rat(a, b):
-    return lambda q: f"({a(q)} / ({a(q)} + {b(q)}))"
+    return lambda q: ieee_div(a(q), f"({a(q)} + {b(q)})")
 
 
 # -- olivine 'ol_H18' (CFMS, monticellite + Fe/Mg ordering) -------------------
@@ -106,7 +107,7 @@ def _cd_g25_vars(ctx, ic):
         ("__Xt", lambda q: f"({ic(_FE2)(q)} + {ic(_MG)(q)})"),
     ])
     ctx.let([
-        ("x", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
+        ("x", lambda q: ieee_div(ic(_FE2)(q), q('__Xt'))),
     ])
 
 

@@ -12,6 +12,7 @@ from petropandas_spark.hpxeos.metapelite import (
     _mica_vars, _ratio,
 )
 from petropandas_spark.minerals import MineralConfig
+from petropandas_spark.sqlgen import ieee_div
 
 # -- olivine 'ol' (Holland & Powell 2011) -------------------------------------
 
@@ -27,7 +28,7 @@ def _ol_vars(ctx, ic):
         ("__Mt", lambda q: f"({ic(_MG)(q)} + {ic(_FE2)(q)})"),
     ])
     ctx.let([
-        ("x", lambda q: f"({ic(_FE2)(q)} / {q('__Mt')})"),
+        ("x", lambda q: ieee_div(ic(_FE2)(q), q('__Mt'))),
     ])
 
 
@@ -191,7 +192,7 @@ def _dio_vars(ctx, ic):
     ctx.let([
         ("x", _ratio(ic(_FE2), ic(_MG))),
         ("f", lambda q: (
-            f"({ic(_FE3)(q)} / ({ic(_AL)(q)} + {ic(_FE3)(q)}))"
+            ieee_div(ic(_FE3)(q), f"({ic(_AL)(q)} + {ic(_FE3)(q)})")
         )),
         ("j", ic(_NA)),
     ])
@@ -225,7 +226,7 @@ def _abc_vars(ctx, ic):
         ("__At", lambda q: f"({ic(_NA)(q)} + {ic(_CA)(q)})"),
     ])
     ctx.let([
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
     ])
 
 
@@ -254,8 +255,8 @@ def _pli_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
     ])
     ctx.let([
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
-        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
+        ("k", lambda q: ieee_div(ic(_K)(q), q('__At'))),
     ])
 
 
@@ -294,13 +295,13 @@ def _g_mb_vars(ctx, ic):
         ("__Yt", lambda q: f"({ic(_AL)(q)} + {ic(_FE3)(q)})"),
     ])
     ctx.let([
-        ("__xFeX", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
-        ("__xMgX", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
-        ("z", lambda q: f"({ic(_CA)(q)} / {q('__Xt')})"),
-        ("f", lambda q: f"({ic(_FE3)(q)} / {q('__Yt')})"),
+        ("__xFeX", lambda q: ieee_div(ic(_FE2)(q), q('__Xt'))),
+        ("__xMgX", lambda q: ieee_div(ic(_MG)(q), q('__Xt'))),
+        ("z", lambda q: ieee_div(ic(_CA)(q), q('__Xt'))),
+        ("f", lambda q: ieee_div(ic(_FE3)(q), q('__Yt'))),
     ])
     ctx.let([
-        ("x", lambda q: f"({q('__xFeX')} / ({q('__xFeX')} + {q('__xMgX')}))"),
+        ("x", lambda q: ieee_div(q('__xFeX'), f"({q('__xFeX')} + {q('__xMgX')})")),
     ])
 
 

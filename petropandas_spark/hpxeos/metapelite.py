@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from petropandas_spark.hpxeos import PhaseSpec
 from petropandas_spark.minerals import MineralConfig
-from petropandas_spark.sqlgen import add_chain, safe_denom
+from petropandas_spark.sqlgen import add_chain, ieee_div, safe_denom
 
 _MG, _FE2, _FE3, _MN, _CA, _NA, _K = (
     "Mg{2+}", "Fe{2+}", "Fe{3+}", "Mn{2+}", "Ca{2+}", "Na{+}", "K{+}",
@@ -22,8 +22,11 @@ _SI, _AL, _TI = "Si{4+}", "Al{3+}", "Ti{4+}"
 
 
 def _ratio(a, b):
-    """a / (a + b) with the reference's bare division (NaN on 0/0)."""
-    return lambda q: f"({a(q)} / ({a(q)} + {b(q)}))"
+    """a / (a + b) with the reference's pandas NaN flow: ieee_div gives
+    0/0 -> NaN and x/0 -> ±inf (a legal end-member composition zeroes
+    these denominators — e.g. pure grossular has Fe = Mg = 0); Spark's
+    bare ``/`` would abort the whole job under ANSI mode."""
+    return lambda q: ieee_div(a(q), f"({a(q)} + {b(q)})")
 
 
 # -- garnet 'g' ---------------------------------------------------------------
@@ -48,14 +51,14 @@ def _g_vars(ctx, ic):
         ("__Yt", lambda q: f"({ic(_AL)(q)} + {ic(_FE3)(q)})"),
     ])
     ctx.let([
-        ("__xFeX", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
-        ("__xMgX", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
-        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
-        ("z", lambda q: f"({ic(_CA)(q)} / {q('__Xt')})"),
-        ("f", lambda q: f"({ic(_FE3)(q)} / {q('__Yt')})"),
+        ("__xFeX", lambda q: ieee_div(ic(_FE2)(q), q('__Xt'))),
+        ("__xMgX", lambda q: ieee_div(ic(_MG)(q), q('__Xt'))),
+        ("m", lambda q: ieee_div(ic(_MN)(q), q('__Xt'))),
+        ("z", lambda q: ieee_div(ic(_CA)(q), q('__Xt'))),
+        ("f", lambda q: ieee_div(ic(_FE3)(q), q('__Yt'))),
     ])
     ctx.let([
-        ("x", lambda q: f"({q('__xFeX')} / ({q('__xFeX')} + {q('__xMgX')}))"),
+        ("x", lambda q: ieee_div(q('__xFeX'), f"({q('__xFeX')} + {q('__xMgX')})")),
     ])
 
 
@@ -180,8 +183,8 @@ def _mica_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_K)(q), ic(_NA)(q), ic(_CA)(q)])),
     ])
     ctx.let([
-        ("c", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
-        ("n", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
+        ("c", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
+        ("n", lambda q: ieee_div(ic(_NA)(q), q('__At'))),
         ("x", _ratio(ic(_FE2), ic(_MG))),
         ("f", ic(_FE3)),
     ])
@@ -361,13 +364,13 @@ def _ctd_vars(ctx, ic):
         ("__Bt", lambda q: add_chain([ic(_FE2)(q), ic(_MG)(q), ic(_MN)(q)])),
     ])
     ctx.let([
-        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Bt')})"),
-        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Bt')})"),
-        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Bt')})"),
+        ("__xFe", lambda q: ieee_div(ic(_FE2)(q), q('__Bt'))),
+        ("__xMg", lambda q: ieee_div(ic(_MG)(q), q('__Bt'))),
+        ("m", lambda q: ieee_div(ic(_MN)(q), q('__Bt'))),
         ("f", lambda q: f"({ic(_FE3)(q)} / 0.5e0)"),
     ])
     ctx.let([
-        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+        ("x", lambda q: ieee_div(q('__xFe'), f"({q('__xFe')} + {q('__xMg')})")),
     ])
 
 
@@ -400,12 +403,12 @@ def _cd_vars(ctx, ic):
         ("__Xt", lambda q: add_chain([ic(_FE2)(q), ic(_MG)(q), ic(_MN)(q)])),
     ])
     ctx.let([
-        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
-        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
-        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
+        ("__xFe", lambda q: ieee_div(ic(_FE2)(q), q('__Xt'))),
+        ("__xMg", lambda q: ieee_div(ic(_MG)(q), q('__Xt'))),
+        ("m", lambda q: ieee_div(ic(_MN)(q), q('__Xt'))),
     ])
     ctx.let([
-        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+        ("x", lambda q: ieee_div(q('__xFe'), f"({q('__xFe')} + {q('__xMg')})")),
     ])
 
 
@@ -437,14 +440,14 @@ def _st_vars(ctx, ic):
         ("__Xt", lambda q: add_chain([ic(_MG)(q), ic(_FE2)(q), ic(_MN)(q)])),
     ])
     ctx.let([
-        ("__xFe", lambda q: f"({ic(_FE2)(q)} / {q('__Xt')})"),
-        ("__xMg", lambda q: f"({ic(_MG)(q)} / {q('__Xt')})"),
-        ("m", lambda q: f"({ic(_MN)(q)} / {q('__Xt')})"),
+        ("__xFe", lambda q: ieee_div(ic(_FE2)(q), q('__Xt'))),
+        ("__xMg", lambda q: ieee_div(ic(_MG)(q), q('__Xt'))),
+        ("m", lambda q: ieee_div(ic(_MN)(q), q('__Xt'))),
         ("f", lambda q: f"({ic(_FE3)(q)} / 2e0)"),
         ("t", lambda q: f"({ic(_TI)(q)} / 2e0)"),
     ])
     ctx.let([
-        ("x", lambda q: f"({q('__xFe')} / ({q('__xFe')} + {q('__xMg')}))"),
+        ("x", lambda q: ieee_div(q('__xFe'), f"({q('__xFe')} + {q('__xMg')})")),
     ])
 
 
@@ -505,8 +508,8 @@ def _pl_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
     ])
     ctx.let([
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
-        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
+        ("k", lambda q: ieee_div(ic(_K)(q), q('__At'))),
     ])
 
 
@@ -515,8 +518,8 @@ def _ksp_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
     ])
     ctx.let([
-        ("na", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("na", lambda q: ieee_div(ic(_NA)(q), q('__At'))),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
     ])
 
 
@@ -669,8 +672,8 @@ def _sp_vars(ctx, ic):
         ("x", _ratio(ic(_FE2), ic(_MG))),
     ])
     ctx.let([
-        ("y", lambda q: f"({ic(_AL)(q)} / {q('__p2')})"),
-        ("z", lambda q: f"(2e0 * {ic(_TI)(q)} / {q('__p2')})"),
+        ("y", lambda q: ieee_div(ic(_AL)(q), q('__p2'))),
+        ("z", lambda q: ieee_div(f"(2e0 * {ic(_TI)(q)})", q('__p2'))),
     ])
 
 
@@ -778,8 +781,8 @@ def _plc_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
     ])
     ctx.let([
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
-        ("k", lambda q: f"({ic(_K)(q)} / {q('__At')})"),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
+        ("k", lambda q: ieee_div(ic(_K)(q), q('__At'))),
     ])
 
 
@@ -788,8 +791,8 @@ def _ksp_c_vars(ctx, ic):
         ("__At", lambda q: add_chain([ic(_NA)(q), ic(_CA)(q), ic(_K)(q)])),
     ])
     ctx.let([
-        ("na", lambda q: f"({ic(_NA)(q)} / {q('__At')})"),
-        ("ca", lambda q: f"({ic(_CA)(q)} / {q('__At')})"),
+        ("na", lambda q: ieee_div(ic(_NA)(q), q('__At'))),
+        ("ca", lambda q: ieee_div(ic(_CA)(q), q('__At'))),
     ])
 
 

@@ -28,7 +28,7 @@ from petropandas_spark.functions.conversions import (
 from petropandas_spark.functions.scores import add_stoichiometry_scores
 from petropandas_spark.functions.valence import add_split_valence
 from petropandas_spark.sqlgen import (Ctx, Plan,  # noqa: F401 — Ctx re-export
-                                      add_chain, flit, safe_denom)
+                                      add_chain, flit, ieee_div, safe_denom)
 
 
 @dataclass(frozen=True)
@@ -54,10 +54,10 @@ class MineralConfig:
     preprocess: str | None = None
 
 
-# ---------------------------------------------------------------------------
-# Expression-chain helper: Ctx (named intermediates over a Plan) now lives in
+# The expression-chain helper Ctx (named intermediates over a Plan) lives in
 # sqlgen.py so leaf modules (functions/valence.py) can use it without a
 # circular import; re-exported above for existing importers.
+
 # ---------------------------------------------------------------------------
 # M1+M2: preprocess + raw APFU (+ valence splits)
 # ---------------------------------------------------------------------------
@@ -364,8 +364,10 @@ def add_feldspar_end_members(
 ) -> list[str]:
     """E3: feldspar An/Ab/Or from M-site fractions (ref ``_minerals.py:404-416``).
 
-    Matches the reference exactly: direct division by the M-site total
-    (no zero-guard), output columns in M-site priority order.
+    Matches the reference's arithmetic: division by the M-site total with
+    no replace-zero guard — an alkali-free degenerate frame flows NaN
+    (ieee_div; the reference's pandas 0/0) instead of aborting under
+    ANSI.  Output columns in M-site priority order.
     """
     ion_cols = add_raw_apfu(plan, cols, FELDSPAR, units, carry=carry)
     site_cols, _un = add_site_allocation(plan, ion_cols, FELDSPAR, carry=carry)
@@ -381,7 +383,8 @@ def add_feldspar_end_members(
     for c in m_cols:
         ion = c.split("__", 1)[1]
         name = mapping.get(ion, ion)
-        st.add(name, lambda q, c=c: f"({q(c)} / {m_total(q)} * 100e0)")
+        st.add(name, lambda q, c=c:
+               f"({ieee_div(q(c), m_total(q))} * 100e0)")
         out.append(name)
     return out
 

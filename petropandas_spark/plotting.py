@@ -330,12 +330,23 @@ _X_SCALE = 1.0 / math.sqrt(3.0)
 
 def ternary_xy(df: DataFrame, top: str, left: str, right: str) -> DataFrame:
     """G2: barycentric → Cartesian projection, scale-invariant
-    (x = (fr − fl)/√3, y = ft after row-normalization)."""
+    (x = (fr − fl)/√3, y = ft after row-normalization).
+
+    A row whose three coordinates sum to zero (legal degenerate data —
+    e.g. an analysis missing all three oxides after clean-on-access
+    zero-fill) row-normalizes to 0/0: NaN in the reference's pandas
+    arithmetic, a job-aborting DIVIDE_BY_ZERO under Spark's ANSI mode
+    with bare ``/`` — hence :func:`frame.ieee_div_col`.  matplotlib
+    drops NaN points, so the row vanishes from the plot, same as the
+    reference."""
+    from petropandas_spark.frame import ieee_div_col
+
     t, l, r = (eval_expr(df, e) for e in (top, left, right))
     denom = t + l + r
     return df.withColumns({
-        "__tern_x": (r / denom - l / denom) * F.lit(_X_SCALE),
-        "__tern_y": t / denom,
+        "__tern_x": (ieee_div_col(r, denom) - ieee_div_col(l, denom))
+        * F.lit(_X_SCALE),
+        "__tern_y": ieee_div_col(t, denom),
     })
 
 

@@ -1861,13 +1861,18 @@ _HASH_BUCKET = "((doc_id * 2654435761) % 1000)"
 # engines, runs, and cluster sizes.
 # Scale shape: one map-combined stats aggregate (rows = #sources),
 # broadcast back to the corpus, scan-resident filter — no corpus shuffle.
+# Degenerate corpus (every source's mean quality 0, e.g. all-empty texts):
+# the quality ratio is pinned to 1 (keep everything) instead of aborting
+# on 0/0 under ANSI.
 _MIXTURE_SQL = """
 WITH s AS (
   SELECT source, {q} AS q, COUNT(*) AS n_docs FROM documents GROUP BY source
 ),
 w AS (
   SELECT source,
-         GREATEST(CAST(floor((q / MAX(q) OVER ()) * 1000.0) AS BIGINT),
+         GREATEST(CAST(floor((CASE WHEN MAX(q) OVER () = 0e0 THEN 1e0
+                                    ELSE q / MAX(q) OVER () END)
+                             * 1000.0) AS BIGINT),
                   CAST(1 AS BIGINT)) AS keep_buckets
   FROM s
 )
@@ -2253,16 +2258,25 @@ FROM ranked WHERE rn <= 5
 # < 2^63 under the group sums), the five co-moments accumulated as
 # order-independent BIGINTs, and the final combination done in doubles
 # from identical integers — sqrt IS correctly rounded in IEEE-754, so
-# unlike ln/exp it is safe in a hash-exact spec.
+# unlike ln/exp it is safe in a hash-exact spec.  A zero-variance group
+# (constant value or constant hour — legal data) has an undefined
+# correlation: NaN in both engines (pandas .corr() semantics), where a
+# bare / would abort the job under Spark's ANSI mode.
 _CORR = """
 SELECT event_type, n,
+       CASE WHEN (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0e0
+            THEN CAST('NaN' AS DOUBLE)
+            ELSE
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-           AS corr_value_hour
+       END AS corr_value_hour
 FROM (
   SELECT event_type, COUNT(*) AS n,
          CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -2327,15 +2341,21 @@ def _emb_normed(dialect, alias: str, where: str = "") -> str:
 
 def _knn_sql(dialect) -> str:
     dot = _dot_sql("e.emb", "q.emb", dialect)
+    # zero-norm guard (dirty-data class, docs/robustness.md): an all-zero
+    # embedding has an undefined cosine — NULL, ranked last EXPLICITLY
+    # (Spark's DESC default is NULLS LAST but DuckDB's is NULLS FIRST,
+    # so the twin text must say it) — where Spark's bare / would abort
+    # the job under ANSI mode.
     return f"""
 SELECT vec_id, label, cosine FROM (
   SELECT e.vec_id, e.label,
-         {dot} / (e.nrm * q.nrm) AS cosine
+         CASE WHEN (e.nrm * q.nrm) = 0e0 THEN CAST(NULL AS DOUBLE)
+              ELSE {dot} / (e.nrm * q.nrm) END AS cosine
   FROM {_emb_normed(dialect, 'e')}
   CROSS JOIN {_emb_normed(dialect, 'q', 'WHERE vec_id = 1')}
   WHERE e.vec_id <> 1
 ) scored
-ORDER BY cosine DESC, vec_id
+ORDER BY cosine DESC NULLS LAST, vec_id
 LIMIT 10
 """
 
@@ -2456,17 +2476,22 @@ def _ivf_sql(dialect, n_probe: int = 2, topk: int = 10,
     ) + ")"
     dot_cc = "(" + " + ".join(f"c{j} * c{j}" for j in range(dim)) + ")"
     dot_eq = _dot_sql("e.emb", "q.emb", dialect, dim)
+    # zero-norm guards as in _knn_sql: NULL cosine ranked explicitly last
+    # (a degenerate all-zero centroid or embedding must lose its rank,
+    # not abort the job under ANSI).
     return f"""
 SELECT vec_id, label, cosine FROM (
   SELECT e.vec_id, e.label,
-         {dot_eq} / (e.nrm * q.nrm) AS cosine
+         CASE WHEN (e.nrm * q.nrm) = 0e0 THEN CAST(NULL AS DOUBLE)
+              ELSE {dot_eq} / (e.nrm * q.nrm) END AS cosine
   FROM {_emb_normed(dialect, 'e')}
   JOIN (
     SELECT label FROM (
-      SELECT label, row_number() OVER (ORDER BY ccos DESC, label) AS rk
+      SELECT label, row_number() OVER (ORDER BY ccos DESC NULLS LAST, label) AS rk
       FROM (
         SELECT c.label,
-               {dot_cq} / (sqrt({dot_cc}) * qc.nrm) AS ccos
+               CASE WHEN (sqrt({dot_cc}) * qc.nrm) = 0e0 THEN CAST(NULL AS DOUBLE)
+                    ELSE {dot_cq} / (sqrt({dot_cc}) * qc.nrm) END AS ccos
         FROM (SELECT label, {cent_cols}
               FROM {_emb_src(dialect, 'ec')} GROUP BY label) c
         CROSS JOIN {_emb_normed(dialect, 'qc', 'WHERE vec_id = 1')}
@@ -2476,7 +2501,7 @@ SELECT vec_id, label, cosine FROM (
   CROSS JOIN {_emb_normed(dialect, 'q', 'WHERE vec_id = 1')}
   WHERE e.vec_id <> 1
 ) scored
-ORDER BY cosine DESC, vec_id
+ORDER BY cosine DESC NULLS LAST, vec_id
 LIMIT {topk}
 """
 
