@@ -17,8 +17,37 @@ Spark-first shape, sized for a 100 TB corpus vs a small eval set:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: gram size read off an eval_hashes frame, memoized per logical plan so
+#: repeat callers (per-micro-batch ingest) don't pay a Spark job per
+#: call.  Stale only if a file at the SAME path is rewritten with a
+#: different gram size mid-process — the rebuilt frame from
+#: eval_ngram_hashes always carries a fresh plan hash.
+_GRAM_N_CACHE: "OrderedDict[int, int]" = OrderedDict()
+_GRAM_N_CACHE_MAX = 64
+
+
+def _probe_gram_size(eval_hashes: DataFrame) -> int | None:
+    try:
+        key = eval_hashes.semanticHash()
+    except Exception:  # pragma: no cover - plan hashing unavailable
+        key = None
+    if key is not None and key in _GRAM_N_CACHE:
+        _GRAM_N_CACHE.move_to_end(key)
+        return _GRAM_N_CACHE[key]
+    probe = eval_hashes.select("__n").head(1)
+    if not probe:
+        return None
+    n = probe[0][0]
+    if key is not None:
+        _GRAM_N_CACHE[key] = n
+        while len(_GRAM_N_CACHE) > _GRAM_N_CACHE_MAX:
+            _GRAM_N_CACHE.popitem(last=False)
+    return n
 
 
 def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
@@ -88,14 +117,15 @@ def contaminated_docs(corpus: DataFrame, evalset: DataFrame | None = None,
         # the gram sizes MUST agree: n-token corpus grams and m-token
         # eval grams live in disjoint hash spaces, so a mismatch would
         # silently match nothing and wave every contaminated document
-        # through.  The eval side is tiny by construction (and cached
-        # by any caller following the eval_ngram_hashes contract), so
-        # the one-row probe is cheap.
-        probe = eval_hashes.select("__n").head(1)
-        if probe and probe[0][0] != n:
+        # through.  The probe is a one-row driver action — memoized per
+        # logical plan so a per-micro-batch caller
+        # (decontaminate_ingest_stream) or an unpersisted eval frame
+        # pays the gram derivation once per plan, not once per call.
+        probe_n = _probe_gram_size(eval_hashes)
+        if probe_n is not None and probe_n != n:
             raise ValueError(
                 f"contaminated_docs: eval_hashes was built with "
-                f"n={probe[0][0]} but n={n} was requested — rebuild "
+                f"n={probe_n} but n={n} was requested — rebuild "
                 f"the eval frame or pass the matching n")
         eval_hashes = eval_hashes.drop("__n")
     c = ngram_hashes(corpus, corpus_id, n=n)

@@ -243,15 +243,52 @@ def _bucket_pairs(keyed: DataFrame, id_col: str,
     )
 
 
-#: duplication statistics remembered per (logical plan, digest spec) —
-#: the decision scan is a corpus PROPERTY, so a curation funnel that
-#: runs several dedup tiers over one corpus should pay it once, the
-#: same way the engine reuses catalog/table statistics.  Bounded LRU;
-#: a hash collision or a re-read of an externally mutated path can at
-#: worst flip the strategy HEURISTIC — both strategies are pinned
-#: row-identical, so the cache can never change results.
+#: duplication statistics remembered per (logical plan, data
+#: fingerprint, digest spec) — the decision scan is a corpus PROPERTY,
+#: so a curation funnel that runs several dedup tiers over one corpus
+#: should pay it once, the same way the engine reuses catalog/table
+#: statistics.  The fingerprint (input file listing + local mtime/size)
+#: invalidates the entry when files at the SAME path are rewritten —
+#: ``semanticHash`` alone is path-based and would keep a stale strategy
+#: pick for the process lifetime.  Bounded LRU; a hash collision or a
+#: remote-store rewrite the fingerprint can't see at worst flips the
+#: strategy HEURISTIC — both strategies are pinned row-identical, so
+#: the cache can never change results.  ``clear_text_stats_cache()`` is
+#: the explicit hook for long-lived drivers.
 _TEXT_STATS_CACHE: "OrderedDict[tuple, tuple[int, int]]" = OrderedDict()
 _TEXT_STATS_CACHE_MAX = 64
+
+
+def clear_text_stats_cache() -> None:
+    """Drop all memoized duplication statistics (long-lived drivers that
+    mutate corpora out-of-band can call this between funnels)."""
+    _TEXT_STATS_CACHE.clear()
+
+
+def _data_fingerprint(df: DataFrame):
+    """Best-effort input fingerprint for file-backed plans: the sorted
+    file listing plus (mtime_ns, size) for local files.  Driver-side
+    metadata only — no job.  Empty tuple for in-memory frames (their
+    semanticHash already changes with content); None when listing is
+    unavailable."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover - listing unavailable
+        return None
+    fp = []
+    for u in files[:64]:  # bound driver-side stat cost on huge listings
+        meta = None
+        if u.startswith("file:"):
+            import os
+            from urllib.parse import unquote, urlparse
+
+            try:
+                stt = os.stat(unquote(urlparse(u).path))
+                meta = (stt.st_mtime_ns, stt.st_size)
+            except OSError:
+                pass
+        fp.append((u, meta))
+    return (len(files), tuple(fp))
 
 
 def _text_stats(th: DataFrame, cache_key: tuple | None) -> tuple[int, int]:
@@ -316,7 +353,8 @@ def _adaptive_text_collapse(df: DataFrame, text_col: str, id_col: str,
     # scan on the statistics (memoized across tiers over one corpus)
     # and nothing else
     try:
-        cache_key = (df.semanticHash(), text_col, id_col, prefix)
+        cache_key = (df.semanticHash(), _data_fingerprint(df),
+                     text_col, id_col, prefix)
     except Exception:  # pragma: no cover - plan hashing unavailable
         cache_key = None
     n_docs, n_texts = _text_stats(th, cache_key)

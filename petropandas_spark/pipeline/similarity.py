@@ -60,10 +60,17 @@ def _dot_unrolled(a: str, b: str, dim: int):
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Fallback only — a ``.first()`` is a driver action (one Spark job per
+    """Fallback only — an aggregate is a driver action (one Spark job per
     call).  Callers that know the corpus dimension should pass ``dim=``
-    explicitly (the registry does)."""
-    return df.select(F.size(vec_col).alias("d")).first()["d"]
+    explicitly (the registry does).
+
+    The inferred dim is the MODAL array size, not the first row's: on a
+    dirty corpus the first sampled row can itself be the truncated one,
+    and a first-row inference would then invert the ``size(v) == dim``
+    guard — dropping every valid row and keeping the garbage ones."""
+    row = (df.groupBy(F.size(vec_col).alias("d")).count()
+           .orderBy(F.desc("count"), F.asc("d")).first())
+    return row["d"]
 
 
 # Deterministic pseudo-random hyperplanes for sign-sketch (SimHash-for-
@@ -355,7 +362,12 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     (narrow pass) and the per-pair dot product is unrolled to codegen'd
     element_at terms."""
     dim = dim or _vec_dim(df, vec_col)
-    normed = df.select(
+    # size(v) == dim pre-filter, matching _exact_cosine_pairs: without it
+    # a LONGER-than-dim vector still gets a real cosine over its
+    # truncated prefix (a [1,0,junk…] row would pair with [1,0] at 1.0)
+    # — a fabricated verdict under the "garbage loses its row, never
+    # fabricates" contract.
+    normed = df.where(F.size(vec_col) == dim).select(
         F.col(id_col),
         _as_double(vec_col).alias("v"),
     ).withColumn(

@@ -84,3 +84,29 @@ def test_collision_join_broadcasts_eval_side(frames):
     assert "lambdafunction" not in _plan(
         contamination.ngram_hashes(c, n=5), "formatted"
     ).lower()
+
+
+def test_gram_size_probe_memoized_per_plan(frames):
+    """The __n probe is a one-row driver action; per-micro-batch callers
+    (decontaminate_ingest_stream) must pay it once per eval plan, not
+    once per call — the second contaminated_docs over the same frame
+    must answer from the cache without touching the data."""
+    c, e = frames
+    contamination._GRAM_N_CACHE.clear()
+    eh = contamination.eval_ngram_hashes(e, n=5)
+    contamination.contaminated_docs(c, n=5, eval_hashes=eh).collect()
+    assert len(contamination._GRAM_N_CACHE) == 1
+    # poison head() so any re-probe of the data is loud
+    import pyspark.sql
+
+    orig = pyspark.sql.DataFrame.head
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("probe re-ran despite cache")
+    pyspark.sql.DataFrame.head = boom
+    try:
+        contamination.contaminated_docs(c, n=5, eval_hashes=eh).collect()
+        # the mismatch guard still fires from the cached value
+        with pytest.raises(ValueError, match="built with"):
+            contamination.contaminated_docs(c, n=7, eval_hashes=eh)
+    finally:
+        pyspark.sql.DataFrame.head = orig

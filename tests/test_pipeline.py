@@ -104,6 +104,35 @@ class TestDedup:
         assert dedup._adaptive_text_collapse(
             dup, "text", "doc_id", 400, 0.0) is not None
 
+    def test_text_stats_cache_invalidates_on_file_rewrite(self, spark,
+                                                          docs, tmp_path):
+        """semanticHash is path-based: rewriting the files at the SAME
+        path leaves it unchanged, so the cache key also carries a data
+        fingerprint (file listing + local mtime/size) — a corpus that
+        mutates from low- to high-duplication must not keep the stale
+        strategy pick for the process lifetime."""
+        p = str(tmp_path / "corpus.parquet")
+        base = docs.limit(20).select("doc_id", "text")
+        base.write.mode("overwrite").parquet(p)
+        dedup._TEXT_STATS_CACHE.clear()
+        df1 = spark.read.parquet(p)
+        fp1 = dedup._data_fingerprint(df1)
+        dedup._adaptive_text_collapse(df1, "text", "doc_id", 400, 0.05)
+        assert len(dedup._TEXT_STATS_CACHE) == 1
+        # rewrite the same path with a heavily-duplicated corpus
+        import time
+
+        time.sleep(0.01)  # ensure a distinct mtime_ns
+        base.unionByName(
+            base.selectExpr("doc_id + 5000000 AS doc_id", "text")
+        ).write.mode("overwrite").parquet(p)
+        df2 = spark.read.parquet(p)
+        assert dedup._data_fingerprint(df2) != fp1
+        dedup._adaptive_text_collapse(df2, "text", "doc_id", 400, 0.05)
+        assert len(dedup._TEXT_STATS_CACHE) == 2  # fresh entry, not stale
+        dedup.clear_text_stats_cache()
+        assert len(dedup._TEXT_STATS_CACHE) == 0
+
     def test_lsh_collapse_keeps_null_text_pairs(self, spark, docs):
         """NULL-text documents pair with each other on the bypass path
         (NULL band keys share one bucket under SQL GROUP BY), so the
@@ -1041,6 +1070,35 @@ class TestSimilarity:
         assert {r.vec_id for r in top[2:]} == {3, 4}
         lsh = similarity.lsh_cosine_neardup_pairs(e, threshold=0.99)
         assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(1, 2)}
+
+    def test_inferred_dim_is_modal_not_first_row(self, spark):
+        """When dim is inferred, it must be the MODAL array size: if the
+        FIRST row is itself the truncated one, a first-row inference
+        inverts the size(v)==dim guard — every valid row dropped, the
+        garbage rows kept, silently wrong pairs."""
+        pdf = pd.DataFrame({
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0], [1.0, 0.0], [0.999, 0.01], [0.5, 0.5]],
+        })
+        e = spark.createDataFrame(pdf)
+        assert similarity._vec_dim(e, "embedding") == 2
+        pairs = {(r.id_a, r.id_b) for r in
+                 similarity.cosine_neardup_pairs(e, threshold=0.99)
+                 .collect()}
+        assert pairs == {(2, 3)}  # valid rows pair; row 1 loses its row
+
+    def test_longer_vector_does_not_fabricate_cosine(self, spark):
+        """A LONGER-than-dim vector must not score over its truncated
+        prefix: [1, 0, junk] vs [1, 0] is NOT a cosine-1.0 pair."""
+        pdf = pd.DataFrame({
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.999, 0.01], [1.0, 0.0, 9.9]],
+        })
+        e = spark.createDataFrame(pdf)
+        pairs = {(r.id_a, r.id_b) for r in
+                 similarity.cosine_neardup_pairs(e, threshold=0.99, dim=2)
+                 .collect()}
+        assert pairs == {(1, 2)}
 
 
 class TestMultimodal:
