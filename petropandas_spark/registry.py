@@ -3870,58 +3870,58 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # never driver-checked — always lead:
-    "corpus_spans_removed_all",
-    # 49 head slots left; stalest proven names (last-green round in comment):
-    "weighted_mean_grouped",  # r01
-    "q1_pricing_summary",  # r01
-    "q3_shipping_topk",  # r01
-    "tc_garnet_site_occupancies",  # r02
-    "tc_clinoamphibole_site_occupancies",  # r02
-    "q5_local_supplier",  # r02
-    "q6_forecast_revenue",  # r02
-    "q10_returned_items",  # r02
-    "part_brand_stats",  # r02
-    "topk_customers",  # r02
-    "part_brand_stats_salted",  # r02
-    "q4_order_priority",  # r02
-    "q12_shipmode",  # r02
-    "q14_promo_revenue",  # r02
-    "q18_large_orders",  # r02
-    "q19_disjunctive_pred",  # r02
-    "q22_global_sales",  # r02
-    "q2_min_acctbal_supplier",  # r02
-    "q7_volume_shipping",  # r02
-    "events_hourly",  # r02
-    "events_running_totals",  # r02
-    "events_sessionize",  # r02
-    "events_asof_last_purchase",  # r02
-    "events_near_purchases",  # r02
-    "events_value_percentiles",  # r02
-    "lineitem_rollup",  # r02
-    "topk_orders_per_customer",  # r02
-    "doc_stats",  # r02
-    "doc_lang_guess",  # r02
-    "doc_lang_confusion",  # r02
-    "doc_quality",  # r02
-    "doc_tokenize_bpe",  # r02
-    "dedup_exact",  # r02
-    "doc_fingerprint",  # r02
-    "minhash_signatures",  # r02
-    "doc_winnowed_fingerprints",  # r02
-    "neardup_minhash_pairs",  # r02
-    "corpus_curation",  # r02
-    "corpus_sample_stratified",  # r02
-    "corpus_train_split",  # r02
-    "corpus_pack_sequences",  # r02
-    "doc_boilerplate_ngrams",  # r02
-    "corpus_contamination",  # r02
-    "doc_repetition_metrics",  # r02
-    "simhash_neardup_pairs",  # r02
-    "jaccard_verified_neardups",  # r02
-    "cosine_neardup_pairs",  # r02
-    "dedup_components",  # r02
-    "media_byte_stats",  # r02
+    # round-7 changed-plan queries lead (re-verify even though
+    # previously green), stalest proven names fill the rest:
+    "split_valence_schumacher",
+    "amphibole_stoichiometry",
+    "tc_clinoamphibole_proportions",
+    "tc_clinoamphibole_site_occupancies",
+    "apfu_oxygen_basis",
+    "apfu_cation_basis",
+    "apfu_by_charge",
+    "normalize_100",
+    "garnet_stoichiometry",
+    "cpx_stoichiometry",
+    "garnet_end_members",
+    "cpx_end_members",
+    "feldspar_end_members",
+    "garnet_apfu_site_filtered",
+    "garnet_site_allocation",
+    "garnetfe3_end_members",
+    "opx_end_members",
+    "muscovite_end_members",
+    "biotite_end_members",
+    "staurolite_end_members",
+    "chlorite_end_members",
+    "epidote_end_members",
+    "amphibole_end_members",
+    "titanite_end_members",
+    "chloritoid_end_members",
+    "cordierite_end_members",
+    "ilmenite_end_members",
+    "spinel_end_members",
+    "tc_garnet_proportions",
+    "tc_biotite_proportions",
+    "tc_chlorite_proportions",
+    "tc_plagioclase_proportions",
+    "tc_muscovite_proportions",
+    "tc_staurolite_proportions",
+    "tc_cpx_w24_proportions",
+    "tc_spinel_t21_proportions",
+    "tc_garnet_site_occupancies",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "events_value_hour_corr",
+    "corpus_mixture_reweighted",
+    "ternary_projection_eval",
+    "weighted_mean_grouped",
+    "cosine_neardup_pairs",
+    "media_frame_checksums",
+    "embedding_norms_by_label",
+    "doc_bigram_lm",
+    "doc_chunks_overlap",
+    "ivf_assign_fixed_centroids",
+    "lsh_incremental_pairs",
 ]
 
 

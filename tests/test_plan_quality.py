@@ -603,3 +603,47 @@ def test_multi_span_removal_single_doc_shuffle(spark):
     # documents join side broadcasts (or AQE decides at runtime)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert plan.count("Window") == 2  # running-max-end + island id
+
+
+# Whole-stage-codegen methods past HotSpot's 8000-bytecode JIT ceiling
+# execute in the BYTECODE INTERPRETER on default JVM flags — the plan
+# compiles fine, runs 4-10x slow, and says nothing (round-7 finding:
+# the amphibole chain at 9736 bytecode, 6.1 s -> 1.6 s once JIT-able).
+# bench.py carries -XX:-DontCompileHugeMethods (docs/scale.md tells
+# clusters to do the same); this gate pins the KNOWN set of over-limit
+# chains so a new one can't land silently — run
+# tools/codegen_audit.py for the full per-query report.
+_KNOWN_OVER_JIT_LIMIT = {
+    "amphibole_stoichiometry",        # 23 fused projections, 9.7k
+    "tc_clinoamphibole_proportions",  # schumacher + charge apfu, 8.4k
+    "tc_clinoamphibole_site_occupancies",
+    "spinel_end_members",             # widest unrolled emitter, 8.5k
+    "ivf_assign_fixed_centroids",     # k*dim literal chain, 24k
+}
+
+
+def test_no_new_codegen_methods_past_jit_limit(spark, registry):
+    """Representative wide chains must stay within the known over-limit
+    set; anything newly crossing 8000 bytecode fails here instead of
+    silently interpreting on unflagged clusters."""
+    debug = spark._jvm.org.apache.spark.sql.execution.debug
+    check = [
+        "amphibole_stoichiometry", "tc_clinoamphibole_proportions",
+        "tc_clinoamphibole_site_occupancies", "spinel_end_members",
+        "ivf_assign_fixed_centroids",
+        # the nearest non-flagged neighbours of each family
+        "cpx_stoichiometry", "garnet_stoichiometry",
+        "amphibole_end_members", "tc_garnet_site_occupancies",
+        "split_valence_schumacher", "cipw_norm_full", "knn_cosine_topk",
+    ]
+    over = {}
+    for name in check:
+        df = registry[name].spark_fn(spark, SF)
+        seq = debug.package.codegenStringSeq(
+            df._jdf.queryExecution().executedPlan())
+        worst = max(
+            (seq.apply(i)._3().maxMethodCodeSize()
+             for i in range(seq.size())), default=0)
+        if worst > 8000:
+            over[name] = worst
+    assert set(over) <= _KNOWN_OVER_JIT_LIMIT, over

@@ -1,0 +1,85 @@
+"""Audit whole-stage-codegen method sizes across the registry.
+
+HotSpot's JIT silently refuses to compile methods over 8000 bytecode
+(-XX:DontCompileHugeMethods, on by default): a fused projection chain
+whose consume() crosses that line executes in the BYTECODE INTERPRETER —
+the plan looks codegen'd, compiles fine, and runs 4-10× slow with no
+warning (round-7 finding: the 23-projection amphibole stoichiometry
+chain at 9736 bytecode, 6.1 s → 1.6 s once JIT-able).  bench.py carries
+-XX:-DontCompileHugeMethods; real clusters may not, so this audit lists
+every registry query whose generated plan contains a method past the
+limit::
+
+    python tools/codegen_audit.py            # flagged queries only
+    python tools/codegen_audit.py --all      # every query's max size
+
+Uses Spark's debug codegenStringSeq (the same numbers EXPLAIN CODEGEN
+prints) at sf0.001 — method size depends on the plan, not the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+JIT_LIMIT = 8000  # HotSpot DontCompileHugeMethods threshold (bytecode)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+    show_all = "--all" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("codegen-audit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
+    debug = spark._jvm.org.apache.spark.sql.execution.debug
+
+    qs = e.queries()
+    rows = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            seq = debug.package.codegenStringSeq(
+                df._jdf.queryExecution().executedPlan())
+            worst = 0
+            n_units = seq.size()
+            for i in range(n_units):
+                # tuple of (subtree, code, codeStats)
+                stats = seq.apply(i)._3()
+                worst = max(worst, stats.maxMethodCodeSize())
+            rows.append((name, worst, n_units))
+        except Exception as exc:  # streaming-only entries etc.
+            rows.append((name, -1, str(exc).splitlines()[0][:60]))
+
+    flagged = [(n, w, u) for n, w, u in rows
+               if isinstance(w, int) and w > JIT_LIMIT]
+    out = {
+        "jit_limit": JIT_LIMIT,
+        "n_queries": len(rows),
+        "flagged": {n: w for n, w, _ in flagged},
+    }
+    if show_all:
+        out["all"] = {n: w for n, w, _ in rows}
+    print(json.dumps(out, indent=1))
+    for n, w, u in flagged:
+        print(f"# {n}: maxMethodCodeSize={w} over {u} codegen units — "
+              f"interpreted under default JVM flags", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
