@@ -342,12 +342,17 @@ def ternary_xy(df: DataFrame, top: str, left: str, right: str) -> DataFrame:
     from petropandas_spark.frame import ieee_div_col
 
     t, l, r = (eval_expr(df, e) for e in (top, left, right))
-    denom = t + l + r
-    return df.withColumns({
-        "__tern_x": (ieee_div_col(r, denom) - ieee_div_col(l, denom))
-        * F.lit(_X_SCALE),
-        "__tern_y": ieee_div_col(t, denom),
+    # bind the row sum once: each guarded division re-reads a COLUMN, not
+    # a re-evaluated (t+l+r) tree ×3 inside 5-branch CASEs (same
+    # arithmetic and results, ~3× less plan/codegen text)
+    den = "__tern_den"
+    staged = df.withColumn(den, t + l + r)
+    out = staged.withColumns({
+        "__tern_x": (ieee_div_col(r, F.col(den))
+                     - ieee_div_col(l, F.col(den))) * F.lit(_X_SCALE),
+        "__tern_y": ieee_div_col(t, F.col(den)),
     })
+    return out.drop(den)
 
 
 class BasePlot:
