@@ -56,6 +56,15 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # sf0.1 tables are single ~30-60 MB parquet files: at the 128 MB
+        # default they scan as 1-3 input partitions while 32 cores idle
+        # (the CPU-heavy mineral chains ran as one straggler task).
+        # 32 MB restores scan parallelism at TEST scale — interleaved
+        # min-of-3 A/B over a mixed 10-query subset: 21.6 → 19.5 s, no
+        # per-query regression (8 MB over-splits: cosine/minhash pay
+        # task overhead).  At 100 TB the default is fine — file count,
+        # not file size, provides the parallelism there.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         # 24g, not all of RAM: sf0.1 needs a fraction of it, and G1 full
         # collections on a ~100g heap showed up as random 30-60s stalls
         # on single queries mid-bench

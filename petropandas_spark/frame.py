@@ -36,7 +36,14 @@ def ieee_div_col(num, den):
     fragments built with pyspark Columns instead of dual-dialect SQL text.
     Spark's bare ``/`` aborts the job on a zero denominator under ANSI
     mode (the Spark 4 default); CASE branches evaluate lazily, so the
-    division only runs when the denominator is non-zero."""
+    division only runs when the denominator is non-zero.
+
+    Same ``-0.0`` caveat as the SQL twin: a negative-zero denominator
+    takes the positive-zero branch (``==`` treats ``-0.0 == 0.0``), so
+    ``1/-0.0`` yields +inf here vs IEEE's -inf — negative zeros are not
+    reachable from the physical-data row sums these guards wrap, and the
+    plotting eval dialect keeps the full sign-bit treatment where the
+    reference dialect requires it."""
     from pyspark.sql import functions as F
 
     nan = F.lit(float("nan"))

@@ -175,3 +175,15 @@ def test_ieee_div_col_semantics(spark):
         ieee_div_col(F.col("n"), F.col("d")).alias("v")).collect()]
     assert out[0] == float("inf") and out[1] == float("-inf")
     assert math.isnan(out[2]) and out[3] == 0.5 and out[4] is None
+    # NaN/0 stays NaN, matching numpy (NaN literal built in-plan:
+    # createDataFrame maps pandas NaN to NULL on ingestion)
+    v_nan = spark.range(1).select(ieee_div_col(
+        F.lit(float("nan")), F.lit(0.0)).alias("v")).collect()[0].v
+    assert math.isnan(v_nan)
+    # documented -0.0 caveat (same as sqlgen.ieee_div): the negative-zero
+    # denominator takes the positive branch — +inf, not IEEE's -inf;
+    # negative zeros are unreachable from the row sums these guards wrap
+    neg = spark.createDataFrame(pd.DataFrame({"n": [1.0], "d": [-0.0]}))
+    v = neg.select(ieee_div_col(F.col("n"), F.col("d")).alias("v")
+                   ).collect()[0].v
+    assert v == float("inf")
