@@ -468,6 +468,29 @@ class IVFIndex:
     # on localCheckpoint of the assigned frame)
     _LITERAL_TERM_CAP = 2048
 
+    # …and past THIS many terms the literal chain's generated consume()
+    # crosses HotSpot's 8000-bytecode JIT ceiling (the 512-term
+    # registered assignment compiles to 24,370 bytes ≈ 48 bytes/term;
+    # 8000/48 ≈ 166) and runs in the BYTECODE INTERPRETER on default
+    # JVM flags — measured at 2M×64-dim rows on local[32]: literal
+    # 6.8 s vs hof 4.7 s unflagged, 0.98 s vs 4.7 s once
+    # -XX:-DontCompileHugeMethods makes it JIT-able.  auto therefore
+    # takes the literal path past this cap only when the JVM carries
+    # the flag (exact in local mode; on a cluster the driver JVM is the
+    # proxy for the executors — docs/scale.md says set it on both).
+    _JIT_SAFE_TERM_CAP = 160
+
+    @staticmethod
+    def _huge_methods_jitable(df: DataFrame) -> bool:
+        """True when the driver JVM disables DontCompileHugeMethods."""
+        try:
+            mf = df.sparkSession._jvm.java.lang.management.ManagementFactory
+            args = mf.getRuntimeMXBean().getInputArguments()
+            return any(args.get(i) == "-XX:-DontCompileHugeMethods"
+                       for i in range(args.size()))
+        except Exception:  # pragma: no cover - py4j introspection failed
+            return False
+
     def assign(self, df: DataFrame, vec_col: str = "embedding",
                method: str = "auto") -> DataFrame:
         """Assign vectors to the FITTED centroids without re-fitting —
@@ -488,8 +511,11 @@ class IVFIndex:
           to the literal path: the fold is the same left-associated sum
           (``0.0 + t0 == t0`` exactly; every squared-diff term is
           ``+0.0``-signed), pinned by test.  The large-k path.
-        * ``"auto"`` (default) — ``literal`` up to
-          ``_LITERAL_TERM_CAP`` k·dim terms, ``hof`` beyond.
+        * ``"auto"`` (default) — ``literal`` while the generated code
+          stays JIT-compilable (≤ ``_JIT_SAFE_TERM_CAP`` k·dim terms on
+          a stock JVM, ≤ ``_LITERAL_TERM_CAP`` when
+          ``-XX:-DontCompileHugeMethods`` is set), ``hof`` beyond —
+          both paths are bit-equal, so the pick is pure performance.
         """
         if self.centroids is None:
             raise ValueError("assign() requires a fitted index "
@@ -499,8 +525,14 @@ class IVFIndex:
                              f"got {method!r}")
         k, dim = len(self.centroids), len(self.centroids[0])
         if method == "auto":
-            method = "literal" if k * dim <= self._LITERAL_TERM_CAP \
-                else "hof"
+            terms = k * dim
+            if terms > self._LITERAL_TERM_CAP:
+                method = "hof"
+            elif (terms > self._JIT_SAFE_TERM_CAP
+                    and not self._huge_methods_jitable(df)):
+                method = "hof"
+            else:
+                method = "literal"
         if method == "hof":
             cents = F.array(*[
                 F.array(*[F.lit(float(x)) for x in c])

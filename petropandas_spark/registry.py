@@ -3084,7 +3084,12 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1, 1)) AS i) u
         idx = _sim.IVFIndex(k=_IVF_K)
         idx.centroids = _IVF_CENTROIDS
         emb = _load(spark, sf_dir, "embeddings")
-        return idx.assign(emb).select("vec_id", "cluster")
+        # method forced: this query EXISTS to drive the literal-folded
+        # path against the oracle (auto is JIT-aware since round 7 and
+        # would pick hof on an unflagged JVM — the large_k twin below
+        # already covers hof, so force literal here to keep both
+        # expression trees driver-verified)
+        return idx.assign(emb, method="literal").select("vec_id", "cluster")
 
     # same expression tree, DuckDB spelling: 1-based list index, list_min /
     # list_position (both engines' *_position are 1-based → -1 → cluster)

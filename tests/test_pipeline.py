@@ -840,17 +840,32 @@ class TestSimilarity:
             "vec_id", F.col("cluster").alias("hof_cluster"))
         assert lit.join(hof, "vec_id").where(
             "lit_cluster != hof_cluster").count() == 0
-        # auto dispatch: 8×64 = 512 terms stays literal (no lambda in
-        # the plan), k=64 flips to the hof form (lambda present)
+        # auto dispatch is JIT-aware: 8×64 = 512 terms compiles to a
+        # ~24k-byte consume() — past HotSpot's 8000-byte JIT ceiling —
+        # so on a stock JVM (this test session) auto picks hof (lambda
+        # present); with -XX:-DontCompileHugeMethods it picks literal
+        # (both bit-equal, the pick is pure performance)
         def has_lambda(df):
             return "lambdafunction" in df._jdf.queryExecution() \
                 .analyzed().toString().lower()
 
-        assert not has_lambda(index.assign(emb))
+        assert has_lambda(index.assign(emb))
+        orig = similarity.IVFIndex.__dict__["_huge_methods_jitable"]
+        try:
+            similarity.IVFIndex._huge_methods_jitable = staticmethod(
+                lambda df: True)
+            assert not has_lambda(index.assign(emb))
+        finally:
+            similarity.IVFIndex._huge_methods_jitable = orig
+        # tiny term counts stay literal regardless of JVM flags
+        small = similarity.IVFIndex(k=2)
+        small.centroids = [[float(i == j) for j in range(64)]
+                           for i in range(2)]  # 128 terms < JIT cap
+        assert not has_lambda(small.assign(emb))
         big = similarity.IVFIndex(k=64)
         big.centroids = [[1.0 if d == i else 0.0 for d in range(64)]
                          for i in range(64)]
-        out = big.assign(emb)  # auto → hof; must plan + run
+        out = big.assign(emb)  # auto → hof past the 2 GB-plan cap too
         assert has_lambda(out)
         counts = out.groupBy("cluster").count()
         assert counts.count() >= 2  # multiple clusters actually used
