@@ -34,6 +34,12 @@ QUERIES = [
     # round 4: shared-stats verify chain and the PQ ADC+re-rank chain
     "neardup_verdicts",
     "pq_search_rerank",
+    # round 7: the fixed Schumacher family — named-stage plans must stay
+    # wall-flat across 100x (the fix moved cost OUT of planning; this
+    # row proves it didn't move INTO the per-row kernel)
+    "split_valence_schumacher",
+    "amphibole_stoichiometry",
+    "tc_clinoamphibole_proportions",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -51,6 +57,12 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:-DontCompileHugeMethods",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
