@@ -142,3 +142,51 @@ def test_zero_fraction_site_occupancies_survive(spark):
     assert np.isnan(out["xMgX"].iloc[0]) and np.isnan(out["xFeX"].iloc[0])
     assert out["xCaX"].iloc[0] == pytest.approx(1.0)
     assert set(out_cols) <= set(out.columns)
+
+
+# -- generalized sweep: every phase fixture, Fe/Mg/Mn zeroed ------------------
+#
+# The curated CASES above pin one zero-able denominator FAMILY each; this
+# sweep broadens the parity pin to EVERY phase the parity suite carries a
+# fixture for: zero the Fe-Mg-Mn oxides (the X-site / M-pool ratios every
+# set divides by) and require our output to equal the reference's
+# arithmetic layers exactly — NaN positions included, job alive.  Phases
+# whose fixture carries no Fe/Mg/Mn reduce to a plain parity re-check.
+
+from test_hpxeos import FIXTURES as _MP_FIXTURES  # noqa: E402
+
+_ZERO = ("FeO", "MgO", "MnO", "Fe2O3")
+
+
+def _zeroed(data: dict) -> dict:
+    n = len(next(iter(data.values())))
+    return {c: ([0.0] * n if c in _ZERO else v) for c, v in data.items()}
+
+
+_SWEEP = [("mp_" + ab, lambda ab=ab: my_mp.PHASES[ab],
+           lambda ab=ab: getattr(ref_mp, "TC_" + ab), data)
+          for ab, data in _MP_FIXTURES.items()]
+_SWEEP += [
+    ("mb_aug", lambda: my_mb.PHASES["aug"], lambda: ref_mb.TC_aug,
+     {"SiO2": [52.0], "Al2O3": [3.0], "FeO": [7.0], "MgO": [15.0],
+      "CaO": [20.0], "Na2O": [0.8]}),
+    ("mb_dio", lambda: my_mb.PHASES["dio"], lambda: ref_mb.TC_dio,
+     {"SiO2": [55.5], "Al2O3": [9.0], "FeO": [5.0], "MgO": [8.0],
+      "CaO": [13.0], "Na2O": [6.0]}),
+    ("ig_gW24", lambda: my_ig.PHASES["g_W24"], lambda: ref_ig.TC_g_W24,
+     {"SiO2": [38.5], "Al2O3": [22.1], "Cr2O3": [0.5], "TiO2": [0.3],
+      "FeO": [25.0], "MgO": [6.0], "CaO": [3.8]}),
+]
+
+
+@pytest.mark.parametrize("case", _SWEEP, ids=[c[0] for c in _SWEEP])
+def test_femg_zeroed_fixture_matches_reference_arithmetic(spark, case):
+    _name, spec_fn, ref_fn, data = case
+    spec, ref_phase = spec_fn(), ref_fn()
+    zeroed = _zeroed(data)
+    pdf = pd.DataFrame(zeroed)
+    expected = _ref_arithmetic(ref_phase, pdf)
+    got = _run(spark, spec, zeroed)  # must not raise DIVIDE_BY_ZERO
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True), atol=1e-9, rtol=1e-9
+    )
