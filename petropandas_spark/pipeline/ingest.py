@@ -1,0 +1,94 @@
+"""JSONL corpus ingestion — the read side of the training-data pipeline.
+
+Web-scale text corpora arrive as JSON-lines (Common Crawl derivatives,
+Dolma, RedPajama shards): one document object per line, schema drift and
+truncated lines included.  The ingest contract here is the engine's
+standard dirty-data contract (docs/robustness.md): **a malformed line
+loses its row — into a quarantine frame, never silently and never by
+aborting the job.**
+
+Spark-first shape, sized for 100 TB of shards:
+
+  * ``spark.read.text`` + ``from_json`` with an EXPLICIT schema — schema
+    inference is a full extra pass over the data (at 100 TB, an extra
+    100 TB scan) and is non-deterministic under drift; callers state
+    what they expect.  Text sources split by line, so the scan
+    parallelizes like any file source.
+  * malformed-line detection via a corrupt-record field inside the
+    ``from_json`` FUNCTION schema — the (good, quarantine) split is two
+    narrow filters over the same scan.  Two rejected alternatives, both
+    measured/hit: the reader-level ``columnNameOfCorruptRecord`` route
+    (Spark disallows any query whose pruned schema is the corrupt
+    column alone [UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]
+    — exactly what a quarantine consumer does; the documented
+    workaround is ``cache()``, a non-starter at corpus scale) and bare
+    ``from_json IS NULL`` (PERMISSIVE from_json yields PARTIAL structs
+    for malformed lines, silently promoting truncated records into the
+    good frame).
+  * Quarantine carries the raw line so a fix-up job can re-parse without
+    re-reading the shard set.
+
+Reference scope note: the reference package has no streaming/corpus
+ingestion surface — this module is part of the LLM-pipeline extension
+(SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: default document schema matching the testdata ``documents`` table
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType = DOC_SCHEMA,
+               ) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines shards into ``(good, quarantine)``.
+
+    ``good`` has exactly *schema*'s columns; ``quarantine`` is
+    ``(raw_line)`` for every line that failed to parse as a JSON object
+    (truncated JSON, bare text).  A PARSEABLE object with drifted field
+    types lands in ``good`` with NULL for the drifted fields — use
+    :func:`petropandas_spark.pipeline.validation` constraints for
+    field-level policing.  Both frames are narrow filters over the text
+    scan; neither shuffles.
+    """
+    corrupt = "__corrupt_record"
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    # from_json in PERMISSIVE mode yields PARTIAL structs for malformed
+    # lines (whatever prefix parsed), so "struct IS NULL" under-detects;
+    # the corrupt-record field inside the FUNCTION schema captures the
+    # raw text on any parse failure — and being a function column, the
+    # scan-level corrupt-only-query restriction doesn't apply.
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            "value", full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col(f"j.{corrupt}").isNotNull()
+    good = parsed.where(~bad).select(
+        *[F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields])
+    quarantine = parsed.where(bad).select(F.col("value").alias("raw_line"))
+    return good, quarantine
+
+
+def write_jsonl(df: DataFrame, path: str, n_shards: int | None = None,
+                mode: str = "overwrite") -> None:
+    """Write a corpus frame back out as JSONL shards (interchange with
+    non-Spark consumers; parquet via :mod:`sinks` remains the
+    performance format).  ``n_shards`` caps the file count the same way
+    a trainer's loader expects."""
+    out = df.repartition(n_shards) if n_shards else df
+    out.write.mode(mode).json(path)

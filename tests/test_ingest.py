@@ -1,0 +1,64 @@
+"""JSONL ingestion: malformed lines quarantine, never abort, roundtrip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from petropandas_spark.pipeline import ingest
+
+
+@pytest.fixture()
+def shard(tmp_path):
+    lines = [
+        json.dumps({"doc_id": 1, "source": "web", "lang": "en",
+                    "text": "hello world"}),
+        json.dumps({"doc_id": 2, "source": "web", "lang": "de",
+                    "text": "hallo welt"}),
+        '{"doc_id": 3, "source": "web", "lang": "en", "text": "trunca',
+        "not json at all",
+        json.dumps({"doc_id": 4, "source": "books", "lang": "en",
+                    "text": "fine"}),
+    ]
+    p = tmp_path / "shard.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_malformed_lines_quarantine_not_abort(spark, shard):
+    good, quarantine = ingest.read_jsonl(spark, shard)
+    g = {r.doc_id for r in good.collect()}
+    assert g == {1, 2, 4}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert len(q) == 2
+    # the raw line survives verbatim for a fix-up pass
+    assert any(l.startswith('{"doc_id": 3') for l in q)
+    assert "not json at all" in q
+    # one scan feeds both frames; neither side shuffles or runs Python
+    for df in (good, quarantine):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for py_stage in ("ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas"):
+            assert py_stage not in plan
+
+
+def test_good_frame_feeds_the_pipeline(spark, shard):
+    """The ingested frame drops straight into the corpus operators."""
+    from petropandas_spark.pipeline import dedup
+
+    good, _ = ingest.read_jsonl(spark, shard)
+    fp = dedup.exact_duplicates(good, text_col="text", id_col="doc_id")
+    assert fp.count() == 3  # one row per doc, no duplicate texts
+
+
+def test_jsonl_roundtrip(spark, shard, tmp_path):
+    good, _ = ingest.read_jsonl(spark, shard)
+    out = str(tmp_path / "out")
+    ingest.write_jsonl(good, out, n_shards=2)
+    back, quarantine = ingest.read_jsonl(spark, out + "/*.json")
+    assert quarantine.count() == 0
+    a = {tuple(r) for r in good.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
