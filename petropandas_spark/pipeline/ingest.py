@@ -47,6 +47,35 @@ DOC_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
 ])
 
+_CORRUPT = "__corrupt_record"
+
+
+def _parse_split(raw: DataFrame, schema: T.StructType
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Shared batch/stream split over a ``value``-columned text frame.
+
+    from_json in PERMISSIVE mode yields PARTIAL structs for malformed
+    lines (whatever prefix parsed), so "struct IS NULL" under-detects;
+    the corrupt-record field inside the FUNCTION schema captures the
+    raw text on any parse failure — and being a function column, the
+    scan-level corrupt-only-query restriction doesn't apply."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    parsed = raw.where(F.length(F.trim("value")) > 0).select(
+        F.col("value"),
+        F.from_json(
+            "value", full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col(f"j.{_CORRUPT}").isNotNull()
+    good = parsed.where(~bad).select(
+        *[F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields])
+    quarantine = parsed.where(bad).select(F.col("value").alias("raw_line"))
+    return good, quarantine
+
+
 def read_jsonl(spark: SparkSession, path: str,
                schema: T.StructType = DOC_SCHEMA,
                ) -> tuple[DataFrame, DataFrame]:
@@ -60,28 +89,22 @@ def read_jsonl(spark: SparkSession, path: str,
     field-level policing.  Both frames are narrow filters over the text
     scan; neither shuffles.
     """
-    corrupt = "__corrupt_record"
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
-    )
-    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
-    # from_json in PERMISSIVE mode yields PARTIAL structs for malformed
-    # lines (whatever prefix parsed), so "struct IS NULL" under-detects;
-    # the corrupt-record field inside the FUNCTION schema captures the
-    # raw text on any parse failure — and being a function column, the
-    # scan-level corrupt-only-query restriction doesn't apply.
-    parsed = raw.select(
-        F.col("value"),
-        F.from_json(
-            "value", full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
-        ).alias("j"),
-    )
-    bad = F.col("j").isNull() | F.col(f"j.{corrupt}").isNotNull()
-    good = parsed.where(~bad).select(
-        *[F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields])
-    quarantine = parsed.where(bad).select(F.col("value").alias("raw_line"))
-    return good, quarantine
+    raw = spark.read.text(path)
+    return _parse_split(raw, schema)
+
+
+def read_jsonl_stream(spark: SparkSession, path: str,
+                      schema: T.StructType = DOC_SCHEMA,
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Structured-Streaming twin of :func:`read_jsonl`: watch a landing
+    directory of JSONL shards, same (good, quarantine) split per
+    micro-batch — new shards land continuously at ingest scale, and a
+    malformed line must not kill the stream any more than a batch job.
+    Feed ``good`` into the :mod:`petropandas_spark.streaming.corpus`
+    dedup/decontamination twins; sink ``quarantine`` beside the corpus
+    for fix-up."""
+    raw = spark.readStream.text(path)
+    return _parse_split(raw, schema)
 
 
 def write_jsonl(df: DataFrame, path: str, n_shards: int | None = None,

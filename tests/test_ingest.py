@@ -62,3 +62,27 @@ def test_jsonl_roundtrip(spark, shard, tmp_path):
     a = {tuple(r) for r in good.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_streaming_twin_matches_batch(spark, shard, tmp_path):
+    """read_jsonl_stream: same split per micro-batch; a malformed line
+    must not kill the stream."""
+    good, quarantine = ingest.read_jsonl_stream(
+        spark, shard.rsplit("/", 1)[0])
+    gq = (good.writeStream.format("memory").queryName("ing_good")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    qq = (quarantine.writeStream.format("memory").queryName("ing_bad")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        gq.processAllAvailable()
+        qq.processAllAvailable()
+        got = {r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM ing_good").collect()}
+        bad = spark.sql("SELECT raw_line FROM ing_bad").count()
+    finally:
+        gq.stop()
+        qq.stop()
+    assert got == {1, 2, 4}
+    assert bad == 2
