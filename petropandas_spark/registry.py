@@ -3875,6 +3875,8 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
+    # never driver-checked — always lead:
+    "corpus_ingest_jsonl",
     # round-7 changed-plan queries lead (re-verify even though
     # previously green), stalest proven names fill the rest:
     "split_valence_schumacher",
@@ -3926,7 +3928,6 @@ _VERIFY_FIRST = [
     "doc_bigram_lm",
     "doc_chunks_overlap",
     "ivf_assign_fixed_centroids",
-    "lsh_incremental_pairs",
 ]
 
 
@@ -4116,6 +4117,37 @@ def build_registry() -> dict[str, QuerySpec]:
     )
     r["corpus_contamination"] = sql_query(
         ["documents"], _contam_sql(False), _contam_sql(True)
+    )
+
+    # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
+    # fixture shard (60 good lines + 3 malformed — truncated object,
+    # bare text, double comma), returns the good frame; DuckDB replays
+    # it via read_json(ignore_errors=true), which NULL-FILLS malformed
+    # lines instead of dropping them, hence the text IS NOT NULL filter.
+    # Pins both the parse split and the no-abort contract cross-engine.
+    import os as _os2
+
+    _jsonl_fix = _os2.path.join(
+        _os2.path.dirname(_os2.path.dirname(_os2.path.abspath(__file__))),
+        "tests", "fixtures", "corpus_shard.jsonl",
+    )
+
+    def _ingest_fn(spark, sf_dir):
+        from petropandas_spark.pipeline.ingest import read_jsonl
+
+        good, _quarantine = read_jsonl(spark, _jsonl_fix)
+        return good
+
+    r["corpus_ingest_jsonl"] = QuerySpec(
+        _ingest_fn,
+        f"""
+SELECT doc_id, source, lang, text
+FROM read_json('{_jsonl_fix}', format='newline_delimited',
+               ignore_errors=true,
+               columns={{doc_id:'BIGINT', source:'VARCHAR',
+                        lang:'VARCHAR', text:'VARCHAR'}})
+WHERE text IS NOT NULL
+""",
     )
     r["doc_repetition_metrics"] = sql_query(
         ["documents"], _repetition_sql(False), _repetition_sql(True)
