@@ -4,6 +4,9 @@ miniature::
     python examples/corpus_curation.py [docs.parquet] [out_dir]
 
 Stages (all lazy until each write):
+  0. JSONL ingestion when the source is raw shards (``*.jsonl``):
+     explicit-schema parse, malformed lines quarantined beside the
+     corpus (``pipeline.ingest.read_jsonl``)
   1. exact dedup (normalized-hash tier) → keeper ids
   2. MinHash-LSH near-dup candidates → exact Jaccard verify →
      connected components → per-cluster best-quality keeper
@@ -48,7 +51,16 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(src)
+    if src.endswith((".jsonl", ".json")):
+        # 0. raw-shard entry point: parse with the declared schema,
+        # quarantine unparseable lines for a fix-up pass
+        from petropandas_spark.pipeline.ingest import read_jsonl
+
+        docs, quarantine = read_jsonl(spark, src)
+        quarantine.write.mode("overwrite").text(
+            os.path.join(out, "quarantine"))
+    else:
+        docs = spark.read.parquet(src)
 
     # 1. exact tier: keep the lowest doc_id per normalized content hash
     norm = F.md5(F.regexp_replace(F.regexp_replace(
