@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from petropandas_spark import core
 from petropandas_spark.minerals import Ctx
-from petropandas_spark.sqlgen import Plan, flit, safe_denom
+from petropandas_spark.sqlgen import Plan, clip_upper, flit, safe_denom
 
 MW = core.MW
 
@@ -171,14 +171,14 @@ def add_cipw_norm_simple(
         ("__al2", lambda q: f"({q('__al1')} - {q('__ab')})"),
         ("__si2", lambda q: f"({q('__si1')} - 6e0 * {q('__ab')})"),
     ])
-    ctx.let([("__an", lambda q: f"LEAST({g(q('__al2'))}, {q('__cao1')})")])
+    ctx.let([("__an", lambda q: clip_upper(g(q('__al2')), q('__cao1')))])
     ctx.let([
         ("__al3", lambda q: f"({q('__al2')} - {q('__an')})"),
         ("__si3", lambda q: f"({q('__si2')} - 2e0 * {q('__an')})"),
         ("__cao2", lambda q: f"({q('__cao1')} - {q('__an')})"),
     ])
     ctx.let([("__c", lambda q: g(q("__al3")))])
-    ctx.let([("__di", lambda q: f"LEAST({g(q('__cao2'))}, {g(q('__m_MgO'))})")])
+    ctx.let([("__di", lambda q: clip_upper(g(q('__cao2')), g(q('__m_MgO'))))])
     ctx.let([
         ("__mgo1", lambda q: f"({q('__m_MgO')} - {q('__di')})"),
         ("__si4", lambda q: f"({q('__si3')} - 2e0 * {q('__di')})"),
@@ -188,7 +188,7 @@ def add_cipw_norm_simple(
         ("__hyfe0", lambda q: g(q("__feo3"))),
     ])
     ctx.let([("__hytot0", lambda q: f"({q('__hymg0')} + {q('__hyfe0')})")])
-    ctx.let([("__hytot", lambda q: f"LEAST({q('__hytot0')}, {g(q('__si4'))})")])
+    ctx.let([("__hytot", lambda q: clip_upper(q('__hytot0'), g(q('__si4'))))])
     ctx.let([("__scale", lambda q: f"({q('__hytot')} / {safe_denom(q('__hytot0'))})")])
     ctx.let([
         ("__hymg", lambda q: f"({q('__hymg0')} * {q('__scale')})"),

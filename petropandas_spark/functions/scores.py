@@ -104,9 +104,15 @@ def add_stoichiometry_scores(
     # Q5 fe3+_validity — binary Fe{3+}≥0 ∧ Fe{2+}≥0 (NaN-dropped unless split ran).
     fe3, fe2 = "Fe{3+}", "Fe{2+}"
     if fe_split_ok and fe3 in apfu_cols:
-        conds = [lambda q: f"{q(alias_of[fe3])} >= 0e0"]
+        # NOT isnan: numpy's NaN >= 0 is False (a blank row scores 0),
+        # Spark/DuckDB's is true (NaN sorts largest) — it would score 1
+        conds = [lambda q: (
+            f"({q(alias_of[fe3])} >= 0e0"
+            f" AND NOT isnan({q(alias_of[fe3])}))")]
         if fe2 in apfu_cols:
-            conds.append(lambda q: f"{q(alias_of[fe2])} >= 0e0")
+            conds.append(lambda q: (
+                f"({q(alias_of[fe2])} >= 0e0"
+                f" AND NOT isnan({q(alias_of[fe2])}))"))
         st.add(
             "fe3+_validity",
             lambda q: "(CASE WHEN "

@@ -4,7 +4,7 @@ A ``MineralConfig`` is a stateless driver-side parameter bundle (reference
 ``/root/reference/src/petropandas/_minerals.py:29-64``).  The greedy
 sequential site allocation (M3, ref ``_minerals.py:191-218``) is unrolled on
 the driver into a chain of projection stages with named intermediates —
-each ``take`` is ``LEAST(pool, remaining)`` over the *previous* stage's
+each ``take`` is a pandas-semantics ``clip(upper=remaining)`` over the *previous* stage's
 aliases, so no expression subtree is ever duplicated across stages (DuckDB
 evaluates each nesting level once; Spark keeps multiply-referenced aliases
 as separate project nodes).  No UDFs anywhere.
@@ -28,7 +28,8 @@ from petropandas_spark.functions.conversions import (
 from petropandas_spark.functions.scores import add_stoichiometry_scores
 from petropandas_spark.functions.valence import add_split_valence
 from petropandas_spark.sqlgen import (Ctx, Plan,  # noqa: F401 — Ctx re-export
-                                      add_chain, flit, ieee_div, safe_denom)
+                                      add_chain, clip_upper, flit, ieee_div,
+                                      safe_denom)
 
 
 @dataclass(frozen=True)
@@ -136,17 +137,22 @@ def add_site_allocation(
             p_old, p_new = pool[ion], f"__pool_{s.name}_{ion}"
             ctx.let(
                 [
-                    (take, lambda q, p=p_old, r=rem: f"LEAST({q(p)}, {q(r)})"),
+                    # clip_upper, not LEAST: pandas' clip(upper=rem)
+                    # keeps a NaN pool NaN (ref _minerals.py:211) — bare
+                    # LEAST returns the FINITE capacity and fabricates a
+                    # fully-allocated site from a blank analysis row
+                    (take, lambda q, p=p_old, r=rem:
+                        clip_upper(q(p), q(r))),
                     (
                         p_new,
                         lambda q, p=p_old, r=rem: (
-                            f"({q(p)} - LEAST({q(p)}, {q(r)}))"
+                            f"({q(p)} - {clip_upper(q(p), q(r))})"
                         ),
                     ),
                     (
                         rem,
                         lambda q, p=p_old, r=rem: (
-                            f"({q(r)} - LEAST({q(p)}, {q(r)}))"
+                            f"({q(r)} - {clip_upper(q(p), q(r))})"
                         ),
                     ),
                 ],
@@ -182,7 +188,13 @@ def add_apfu(
     st.passthrough(list(carry))
     for ion in ions_sorted:
         parts = by_ion[ion]
-        st.add(ion, lambda q, parts=parts: add_chain([q(c) for c in parts]))
+        # pandas ``groupby(level=1).sum()`` SKIPS NaN parts (a blank
+        # analysis row's all-NaN allocation sums to 0.0 in the
+        # reference, not NaN) — wrap each part so the chain matches
+        st.add(ion, lambda q, parts=parts: add_chain([
+            f"(CASE WHEN isnan({q(c)}) THEN 0e0 ELSE {q(c)} END)"
+            for c in parts
+        ]))
     return ions_sorted
 
 
@@ -268,8 +280,11 @@ def _emit_normalized(
     for out_name, c in members:
         st.add(
             out_name,
+            # NOT isnan: numpy's NaN > 0 is False (blank rows gate to
+            # the reference's 0.0), Spark/DuckDB's is true (NaN sorts
+            # largest) and would leak NaN through the THEN branch
             lambda q, c=c: (
-                f"(CASE WHEN {q(total)} > 0e0 THEN "
+                f"(CASE WHEN {q(total)} > 0e0 AND NOT isnan({q(total)}) THEN "
                 f"{q(c)} / {safe_denom(q(total))} * 100e0 ELSE 0e0 END)"
             ),
         )
@@ -337,10 +352,10 @@ def add_garnet_end_members(
         ("__cr", lambda q: g(ctx.col("Cr{3+}")(q))),
     ])
     # 1. Uvarovite: Uvr = min(Cr/2, Ca/3); Ca -= 3·Uvr
-    ctx.let([("__uvr", lambda q: f"LEAST({q('__cr')} / 2e0, {q('__ca')} / 3e0)")])
+    ctx.let([("__uvr", lambda q: clip_upper(f"({q('__cr')} / 2e0)", f"({q('__ca')} / 3e0)"))])
     ctx.let([("__ca1", lambda q: g(f"({q('__ca')} - 3e0 * {q('__uvr')})"))])
     # 2. Andradite: Adr = min(Fe3/2, Ca/3); Ca -= 3·Adr
-    ctx.let([("__adr", lambda q: f"LEAST({q('__fe3')} / 2e0, {q('__ca1')} / 3e0)")])
+    ctx.let([("__adr", lambda q: clip_upper(f"({q('__fe3')} / 2e0)", f"({q('__ca1')} / 3e0)"))])
     ctx.let([
         ("__ca2", lambda q: g(f"({q('__ca1')} - 3e0 * {q('__adr')})")),
     ])
@@ -404,23 +419,23 @@ def add_cpx_end_members(
         ("__ca", ctx.col("Ca{2+}")), ("__na", ctx.col("Na{+}")),
     ])
     # 1. T-site: AlIV = clip(2-Si, 0) capped by Al; AlVI = clip(Al-AlIV, 0)
-    ctx.let([("__aliv", lambda q: f"LEAST({g('(2e0 - ' + q('__si') + ')')}, {q('__al')})")])
+    ctx.let([("__aliv", lambda q: clip_upper(g('(2e0 - ' + q('__si') + ')'), q('__al')))])
     ctx.let([("__alvi", lambda q: g(f"({q('__al')} - {q('__aliv')})"))])
     # 2. Na members: Kos = min(Na, Cr); Ae = min(clip(Na-Kos,0), Fe3); Jd = min(clip(Na-Kos-Ae,0), AlVI)
-    ctx.let([("__krs", lambda q: f"LEAST({q('__na')}, {q('__cr')})")])
-    ctx.let([("__ae", lambda q: f"LEAST({g('(' + q('__na') + ' - ' + q('__krs') + ')')}, {q('__fe3')})")])
+    ctx.let([("__krs", lambda q: clip_upper(q('__na'), q('__cr')))])
+    ctx.let([("__ae", lambda q: clip_upper(g('(' + q('__na') + ' - ' + q('__krs') + ')'), q('__fe3')))])
     ctx.let([("__jd", lambda q: (
-        f"LEAST({g('(' + q('__na') + ' - ' + q('__krs') + ' - ' + q('__ae') + ')')}, {q('__alvi')})"
+        clip_upper(g('(' + q('__na') + ' - ' + q('__krs') + ' - ' + q('__ae') + ')'), q('__alvi'))
     ))])
     # 3. CaTs = min((AlVI - Jd clipped)/2, Ca); Ca_rem = clip(Ca - CaTs, 0)
     ctx.let([("__alvirem", lambda q: g("(" + q("__alvi") + " - " + q("__jd") + ")"))])
-    ctx.let([("__cats", lambda q: f"LEAST({q('__alvirem')} / 2e0, {q('__ca')})")])
+    ctx.let([("__cats", lambda q: clip_upper(f"({q('__alvirem')} / 2e0)", q('__ca')))])
     ctx.let([("__carem", lambda q: g("(" + q("__ca") + " - " + q("__cats") + ")"))])
     # 4. Quad: Di/Hd proportional to Mg/Fe2, capped; Wo remainder; En/Fs halves
     ctx.let([("__mgfe", lambda q: safe_denom(f"({q('__mg')} + {q('__fe2')})"))])
     ctx.let([
-        ("__di", lambda q: f"LEAST({q('__carem')} * {q('__mg')} / {q('__mgfe')}, {q('__mg')})"),
-        ("__hd", lambda q: f"LEAST({q('__carem')} * {q('__fe2')} / {q('__mgfe')}, {q('__fe2')})"),
+        ("__di", lambda q: clip_upper(f"({q('__carem')} * {q('__mg')} / {q('__mgfe')})", q('__mg'))),
+        ("__hd", lambda q: clip_upper(f"({q('__carem')} * {q('__fe2')} / {q('__mgfe')})", q('__fe2'))),
     ])
     ctx.let([
         ("__wo", lambda q: g("(" + q("__carem") + " - " + q("__di") + " - " + q("__hd") + ")")),

@@ -28,7 +28,8 @@ from petropandas_spark.minerals import (
     add_site_allocation,
     site_col,
 )
-from petropandas_spark.sqlgen import Plan, add_chain, flit, safe_denom
+from petropandas_spark.sqlgen import (Plan, add_chain, clip_upper, flit,
+                                      safe_denom)
 
 
 def _g(e: str) -> str:
@@ -36,14 +37,17 @@ def _g(e: str) -> str:
 
 
 def _clip01(e: str) -> str:
-    return f"LEAST(GREATEST({e}, 0e0), 1e0)"
+    # clip_upper, not bare LEAST: NaN values stay NaN (pandas
+    # .clip(lower=0).clip(upper=1)) instead of clamping to 1.0
+    return clip_upper(f"GREATEST({e}, 0e0)", 1.0)
 
 
 def _gated_frac(num: str, total: str, scale: str = "100e0") -> str:
     """``(num / safe(total) * scale).where(total > 0, 0.0)`` — the
     reference's ubiquitous zero-guard pattern (e.g. ``_minerals.py:847``)."""
     return (
-        f"(CASE WHEN {total} > 0e0 THEN {num} / {safe_denom(total)} * {scale} "
+        f"(CASE WHEN {total} > 0e0 AND NOT isnan({total}) "
+        f"THEN {num} / {safe_denom(total)} * {scale} "
         f"ELSE 0e0 END)"
     )
 
@@ -260,8 +264,8 @@ def add_opx_end_members(
     ])
     # T-site: MgTs = clip(Al - (2 - Si), 0); consumed Si/Al leave the pool
     ctx.let([("__mgts", lambda q: _g(f"({q('__al')} - (2e0 - {q('__si')}))"))])
-    ctx.let([("__tsi", lambda q: f"LEAST({q('__si')}, 2e0)")])
-    ctx.let([("__tal", lambda q: f"LEAST(({q('__al')} - {q('__mgts')}), (2e0 - {q('__tsi')}))")])
+    ctx.let([("__tsi", lambda q: clip_upper(q('__si'), 2.0))])
+    ctx.let([("__tal", lambda q: clip_upper(f"({q('__al')} - {q('__mgts')})", f"(2e0 - {q('__tsi')})"))])
     ctx.let([("__p_al", lambda q: f"({q('__al')} - {q('__tal')})")])
     # M1 greedy: rem=1; take = min(pool, rem) — unguarded, like pandas clip(upper=rem)
     m1_order = ["Al{3+}", "Ti{4+}", "Cr{3+}", "Fe{3+}", "Mg{2+}", "Fe{2+}"]
@@ -277,8 +281,10 @@ def add_opx_end_members(
         p_new = p_old + "_m1"
         ctx.let(
             [
-                (p_new, lambda q, p=p_old, r=rem: f"({q(p)} - LEAST({q(p)}, {q(r)}))"),
-                (rem, lambda q, p=p_old, r=rem: f"({q(r)} - LEAST({q(p)}, {q(r)}))"),
+                (p_new, lambda q, p=p_old, r=rem:
+                    f"({q(p)} - {clip_upper(q(p), q(r))})"),
+                (rem, lambda q, p=p_old, r=rem:
+                    f"({q(r)} - {clip_upper(q(p), q(r))})"),
             ],
             drop={p_old, rem},
         )
@@ -315,7 +321,7 @@ def _mica_common(ctx: Ctx):
         ("__mg", ctx.col("Mg{2+}")), ("__k", ctx.col("K{+}")),
         ("__na", ctx.col("Na{+}")), ("__ca", ctx.col("Ca{2+}")),
     ])
-    ctx.let([("__aliv", lambda q: "LEAST(" + _g("(4e0 - " + q("__si") + ")") + ", " + q("__al") + ")")])
+    ctx.let([("__aliv", lambda q: clip_upper(_g("(4e0 - " + q("__si") + ")"), q("__al")))])
     ctx.let([("__alvi", lambda q: f"({q('__al')} - {q('__aliv')})")])
     ctx.let([("__msum", lambda q: add_chain(
         [q("__alvi"), q("__ti"), q("__cr"), q("__fe"), q("__mn"), q("__mg")]
@@ -324,7 +330,7 @@ def _mica_common(ctx: Ctx):
     ctx.let([("__xdi", lambda q: f"(1e0 - {q('__xtri')})")])
     ctx.let([("__mgfe", lambda q: f"({q('__mg')} + {q('__fe')})")])
     ctx.let([("__xmg", lambda q: (
-        f"(CASE WHEN {q('__mgfe')} > 0e0 THEN "
+        f"(CASE WHEN {q('__mgfe')} > 0e0 AND NOT isnan({q('__mgfe')}) THEN "
         f"{q('__mg')} / {safe_denom(q('__mgfe'))} ELSE 0e0 END)"
     ))])
 
@@ -346,7 +352,7 @@ def add_muscovite_end_members(
 
     def alk_frac(q, ion_alias):
         return (
-            f"(CASE WHEN {q('__alk')} > 0e0 THEN "
+            f"(CASE WHEN {q('__alk')} > 0e0 AND NOT isnan({q('__alk')}) THEN "
             f"{q(ion_alias)} / {safe_denom(q('__alk'))} * {q('__xmpm')} "
             f"ELSE 0e0 END)"
         )
@@ -448,7 +454,7 @@ def add_cordierite_end_members(
         ("__k", ctx.col("K{+}")), ("__ca", ctx.col("Ca{2+}")),
     ])
     ctx.let([("__r2", lambda q: add_chain([q("__fe"), q("__mg"), q("__mn")]))])
-    ctx.let([("__atot", lambda q: f"LEAST({add_chain([q('__na'), q('__k'), q('__ca')])}, 1e0)")])
+    ctx.let([("__atot", lambda q: clip_upper(add_chain([q('__na'), q('__k'), q('__ca')]), 1.0))])
     ctx.let([("__bfrac", lambda q: f"(1e0 - {q('__atot')})")])
     st = plan.stage()
     st.passthrough(list(carry))
@@ -487,7 +493,7 @@ def add_chlorite_end_members(
     ])
     ctx.let([("__r2", lambda q: f"({q('__mg')} + {q('__fe')})")])
     ctx.let([("__xmg", lambda q: (
-        f"(CASE WHEN {q('__r2')} > 0e0 THEN "
+        f"(CASE WHEN {q('__r2')} > 0e0 AND NOT isnan({q('__r2')}) THEN "
         f"{q('__mg')} / {safe_denom(q('__r2'))} ELSE 0e0 END)"
     ))])
     ctx.let([("__xn", lambda q: _clip01(f"(({q('__si')} - 2e0) / 1e0)"))])
@@ -580,22 +586,25 @@ def add_amphibole_end_members(
         ("__alt", sc("T", "Al{3+}")),
     ])
     ctx.let([
-        ("__calcic", lambda q: f"(CASE WHEN {q('__cab')} >= {q('__nab')} THEN 1e0 ELSE 0e0 END)"),
+        ("__calcic", lambda q: (
+            f"(CASE WHEN {q('__cab')} >= {q('__nab')} "
+            f"AND NOT isnan({q('__cab')}) THEN 1e0 ELSE 0e0 END)"
+        )),
         ("__sodcal", lambda q: (
             f"(CASE WHEN {q('__nab')} > {q('__cab')} AND {q('__cab')} > 0e0 "
-            f"THEN 1e0 ELSE 0e0 END)"
+            f"AND NOT isnan({q('__nab')}) THEN 1e0 ELSE 0e0 END)"
         )),
         ("__sodic", lambda q: (
-            f"(CASE WHEN {q('__nab')} > 0e0 AND {q('__cab')} = 0e0 "
-            f"THEN 1e0 ELSE 0e0 END)"
+            f"(CASE WHEN {q('__nab')} > 0e0 AND NOT isnan({q('__nab')}) "
+            f"AND {q('__cab')} = 0e0 THEN 1e0 ELSE 0e0 END)"
         )),
         ("__mgfec", lambda q: safe_denom(f"({q('__mgc')} + {q('__fec')})")),
     ])
     ctx.let([
         ("__xmg", lambda q: f"({q('__mgc')} / {q('__mgfec')})"),
         ("__xfe", lambda q: f"({q('__fec')} / {q('__mgfec')})"),
-        ("__xts", lambda q: f"LEAST({q('__alt')} / 8e0, 1e0)"),
-        ("__xed", lambda q: f"LEAST({q('__atot')}, 1e0)"),
+        ("__xts", lambda q: clip_upper(f"({q('__alt')} / 8e0)", 1.0)),
+        ("__xed", lambda q: clip_upper(q('__atot'), 1.0)),
     ])
     ctx.let([
         ("__nts", lambda q: f"(1e0 - {q('__xts')})"),

@@ -80,8 +80,16 @@ def clip_lower(e: str, lo: float | str = 0.0) -> str:
 
 
 def clip_upper(e: str, hi: float | str) -> str:
+    """pandas ``Series.clip(upper=hi)`` semantics, which plain LEAST has
+    only half of: a NaN VALUE must stay NaN — both engines sort NaN as
+    the LARGEST double, so ``LEAST(NaN, hi)`` returns the bound and
+    FABRICATES a clipped value for a degenerate row (a blank analysis
+    allocated a full site, measured round 7) — while a NaN BOUND is
+    ignored (LEAST already returns the value there, matching pandas).
+    ``e`` repeats ×2 in the emitted text — keep operands shallow
+    (column refs or short combos at every call site)."""
     hi_s = hi if isinstance(hi, str) else flit(hi)
-    return f"LEAST({e}, {hi_s})"
+    return f"(CASE WHEN isnan({e}) THEN {e} ELSE LEAST({e}, {hi_s}) END)"
 
 
 def clip(e: str, lo: float | str, hi: float | str) -> str:
@@ -120,9 +128,13 @@ def ieee_div(num: str, den: str) -> str:
 
 
 def where_positive(value: str, cond_subject: str, otherwise: float = 0.0) -> str:
-    """``value.where(cond_subject > 0, otherwise)`` (pandas semantics)."""
+    """``value.where(cond_subject > 0, otherwise)`` (pandas semantics,
+    including the NaN branch: numpy's ``NaN > 0`` is False while both
+    SQL engines sort NaN as the LARGEST double and would take the THEN
+    branch — the isnan guard keeps the pandas answer)."""
     return (
-        f"(CASE WHEN {cond_subject} > 0e0 THEN {value} ELSE {flit(otherwise)} END)"
+        f"(CASE WHEN {cond_subject} > 0e0 AND NOT isnan({cond_subject}) "
+        f"THEN {value} ELSE {flit(otherwise)} END)"
     )
 
 

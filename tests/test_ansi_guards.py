@@ -187,3 +187,97 @@ def test_ieee_div_col_semantics(spark):
     v = neg.select(ieee_div_col(F.col("n"), F.col("d")).alias("v")
                    ).collect()[0].v
     assert v == float("inf")
+
+
+# -- blank-analysis rows through the mineral framework ------------------------
+
+def _ref_mineral(method, data, cfg):
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import numpy as np
+    import petropandas  # noqa: F401 — registers the .mineral accessor
+    with np.errstate(all="ignore"):
+        out = getattr(pd.DataFrame(data).mineral, method)(cfg)
+    if hasattr(out.columns, "levels"):  # flatten (site, ion) MultiIndex
+        out.columns = [f"{a}__{b}" for a, b in out.columns]
+    return out.reset_index(drop=True)
+
+
+def test_blank_row_site_allocation_stays_nan(spark):
+    """A blank analysis (all oxides 0) has all-NaN APFU; pandas'
+    clip(upper=remaining) keeps the allocation NaN (ref
+    ``_minerals.py:211``) — bare LEAST treats NaN as the LARGEST double
+    and FABRICATED a perfectly-filled site (Z_Si=3, Y_Al=2, X_Fe=3 from
+    a blank row, observed pre-fix).  clip_upper pins pandas semantics."""
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from petropandas._minerals import Grt
+
+    from petropandas_spark import minerals
+    from petropandas_spark.frame import clean_plan
+
+    data = {"SiO2": [38.5, 0.0], "Al2O3": [22.1, 0.0],
+            "FeO": [28.3, 0.0], "MgO": [5.2, 0.0],
+            "CaO": [3.8, 0.0], "MnO": [1.5, 0.0]}
+    pdf = pd.DataFrame(data)
+    pdf.insert(0, "id", [0, 1])
+    df = spark.createDataFrame(pdf)
+
+    for method, build, cfg, blank_is in [
+        # allocation keeps NaN (pandas clip); the M4 cross-site sum then
+        # SKIPS the NaN parts (pandas groupby .sum()), so apfu is 0.0
+        ("site_allocations", minerals.add_site_allocations_flat, Grt,
+         "nan"),
+        ("apfu", minerals.add_apfu, Grt, "zero"),
+    ]:
+        plan, fcols, _ = clean_plan(df.columns)
+        getattr(minerals, build.__name__)(plan, fcols, minerals.GARNET,
+                                          carry=["id"])
+        got = (plan.apply(df).toPandas().sort_values("id")
+               .reset_index(drop=True).drop(columns=["id"]))
+        want = _ref_mineral(method, data, cfg)
+        assert list(got.columns) == list(want.columns), method
+        pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=1e-9)
+        if blank_is == "nan":
+            assert got.iloc[1].isna().all(), method
+        else:
+            assert (got.iloc[1] == 0.0).all(), method
+
+
+def test_blank_row_end_members_match_reference(spark):
+    """Locock garnet + IMA cpx end members on a blank row: the
+    fabricated intermediates previously leaked through the clip chain;
+    the reference's where(total>0, 0) gate zeroes the row — ours must
+    match it value-for-value on both rows."""
+    import sys
+    for p in ("/root/repo/tools/refshim", "/root/reference/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from petropandas._minerals import Cpx, Grt
+
+    from petropandas_spark import minerals
+    from petropandas_spark.frame import clean_plan
+
+    cases = [
+        (Grt, minerals.add_garnet_end_members,
+         {"SiO2": [38.5, 0.0], "Al2O3": [22.1, 0.0], "FeO": [28.3, 0.0],
+          "MgO": [5.2, 0.0], "CaO": [3.8, 0.0], "MnO": [1.5, 0.0]}),
+        (Cpx, minerals.add_cpx_end_members,
+         {"SiO2": [52.0, 0.0], "Al2O3": [3.0, 0.0], "FeO": [7.0, 0.0],
+          "MgO": [15.0, 0.0], "CaO": [20.0, 0.0], "Na2O": [0.8, 0.0]}),
+    ]
+    for cfg, emitter, data in cases:
+        want = _ref_mineral("end_members", data, cfg)
+        pdf = pd.DataFrame(data)
+        pdf.insert(0, "id", [0, 1])
+        df = spark.createDataFrame(pdf)
+        plan, fcols, _ = clean_plan(df.columns)
+        emitter(plan, fcols, carry=["id"])
+        got = (plan.apply(df).toPandas().sort_values("id")
+               .reset_index(drop=True).drop(columns=["id"]))
+        assert list(got.columns) == list(want.columns)
+        pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=1e-9)
