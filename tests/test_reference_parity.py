@@ -149,6 +149,38 @@ def test_end_members_match_reference(spark, config, ref_name, data):
     )
 
 
+@pytest.mark.parametrize(
+    "config,ref_name,data", CASES, ids=[c[1] for c in CASES]
+)
+def test_end_members_blank_row_matches_reference(spark, config, ref_name,
+                                                 data):
+    """Round-7 NaN sweep: append a BLANK analysis row (all oxides 0 —
+    all-NaN APFU) to every emitter fixture and require value-for-value
+    parity.  Pre-fix, both engines' NaN-sorts-largest LEAST fabricated
+    clipped values and NaN > 0 took the wrong gate branch, so blank
+    rows produced invented end members instead of the reference's
+    0.0/NaN flow."""
+    import numpy as np
+
+    blank = {c: list(v) + [0.0] for c, v in data.items()}
+    ref_mineral = getattr(ref, ref_name)
+    with np.errstate(all="ignore"):
+        expected = ref_mineral.end_members(pd.DataFrame(blank))
+
+    pdf = pd.DataFrame(blank)
+    pdf.insert(0, "id", range(len(pdf)))
+    pf = PetroFrame.ingest(spark.createDataFrame(pdf))
+    got = (
+        pf.end_members(config).df.toPandas()
+        .sort_values("id").reset_index(drop=True).drop(columns=["id"])
+    )
+    assert list(got.columns) == list(expected.columns)
+    pd.testing.assert_frame_equal(
+        got, expected.reset_index(drop=True),
+        check_exact=False, atol=1e-9, rtol=1e-9,
+    )
+
+
 # -- TC-phase polymorphic dispatch parity ------------------------------------
 #
 # The reference routes THERMOCALC Phase instances through the SAME mineral
