@@ -58,7 +58,10 @@ def _parse_split(raw: DataFrame, schema: T.StructType
     lines (whatever prefix parsed), so "struct IS NULL" under-detects;
     the corrupt-record field inside the FUNCTION schema captures the
     raw text on any parse failure — and being a function column, the
-    scan-level corrupt-only-query restriction doesn't apply."""
+    scan-level corrupt-only-query restriction doesn't apply.
+
+    Whitespace-only lines are dropped before the parse (neither good
+    nor quarantine — see read_jsonl's contract note)."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
     )
@@ -83,8 +86,11 @@ def read_jsonl(spark: SparkSession, path: str,
 
     ``good`` has exactly *schema*'s columns; ``quarantine`` is
     ``(raw_line)`` for every line that failed to parse as a JSON object
-    (truncated JSON, bare text).  A PARSEABLE object with drifted field
-    types lands in ``good`` with NULL for the drifted fields — use
+    (truncated JSON, bare text).  Whitespace-only lines are DISCARDED
+    from both frames — blank lines are conventional shard separators,
+    not documents, so they are neither data nor an error.  A PARSEABLE
+    object with drifted field types lands in ``good`` with NULL for the
+    drifted fields — use
     :func:`petropandas_spark.pipeline.validation` constraints for
     field-level policing.  Both frames are narrow filters over the text
     scan; neither shuffles.

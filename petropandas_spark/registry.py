@@ -2800,12 +2800,12 @@ def _melt_sql(duck: bool) -> str:
 _EVENTS_JSON_TMPL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       COUNT({k}) AS n_with_k,
-       CAST(SUM({k}) AS BIGINT) AS sum_k,
-       MIN({k}) AS min_k,
-       MAX({k}) AS max_k,
-       COUNT(DISTINCT {k}) AS n_distinct_k
-FROM events
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM (SELECT event_type, {k} AS k FROM events)
 GROUP BY event_type
 """
 
@@ -2813,12 +2813,48 @@ GROUP BY event_type
 # props column ('"k": "oops"') would abort the whole job under ANSI
 # mode with a plain CAST; both engines' try variant yields NULL, which
 # the COUNT/SUM/MIN/MAX aggregates skip identically — hash-exact on
-# clean data, robust on dirty.
+# clean data, robust on dirty.  The extraction lives in a subquery so
+# the JsonPath walk is STRUCTURALLY once per row — the r7 flat form
+# repeated TRY_CAST(get_json_object(...)) in five aggregates and relied
+# on the optimizer's common-subexpression elimination, which the TryCast
+# wrap defeated (measured 3.2x regression, BENCH_r07 vs r03-r06 band).
 EVENTS_JSON_SPARK = _EVENTS_JSON_TMPL.format(
     k="TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
 )
 EVENTS_JSON_DUCK = _EVENTS_JSON_TMPL.format(
     k="TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+)
+
+# The 100 TB-preferred form: from_json with an EXPLICIT schema parses the
+# JSON document ONCE into a typed struct; every downstream field access is
+# a struct-field read, not a re-parse.  With ad-hoc get_json_object each
+# extracted field is an independent JsonPath walk over the raw string —
+# fine for one field, a per-field scan-CPU multiplier for many.  A plan
+# gate (tests/test_plan_quality.py) asserts exactly one from_json in the
+# optimized plan.  Malformed documents yield a NULL struct (PERMISSIVE),
+# so k is NULL — identical to the oracle's TRY_CAST NULL flow.
+_EVENTS_JSON_STRUCT_AGG = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_k_div10,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM parsed
+GROUP BY event_type
+"""
+EVENTS_JSON_STRUCT_SPARK = (
+    "WITH parsed AS (SELECT event_type, "
+    "from_json(props, 'k BIGINT').k AS k FROM events)"
+    + _EVENTS_JSON_STRUCT_AGG
+)
+EVENTS_JSON_STRUCT_DUCK = (
+    "WITH parsed AS (SELECT event_type, "
+    "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events)"
+    + _EVENTS_JSON_STRUCT_AGG
 )
 
 
@@ -3875,59 +3911,72 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # never driver-checked — always lead:
+    # never driver-checked (new this round) — always lead:
+    "events_json_struct",
+    "corpus_ingest_jsonl_rejects",
+    # round-8 changed plans/oracles (JSON subquery rewrite; raw-line
+    # json_valid oracle + fixture gained a null-text good line):
+    "events_json_extract",
     "corpus_ingest_jsonl",
-    # round-7 changed-plan queries lead (re-verify even though
-    # previously green), stalest proven names fill the rest:
-    "split_valence_schumacher",
-    "amphibole_stoichiometry",
-    "tc_clinoamphibole_proportions",
-    "tc_clinoamphibole_site_occupancies",
-    "apfu_oxygen_basis",
-    "apfu_cation_basis",
-    "apfu_by_charge",
-    "normalize_100",
-    "garnet_stoichiometry",
-    "cpx_stoichiometry",
-    "garnet_end_members",
-    "cpx_end_members",
-    "feldspar_end_members",
-    "garnet_apfu_site_filtered",
-    "garnet_site_allocation",
-    "garnetfe3_end_members",
-    "opx_end_members",
-    "muscovite_end_members",
-    "biotite_end_members",
-    "staurolite_end_members",
-    "chlorite_end_members",
-    "epidote_end_members",
-    "amphibole_end_members",
-    "titanite_end_members",
-    "chloritoid_end_members",
-    "cordierite_end_members",
-    "ilmenite_end_members",
-    "spinel_end_members",
-    "tc_garnet_proportions",
-    "tc_biotite_proportions",
-    "tc_chlorite_proportions",
-    "tc_plagioclase_proportions",
-    "tc_muscovite_proportions",
-    "tc_staurolite_proportions",
-    "tc_cpx_w24_proportions",
-    "tc_spinel_t21_proportions",
-    "tc_garnet_site_occupancies",
-    "knn_cosine_topk",
-    "knn_ivf_topk",
-    "events_value_hour_corr",
-    "corpus_mixture_reweighted",
-    "ternary_projection_eval",
-    "weighted_mean_grouped",
-    "cosine_neardup_pairs",
-    "media_frame_checksums",
-    "embedding_norms_by_label",
-    "doc_bigram_lm",
-    "doc_chunks_overlap",
-    "ivf_assign_fixed_centroids",
+    # last driver check r03 — 5 rounds old by r08:
+    "corpus_neardup_filtered",
+    "dedup_incremental_antijoin",
+    "lsh_incremental_pairs",
+    "petro_concat_union",
+    "petro_select_reframe",
+    "pii_scrub_emails",
+    "profile_traverse_neighborhood",
+    # last driver check r04, touched/bench-flagged names first
+    # (cms_heavy_hitters_exact was a r7 bench outlier):
+    "cms_heavy_hitters_exact",
+    "lsh_candidate_pairs",
+    "semantic_dedup_groups",
+    "neardup_verdicts",
+    "decontamination_neardup",
+    "containment_verified_pairs",
+    "oxide_impute_group_mean",
+    "events_zorder_values",
+    "bloom_pruned_semijoin",
+    "bm25_search_topk",
+    "cipw_norm_full",
+    "cipw_norm_hornblende",
+    "corpus_quality_quartiles",
+    "corpus_sample_k_per_lang",
+    "dedup_cluster_keepers",
+    "dedup_components_star",
+    "dedup_exact_normalized",
+    "doc_tfidf_top_terms",
+    "doc_word_rarity",
+    "documents_constraints",
+    "documents_profile",
+    "embedding_label_centroids",
+    "eval_dialect_projection",
+    "events_cohort_retention",
+    "events_daily_rollup",
+    "events_funnel",
+    "events_funnel_summary",
+    "events_gap_filled_locf",
+    "events_latest_per_user",
+    "events_type_pivot",
+    "events_user_value_anomalies",
+    "events_value_histogram",
+    "lineitem_cube",
+    "neardup_pairs_hot_bucket",
+    "oxides_melt_long",
+    "pq_search_rerank",
+    "simhash_signatures",
+    "source_domain_stats",
+    # 9 r04-stale TPC-H shapes (code untouched since r1) overflow the
+    # 50-per-round driver cap — they lead round 9's rotation:
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_cust_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_share_threshold",
+    "q21_sole_return_supplier",
 ]
 
 
@@ -4120,16 +4169,32 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
-    # fixture shard (60 good lines + 3 malformed — truncated object,
-    # bare text, double comma), returns the good frame; DuckDB replays
-    # it via read_json(ignore_errors=true), which NULL-FILLS malformed
-    # lines instead of dropping them, hence the text IS NOT NULL filter.
-    # Pins both the parse split and the no-abort contract cross-engine.
+    # fixture shard (61 good lines — one with a NULL text field — plus
+    # 3 malformed: truncated object, bare text, double comma, plus one
+    # whitespace-only line both sides discard).  Two registry surfaces,
+    # BOTH replayed from the same DuckDB raw-line read: malformed-vs-good
+    # is decided by "parses as a JSON OBJECT", never by field nullness —
+    # the earlier read_json(ignore_errors)+text IS NOT NULL oracle would
+    # have wrongly dropped a good line whose text is null (the fixture
+    # now pins exactly that case).
     import os as _os2
 
     _jsonl_fix = _os2.path.join(
         _os2.path.dirname(_os2.path.dirname(_os2.path.abspath(__file__))),
         "tests", "fixtures", "corpus_shard.jsonl",
+    )
+    # one row per physical line; \x07 delim + no quoting disables CSV
+    # structure so the line survives verbatim; whitespace-only lines
+    # (NULL or blank cells) mirror _parse_split's documented discard.
+    _jsonl_raw = f"""
+raw AS (
+  SELECT raw_line FROM read_csv('{_jsonl_fix}',
+    columns={{'raw_line': 'VARCHAR'}}, header=false,
+    delim='\x07', quote='', escape='')
+  WHERE raw_line IS NOT NULL AND length(trim(raw_line)) > 0
+)"""
+    _jsonl_is_obj = (
+        "COALESCE(json_type(TRY_CAST(raw_line AS JSON)) = 'OBJECT', false)"
     )
 
     def _ingest_fn(spark, sf_dir):
@@ -4141,12 +4206,39 @@ def build_registry() -> dict[str, QuerySpec]:
     r["corpus_ingest_jsonl"] = QuerySpec(
         _ingest_fn,
         f"""
-SELECT doc_id, source, lang, text
-FROM read_json('{_jsonl_fix}', format='newline_delimited',
-               ignore_errors=true,
-               columns={{doc_id:'BIGINT', source:'VARCHAR',
-                        lang:'VARCHAR', text:'VARCHAR'}})
-WHERE text IS NOT NULL
+WITH {_jsonl_raw}
+SELECT TRY_CAST(json_extract_string(raw_line, '$.doc_id') AS BIGINT)
+           AS doc_id,
+       json_extract_string(raw_line, '$.source') AS source,
+       json_extract_string(raw_line, '$.lang') AS lang,
+       json_extract_string(raw_line, '$.text') AS text
+FROM raw WHERE {_jsonl_is_obj}
+""",
+    )
+
+    # quarantine side: raw line verbatim + a coarse error class (string
+    # logic only, so both engines compute it identically — brace-led
+    # lines are broken OBJECTS, anything else was never JSON).  Pins that
+    # the
+    # 3 malformed fixture lines land in quarantine, not good, and that
+    # the raw text survives for a fix-up pass.
+    _ERR_CLASS = (
+        "CASE WHEN ltrim(raw_line) LIKE '{%' THEN 'malformed_object' "
+        "ELSE 'not_json_object' END AS err_class"
+    )
+
+    def _ingest_rejects_fn(spark, sf_dir):
+        from petropandas_spark.pipeline.ingest import read_jsonl
+
+        _good, quarantine = read_jsonl(spark, _jsonl_fix)
+        return quarantine.selectExpr("raw_line", _ERR_CLASS)
+
+    r["corpus_ingest_jsonl_rejects"] = QuerySpec(
+        _ingest_rejects_fn,
+        f"""
+WITH {_jsonl_raw}
+SELECT raw_line, {_ERR_CLASS}
+FROM raw WHERE NOT {_jsonl_is_obj}
 """,
     )
     r["doc_repetition_metrics"] = sql_query(
@@ -4219,6 +4311,10 @@ FROM scored WHERE sd > 0 AND ABS(dev) > 3.0e0 * sd
     # semi-structured JSON extraction
     r["events_json_extract"] = sql_query(
         ["events"], EVENTS_JSON_SPARK, EVENTS_JSON_DUCK
+    )
+    # explicit-schema from_json struct form (the preferred 100 TB shape)
+    r["events_json_struct"] = sql_query(
+        ["events"], EVENTS_JSON_STRUCT_SPARK, EVENTS_JSON_STRUCT_DUCK
     )
     # wide→long oxide melt
     r["oxides_melt_long"] = sql_query(

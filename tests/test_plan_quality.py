@@ -561,6 +561,28 @@ def test_ivf_assign_is_narrow_shuffle_free(spark, registry):
         assert py_stage not in plan
 
 
+def test_json_struct_parses_once(spark, registry):
+    """events_json_struct: one from_json with an explicit schema — the
+    optimized plan carries exactly ONE JsonToStructs, however many
+    downstream expressions consume the field.  This is the structural
+    guarantee the ad-hoc per-field JsonPath form can't give."""
+    df = registry["events_json_struct"].spark_fn(spark, SF)
+    optimized = str(df._jdf.queryExecution().optimizedPlan())
+    assert optimized.count("from_json") == 1, optimized
+    assert "get_json_object" not in optimized
+
+
+def test_json_extract_walks_once(spark, registry):
+    """events_json_extract: the r7 flat form repeated the JsonPath walk in
+    five aggregates and relied on codegen CSE (which TryCast defeated —
+    the 3.2x BENCH_r07 regression).  The subquery form must keep exactly
+    one get_json_object in the optimized plan: the walk count is
+    structural, not optimizer-dependent."""
+    df = registry["events_json_extract"].spark_fn(spark, SF)
+    optimized = str(df._jdf.queryExecution().optimizedPlan())
+    assert optimized.count("get_json_object") == 1, optimized
+
+
 def test_incremental_antijoin_no_bnlj(spark, registry):
     """Exact incremental dedup: the existing-corpus fingerprint probe is
     an equi anti-join (shuffle hash / sort-merge / broadcast — anything
