@@ -74,19 +74,16 @@ def main() -> None:
         # queries execute interpreted (measured 2-5× slower).  Standard
         # Spark tuning: reserve a bigger cache up front.
         #
-        # -XX:-DontCompileHugeMethods: HotSpot skips JIT for methods over
-        # 8000 bytecode; a deep fused projection chain (amphibole
-        # stoichiometry: 23 collapsed-into-one-span Projects, consume()
-        # = 9736 bytecode) then runs in the BYTECODE INTERPRETER — the
-        # whole-stage "codegen" compiles fine but never JITs, measured
-        # 6.1 s → 1.6 s at sf0.1 with the flag.  Standard Spark-at-scale
-        # tuning (Databricks runtime default); pairs with the reserved
-        # code cache above.  On a real cluster set it in
-        # spark.executor.extraJavaOptions too (docs/scale.md).
+        # NOTE (r8): the bench deliberately runs a STOCK JIT policy — no
+        # -XX:-DontCompileHugeMethods.  The engine no longer emits any
+        # whole-stage-codegen method over HotSpot's 8000-bytecode
+        # ceiling (sqlgen.codegen_barrier auto-splits wide projection
+        # chains; tools/codegen_audit.py verifies 0 flagged), so the
+        # numbers here are what a managed cluster without JVM-flag
+        # control would see.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:-DontCompileHugeMethods",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -22,18 +22,31 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: gram size read off an eval_hashes frame, memoized per logical plan so
-#: repeat callers (per-micro-batch ingest) don't pay a Spark job per
-#: call.  Stale only if a file at the SAME path is rewritten with a
-#: different gram size mid-process — the rebuilt frame from
-#: eval_ngram_hashes always carries a fresh plan hash.
-_GRAM_N_CACHE: "OrderedDict[int, int]" = OrderedDict()
+#: gram size read off an eval_hashes frame, memoized per (logical plan,
+#: input-file fingerprint) so repeat callers (per-micro-batch ingest)
+#: don't pay a Spark job per call.  semanticHash alone is PATH-based:
+#: an eval_hashes parquet rewritten at the same path with a different
+#: gram size would keep serving the stale n — and here a stale n defeats
+#: the n-mismatch guard (silently matching nothing waves contaminated
+#: documents through), so the key reuses dedup._data_fingerprint (file
+#: listing + mtime/size), the same staleness defense dedup's strategy
+#: cache uses.  ``clear_gram_size_cache()`` is the explicit hook for
+#: long-lived drivers mutating eval sets out-of-band.
+_GRAM_N_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
 _GRAM_N_CACHE_MAX = 64
 
 
+def clear_gram_size_cache() -> None:
+    """Drop all memoized eval gram sizes (mirrors
+    :func:`petropandas_spark.pipeline.dedup.clear_text_stats_cache`)."""
+    _GRAM_N_CACHE.clear()
+
+
 def _probe_gram_size(eval_hashes: DataFrame) -> int | None:
+    from petropandas_spark.pipeline.dedup import _data_fingerprint
+
     try:
-        key = eval_hashes.semanticHash()
+        key = (eval_hashes.semanticHash(), _data_fingerprint(eval_hashes))
     except Exception:  # pragma: no cover - plan hashing unavailable
         key = None
     if key is not None and key in _GRAM_N_CACHE:

@@ -67,8 +67,15 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     The inferred dim is the MODAL array size, not the first row's: on a
     dirty corpus the first sampled row can itself be the truncated one,
     and a first-row inference would then invert the ``size(v) == dim``
-    guard — dropping every valid row and keeping the garbage ones."""
-    row = (df.groupBy(F.size(vec_col).alias("d")).count()
+    guard — dropping every valid row and keeping the garbage ones.
+
+    The mode is taken over a BOUNDED prefix (``limit``), not the whole
+    corpus: a full groupBy(size) is a corpus scan + shuffle — a hidden
+    100 TB pre-pass on a default argument.  10k rows pins the mode
+    unless >50% of the prefix is dirty, at which point no inference is
+    trustworthy and the caller must pass ``dim=``."""
+    row = (df.select(F.size(vec_col).alias("d")).limit(10_000)
+           .groupBy("d").count()
            .orderBy(F.desc("count"), F.asc("d")).first())
     return row["d"]
 
@@ -468,28 +475,24 @@ class IVFIndex:
     # on localCheckpoint of the assigned frame)
     _LITERAL_TERM_CAP = 2048
 
-    # …and past THIS many terms the literal chain's generated consume()
-    # crosses HotSpot's 8000-bytecode JIT ceiling (the 512-term
-    # registered assignment compiles to 24,370 bytes ≈ 48 bytes/term;
-    # 8000/48 ≈ 166) and runs in the BYTECODE INTERPRETER on default
-    # JVM flags — measured at 2M×64-dim rows on local[32]: literal
-    # 6.8 s vs hof 4.7 s unflagged, 0.98 s vs 4.7 s once
-    # -XX:-DontCompileHugeMethods makes it JIT-able.  auto therefore
-    # takes the literal path past this cap only when the JVM carries
-    # the flag (exact in local mode; on a cluster the driver JVM is the
-    # proxy for the executors — docs/scale.md says set it on both).
-    _JIT_SAFE_TERM_CAP = 160
-
-    @staticmethod
-    def _huge_methods_jitable(df: DataFrame) -> bool:
-        """True when the driver JVM disables DontCompileHugeMethods."""
-        try:
-            mf = df.sparkSession._jvm.java.lang.management.ManagementFactory
-            args = mf.getRuntimeMXBean().getInputArguments()
-            return any(args.get(i) == "-XX:-DontCompileHugeMethods"
-                       for i in range(args.size()))
-        except Exception:  # pragma: no cover - py4j introspection failed
-            return False
+    # …and a SINGLE fused span past ~166 terms crosses HotSpot's
+    # 8000-bytecode JIT ceiling (one squared-diff term compiles to
+    # ~48 bytecode; the old single-span 512-term assignment measured
+    # 24,370 bytes and ran in the bytecode INTERPRETER on default JVM
+    # flags — 6.8 s vs 0.98 s JIT-compiled at 2M×64-dim rows on
+    # local[32]).  The literal path therefore splits its distance sums
+    # into spans of at most this many terms, separated by
+    # sqlgen.codegen_barrier — every generated consume() stays
+    # JIT-compilable on a STOCK JVM, no -XX:-DontCompileHugeMethods
+    # dependency.  The literal path folds each dim-BLOCK of every
+    # centroid's sum into k running accumulator columns (the
+    # accumulator is seeded INSIDE the left-associated chain, so the
+    # result is bit-equal to one long chain and to the hof fold), and
+    # the block's element columns are dropped before the next block —
+    # span cost is bounded by block_dim × centroid_group terms plus a
+    # CONSTANT number of carried-column writes, independent of dim·k.
+    _EXTRACT_PER_SPAN = 16   # element extractions per span
+    _SUM_TERMS_PER_SPAN = 64  # squared-diff terms per accumulate span
 
     def assign(self, df: DataFrame, vec_col: str = "embedding",
                method: str = "auto") -> DataFrame:
@@ -502,8 +505,11 @@ class IVFIndex:
 
         * ``"literal"`` — k squared-distance sums generated as
           literal-folded SQL (dim·k fused multiply-adds in whole-stage
-          codegen; no interpreted higher-order functions).  Fastest per
-          row, but the SQL TEXT grows as k·dim — see
+          codegen; no interpreted higher-order functions), folded
+          block-wise into running accumulator columns across
+          barrier-separated JIT-safe spans (≤ ``_SUM_TERMS_PER_SPAN``
+          terms each) so every generated method compiles on a stock
+          JVM.  Fastest per row, but the SQL TEXT grows as k·dim — see
           ``_LITERAL_TERM_CAP``.
         * ``"hof"`` — centroids as ONE array-of-arrays literal (plan
           text linear in k·dim data, not expression nodes) with an
@@ -511,10 +517,8 @@ class IVFIndex:
           to the literal path: the fold is the same left-associated sum
           (``0.0 + t0 == t0`` exactly; every squared-diff term is
           ``+0.0``-signed), pinned by test.  The large-k path.
-        * ``"auto"`` (default) — ``literal`` while the generated code
-          stays JIT-compilable (≤ ``_JIT_SAFE_TERM_CAP`` k·dim terms on
-          a stock JVM, ≤ ``_LITERAL_TERM_CAP`` when
-          ``-XX:-DontCompileHugeMethods`` is set), ``hof`` beyond —
+        * ``"auto"`` (default) — ``literal`` while the plan text stays
+          bounded (k·dim ≤ ``_LITERAL_TERM_CAP``), ``hof`` beyond —
           both paths are bit-equal, so the pick is pure performance.
         """
         if self.centroids is None:
@@ -525,14 +529,8 @@ class IVFIndex:
                              f"got {method!r}")
         k, dim = len(self.centroids), len(self.centroids[0])
         if method == "auto":
-            terms = k * dim
-            if terms > self._LITERAL_TERM_CAP:
-                method = "hof"
-            elif (terms > self._JIT_SAFE_TERM_CAP
-                    and not self._huge_methods_jitable(df)):
-                method = "hof"
-            else:
-                method = "literal"
+            method = ("literal" if k * dim <= self._LITERAL_TERM_CAP
+                      else "hof")
         if method == "hof":
             cents = F.array(*[
                 F.array(*[F.lit(float(x)) for x in c])
@@ -551,31 +549,52 @@ class IVFIndex:
                 )
                 .drop("__dists")
             )
-        dists = ", ".join(
-            " + ".join(
-                f"(d{i} - {float(c)!r}) * (d{i} - {float(c)!r})"
-                for i, c in enumerate(center)
-            )
-            for center in self.centroids
-        )
         # try_element_at (1-based), not getItem: a truncated vector
         # row aborts the whole assignment job under ANSI; NULL elements
         # flow NULL distances and the garbage row gets an arbitrary
         # (harmless) assignment instead of killing the index build
-        doubles = [
-            F.try_element_at(vec_col, F.lit(i + 1)).cast("double")
-            .alias(f"d{i}")
-            for i in range(dim)
-        ]
-        with_d = df.select("*", *doubles)
+        from petropandas_spark.sqlgen import codegen_barrier
+
+        # chunked spans throughout: barriers stop CollapseProject from
+        # re-fusing, so no generated consume() crosses the JIT ceiling.
+        # Per dim-block: one span extracts the block's elements, then
+        # centroid-group spans FOLD the block into the k running
+        # accumulators (seeded inside the left-associated chain — the
+        # final value is bit-identical to one long chain), and the
+        # block's element columns are dropped before the next block so
+        # carried-column writes stay constant.
+        dist_names = [f"__dist{j}" for j in range(k)]
+        cur = df.selectExpr("*", *[f"0.0 AS {n}" for n in dist_names])
+        cgroup = max(1, self._SUM_TERMS_PER_SPAN // self._EXTRACT_PER_SPAN)
+        for e0 in range(0, dim, self._EXTRACT_PER_SPAN):
+            hi = min(e0 + self._EXTRACT_PER_SPAN, dim)
+            doubles = [
+                F.try_element_at(vec_col, F.lit(i + 1)).cast("double")
+                .alias(f"d{i}")
+                for i in range(e0, hi)
+            ]
+            cur = codegen_barrier(cur.select("*", *doubles))
+            for g in range(0, k, cgroup):
+                upd = {}
+                for j in range(g, min(g + cgroup, k)):
+                    fold = f"__dist{j}"
+                    for i in range(e0, hi):
+                        c = float(self.centroids[j][i])
+                        fold = f"({fold} + (d{i} - {c!r}) * (d{i} - {c!r}))"
+                    upd[f"__dist{j}"] = fold
+                keep = [f"`{c}`" for c in cur.columns if c not in upd]
+                cur = codegen_barrier(cur.selectExpr(
+                    *keep, *[f"{e} AS {n}" for n, e in upd.items()]))
+            cur = cur.drop(*[f"d{i}" for i in range(e0, hi)])
         return (
-            with_d.withColumn("__dists", F.expr(f"array({dists})"))
+            cur.withColumn(
+                "__dists", F.expr(f"array({', '.join(dist_names)})"))
             .withColumn(
                 "cluster",
                 (F.expr("array_position(__dists, array_min(__dists))")
                  - 1).cast("int"),
             )
-            .drop("__dists", *[f"d{i}" for i in range(dim)])
+            .drop("__dists", *dist_names)
         )
 
     def ingest(self, new_df: DataFrame, path: str,

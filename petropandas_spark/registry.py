@@ -3121,10 +3121,10 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1, 1)) AS i) u
         idx.centroids = _IVF_CENTROIDS
         emb = _load(spark, sf_dir, "embeddings")
         # method forced: this query EXISTS to drive the literal-folded
-        # path against the oracle (auto is JIT-aware since round 7 and
-        # would pick hof on an unflagged JVM — the large_k twin below
-        # already covers hof, so force literal here to keep both
-        # expression trees driver-verified)
+        # path against the oracle (auto would also pick literal at 512
+        # terms — since round 8 the literal path chunks into JIT-safe
+        # codegen spans — but the large_k twin below covers hof, so
+        # both expression trees stay driver-verified explicitly)
         return idx.assign(emb, method="literal").select("vec_id", "cluster")
 
     # same expression tree, DuckDB spelling: 1-based list index, list_min /

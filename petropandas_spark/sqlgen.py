@@ -149,6 +149,44 @@ def trapezoid(value: str, lo: float, hi: float, margin: float = 1.5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Codegen-size control
+# ---------------------------------------------------------------------------
+
+#: Accumulated non-passthrough expression text (chars) a fused
+#: whole-stage-codegen span may carry before Plan.apply inserts a
+#: codegen barrier.  HotSpot silently refuses to JIT-compile any method
+#: over 8000 bytecode (-XX:DontCompileHugeMethods, ON by default — a
+#: managed cluster can't be assumed to carry the opt-out flag), and a
+#: fused projection past the ceiling runs in the bytecode INTERPRETER
+#: 4-10x slow with no warning.  Calibrated against codegenStringSeq
+#: across the registry: generated bytecode ≈ 1.0-1.6 × rendered SQL
+#: text for these arithmetic chains, so 4000 chars bounds a span at
+#: ~6400 bytecode, comfortably JIT-able.
+CODEGEN_SPLIT_TEXT = 4000
+
+
+def codegen_barrier(df):
+    """Cut whole-stage-codegen fusion at this point WITHOUT touching
+    rows, ordering, or partitioning.
+
+    ``coalesce(n)`` never increases the partition count, so an
+    over-large bound is a structural no-op: CoalesceExec keeps the
+    child's partitions 1:1, preserves filter/column pushdown through
+    it, adds one iterator hop per row — and does not participate in
+    codegen, so Catalyst compiles the operators on each side as
+    SEPARATE whole-stage spans.  Splitting a >8000-bytecode span this
+    way measured 6.98s -> 1.16s on the 35-stage amphibole chain at
+    sf0.1 on a stock JVM (the interpreted fused span was the 4-10x
+    round-7 pathology; two JIT-able spans beat even the flag-assisted
+    fused form).  Streaming frames pass through untouched (micro-batch
+    plans are built per-batch; coalesce semantics differ mid-stream).
+    """
+    if getattr(df, "isStreaming", False):
+        return df
+    return df.coalesce(1 << 30)
+
+
+# ---------------------------------------------------------------------------
 # Staged projection pipeline
 # ---------------------------------------------------------------------------
 
@@ -210,10 +248,25 @@ class Plan:
         return pred if isinstance(pred, str) else pred(dialect.quote)
 
     def apply(self, df):
-        """Run the plan on a Spark DataFrame."""
+        """Run the plan on a Spark DataFrame.
+
+        Catalyst fuses the selectExpr chain into one whole-stage-codegen
+        span; when the accumulated expression text says the span's
+        generated method would cross HotSpot's 8000-bytecode JIT ceiling
+        (see CODEGEN_SPLIT_TEXT), a codegen barrier is inserted BEFORE
+        the stage that would cross, so every span stays JIT-compilable
+        on a stock JVM — no -XX:-DontCompileHugeMethods dependency."""
         q = SPARK.quote
+        acc = 0
         for i, st in enumerate(self.stages):
             rendered = st.render(SPARK)
+            # passthrough columns ("x AS x") fuse to nothing; only real
+            # expression text contributes generated code
+            weight = sum(len(e) for a, e in rendered if e != q(a))
+            if acc and acc + weight > CODEGEN_SPLIT_TEXT:
+                df = codegen_barrier(df)
+                acc = 0
+            acc += weight
             df = df.selectExpr(*[f"{e} AS {q(a)}" for a, e in rendered])
             for pred in self.filters.get(i, []):
                 df = df.filter(self._render_pred(pred, SPARK))

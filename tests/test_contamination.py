@@ -110,3 +110,24 @@ def test_gram_size_probe_memoized_per_plan(frames):
             contamination.contaminated_docs(c, n=7, eval_hashes=eh)
     finally:
         pyspark.sql.DataFrame.head = orig
+
+
+def test_gram_size_cache_invalidates_on_file_rewrite(spark, frames,
+                                                     tmp_path):
+    """A stale cached gram size DEFEATS the n-mismatch guard (silently
+    matches nothing — contaminated docs sail through), so rewriting the
+    eval_hashes file at the same path with a different gram size must
+    re-probe: the cache key carries the input-file fingerprint, not just
+    the path-based semanticHash."""
+    _, e = frames
+    p = str(tmp_path / "eval_hashes.parquet")
+    contamination.clear_gram_size_cache()
+    contamination.eval_ngram_hashes(e, n=5).write.mode(
+        "overwrite").parquet(p)
+    eh1 = spark.read.parquet(p)
+    assert contamination._probe_gram_size(eh1) == 5
+    # same path, different gram size — a long-lived driver scenario
+    contamination.eval_ngram_hashes(e, n=3).write.mode(
+        "overwrite").parquet(p)
+    eh2 = spark.read.parquet(p)
+    assert contamination._probe_gram_size(eh2) == 3

@@ -840,27 +840,28 @@ class TestSimilarity:
             "vec_id", F.col("cluster").alias("hof_cluster"))
         assert lit.join(hof, "vec_id").where(
             "lit_cluster != hof_cluster").count() == 0
-        # auto dispatch is JIT-aware: 8×64 = 512 terms compiles to a
-        # ~24k-byte consume() — past HotSpot's 8000-byte JIT ceiling —
-        # so on a stock JVM (this test session) auto picks hof (lambda
-        # present); with -XX:-DontCompileHugeMethods it picks literal
-        # (both bit-equal, the pick is pure performance)
+        # auto dispatch: the literal path folds its distance sums into
+        # JIT-safe accumulate spans, so 8×64 = 512 terms stays literal
+        # on a STOCK JVM (no lambda); only a k·dim past the plan-text
+        # cap dispatches to hof
         def has_lambda(df):
             return "lambdafunction" in df._jdf.queryExecution() \
                 .analyzed().toString().lower()
 
-        assert has_lambda(index.assign(emb))
-        orig = similarity.IVFIndex.__dict__["_huge_methods_jitable"]
-        try:
-            similarity.IVFIndex._huge_methods_jitable = staticmethod(
-                lambda df: True)
-            assert not has_lambda(index.assign(emb))
-        finally:
-            similarity.IVFIndex._huge_methods_jitable = orig
-        # tiny term counts stay literal regardless of JVM flags
+        assert not has_lambda(index.assign(emb))
+        # a wide dim is fine on the literal path too (block-wise folds)
+        wide = similarity.IVFIndex(k=2)
+        wide.centroids = [[float(i == j) for j in range(256)]
+                          for i in range(2)]
+        wide_emb = emb.select(
+            "vec_id",
+            F.expr("flatten(array_repeat(embedding, 4))")
+            .alias("embedding"))
+        assert not has_lambda(wide.assign(wide_emb))
+        # tiny term counts stay literal too
         small = similarity.IVFIndex(k=2)
         small.centroids = [[float(i == j) for j in range(64)]
-                           for i in range(2)]  # 128 terms < JIT cap
+                           for i in range(2)]  # 128 terms, one span
         assert not has_lambda(small.assign(emb))
         big = similarity.IVFIndex(k=64)
         big.centroids = [[1.0 if d == i else 0.0 for d in range(64)]

@@ -631,23 +631,18 @@ def test_multi_span_removal_single_doc_shuffle(spark):
 # execute in the BYTECODE INTERPRETER on default JVM flags — the plan
 # compiles fine, runs 4-10x slow, and says nothing (round-7 finding:
 # the amphibole chain at 9736 bytecode, 6.1 s -> 1.6 s once JIT-able).
-# bench.py carries -XX:-DontCompileHugeMethods (docs/scale.md tells
-# clusters to do the same); this gate pins the KNOWN set of over-limit
-# chains so a new one can't land silently — run
+# Since round 8 every span must fit the ceiling on a STOCK JVM:
+# Plan.apply auto-inserts codegen barriers past CODEGEN_SPLIT_TEXT
+# accumulated expression text and the IVF literal path chunks its
+# distance sums, so this set must stay EMPTY — run
 # tools/codegen_audit.py for the full per-query report.
-_KNOWN_OVER_JIT_LIMIT = {
-    "amphibole_stoichiometry",        # 23 fused projections, 9.7k
-    "tc_clinoamphibole_proportions",  # schumacher + charge apfu, 8.4k
-    "tc_clinoamphibole_site_occupancies",
-    "spinel_end_members",             # widest unrolled emitter, 8.5k
-    "ivf_assign_fixed_centroids",     # k*dim literal chain, 24k
-}
+_KNOWN_OVER_JIT_LIMIT: set = set()
 
 
 def test_no_new_codegen_methods_past_jit_limit(spark, registry):
-    """Representative wide chains must stay within the known over-limit
-    set; anything newly crossing 8000 bytecode fails here instead of
-    silently interpreting on unflagged clusters."""
+    """Every representative wide chain must generate only JIT-compilable
+    methods on a stock JVM; anything crossing 8000 bytecode fails here
+    instead of silently interpreting on unflagged clusters."""
     debug = spark._jvm.org.apache.spark.sql.execution.debug
     check = [
         "amphibole_stoichiometry", "tc_clinoamphibole_proportions",

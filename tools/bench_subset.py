@@ -36,8 +36,7 @@ def main() -> int:
         .config("spark.driver.memory", "24g")
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:-DontCompileHugeMethods",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

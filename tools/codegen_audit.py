@@ -5,10 +5,11 @@ HotSpot's JIT silently refuses to compile methods over 8000 bytecode
 whose consume() crosses that line executes in the BYTECODE INTERPRETER —
 the plan looks codegen'd, compiles fine, and runs 4-10× slow with no
 warning (round-7 finding: the 23-projection amphibole stoichiometry
-chain at 9736 bytecode, 6.1 s → 1.6 s once JIT-able).  bench.py carries
--XX:-DontCompileHugeMethods; real clusters may not, so this audit lists
-every registry query whose generated plan contains a method past the
-limit::
+chain at 9736 bytecode, 6.1 s → 1.6 s once JIT-able).  Since round 8
+the engine splits wide chains with codegen barriers
+(sqlgen.codegen_barrier / Plan.apply CODEGEN_SPLIT_TEXT) so NO query
+may exceed the limit on a stock JVM — this audit must report an empty
+flagged set; the plan-quality gate pins that::
 
     python tools/codegen_audit.py            # flagged queries only
     python tools/codegen_audit.py --all      # every query's max size

@@ -60,8 +60,7 @@ def main() -> None:
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            "-XX:-DontCompileHugeMethods",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
