@@ -491,8 +491,13 @@ class IVFIndex:
     # the block's element columns are dropped before the next block —
     # span cost is bounded by block_dim × centroid_group terms plus a
     # CONSTANT number of carried-column writes, independent of dim·k.
-    _EXTRACT_PER_SPAN = 16   # element extractions per span
-    _SUM_TERMS_PER_SPAN = 64  # squared-diff terms per accumulate span
+    # span budgets, measured at the registered k=8 dim=64 shape:
+    # extraction ≈ 165 bytecode/element + ~60/carried-column write,
+    # fold ≈ 51/term + ~1k constant — 32/96 keeps every span ≤ ~6.3k
+    # with the fewest spans (plan/codegen fixed cost is per-span and
+    # dominates on SMALL tables; the per-row path dominates at scale)
+    _EXTRACT_PER_SPAN = 32   # element extractions per span
+    _SUM_TERMS_PER_SPAN = 96  # squared-diff terms per accumulate span
 
     def assign(self, df: DataFrame, vec_col: str = "embedding",
                method: str = "auto") -> DataFrame:
