@@ -639,6 +639,58 @@ def test_multi_span_removal_single_doc_shuffle(spark):
 _KNOWN_OVER_JIT_LIMIT: set = set()
 
 
+def test_plan_apply_inserts_codegen_barriers(spark):
+    """Plan.apply must split a wide projection chain at the calibrated
+    text threshold: Coalesce nodes appear, every whole-stage span stays
+    under the JIT ceiling, and the rows are IDENTICAL to the unsplit
+    plan (coalesce with an over-large bound is a structural no-op)."""
+    from petropandas_spark import sqlgen
+
+    plan = sqlgen.Plan()
+    ctx = sqlgen.Ctx(plan, ["x"])
+    # 12 stages of ~1200 chars of plain arithmetic each (the expression
+    # mix CODEGEN_SPLIT_TEXT is calibrated for) — crosses the 4000-char
+    # budget several times over
+    for s in range(12):
+        prev = f"`v{s - 1}`" if s else "`x`"
+        expr = " + ".join(
+            f"({prev} * {i}.5e0 + {i}.25e0)" for i in range(40))
+        ctx.let([(f"v{s}", expr)])
+    base = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS x")
+    df = plan.apply(base)
+    simple = _plan(df, "simple")
+    assert "Coalesce" in simple
+    debug = spark._jvm.org.apache.spark.sql.execution.debug
+    seq = debug.package.codegenStringSeq(
+        df._jdf.queryExecution().executedPlan())
+    assert seq.size() >= 2
+    for i in range(seq.size()):
+        assert seq.apply(i)._3().maxMethodCodeSize() <= 8000
+    # row-identity vs a barrier-free apply of the same stages
+    q = sqlgen.SPARK.quote
+    plain = base
+    for i, st in enumerate(plan.stages):
+        rendered = st.render(sqlgen.SPARK)
+        plain = plain.selectExpr(
+            *[f"{e} AS {q(a)}" for a, e in rendered])
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_codegen_barrier_passes_streams_through(spark, tmp_path):
+    """Streaming frames skip the barrier (coalesce semantics differ
+    mid-stream); batch frames keep rows and partition count."""
+    from petropandas_spark.sqlgen import codegen_barrier
+
+    stream = spark.readStream.format("rate").load()
+    assert codegen_barrier(stream) is stream
+    batch = spark.range(1000).repartition(7)
+    out = codegen_barrier(batch)
+    assert out.rdd.getNumPartitions() == 7
+    assert out.count() == 1000
+
+
 def test_no_new_codegen_methods_past_jit_limit(spark, registry):
     """Every representative wide chain must generate only JIT-compilable
     methods on a stock JVM; anything crossing 8000 bytecode fails here
