@@ -65,9 +65,19 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        # fixture-pinned oracles (CIPW: the branching cascade isn't
+        # SQL-expressible, so the oracle is a PINNED sf0.01 expectation
+        # parquet) are only comparable at the scale they pin — at any
+        # other sf the rowcount mismatch is BY DESIGN, not a failure
+        oracle = oracles.get(name, "")
+        if "sf001.parquet" in oracle and "sf0.01" not in sf_dir:
+            print(f"- {name}: fixture-pinned oracle (sf0.01 only), "
+                  f"skipped at {sf_dir}")
+            n_skip += 1
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -108,7 +118,8 @@ def main() -> int:
             # several pipeline queries persist() intermediates; drop them
             # so a full-registry run doesn't accumulate storage pressure
             spark.catalog.clearCache()
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skip_note = f", {n_skip} fixture-pinned skipped" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skip_note}")
     return 1 if n_fail else 0
 
 

@@ -34,6 +34,8 @@ AUDIT = [
     "shared_span_extents",          # span-level exact dedup (r5)
     "knn_ivf_topk",                 # partition-pruned ANN probe
     "garnet_end_members",           # domain chain (narrow codegen)
+    "amphibole_stoichiometry",      # barrier-split wide chain (r8)
+    "ivf_assign_fixed_centroids",   # block-wise literal assign (r8)
     "q3_shipping_topk",             # TPC-H join + rank limit
     "q9_product_profit",            # multi-join aggregation
     "part_brand_stats_salted",      # explicit skew salting
