@@ -678,6 +678,45 @@ def test_plan_apply_inserts_codegen_barriers(spark):
     assert a == b
 
 
+def test_plan_apply_barriers_respect_filters(spark):
+    """Filters attach to their stage (run before any barrier inserted
+    after it); with stages wide enough to trigger several barriers the
+    filtered output must match the barrier-free spelling row-for-row.
+
+    The filters here sit on the CHEAP passthrough column — the engine's
+    actual usage.  Filtering on a DEEP wide alias is a documented
+    Catalyst hazard independent of barriers: predicate pushdown
+    substitutes non-cheap alias definitions into the pushed predicate
+    at every Project it crosses, growing the predicate ~width× per
+    stage (measured 2.3k -> 18k -> 144k chars at width 8, depth 2-4;
+    a width-40 depth-6 filter wedged the driver past RPC timeouts) —
+    see docs/scale.md round-8 note."""
+    from petropandas_spark import sqlgen
+
+    plan = sqlgen.Plan()
+    ctx = sqlgen.Ctx(plan, ["x"])
+    for s in range(8):
+        prev = f"`v{s - 1}`" if s else "`x`"
+        expr = " + ".join(
+            f"({prev} * {i}.5e0 + {i}.25e0)" for i in range(40))
+        ctx.let([(f"v{s}", expr)])
+        if s in (2, 5):
+            plan.add_filter(f"`x` > {-20 + s}e0")
+    base = spark.range(-50, 50).selectExpr("CAST(id AS DOUBLE) AS x")
+    df = plan.apply(base)
+    assert "Coalesce" in _plan(df, "simple")
+    expect = base
+    q = sqlgen.SPARK.quote
+    for i, st in enumerate(plan.stages):
+        rendered = st.render(sqlgen.SPARK)
+        expect = expect.selectExpr(
+            *[f"{e} AS {q(a)}" for a, e in rendered])
+        for pred in plan.filters.get(i, []):
+            expect = expect.filter(pred)
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+
 def test_codegen_barrier_passes_streams_through(spark, tmp_path):
     """Streaming frames skip the barrier (coalesce semantics differ
     mid-stream); batch frames keep rows and partition count."""
