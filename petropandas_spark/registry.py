@@ -2821,8 +2821,14 @@ GROUP BY event_type
 EVENTS_JSON_SPARK = _EVENTS_JSON_TMPL.format(
     k="TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
 )
+# the inner TRY_CAST-to-JSON mirrors Spark's malformed-DOCUMENT flow:
+# DuckDB's json_extract_string THROWS on a truncated/non-JSON props
+# string where get_json_object returns NULL — parse defensively so the
+# dirty contract matches engine-for-engine (dual-engine dirty-frame
+# tests pin it)
 EVENTS_JSON_DUCK = _EVENTS_JSON_TMPL.format(
-    k="TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    k="TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')"
+      " AS BIGINT)"
 )
 
 # The 100 TB-preferred form: from_json with an EXPLICIT schema parses the
@@ -2852,8 +2858,8 @@ EVENTS_JSON_STRUCT_SPARK = (
 )
 EVENTS_JSON_STRUCT_DUCK = (
     "WITH parsed AS (SELECT event_type, "
-    "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
-    "FROM events)"
+    "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')"
+    " AS BIGINT) AS k FROM events)"
     + _EVENTS_JSON_STRUCT_AGG
 )
 

@@ -140,3 +140,35 @@ def test_events_json_malformed_value_null_in_both_engines(spark):
     assert got == want
     by_type = {r[0]: r for r in got}
     assert by_type["click"][1:4] == (2, 1, 3)  # n_events, n_with_k, sum_k
+
+
+def test_events_json_struct_dirty_frame_both_engines(spark):
+    """The from_json struct form's dirty contract: a malformed DOCUMENT
+    yields a NULL struct (PERMISSIVE) and a malformed FIELD yields a
+    NULL field — both land as NULL k, identical to the oracle's
+    TRY_CAST flow, and no row aborts the job under ANSI."""
+    from petropandas_spark.registry import (EVENTS_JSON_STRUCT_DUCK,
+                                            EVENTS_JSON_STRUCT_SPARK)
+
+    rows = [
+        ("click", '{"k": 30}'),
+        ("click", '{"k": "oops"}'),     # malformed field
+        ("click", '{"k": 7'),           # truncated document
+        ("view", "not json"),           # not a document at all
+        ("view", '{"k": 9}'),
+    ]
+    sdf = spark.createDataFrame(rows, "event_type string, props string")
+    sdf.createOrReplaceTempView("events")
+    got = {tuple(r) for r in
+           spark.sql(EVENTS_JSON_STRUCT_SPARK).collect()}
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows,
+                                        columns=["event_type", "props"]))
+    want = {tuple(r) for r in
+            con.execute(EVENTS_JSON_STRUCT_DUCK).fetchall()}
+    spark.catalog.dropTempView("events")
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    # click: 3 events, only {"k": 30} parses; view: only {"k": 9}
+    assert by_type["click"][1:4] == (3, 1, 30)
+    assert by_type["view"][1:4] == (2, 1, 9)
