@@ -156,6 +156,8 @@ def test_events_json_struct_dirty_frame_both_engines(spark):
         ("click", '{"k": 7'),           # truncated document
         ("view", "not json"),           # not a document at all
         ("view", '{"k": 9}'),
+        ("view", None),                 # NULL props
+        ("view", ""),                   # empty-string props
     ]
     sdf = spark.createDataFrame(rows, "event_type string, props string")
     sdf.createOrReplaceTempView("events")
@@ -171,4 +173,4 @@ def test_events_json_struct_dirty_frame_both_engines(spark):
     by_type = {r[0]: r for r in got}
     # click: 3 events, only {"k": 30} parses; view: only {"k": 9}
     assert by_type["click"][1:4] == (3, 1, 30)
-    assert by_type["view"][1:4] == (2, 1, 9)
+    assert by_type["view"][1:4] == (4, 1, 9)
