@@ -2856,10 +2856,20 @@ EVENTS_JSON_STRUCT_SPARK = (
     "from_json(props, 'k BIGINT').k AS k FROM events)"
     + _EVENTS_JSON_STRUCT_AGG
 )
+# json_type-gated extraction: from_json('k BIGINT') is STRICT on token
+# type — a quoted numeric '{"k": "123"}' parses to NULL (a string token
+# fails the Long parse) and so does a float token '{"k": 12.5}' — while
+# DuckDB's JSON→BIGINT cast coerces BOTH (it unquotes strings and
+# truncates is-integral floats), silently diverging on plausible dirty
+# data (r8 advisor finding).  Gate on json_type so only raw integer
+# tokens ('BIGINT'/'UBIGINT') reach the cast — NULL everywhere else,
+# matching from_json's strict typing token-for-token.
 EVENTS_JSON_STRUCT_DUCK = (
     "WITH parsed AS (SELECT event_type, "
-    "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')"
-    " AS BIGINT) AS k FROM events)"
+    "CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')"
+    " IN ('BIGINT', 'UBIGINT')"
+    " THEN TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k')"
+    " AS BIGINT) END AS k FROM events)"
     + _EVENTS_JSON_STRUCT_AGG
 )
 
@@ -3917,72 +3927,57 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # never driver-checked (new this round) — always lead:
-    "events_json_struct",
-    "corpus_ingest_jsonl_rejects",
-    # round-8 changed plans/oracles (JSON subquery rewrite; raw-line
-    # json_valid oracle + fixture gained a null-text good line):
-    "events_json_extract",
-    "corpus_ingest_jsonl",
-    # last driver check r03 — 5 rounds old by r08:
-    "corpus_neardup_filtered",
-    "dedup_incremental_antijoin",
-    "lsh_incremental_pairs",
-    "petro_concat_union",
-    "petro_select_reframe",
-    "pii_scrub_emails",
-    "profile_traverse_neighborhood",
-    # last driver check r04, touched/bench-flagged names first
-    # (cms_heavy_hitters_exact was a r7 bench outlier):
-    "cms_heavy_hitters_exact",
-    "lsh_candidate_pairs",
-    "semantic_dedup_groups",
-    "neardup_verdicts",
-    "decontamination_neardup",
-    "containment_verified_pairs",
-    "oxide_impute_group_mean",
-    "events_zorder_values",
-    "bloom_pruned_semijoin",
-    "bm25_search_topk",
-    "cipw_norm_full",
-    "cipw_norm_hornblende",
-    "corpus_quality_quartiles",
-    "corpus_sample_k_per_lang",
-    "dedup_cluster_keepers",
-    "dedup_components_star",
-    "dedup_exact_normalized",
-    "doc_tfidf_top_terms",
-    "doc_word_rarity",
-    "documents_constraints",
-    "documents_profile",
-    "embedding_label_centroids",
-    "eval_dialect_projection",
-    "events_cohort_retention",
-    "events_daily_rollup",
-    "events_funnel",
-    "events_funnel_summary",
-    "events_gap_filled_locf",
-    "events_latest_per_user",
-    "events_type_pivot",
-    "events_user_value_anomalies",
-    "events_value_histogram",
-    "lineitem_cube",
-    "neardup_pairs_hot_bucket",
-    "oxides_melt_long",
-    "pq_search_rerank",
-    "simhash_signatures",
-    "source_domain_stats",
-    # 9 r04-stale TPC-H shapes (code untouched since r1) overflow the
-    # 50-per-round driver cap — they lead round 9's rotation:
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_cust_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_share_threshold",
-    "q21_sole_return_supplier",
+    # 50 head slots left; stalest proven names (last-green round in comment):
+    "q9_product_profit",  # r04
+    "q11_important_parts",  # r04
+    "q13_cust_distribution",  # r04
+    "q15_top_supplier",  # r04
+    "q16_supplier_cnt",  # r04
+    "q17_small_qty_revenue",  # r04
+    "q20_share_threshold",  # r04
+    "q21_sole_return_supplier",  # r04
+    "to_moles",  # r05
+    "feo_to_fe2o3",  # r05
+    "oxidize_moles",  # r05
+    "from_apfu_roundtrip",  # r05
+    "bulk_alumina_saturation",  # r05
+    "bulk_oxide_ratios",  # r05
+    "bulk_apatite_correction",  # r05
+    "cipw_norm_simple",  # r05
+    "thermo_bulk_prep_tc",  # r05
+    "oxide_means_grouped",  # r05
+    "repeated_span_pairs",  # r05
+    "shared_span_extents",  # r05
+    "span_incremental_pairs",  # r05
+    "corpus_span_removed",  # r05
+    "ivf_assign_large_k_path",  # r05
+    "q1_pricing_summary",  # r06
+    "q3_shipping_topk",  # r06
+    "q5_local_supplier",  # r06
+    "q6_forecast_revenue",  # r06
+    "q10_returned_items",  # r06
+    "part_brand_stats",  # r06
+    "topk_customers",  # r06
+    "part_brand_stats_salted",  # r06
+    "q4_order_priority",  # r06
+    "q12_shipmode",  # r06
+    "q14_promo_revenue",  # r06
+    "q18_large_orders",  # r06
+    "q19_disjunctive_pred",  # r06
+    "q22_global_sales",  # r06
+    "q2_min_acctbal_supplier",  # r06
+    "q7_volume_shipping",  # r06
+    "events_hourly",  # r06
+    "events_running_totals",  # r06
+    "events_sessionize",  # r06
+    "events_asof_last_purchase",  # r06
+    "events_near_purchases",  # r06
+    "events_value_percentiles",  # r06
+    "lineitem_rollup",  # r06
+    "topk_orders_per_customer",  # r06
+    "doc_stats",  # r06
+    "doc_lang_guess",  # r06
+    "doc_lang_confusion",  # r06
 ]
 
 

@@ -153,6 +153,13 @@ def test_events_json_struct_dirty_frame_both_engines(spark):
     rows = [
         ("click", '{"k": 30}'),
         ("click", '{"k": "oops"}'),     # malformed field
+        ("click", '{"k": "123"}'),      # QUOTED numeric: from_json's
+        # strict Long parse rejects a string token, so k must be NULL in
+        # both engines — the oracle gates on json_type IN
+        # ('BIGINT','UBIGINT'); DuckDB's bare JSON→BIGINT cast would
+        # have unquoted and coerced to 123 (r8 advisor finding).
+        ("click", '{"k": 12.5}'),       # float token — strict NULL too
+        ("click", '{"k": true}'),       # boolean token — strict NULL
         ("click", '{"k": 7'),           # truncated document
         ("view", "not json"),           # not a document at all
         ("view", '{"k": 9}'),
@@ -171,6 +178,7 @@ def test_events_json_struct_dirty_frame_both_engines(spark):
     spark.catalog.dropTempView("events")
     assert got == want
     by_type = {r[0]: r for r in got}
-    # click: 3 events, only {"k": 30} parses; view: only {"k": 9}
-    assert by_type["click"][1:4] == (3, 1, 30)
+    # click: 6 events, only {"k": 30} parses (quoted "123", float 12.5
+    # and boolean true must NOT coerce); view: only {"k": 9}
+    assert by_type["click"][1:4] == (6, 1, 30)
     assert by_type["view"][1:4] == (4, 1, 9)
