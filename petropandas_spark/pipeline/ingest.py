@@ -85,15 +85,21 @@ def read_jsonl(spark: SparkSession, path: str,
     """Read JSON-lines shards into ``(good, quarantine)``.
 
     ``good`` has exactly *schema*'s columns; ``quarantine`` is
-    ``(raw_line)`` for every line that failed to parse as a JSON object
-    (truncated JSON, bare text).  Whitespace-only lines are DISCARDED
-    from both frames — blank lines are conventional shard separators,
-    not documents, so they are neither data nor an error.  A PARSEABLE
-    object with drifted field types lands in ``good`` with NULL for the
-    drifted fields — use
+    ``(raw_line)`` for every line that failed to parse — truncated
+    JSON, bare text, **and parseable objects with a type-drifted
+    non-STRING field** (PERMISSIVE ``from_json`` sets the
+    corrupt-record column on field drift, so e.g. ``"doc_id": "abc"``
+    quarantines the whole line, carrying the raw text for a typed
+    fix-up pass rather than silently nulling the value).  Missing or
+    explicitly-null fields are NOT drift — they land in ``good`` as
+    NULLs; STRING-typed fields accept any token (``from_json``
+    stringifies numbers, booleans and subtrees) and so never drift a
+    line.  Whitespace-only lines are DISCARDED from both frames —
+    blank lines are conventional shard separators, not documents, so
+    they are neither data nor an error.  Use
     :func:`petropandas_spark.pipeline.validation` constraints for
-    field-level policing.  Both frames are narrow filters over the text
-    scan; neither shuffles.
+    value-level policing of the good frame.  Both frames are narrow
+    filters over the text scan; neither shuffles.
     """
     raw = spark.read.text(path)
     return _parse_split(raw, schema)

@@ -3927,7 +3927,10 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # 50 head slots left; stalest proven names (last-green round in comment):
+    # changed oracles this round (drift-contract pin) — lead the head:
+    "corpus_ingest_jsonl",
+    "corpus_ingest_jsonl_rejects",
+    # stalest proven names (last-green round in comment):
     "q9_product_profit",  # r04
     "q11_important_parts",  # r04
     "q13_cust_distribution",  # r04
@@ -4170,14 +4173,21 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
-    # fixture shard (61 good lines — one with a NULL text field — plus
-    # 3 malformed: truncated object, bare text, double comma, plus one
-    # whitespace-only line both sides discard).  Two registry surfaces,
-    # BOTH replayed from the same DuckDB raw-line read: malformed-vs-good
-    # is decided by "parses as a JSON OBJECT", never by field nullness —
-    # the earlier read_json(ignore_errors)+text IS NOT NULL oracle would
-    # have wrongly dropped a good line whose text is null (the fixture
-    # now pins exactly that case).
+    # fixture shard (63 good lines — one with a NULL text field, one
+    # with a numeric source token, one with missing fields — plus 7
+    # quarantined: truncated object, bare text, double comma, and four
+    # TYPE-DRIFTED objects, plus one whitespace-only line both sides
+    # discard).  Two registry surfaces, BOTH replayed from the same
+    # DuckDB raw-line read.  Good-vs-quarantine contract (pinned r9,
+    # r8 advisor finding): a line is good iff it parses as a JSON
+    # OBJECT **and** every non-STRING schema field's token is coercible
+    # under from_json's STRICT typing — for DOC_SCHEMA that is doc_id
+    # (BIGINT): missing or explicit-null doc_id stays good (NULL);
+    # string/float/bool/object tokens and out-of-int64 numbers
+    # quarantine the line (PERMISSIVE from_json sets the corrupt-record
+    # column on field drift, carrying the raw line for fix-up).  STRING
+    # fields accept ANY token (from_json stringifies numbers, booleans
+    # and subtrees), so they can never drift a line into quarantine.
     import os as _os2
 
     _jsonl_fix = _os2.path.join(
@@ -4197,6 +4207,20 @@ raw AS (
     _jsonl_is_obj = (
         "COALESCE(json_type(TRY_CAST(raw_line AS JSON)) = 'OBJECT', false)"
     )
+    # per-field coercibility for the one non-STRING schema field: good
+    # doc_id tokens are missing (json_type NULL), explicit null, or a
+    # raw in-int64 integer token — json_type 'BIGINT'/'UBIGINT' with a
+    # non-NULL TRY_CAST (u64 values past int64 max fail the cast, and
+    # wider overflows surface as 'DOUBLE', both matching from_json's
+    # Long-parse failure).
+    _jsonl_docid_t = "json_type(TRY_CAST(raw_line AS JSON), '$.doc_id')"
+    _jsonl_docid_ok = (
+        f"({_jsonl_docid_t} IS NULL OR {_jsonl_docid_t} = 'NULL' OR "
+        f"({_jsonl_docid_t} IN ('BIGINT', 'UBIGINT') AND "
+        "TRY_CAST(json_extract(TRY_CAST(raw_line AS JSON), '$.doc_id')"
+        " AS BIGINT) IS NOT NULL))"
+    )
+    _jsonl_good = f"({_jsonl_is_obj} AND {_jsonl_docid_ok})"
 
     def _ingest_fn(spark, sf_dir):
         from petropandas_spark.pipeline.ingest import read_jsonl
@@ -4213,33 +4237,40 @@ SELECT TRY_CAST(json_extract_string(raw_line, '$.doc_id') AS BIGINT)
        json_extract_string(raw_line, '$.source') AS source,
        json_extract_string(raw_line, '$.lang') AS lang,
        json_extract_string(raw_line, '$.text') AS text
-FROM raw WHERE {_jsonl_is_obj}
+FROM raw WHERE {_jsonl_good}
 """,
     )
 
-    # quarantine side: raw line verbatim + a coarse error class (string
-    # logic only, so both engines compute it identically — brace-led
-    # lines are broken OBJECTS, anything else was never JSON).  Pins that
-    # the
-    # 3 malformed fixture lines land in quarantine, not good, and that
-    # the raw text survives for a fix-up pass.
-    _ERR_CLASS = (
-        "CASE WHEN ltrim(raw_line) LIKE '{%' THEN 'malformed_object' "
-        "ELSE 'not_json_object' END AS err_class"
+    # quarantine side: raw line verbatim + a coarse error class.  Three
+    # classes, each computable identically in both engines: a line that
+    # never led with a brace was not a JSON object; a brace-led line
+    # that parses as a valid object got here through FIELD drift; the
+    # rest are broken objects (truncated / syntax errors).  Pins that
+    # all 7 dirty fixture lines land in quarantine — with the right
+    # class — and that the raw text survives for a fix-up pass.
+    _ERR_CLASS_SPARK = (
+        "CASE WHEN ltrim(raw_line) NOT LIKE '{%' THEN 'not_json_object' "
+        "WHEN get_json_object(raw_line, '$') IS NOT NULL "
+        "THEN 'drifted_type' ELSE 'malformed_object' END AS err_class"
+    )
+    _ERR_CLASS_DUCK = (
+        "CASE WHEN ltrim(raw_line) NOT LIKE '{%' THEN 'not_json_object' "
+        f"WHEN {_jsonl_is_obj} "
+        "THEN 'drifted_type' ELSE 'malformed_object' END AS err_class"
     )
 
     def _ingest_rejects_fn(spark, sf_dir):
         from petropandas_spark.pipeline.ingest import read_jsonl
 
         _good, quarantine = read_jsonl(spark, _jsonl_fix)
-        return quarantine.selectExpr("raw_line", _ERR_CLASS)
+        return quarantine.selectExpr("raw_line", _ERR_CLASS_SPARK)
 
     r["corpus_ingest_jsonl_rejects"] = QuerySpec(
         _ingest_rejects_fn,
         f"""
 WITH {_jsonl_raw}
-SELECT raw_line, {_ERR_CLASS}
-FROM raw WHERE NOT {_jsonl_is_obj}
+SELECT raw_line, {_ERR_CLASS_DUCK}
+FROM raw WHERE NOT {_jsonl_good}
 """,
     )
     r["doc_repetition_metrics"] = sql_query(

@@ -44,6 +44,35 @@ def test_malformed_lines_quarantine_not_abort(spark, shard):
             assert py_stage not in plan
 
 
+def test_type_drifted_objects_quarantine(spark, tmp_path):
+    """The pinned drift contract (r8 advisor finding): a PARSEABLE
+    object whose non-STRING field carries an uncoercible token
+    quarantines the WHOLE line (raw text kept for fix-up) — from_json's
+    strict typing rejects string/float/bool/object tokens for BIGINT;
+    STRING fields accept any token (stringified); missing/null fields
+    are NOT drift."""
+    lines = [
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "ok"}',
+        '{"doc_id": "abc", "source": "web", "lang": "en", "text": "x"}',
+        '{"doc_id": "123", "source": "web", "lang": "en", "text": "x"}',
+        '{"doc_id": 2.5, "source": "web", "lang": "en", "text": "x"}',
+        '{"doc_id": {"n": 1}, "source": "web", "lang": "en", "text": "x"}',
+        '{"doc_id": 2, "source": 7, "lang": "en", "text": "x"}',
+        '{"doc_id": null, "lang": "en"}',
+        '{"doc_id": 99999999999999999999}',
+    ]
+    p = tmp_path / "drift.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = ingest.read_jsonl(spark, str(p))
+    g = {r.doc_id: r.source for r in good.collect()}
+    # 1 clean, 2 with a stringified numeric source, None-keyed null row
+    assert g == {1: "web", 2: "7", None: None}
+    q = sorted(r.raw_line for r in quarantine.collect())
+    assert len(q) == 5
+    assert all(l.startswith('{"doc_id": ') for l in q)
+    assert not any('"doc_id": 1,' in l or '"doc_id": 2,' in l for l in q)
+
+
 def test_good_frame_feeds_the_pipeline(spark, shard):
     """The ingested frame drops straight into the corpus operators."""
     from petropandas_spark.pipeline import dedup

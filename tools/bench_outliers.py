@@ -21,8 +21,8 @@ attribute, not a gate.
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 
 def load_queries(path: str) -> dict[str, float]:
@@ -37,16 +37,16 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) != 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    thr = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
-    old, new = load_queries(args[0]), load_queries(args[1])
+    # argparse, not hand-rolled flag peeling: the documented
+    # space-separated form '--threshold 1.5' used to land the value in
+    # the positionals and exit 2 (r8 advisor finding)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old_json")
+    p.add_argument("new_json")
+    p.add_argument("--threshold", type=float, default=1.5)
+    ns = p.parse_args()
+    thr = ns.threshold
+    old, new = load_queries(ns.old_json), load_queries(ns.new_json)
     shared = sorted(set(old) & set(new))
     rows = []
     for name in shared:
