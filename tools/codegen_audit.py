@@ -27,6 +27,34 @@ import sys
 JIT_LIMIT = 8000  # HotSpot DontCompileHugeMethods threshold (bytecode)
 
 
+def audit_queries(spark, queries, sf_dir) -> list[tuple]:
+    """(name, maxMethodCodeSize, n_codegen_units) per query; size -1 with
+    the first error line as the third element when a query won't plan.
+    Shared by the CLI below and the slow test gate
+    (tests/test_codegen_gate.py) so the registry-wide sweep is asserted
+    on every closing code state, not just when the tool is run by hand —
+    CODEGEN_SPLIT_TEXT is a chars-based heuristic (sqlgen.py) and a
+    denser-than-calibrated bytecode/char expression family must fail
+    loudly, not silently interpret on stock JVMs."""
+    debug = spark._jvm.org.apache.spark.sql.execution.debug
+    rows = []
+    for name, fn in queries.items():
+        try:
+            df = fn(spark, sf_dir)
+            seq = debug.package.codegenStringSeq(
+                df._jdf.queryExecution().executedPlan())
+            worst = 0
+            n_units = seq.size()
+            for i in range(n_units):
+                # tuple of (subtree, code, codeStats)
+                stats = seq.apply(i)._3()
+                worst = max(worst, stats.maxMethodCodeSize())
+            rows.append((name, worst, n_units))
+        except Exception as exc:  # streaming-only entries etc.
+            rows.append((name, -1, str(exc).splitlines()[0][:60]))
+    return rows
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
     show_all = "--all" in sys.argv[1:]
@@ -45,26 +73,10 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as e
 
-    debug = spark._jvm.org.apache.spark.sql.execution.debug
-
     qs = e.queries()
-    rows = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            df = fn(spark, sf_dir)
-            seq = debug.package.codegenStringSeq(
-                df._jdf.queryExecution().executedPlan())
-            worst = 0
-            n_units = seq.size()
-            for i in range(n_units):
-                # tuple of (subtree, code, codeStats)
-                stats = seq.apply(i)._3()
-                worst = max(worst, stats.maxMethodCodeSize())
-            rows.append((name, worst, n_units))
-        except Exception as exc:  # streaming-only entries etc.
-            rows.append((name, -1, str(exc).splitlines()[0][:60]))
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
+    rows = audit_queries(spark, qs, sf_dir)
 
     flagged = [(n, w, u) for n, w, u in rows
                if isinstance(w, int) and w > JIT_LIMIT]
