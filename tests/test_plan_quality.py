@@ -281,9 +281,17 @@ def test_jaccard_candidate_semijoin_size_gated_broadcast(spark, registry):
             assert "BroadcastHashJoin" not in plan, plan
     finally:
         dedup.BROADCAST_IDS_MAX = old
-    plan = _final_plan(
-        registry["jaccard_verified_neardups"].spark_fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
+        # pair_shingle_stats persists its pair/shingle frames per query
+        # lifetime; leaving them cached substitutes InMemoryRelation
+        # into LATER tests' overlapping lineages and breaks their
+        # scan-count asserts (observed on lsh_candidate_pairs)
+        spark.catalog.clearCache()
+    try:
+        plan = _final_plan(
+            registry["jaccard_verified_neardups"].spark_fn(spark, SF))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_span_participant_semijoin_size_gated_broadcast(spark, registry):
@@ -302,8 +310,13 @@ def test_span_participant_semijoin_size_gated_broadcast(spark, registry):
             assert "BroadcastHashJoin" not in plan, plan
     finally:
         dedup.BROADCAST_IDS_MAX = old
-    plan = _final_plan(registry["shared_span_extents"].spark_fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
+        spark.catalog.clearCache()  # see jaccard twin above
+    try:
+        plan = _final_plan(
+            registry["shared_span_extents"].spark_fn(spark, SF))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_decontaminate_antijoin_unhinted_eval_grams_still_hinted(spark):
