@@ -4173,10 +4173,11 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
-    # fixture shard (63 good lines — one with a NULL text field, one
-    # with a numeric source token, one with missing fields — plus 7
-    # quarantined: truncated object, bare text, double comma, and four
-    # TYPE-DRIFTED objects, plus one whitespace-only line both sides
+    # fixture shard (64 good lines — one with a NULL text field, one
+    # with a numeric source token, one with missing fields, one with a
+    # negative int doc_id — plus 8 quarantined: truncated object, bare
+    # text, double comma, four TYPE-DRIFTED objects, and a u64-max
+    # token past int64, plus one whitespace-only line both sides
     # discard).  Two registry surfaces, BOTH replayed from the same
     # DuckDB raw-line read.  Good-vs-quarantine contract (pinned r9,
     # r8 advisor finding): a line is good iff it parses as a JSON

@@ -214,6 +214,52 @@ class TestDedup:
             got = {(r.doc_a, r.doc_b) for r in verdict.collect()}
             assert (9000001, 9000002) not in got
 
+    def test_broadcast_gate_flips_exactly_at_the_bound(self, spark, docs):
+        """BROADCAST_IDS_MAX boundary (r9): with auto-broadcast disabled
+        so ONLY the hint can produce a broadcast, a pair count whose
+        2·|pairs| bound sits AT the gate plans the candidate semi-join
+        as a static BroadcastHashJoin, and one past the gate plans no
+        broadcast anywhere — the gate alone controls the hint, at the
+        exact boundary."""
+        corpus = docs.limit(12).select("doc_id", "text")
+        ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+        # pairs frame constructed directly: the unit under test is
+        # pair_shingle_stats' size gate, not the LSH derivation
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in zip(ids[0::2], ids[1::2])],
+            "doc_a long, doc_b long")
+        n = pairs.count()
+        assert n > 0
+        confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+        old_conf = {k: spark.conf.get(k, None) for k in confs}
+        old_gate = dedup.BROADCAST_IDS_MAX
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+
+            def plan_with(gate: int) -> str:
+                # cache matching is HINT-insensitive (ResolvedHint is
+                # stripped in plan canonicalization), so the second
+                # call would silently reuse the first call's persisted
+                # shingle frame — whose physical plan embeds the other
+                # gate's join strategy — unless the cache is dropped
+                spark.catalog.clearCache()
+                dedup.BROADCAST_IDS_MAX = gate
+                df = dedup.pair_shingle_stats(corpus, pairs)
+                return df._jdf.queryExecution().executedPlan().toString()
+
+            assert "BroadcastHashJoin" in plan_with(2 * n)
+            assert "BroadcastHashJoin" not in plan_with(2 * n - 1)
+        finally:
+            dedup.BROADCAST_IDS_MAX = old_gate
+            for k, v in old_conf.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            spark.catalog.clearCache()
+
     def test_simhash_identical_texts_same_signature(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2, 3],
