@@ -182,3 +182,57 @@ def test_events_json_struct_dirty_frame_both_engines(spark):
     # and boolean true must NOT coerce); view: only {"k": 9}
     assert by_type["click"][1:4] == (6, 1, 30)
     assert by_type["view"][1:4] == (4, 1, 9)
+
+
+def test_text_operators_dirty_unicode_both_engines(spark):
+    """Text-analysis dirty contract — the TEXT twin of the JSON dirty
+    tests above (same latent-divergence class the r8 advisor found on
+    quoted numerics): the six text-family query pairs must agree
+    row-for-row on adversarial unicode — emoji + ZWJ family sequences,
+    astral-plane letters, CJK, composed vs decomposed accents, RTL
+    script, tabs/newlines, empty and whitespace-only text, and a
+    near-duplicate differing only in case/extra spaces (exercises the
+    normalize collapse).  Pins that Spark's Java-regex/`length`
+    (codepoint) semantics and DuckDB's RE2/`length` semantics agree on
+    every construct these queries use."""
+    import petropandas_spark.registry as R
+
+    rows = [
+        (1, "web", "en",
+         "The quick brown fox, and the lazy dog! It runs; really?"),
+        (2, "web", "zh", "机器学习模型需要大量训练数据。 模型 学习"),
+        (3, "web", "en", "emoji soup 🚀🚀 👩‍👩‍👧‍👦 and astral 𝕊𝕡𝕒𝕣𝕜 ok"),
+        (4, "web", "fr",
+         "café composed vs café decomposed   tabs\tand\nnewlines"),
+        (5, "web", "ar", "مرحبا بالعالم rtl text here"),
+        (6, "web", "en", ""),
+        (7, "web", "en", "   "),
+        (8, "web", "en",
+         "The quick brown fox, and the lazy dog! It runs;  REALLY?"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "lang", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    pairs = {
+        "doc_stats": (R.DOC_STATS, R.DOC_STATS),
+        "doc_quality": (R.DOC_QUALITY, R.DOC_QUALITY),
+        "doc_fingerprint": (R.DOC_FINGERPRINT, R.DOC_FINGERPRINT),
+        "doc_lang_guess": (R._lang_guess_sql(False), R._lang_guess_sql(True)),
+        "doc_tokenize_bpe": (R.DOC_TOKENIZE_BPE_SPARK,
+                             R.DOC_TOKENIZE_BPE_DUCK),
+        "dedup_exact_normalized": (R._dedup_normalized_sql(False),
+                                   R._dedup_normalized_sql(True)),
+    }
+    try:
+        for name, (ssql, dsql) in pairs.items():
+            s = spark.sql(ssql).toPandas()
+            d = con.execute(dsql).df()
+            assert list(s.columns) == list(d.columns), name
+            s = s.sort_values(list(s.columns)).reset_index(drop=True)
+            d = d.sort_values(list(d.columns)).reset_index(drop=True)
+            for c in s.columns:
+                assert s[c].tolist() == d[c].tolist(), (name, c)
+    finally:
+        con.close()
+        spark.catalog.dropTempView("documents")
