@@ -220,6 +220,119 @@ def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
     )
 
 
+def _quantized_sign_bits(e: DataFrame, W: list[list[int]],
+                         id_col: str) -> DataFrame:
+    """``(id, v: array<double>)`` → ``(id, bit0..bit{P-1})`` sign bits of
+    the quantized-integer hyperplane projections (one bit per plane in
+    ``W``).  Quantized projection: explode elements, look each plane's
+    weight up in a constant-folded literal array (no row-multiplying
+    weight join), then ``len(W)`` plain partial-aggregated integer SUMs —
+    exact, order independent, every stage codegen'd; the only shuffle
+    carries id + len(W) longs.  ``hyperplane_weights`` keys plane ``p``
+    on ``(p, element)`` alone, so ``W[:b]`` of a larger family computes
+    the identical first ``b`` bits — callers may size the family to
+    their fanout and stay bit-compatible with wider sketches."""
+    n_planes = len(W)
+    ex = e.select(
+        id_col, F.posexplode("v").alias("j", "val")
+    ).select(
+        id_col, "j",
+        F.expr(f"CAST(ROUND(val * {EMB_QUANT}e0) AS BIGINT)").alias("vq"),
+    )
+    warrs = [F.array(*[F.lit(w) for w in W[p]]) for p in range(n_planes)]
+    terms = ex.select(
+        id_col,
+        *[
+            # try_element_at: a LONGER-than-dim vector explodes to j
+            # beyond the literal weight array — NULL that term instead
+            # of aborting under ANSI.  Note SUM skips NULL inputs, so
+            # the row still gets a REAL bucket over its first dim
+            # elements and survives to the candidate stage; the verify
+            # stage's corpus-dim filter is what actually drops it
+            # (_exact_cosine_pairs dim=).
+            (F.col("vq") * F.try_element_at(warrs[p], F.col("j") + 1))
+            .alias(f"t{p}")
+            for p in range(n_planes)
+        ],
+    )
+    sums = terms.groupBy(id_col).agg(
+        *[F.sum(f"t{p}").alias(f"s{p}") for p in range(n_planes)]
+    )
+    return sums.select(
+        id_col,
+        *[
+            F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"bit{p}")
+            for p in range(n_planes)
+        ],
+    )
+
+
+def scaled_cells(n_rows: int, target_occupancy: int = 64,
+                 min_bits: int = 4, max_bits: int = 16) -> int:
+    """Scale-coupled cluster fanout for semantic dedup: the number of
+    blocking cells as a deterministic function of the corpus size.
+
+    ``k = max(16, ceil(N / target_occupancy))`` clusters (the SemDeDup
+    k∝N sizing rule — fixed k makes per-cell occupancy, and therefore
+    the within-cell pair volume, grow QUADRATICALLY with the corpus),
+    rounded up to ``cells = 2**ceil(log2 k)`` so the cell id is a sign-
+    bit prefix: doubling the corpus adds one blocking bit and expected
+    occupancy stays ~``target_occupancy``, making the verify stage's
+    pair volume O(N·occupancy) — linear in N.  Pure integer arithmetic
+    throughout, so an independent SQL engine reproduces the fanout from
+    ``COUNT(*)`` exactly (no float log2 whose last-ulp could flip a
+    ceil at a power-of-two boundary)."""
+    k = max(16, -(-n_rows // target_occupancy))
+    b = min(max_bits, max(min_bits, (k - 1).bit_length()))
+    return 1 << b
+
+
+def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
+                         target_occupancy: int = 64,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         dim: int | None = None) -> DataFrame:
+    """Assign each vector a scale-coupled blocking cell: ``cluster`` =
+    the low ``log2(cells)`` sign bits of its deterministic hyperplane
+    sketch (:func:`_quantized_sign_bits`), with ``cells`` derived from
+    the corpus count by :func:`scaled_cells` when not given.
+
+    This is the oracle-reproducible counterpart of
+    :meth:`IVFIndex.build`'s KMeans assignment for SemDeDup blocking
+    (a KMeans fit is not cross-engine reproducible; sign-bit prefixes
+    are plain integer comparisons).  Locality: vectors sharing a cell
+    agree on every blocking hyperplane's side, the standard cosine-LSH
+    guarantee — cross-cell near-dups are the same accepted recall
+    tradeoff as cross-cluster misses in centroid SemDeDup.  The count
+    is one bounded driver aggregate; at 100 TB the assigned corpus is
+    written partitioned by ``cluster`` exactly like a centroid index
+    (:meth:`IVFIndex.write_index`), and growing the corpus only APPENDS
+    bits — a cell at fanout 2^b is the disjoint union of two cells at
+    2^(b+1), so re-blocking after growth is a partition-local split,
+    never a global re-cluster.
+
+    Returns ``df`` with a ``cluster`` column (int), ready for
+    :func:`within_cluster_cosine_pairs`."""
+    dim = dim or _vec_dim(df, vec_col)
+    if n_cells is None:
+        n_cells = scaled_cells(df.count(), target_occupancy)
+    if n_cells < 2 or (n_cells & (n_cells - 1)):
+        raise ValueError(f"n_cells must be a power of two >= 2, "
+                         f"got {n_cells}")
+    b = (n_cells - 1).bit_length()
+    W = hyperplane_weights(b, dim)
+    e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    bits = _quantized_sign_bits(e, W, id_col)
+    clustered = bits.select(
+        id_col,
+        sum(
+            (F.col(f"bit{p}") * F.lit(1 << p) for p in range(1, b)),
+            F.col("bit0"),
+        ).alias("cluster"),
+    )
+    return df.join(clustered, id_col)
+
+
 def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
                              n_planes: int = 32, bands: int = 4,
                              vec_col: str = "embedding",
@@ -270,43 +383,7 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     rpb = n_planes // bands
     W = hyperplane_weights(n_planes, dim)
     e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    # quantized projection: explode elements, look each plane's weight up
-    # in a constant-folded literal array (no row-multiplying weight join),
-    # then n_planes plain partial-aggregated integer SUMs — exact, order
-    # independent, every stage codegen'd; the only shuffle carries
-    # id + n_planes longs.
-    ex = e.select(
-        id_col, F.posexplode("v").alias("j", "val")
-    ).select(
-        id_col, "j",
-        F.expr(f"CAST(ROUND(val * {EMB_QUANT}e0) AS BIGINT)").alias("vq"),
-    )
-    warrs = [F.array(*[F.lit(w) for w in W[p]]) for p in range(n_planes)]
-    terms = ex.select(
-        id_col,
-        *[
-            # try_element_at: a LONGER-than-dim vector explodes to j
-            # beyond the literal weight array — NULL that term instead
-            # of aborting under ANSI.  Note SUM skips NULL inputs, so
-            # the row still gets a REAL bucket over its first dim
-            # elements and survives to the candidate stage; the verify
-            # stage's corpus-dim filter is what actually drops it
-            # (_exact_cosine_pairs dim=).
-            (F.col("vq") * F.try_element_at(warrs[p], F.col("j") + 1))
-            .alias(f"t{p}")
-            for p in range(n_planes)
-        ],
-    )
-    sums = terms.groupBy(id_col).agg(
-        *[F.sum(f"t{p}").alias(f"s{p}") for p in range(n_planes)]
-    )
-    bits = sums.select(
-        id_col,
-        *[
-            F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"bit{p}")
-            for p in range(n_planes)
-        ],
-    )
+    bits = _quantized_sign_bits(e, W, id_col)
     keys = bits.select(
         id_col,
         *[

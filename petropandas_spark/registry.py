@@ -2459,6 +2459,82 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
+def _semdedup_scaled_oracle(threshold: float = 0.3,
+                            target_occupancy: int = 64,
+                            min_bits: int = 4, max_bits: int = 16,
+                            dim: int = EMB_DIM) -> str:
+    """DuckDB oracle for the scale-coupled SemDeDup query — an
+    independent SQL implementation that derives the blocking fanout
+    from its OWN ``COUNT(*)``, so one static SQL string stays hash-exact
+    at every scale factor.
+
+    Mirrors :func:`pipeline.similarity.scaled_cells` /
+    :func:`scaled_sign_clusters` in pure integer arithmetic:
+    ``k = GREATEST(16, ceil_div(N, occ))``; ``cells = 2^b`` via an
+    explicit power-of-two CASE ladder (integer comparisons — no float
+    log2 whose last ulp could flip a ceil across engines); cell id =
+    the full ``max_bits``-bit sign sketch modulo ``cells`` ≡ the low-b
+    bit prefix the Spark side sums directly.  Verify cosine + recursive
+    connected-components tail are the same spelling as the fixed-k
+    ``semantic_dedup_groups`` oracle."""
+    from petropandas_spark.pipeline.similarity import (
+        EMB_QUANT,
+        hyperplane_weights,
+    )
+    from petropandas_spark.sqlgen import flit
+
+    W = hyperplane_weights(max_bits, dim)
+    bit_cols = ",\n    ".join(
+        "CASE WHEN ("
+        + " + ".join(f"vq[{j + 1}] * {W[p][j]}" for j in range(dim))
+        + f") > 0 THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(max_bits)
+    )
+    code = " + ".join(f"bit{p} * {1 << p}" for p in range(max_bits))
+    ladder = "CASE " + " ".join(
+        f"WHEN kk <= {1 << b} THEN {1 << b}"
+        for b in range(min_bits, max_bits)
+    ) + f" ELSE {1 << max_bits} END"
+    dot_vv = _dot_sql("v", "v", DUCKDB, dim)
+    dot_ab = _dot_sql("na.v", "nb.v", DUCKDB, dim)
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT GREATEST(16, (COUNT(*) + {target_occupancy - 1})
+                           // {target_occupancy}) AS kk
+       FROM embeddings),
+cells AS (SELECT {ladder} AS n_cells FROM nn),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(ROUND(x * {EMB_QUANT}e0) AS BIGINT)) AS vq
+  FROM embeddings),
+bt AS (SELECT vec_id,
+    {bit_cols}
+  FROM e),
+a AS (SELECT vec_id, ({code}) % n_cells AS cluster
+      FROM bt CROSS JOIN cells),
+n AS (SELECT e.vec_id, a.cluster, e.v, sqrt({dot_vv}) AS nrm
+      FROM e JOIN a ON e.vec_id = a.vec_id),
+p AS (SELECT na.vec_id AS id_a, nb.vec_id AS id_b
+      FROM n na JOIN n nb
+        ON na.cluster = nb.cluster AND na.vec_id < nb.vec_id
+      WHERE {dot_ab} / (na.nrm * nb.nrm) >= {flit(threshold)}),
+sym AS (SELECT id_a AS x, id_b AS y FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lab) AS component
+         FROM reach GROUP BY node),
+sized AS (SELECT vec_id, component,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM comp)
+SELECT vec_id, component, CAST(n_members AS BIGINT) AS n_members
+FROM sized WHERE n_members >= 2
+"""
+
+
 def _ivf_sql(dialect, n_probe: int = 2, topk: int = 10,
              dim: int = EMB_DIM) -> str:
     """IVF ANN probe with a deterministic coarse quantizer: the ``label``
@@ -3335,6 +3411,44 @@ FROM sized WHERE n_members >= 2
 """,
     )
 
+    # SemDeDup with SCALE-COUPLED fanout (the k∝N sizing rule): the
+    # fixed-centroid query above pins the IVF argmin algebra, but its
+    # registered k is constant, so per-cell occupancy — and the
+    # within-cell pair volume — grows quadratically with the corpus
+    # (measured 5.69× wall at ×10 data, docs/scale.md).  Here the cell
+    # count derives deterministically from COUNT(*):
+    # k = max(16, ceil(N/64)) cells rounded up to a power of two, cell =
+    # the low log2(cells) sign bits of the deterministic hyperplane
+    # sketch (similarity.scaled_sign_clusters) — pure integer arithmetic,
+    # so the oracle computes the SAME fanout from its own COUNT(*) and
+    # the query stays hash-exact at ANY scale while pair volume stays
+    # O(N·occupancy).  Verify/CC tail identical to the fixed-k query.
+    def semdedup_scaled_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        emb = _load(spark, sf_dir, "embeddings")
+        # eager barrier on the assignment (same rationale as the fixed-k
+        # query: the bucket-pair stage and both verify-join sides would
+        # each re-run the sketch aggregation); localCheckpoint is
+        # GC-cleaned, values unchanged.
+        assigned = _sim.scaled_sign_clusters(emb).localCheckpoint()
+        pairs = _sim.within_cluster_cosine_pairs(assigned, threshold=0.3)
+        comps = _dd.connected_components(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", a_col="id_a", b_col="id_b",
+        )
+        w = Window.partitionBy("component")
+        return (
+            comps.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .where("n_members >= 2")
+            .select("vec_id", "component", "n_members")
+        )
+
+    out["semantic_dedup_groups_scaled"] = QuerySpec(
+        semdedup_scaled_fn, _semdedup_scaled_oracle(),
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -3927,60 +4041,61 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # changed oracles this round (drift-contract pin) — lead the head:
-    "corpus_ingest_jsonl",
-    "corpus_ingest_jsonl_rejects",
+    # never driver-verified (new this round) — leads the head:
+    "semantic_dedup_groups_scaled",
+    # changed oracle in r9 (json_type gate) but rotated out of the r9
+    # head — driver-verify the new oracle now (r9 advisor item), with
+    # its sibling extract query alongside:
+    "events_json_struct",
+    "events_json_extract",
     # stalest proven names (last-green round in comment):
-    "q9_product_profit",  # r04
-    "q11_important_parts",  # r04
-    "q13_cust_distribution",  # r04
-    "q15_top_supplier",  # r04
-    "q16_supplier_cnt",  # r04
-    "q17_small_qty_revenue",  # r04
-    "q20_share_threshold",  # r04
-    "q21_sole_return_supplier",  # r04
-    "to_moles",  # r05
-    "feo_to_fe2o3",  # r05
-    "oxidize_moles",  # r05
-    "from_apfu_roundtrip",  # r05
-    "bulk_alumina_saturation",  # r05
-    "bulk_oxide_ratios",  # r05
-    "bulk_apatite_correction",  # r05
-    "cipw_norm_simple",  # r05
-    "thermo_bulk_prep_tc",  # r05
-    "oxide_means_grouped",  # r05
-    "repeated_span_pairs",  # r05
-    "shared_span_extents",  # r05
-    "span_incremental_pairs",  # r05
-    "corpus_span_removed",  # r05
-    "ivf_assign_large_k_path",  # r05
-    "q1_pricing_summary",  # r06
-    "q3_shipping_topk",  # r06
-    "q5_local_supplier",  # r06
-    "q6_forecast_revenue",  # r06
-    "q10_returned_items",  # r06
-    "part_brand_stats",  # r06
-    "topk_customers",  # r06
-    "part_brand_stats_salted",  # r06
-    "q4_order_priority",  # r06
-    "q12_shipmode",  # r06
-    "q14_promo_revenue",  # r06
-    "q18_large_orders",  # r06
-    "q19_disjunctive_pred",  # r06
-    "q22_global_sales",  # r06
-    "q2_min_acctbal_supplier",  # r06
-    "q7_volume_shipping",  # r06
-    "events_hourly",  # r06
-    "events_running_totals",  # r06
-    "events_sessionize",  # r06
-    "events_asof_last_purchase",  # r06
-    "events_near_purchases",  # r06
-    "events_value_percentiles",  # r06
-    "lineitem_rollup",  # r06
-    "topk_orders_per_customer",  # r06
-    "doc_stats",  # r06
     "doc_lang_guess",  # r06
     "doc_lang_confusion",  # r06
+    "doc_quality",  # r06
+    "doc_tokenize_bpe",  # r06
+    "dedup_exact",  # r06
+    "doc_fingerprint",  # r06
+    "minhash_signatures",  # r06
+    "doc_winnowed_fingerprints",  # r06
+    "neardup_minhash_pairs",  # r06
+    "corpus_curation",  # r06
+    "corpus_sample_stratified",  # r06
+    "corpus_train_split",  # r06
+    "corpus_pack_sequences",  # r06
+    "doc_boilerplate_ngrams",  # r06
+    "corpus_contamination",  # r06
+    "doc_repetition_metrics",  # r06
+    "simhash_neardup_pairs",  # r06
+    "jaccard_verified_neardups",  # r06
+    "corpus_spans_removed_all",  # r06
+    "dedup_components",  # r06
+    "media_byte_stats",  # r06
+    "garnet_end_members",  # r07
+    "cpx_end_members",  # r07
+    "feldspar_end_members",  # r07
+    "garnet_apfu_site_filtered",  # r07
+    "garnet_site_allocation",  # r07
+    "garnet_stoichiometry",  # r07
+    "cpx_stoichiometry",  # r07
+    "amphibole_stoichiometry",  # r07
+    "garnetfe3_end_members",  # r07
+    "opx_end_members",  # r07
+    "muscovite_end_members",  # r07
+    "biotite_end_members",  # r07
+    "staurolite_end_members",  # r07
+    "chlorite_end_members",  # r07
+    "epidote_end_members",  # r07
+    "amphibole_end_members",  # r07
+    "titanite_end_members",  # r07
+    "chloritoid_end_members",  # r07
+    "cordierite_end_members",  # r07
+    "ilmenite_end_members",  # r07
+    "spinel_end_members",  # r07
+    "normalize_100",  # r07
+    "apfu_oxygen_basis",  # r07
+    "apfu_cation_basis",  # r07
+    "apfu_by_charge",  # r07
+    "split_valence_schumacher",  # r07
 ]
 
 

@@ -1162,6 +1162,53 @@ class TestSimilarity:
                  .collect()}
         assert pairs == {(1, 2)}
 
+    def test_scaled_cells_integer_algebra(self):
+        """The k∝N fanout rule in pure integer arithmetic: k = max(16,
+        ceil(N/occ)) rounded up to a power of two, clamped to
+        [2^min_bits, 2^max_bits] — the exact formula the DuckDB oracle
+        replays from COUNT(*), so the boundaries must sit on exact
+        integers (no float log2)."""
+        sc = similarity.scaled_cells
+        # floor: small corpora pin at 16 cells (k floor 16 → 4 bits)
+        assert sc(1) == 16 and sc(500) == 16 and sc(1024) == 16
+        # exact boundary: N=1025 → k=ceil(1025/64)=17 → 32 cells
+        assert sc(1024, target_occupancy=64) == 16
+        assert sc(1025, target_occupancy=64) == 32
+        # doubling the corpus adds exactly one bit past the floor
+        assert sc(2000) == 32 and sc(4000) == 64 and sc(8000) == 128
+        # cap: 16 bits = 65536 cells no matter how large N grows
+        assert sc(10**10, max_bits=16) == 65536
+        # every output is a power of two (the prefix-cell invariant)
+        for n in (1, 17, 999, 12345, 10**6, 10**9):
+            c = sc(n)
+            assert c & (c - 1) == 0
+
+    def test_scaled_sign_clusters_prefix_compat(self, spark):
+        """cluster = the LOW-b bits of the sign sketch: (a) it equals the
+        16-plane code modulo 2^b (the oracle's spelling — the weight
+        family is keyed on (plane, element), so a b-plane family is a
+        prefix of the 16-plane family); (b) growing the fanout one bit
+        REFINES the blocking (a 2^(b+1) cell id ≡ its 2^b parent mod
+        2^b) — the append-only re-blocking property the docstring
+        promises at 100 TB."""
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        c16 = similarity.scaled_sign_clusters(df, n_cells=16)
+        c32 = similarity.scaled_sign_clusters(df, n_cells=32)
+        m16 = {r.vec_id: r.cluster for r in
+               c16.select("vec_id", "cluster").collect()}
+        m32 = {r.vec_id: r.cluster for r in
+               c32.select("vec_id", "cluster").collect()}
+        assert m16 and set(m16) == set(m32)
+        assert all(m32[k] % 16 == m16[k] for k in m16)
+        assert set(m16.values()) <= set(range(16))
+        # auto fanout at this corpus size: 500 rows → the 16-cell floor
+        auto = similarity.scaled_sign_clusters(df)
+        assert {r.cluster for r in auto.select("cluster").collect()} \
+            == set(m16.values())
+        with pytest.raises(ValueError, match="power of two"):
+            similarity.scaled_sign_clusters(df, n_cells=24)
+
 
 class TestMultimodal:
     @staticmethod

@@ -468,6 +468,22 @@ def test_semantic_dedup_assignment_computed_once(spark, registry):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_semantic_dedup_scaled_plan(spark, registry):
+    """semantic_dedup_groups_scaled: the scale-coupled variant keeps the
+    fixed-k chain's plan shape — assignment barriered behind the eager
+    localCheckpoint (Scan ExistingRDD; ≤1 surviving parquet scan, the
+    components node list), candidate generation is the bucket-groupBy
+    explosion (no cartesian/nested-loop stage anywhere), and the corpus
+    count that sizes the fanout happens driver-side before the plan is
+    built (no extra count subtree in the returned plan)."""
+    df = registry["semantic_dedup_groups_scaled"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a

@@ -60,6 +60,7 @@ QUERIES = [
     "knn_cosine_topk",
     "cosine_neardup_pairs",
     "semantic_dedup_groups",
+    "semantic_dedup_groups_scaled",
     "events_sessionize",
 ]
 
