@@ -4048,6 +4048,10 @@ _VERIFY_FIRST = [
     # its sibling extract query alongside:
     "events_json_struct",
     "events_json_extract",
+    # changed contract this round (strict-JSON ingest pins + 3 new
+    # fixture edges) — changed-oracle queries lead the rotation:
+    "corpus_ingest_jsonl",
+    "corpus_ingest_jsonl_rejects",
     # stalest proven names (last-green round in comment):
     "doc_lang_guess",  # r06
     "doc_lang_confusion",  # r06
@@ -4094,8 +4098,6 @@ _VERIFY_FIRST = [
     "normalize_100",  # r07
     "apfu_oxygen_basis",  # r07
     "apfu_cation_basis",  # r07
-    "apfu_by_charge",  # r07
-    "split_valence_schumacher",  # r07
 ]
 
 
@@ -4290,10 +4292,11 @@ def build_registry() -> dict[str, QuerySpec]:
     # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
     # fixture shard (64 good lines — one with a NULL text field, one
     # with a numeric source token, one with missing fields, one with a
-    # negative int doc_id — plus 8 quarantined: truncated object, bare
-    # text, double comma, four TYPE-DRIFTED objects, and a u64-max
-    # token past int64, plus one whitespace-only line both sides
-    # discard).  Two registry surfaces, BOTH replayed from the same
+    # negative int doc_id — plus 11 quarantined: truncated object, bare
+    # text, double comma, four TYPE-DRIFTED objects, a u64-max token
+    # past int64, a single-quoted object, an object with trailing
+    # garbage, and a NaN doc_id token (the r10 strictness pins), plus
+    # one whitespace-only line both sides discard).  Two registry surfaces, BOTH replayed from the same
     # DuckDB raw-line read.  Good-vs-quarantine contract (pinned r9,
     # r8 advisor finding): a line is good iff it parses as a JSON
     # OBJECT **and** every non-STRING schema field's token is coercible
@@ -4358,15 +4361,30 @@ FROM raw WHERE {_jsonl_good}
     )
 
     # quarantine side: raw line verbatim + a coarse error class.  Three
-    # classes, each computable identically in both engines: a line that
-    # never led with a brace was not a JSON object; a brace-led line
-    # that parses as a valid object got here through FIELD drift; the
-    # rest are broken objects (truncated / syntax errors).  Pins that
-    # all 7 dirty fixture lines land in quarantine — with the right
-    # class — and that the raw text survives for a fix-up pass.
+    # classes, each computable identically in both engines ON THE
+    # PINNED CONTRACT SURFACE: a line that never led with a brace was
+    # not a JSON object; a brace-led line that parses as a valid object
+    # got here through FIELD drift; the rest are broken objects
+    # (truncated / syntax errors / non-JSON leniencies).  Pins that all
+    # 11 dirty fixture lines land in quarantine — with the right class —
+    # and that the raw text survives for a fix-up pass.
+    #
+    # Spark objecthood probe (r9 advisor finding): get_json_object is
+    # lenient Jackson — single-quoted keys and object-plus-trailing-
+    # garbage returned non-NULL, classifying drifted_type where
+    # DuckDB's strict json_type says malformed_object.  The probe now
+    # mirrors the INGEST parser's own strictness: an all-STRING
+    # from_json with allowSingleQuotes=false (any field token
+    # stringifies, so drift can't fail it — only true parse errors do)
+    # plus the same end-with-'}' structural guard read_jsonl applies.
+    # Residual engine-defined edges (trailing comma, concatenated
+    # objects, lone surrogates) are documented at ingest._parse_split
+    # and kept out of the fixture.
     _ERR_CLASS_SPARK = (
         "CASE WHEN ltrim(raw_line) NOT LIKE '{%' THEN 'not_json_object' "
-        "WHEN get_json_object(raw_line, '$') IS NOT NULL "
+        "WHEN raw_line RLIKE '\\\\}\\\\s*$' AND from_json(raw_line, "
+        "'doc_id STRING, __c STRING', map('allowSingleQuotes', 'false', "
+        "'columnNameOfCorruptRecord', '__c')).__c IS NULL "
         "THEN 'drifted_type' ELSE 'malformed_object' END AS err_class"
     )
     _ERR_CLASS_DUCK = (

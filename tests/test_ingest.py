@@ -73,6 +73,48 @@ def test_type_drifted_objects_quarantine(spark, tmp_path):
     assert not any('"doc_id": 1,' in l or '"doc_id": 2,' in l for l in q)
 
 
+def test_strict_json_pins_and_engine_defined_edges(spark, tmp_path):
+    """The r10 parser-strictness contract (r9 advisor finding), both
+    halves:
+
+    PINNED (cross-engine agreed, in the committed fixture): a
+    single-quoted object is NOT JSON (allowSingleQuotes=false →
+    quarantine); an object followed by trailing garbage fails the
+    end-with-'}' structural guard (Jackson alone would parse the first
+    root object and silently accept) → quarantine; a NaN doc_id token
+    quarantines as type drift.
+
+    ENGINE-DEFINED (documented at _parse_split, kept OUT of the pinned
+    fixture — this test pins OUR side's placement so a silent behavior
+    change surfaces): trailing comma → Jackson rejects → quarantine
+    here (a lenient yyjson reader calls it good); two concatenated
+    root objects → ends with '}', Jackson reads the first → GOOD here
+    (strict parsers reject); lone surrogate escape → Jackson accepts →
+    GOOD here (yyjson rejects)."""
+    lines = [
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "ok"}',
+        # pinned strictness
+        "{'doc_id': 2, 'text': 'single quotes'}",
+        '{"doc_id": 3, "text": "trailing"} garbage',
+        '{"doc_id": NaN, "text": "nan token"}',
+        # engine-defined edges (our side pinned)
+        '{"doc_id": 4, "text": "trailing comma",}',
+        '{"doc_id": 5, "text": "first"}{"doc_id": 6, "text": "second"}',
+        '{"doc_id": 7, "text": "lone surrogate \\ud800"}',
+    ]
+    p = tmp_path / "strict.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = ingest.read_jsonl(spark, str(p))
+    g = {r.doc_id for r in good.collect()}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert g == {1, 5, 7}
+    assert len(q) == 4
+    assert any(l.startswith("{'doc_id': 2") for l in q)   # single quotes
+    assert any(l.endswith("} garbage") for l in q)        # trailing bytes
+    assert any("NaN" in l for l in q)                     # drifted token
+    assert any(l.endswith(',}') for l in q)               # trailing comma
+
+
 def test_good_frame_feeds_the_pipeline(spark, shard):
     """The ingested frame drops straight into the corpus operators."""
     from petropandas_spark.pipeline import dedup

@@ -319,6 +319,24 @@ def test_span_participant_semijoin_size_gated_broadcast(spark, registry):
         spark.catalog.clearCache()
 
 
+def test_verify_tier_leaves_no_session_cache(spark, registry):
+    """r9 verdict: pair_shingle_stats' persisted frames carried a 'call
+    spark.catalog.clearCache()' cleanup contract — an easy leak in a
+    long-lived session running many funnels, and a plan-correctness
+    hazard because CacheManager's hint-insensitive matching can serve a
+    fragment planned under one broadcast-gate setting to a query built
+    under another.  r10: both barriers are eager localCheckpoints
+    (GC-cleaned, never registered in the CacheManager).  Gate: two
+    verify-tier registry queries executed back-to-back in one shared
+    session leave the session cache EMPTY — no InMemoryRelation
+    survives for a later query to silently absorb."""
+    spark.catalog.clearCache()  # isolate from earlier tests
+    registry["jaccard_verified_neardups"].spark_fn(spark, SF).collect()
+    registry["containment_verified_pairs"].spark_fn(spark, SF).collect()
+    jcat = spark._jsparkSession.sharedState().cacheManager()
+    assert jcat.isEmpty(), "verify tier leaked cached frames"
+
+
 def test_decontaminate_antijoin_unhinted_eval_grams_still_hinted(spark):
     """decontaminate(): the contaminated-id anti-join is un-hinted (the
     contaminated fraction is O(corpus)), while the EVAL-gram collision

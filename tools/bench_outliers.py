@@ -24,6 +24,26 @@ from __future__ import annotations
 import argparse
 import json
 
+# Documented Arrow python-worker startup swing band (r9 verdict item 5):
+# queries whose hot path is a mapInPandas/Arrow stage AND whose absolute
+# time is sub-second, so the first-touch python-worker spawn (~0.3-0.5 s,
+# process fork + Arrow IPC setup) dominates the RATIO while the code is
+# untouched.  Evidence: cipw_norm_full flagged >1.5x in BOTH r8 (2.15x)
+# and r9 (2.51x) driver payloads and re-measured in-band each time
+# (quiet anchor 0.60 s, bench_subset min-of-3 0.35 s vs the flagged
+# 0.83 s; cipw.py unchanged since r7); media_byte_stats showed the same
+# first-touch swing in the r9 BASELINE table.  Membership requires that
+# observed flag-then-remeasure-in-band history — do NOT pre-add every
+# Arrow query, or the band would mask genuine drift.  A banded outlier
+# still prints; the attribution column marks it for re-measurement
+# (tools/bench_subset.py min-of-3) instead of TODO.
+ARROW_SWING_BAND = {
+    "cipw_norm_full",
+    "media_byte_stats",
+}
+_BAND_NOTE = ("known Arrow-worker startup band (see ARROW_SWING_BAND); "
+              "re-measure min-of-3 before attributing")
+
 
 def load_queries(path: str) -> dict[str, float]:
     with open(path) as f:
@@ -61,7 +81,8 @@ def main() -> int:
     print(f"| query | old (s) | new (s) | ratio | attribution |")
     print(f"|---|---|---|---|---|")
     for ratio, name, o, n in rows:
-        print(f"| `{name}` | {o:.2f} | {n:.2f} | {ratio:.2f}x | TODO |")
+        attr = _BAND_NOTE if name in ARROW_SWING_BAND else "TODO"
+        print(f"| `{name}` | {o:.2f} | {n:.2f} | {ratio:.2f}x | {attr} |")
     if not rows:
         print(f"| _none over {thr}x in either direction_ | | | | |")
     for name in sorted(set(new) - set(old)):
