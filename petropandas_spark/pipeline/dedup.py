@@ -15,6 +15,7 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
+import re
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, functions as F
@@ -67,21 +68,26 @@ def _broadcastable_ids(pairs: DataFrame, a_col: str, b_col: str,
     bytes_max = ids_max * _BROADCAST_ID_WIDTH
     dtypes = dict(pairs.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    var_cols = []
+    fixed_width = 0
+    n_var = 0
     for c in (a_col, b_col):
         t = dtypes.get(c, "")
-        if t in _FIXED_WIDTH_ID_TYPES or t.startswith("decimal"):
-            continue
-        if t in ("string", "binary"):
-            var_cols.append(c)
+        if t in _FIXED_WIDTH_ID_TYPES:
+            fixed_width += _BROADCAST_ID_WIDTH
+        elif t.startswith("decimal"):
+            # decimal ≤18 digits packs into a long; wider is 16 bytes
+            m = re.match(r"decimal\((\d+)", t)
+            fixed_width += 8 if m and int(m.group(1)) <= 18 else 16
+        elif t in ("string", "binary"):
+            n_var += 1
             aggs.append(
-                F.sum(F.octet_length(F.col(c))).alias(f"__b_{len(var_cols)}")
+                F.sum(F.octet_length(F.col(c))).alias(f"__b_{n_var}")
             )
         else:
             return False
     row = pairs.agg(*aggs).collect()[0]
-    est = row["__n"] * (2 - len(var_cols)) * _BROADCAST_ID_WIDTH
-    for i in range(len(var_cols)):
+    est = row["__n"] * fixed_width
+    for i in range(n_var):
         est += row[f"__b_{i + 1}"] or 0
     return est <= bytes_max
 

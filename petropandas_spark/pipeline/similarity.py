@@ -527,6 +527,21 @@ class IVFIndex:
         self.seed = seed
         self.centroids: list[list[float]] | None = None
 
+    @classmethod
+    def for_corpus(cls, n_rows: int, target_occupancy: int = 64,
+                   seed: int = 42) -> "IVFIndex":
+        """The k∝N sizing rule as a constructor: ``k = max(16,
+        ceil(n_rows / target_occupancy))`` — per-cell occupancy (and so
+        the within-cell pair volume of a SemDeDup verify, or the probe
+        cost of a search) stays ~constant as the corpus grows, instead
+        of growing linearly per cell / quadratically per pair stage at
+        fixed k (measured at ×10 data: 39.5 s fixed-k vs 5.3 s with
+        k∝N, docs/scale.md).  :func:`scaled_cells` is the
+        oracle-reproducible twin of this rule (power-of-two sign-bit
+        cells); this one feeds real KMeans centroids where cross-engine
+        reproducibility is not required."""
+        return cls(k=max(16, -(-n_rows // target_occupancy)), seed=seed)
+
     def build(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array

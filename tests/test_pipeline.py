@@ -1207,6 +1207,16 @@ class TestSimilarity:
                  .collect()}
         assert pairs == {(1, 2)}
 
+    def test_ivf_for_corpus_sizing_rule(self):
+        """IVFIndex.for_corpus applies the same k∝N rule as
+        scaled_cells (without the power-of-two rounding — KMeans k need
+        not be a bit prefix)."""
+        assert similarity.IVFIndex.for_corpus(500).k == 16
+        assert similarity.IVFIndex.for_corpus(2000).k == 32
+        assert similarity.IVFIndex.for_corpus(20_000).k == 313
+        assert similarity.IVFIndex.for_corpus(2001).k == 32
+        assert similarity.IVFIndex.for_corpus(2049).k == 33
+
     def test_scaled_cells_integer_algebra(self):
         """The k∝N fanout rule in pure integer arithmetic: k = max(16,
         ceil(N/occ)) rounded up to a power of two, clamped to

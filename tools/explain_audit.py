@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 AUDIT = [
     "jaccard_verified_neardups",    # LSH chain + shingle-stats verify
     "semantic_dedup_groups",        # IVF assign + in-cluster verify + CC
+    "semantic_dedup_groups_scaled",  # count-derived fanout twin (r10)
     "cosine_neardup_pairs",         # hyperplane-LSH + exact verify
     "lsh_incremental_pairs",        # incremental store path
     "pq_search_rerank",             # PQ ADC shortlist + exact re-rank
