@@ -40,6 +40,10 @@ import json
 ARROW_SWING_BAND = {
     "cipw_norm_full",
     "media_byte_stats",
+    # flagged 2.33x in the r10 anchor-to-anchor diff (0.32 -> 0.75 s),
+    # re-measured same session at 0.34 s min-of-3 — the same
+    # first-touch worker spawn as its media_byte_stats sibling
+    "media_frame_checksums",
 }
 _BAND_NOTE = ("known Arrow-worker startup band (see ARROW_SWING_BAND); "
               "re-measure min-of-3 before attributing")
