@@ -333,6 +333,78 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
     return df.join(clustered, id_col)
 
 
+def semantic_incremental_pairs(store: DataFrame, batch: DataFrame,
+                               threshold: float = 0.3,
+                               n_cells: int | None = None,
+                               target_occupancy: int = 64,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               dim: int | None = None,
+                               max_bucket: int = 10_000,
+                               store_shards: int = 8) -> DataFrame:
+    """Incremental SemDeDup ingestion: cosine near-dup pairs TOUCHING a
+    new embedding batch, without re-pairing the settled corpus — the
+    semantic-tier sibling of :func:`dedup.lsh_incremental_pairs`
+    (MinHash) and the span store's incremental path, sharing their
+    flag/shard/chunk-grid bucket machinery.
+
+    ``store`` is the settled corpus.  If it already carries a
+    ``cluster`` column (the production shape: the assigned corpus is
+    persisted partitioned by cluster, exactly like
+    :meth:`IVFIndex.write_index`), ``n_cells`` MUST be passed — it is
+    the store's epoch fanout.  Otherwise the store is assigned here at
+    ``scaled_cells(|store|)`` (one bounded count).  The batch is always
+    signed at the STORE's fanout: a landing batch never re-blocks the
+    store — growth re-blocks only at epoch compaction, and because the
+    cells are sign-bit prefixes that compaction is a partition-local
+    split (see :func:`scaled_sign_clusters`).
+
+    Per cell bucket the (new ids) × (all ids) grid emits exactly the
+    pairs with a new member — new↔old and new↔new, never old↔old
+    (resolved when the old batches landed); store-side bucket rows are
+    salted into ``store_shards`` sub-buckets and hot buckets chunk-grid
+    before the quadratic fan-out, the same guards as the MinHash path.
+    The exact verify runs only on those candidate pairs.  Result ≡ the
+    full scaled-semdedup pair derivation at the store's fanout,
+    restricted to pairs touching the batch (the driver oracle checks
+    exactly that).  Returns ``(id_a, id_b, cosine)``, ``id_a < id_b``."""
+    from petropandas_spark.pipeline.dedup import (
+        _flag_and_shard,
+        _incremental_value_pairs,
+    )
+
+    dim = dim or _vec_dim(store, vec_col)
+    if "cluster" in store.columns:
+        if n_cells is None:
+            raise ValueError(
+                "a pre-assigned store requires n_cells (its epoch fanout)")
+        assigned_store = store
+    else:
+        if n_cells is None:
+            n_cells = scaled_cells(store.count(), target_occupancy)
+        assigned_store = scaled_sign_clusters(
+            store, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
+    assigned_new = scaled_sign_clusters(
+        batch, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
+    flagged = _flag_and_shard(
+        assigned_new.select(id_col, "cluster"),
+        assigned_store.select(id_col, "cluster"),
+        F.col(id_col), store_shards,
+    )
+    cand = (
+        _incremental_value_pairs(flagged, id_col, ["cluster"], max_bucket)
+        .select(F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"))
+        .distinct()
+    )
+    e = (
+        store.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .unionByName(
+            batch.select(F.col(id_col), _as_double(vec_col).alias("v")))
+    )
+    return _exact_cosine_pairs(e, cand, threshold, "hof", id_col, dim)
+
+
 def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
                              n_planes: int = 32, bands: int = 4,
                              vec_col: str = "embedding",

@@ -2477,47 +2477,16 @@ def _semdedup_scaled_oracle(threshold: float = 0.3,
     bit prefix the Spark side sums directly.  Verify cosine + recursive
     connected-components tail are the same spelling as the fixed-k
     ``semantic_dedup_groups`` oracle."""
-    from petropandas_spark.pipeline.similarity import (
-        EMB_QUANT,
-        hyperplane_weights,
-    )
     from petropandas_spark.sqlgen import flit
 
-    W = hyperplane_weights(max_bits, dim)
-    bit_cols = ",\n    ".join(
-        "CASE WHEN ("
-        + " + ".join(f"vq[{j + 1}] * {W[p][j]}" for j in range(dim))
-        + f") > 0 THEN 1 ELSE 0 END AS bit{p}"
-        for p in range(max_bits)
-    )
-    code = " + ".join(f"bit{p} * {1 << p}" for p in range(max_bits))
-    ladder = "CASE " + " ".join(
-        f"WHEN kk <= {1 << b} THEN {1 << b}"
-        for b in range(min_bits, max_bits)
-    ) + f" ELSE {1 << max_bits} END"
-    dot_vv = _dot_sql("v", "v", DUCKDB, dim)
-    dot_ab = _dot_sql("na.v", "nb.v", DUCKDB, dim)
     return f"""
 WITH RECURSIVE
-nn AS (SELECT GREATEST(16, (COUNT(*) + {target_occupancy - 1})
-                           // {target_occupancy}) AS kk
-       FROM embeddings),
-cells AS (SELECT {ladder} AS n_cells FROM nn),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-    list_transform(embedding::DOUBLE[],
-                   x -> CAST(ROUND(x * {EMB_QUANT}e0) AS BIGINT)) AS vq
-  FROM embeddings),
-bt AS (SELECT vec_id,
-    {bit_cols}
-  FROM e),
-a AS (SELECT vec_id, ({code}) % n_cells AS cluster
-      FROM bt CROSS JOIN cells),
-n AS (SELECT e.vec_id, a.cluster, e.v, sqrt({dot_vv}) AS nrm
-      FROM e JOIN a ON e.vec_id = a.vec_id),
+{_scaled_cluster_ctes(target_occupancy, min_bits, max_bits, dim)},
 p AS (SELECT na.vec_id AS id_a, nb.vec_id AS id_b
       FROM n na JOIN n nb
         ON na.cluster = nb.cluster AND na.vec_id < nb.vec_id
-      WHERE {dot_ab} / (na.nrm * nb.nrm) >= {flit(threshold)}),
+      WHERE {_dot_sql('na.v', 'nb.v', DUCKDB, dim)} / (na.nrm * nb.nrm)
+            >= {flit(threshold)}),
 sym AS (SELECT id_a AS x, id_b AS y FROM p
         UNION SELECT id_b, id_a FROM p),
 reach(node, lab) AS (
@@ -2532,6 +2501,78 @@ sized AS (SELECT vec_id, component,
           FROM comp)
 SELECT vec_id, component, CAST(n_members AS BIGINT) AS n_members
 FROM sized WHERE n_members >= 2
+"""
+
+
+def _scaled_cluster_ctes(target_occupancy: int = 64, min_bits: int = 4,
+                         max_bits: int = 16, dim: int = EMB_DIM,
+                         count_where: str = "") -> str:
+    """Shared CTE block of the scale-coupled clustering oracles:
+    count-derived fanout (``nn``/``cells``), quantized sign bits
+    (``bt``), cell assignment (``a``), and normed vectors (``n``).
+    ``count_where`` restricts the fanout-sizing COUNT(*) (the
+    incremental oracle sizes from the SETTLED subset — the store's
+    epoch fanout — while assignment still covers every row)."""
+    from petropandas_spark.pipeline.similarity import (
+        EMB_QUANT,
+        hyperplane_weights,
+    )
+
+    W = hyperplane_weights(max_bits, dim)
+    bit_cols = ",\n    ".join(
+        "CASE WHEN ("
+        + " + ".join(f"vq[{j + 1}] * {W[p][j]}" for j in range(dim))
+        + f") > 0 THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(max_bits)
+    )
+    code = " + ".join(f"bit{p} * {1 << p}" for p in range(max_bits))
+    ladder = "CASE " + " ".join(
+        f"WHEN kk <= {1 << b} THEN {1 << b}"
+        for b in range(min_bits, max_bits)
+    ) + f" ELSE {1 << max_bits} END"
+    dot_vv = _dot_sql("v", "v", DUCKDB, dim)
+    return f"""nn AS (SELECT GREATEST(16, (COUNT(*) + {target_occupancy - 1})
+                           // {target_occupancy}) AS kk
+       FROM embeddings {count_where}),
+cells AS (SELECT {ladder} AS n_cells FROM nn),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(ROUND(x * {EMB_QUANT}e0) AS BIGINT)) AS vq
+  FROM embeddings),
+bt AS (SELECT vec_id,
+    {bit_cols}
+  FROM e),
+a AS (SELECT vec_id, ({code}) % n_cells AS cluster
+      FROM bt CROSS JOIN cells),
+n AS (SELECT e.vec_id, a.cluster, e.v, sqrt({dot_vv}) AS nrm
+      FROM e JOIN a ON e.vec_id = a.vec_id)"""
+
+
+def _semdedup_incremental_oracle(threshold: float = 0.3,
+                                 batch_pred: str = "{id} % 10 >= 8",
+                                 dim: int = EMB_DIM) -> str:
+    """DuckDB oracle for :func:`pipeline.similarity.
+    semantic_incremental_pairs` — the full scaled-semdedup pair
+    derivation at the STORE's epoch fanout (COUNT over the settled
+    subset only), restricted to pairs with at least one batch member:
+    the incremental path must equal the full recompute on exactly that
+    slice (the same contract as the MinHash and span incremental
+    oracles)."""
+    from petropandas_spark.sqlgen import flit
+
+    dot_ab = _dot_sql("na.v", "nb.v", DUCKDB, dim)
+    settled = f"WHERE NOT ({batch_pred.format(id='vec_id')})"
+    new_a = batch_pred.format(id="na.vec_id")
+    new_b = batch_pred.format(id="nb.vec_id")
+    return f"""
+WITH
+{_scaled_cluster_ctes(count_where=settled)}
+SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
+       {dot_ab} / (na.nrm * nb.nrm) AS cosine
+FROM n na JOIN n nb
+  ON na.cluster = nb.cluster AND na.vec_id < nb.vec_id
+WHERE {dot_ab} / (na.nrm * nb.nrm) >= {flit(threshold)}
+  AND (({new_a}) OR ({new_b}))
 """
 
 
@@ -3449,6 +3490,26 @@ FROM sized WHERE n_members >= 2
         semdedup_scaled_fn, _semdedup_scaled_oracle(),
     )
 
+    # incremental SemDeDup ingestion (the semantic-tier sibling of
+    # lsh_incremental_pairs / span_incremental_pairs, sharing their
+    # flag/shard/chunk-grid machinery): the settled corpus (doc_id
+    # % 10 < 8) contributes only its cell assignment at ITS epoch
+    # fanout, the new batch is signed at the same fanout, and only
+    # pairs touching the batch are paired + exactly verified.  Oracle =
+    # the full scaled pair derivation at the settled-count fanout,
+    # restricted to batch-touching pairs.
+    def sem_incr_fn(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings")
+        return _sim.semantic_incremental_pairs(
+            emb.where("vec_id % 10 < 8"),
+            emb.where("vec_id % 10 >= 8"),
+            threshold=0.3,
+        )
+
+    out["semantic_incremental_pairs"] = QuerySpec(
+        sem_incr_fn, _semdedup_incremental_oracle(),
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -4043,6 +4104,7 @@ SELECT doc_id, h FROM r WHERE rk = 1
 _VERIFY_FIRST = [
     # never driver-verified (new this round) — leads the head:
     "semantic_dedup_groups_scaled",
+    "semantic_incremental_pairs",
     # changed oracle in r9 (json_type gate) but rotated out of the r9
     # head — driver-verify the new oracle now (r9 advisor item), with
     # its sibling extract query alongside:
@@ -4097,7 +4159,6 @@ _VERIFY_FIRST = [
     "spinel_end_members",  # r07
     "normalize_100",  # r07
     "apfu_oxygen_basis",  # r07
-    "apfu_cation_basis",  # r07
 ]
 
 

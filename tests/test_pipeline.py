@@ -1207,6 +1207,39 @@ class TestSimilarity:
                  .collect()}
         assert pairs == {(1, 2)}
 
+    def test_semantic_incremental_pairs_touch_batch_only(self, spark):
+        """Incremental SemDeDup: new↔old and new↔new near-dups emit,
+        old↔old never does (resolved when the old batches landed) —
+        and a pre-assigned store requires its epoch fanout."""
+        dim = 16
+        base = [0.9 if d == 0 else 0.01 * d for d in range(dim)]
+        far = [(-1.0) ** d * 0.3 for d in range(dim)]
+        store_rows = [
+            (1, base), (2, [v + 1e-4 for v in base]),   # old↔old dup pair
+            (3, far),
+        ]
+        batch_rows = [
+            (11, [v + 2e-4 for v in base]),             # new↔old dup
+            (12, [v + 3e-4 for v in base]),             # new↔new with 11
+        ]
+        schema = "vec_id long, embedding array<double>"
+        store = spark.createDataFrame(store_rows, schema)
+        batch = spark.createDataFrame(batch_rows, schema)
+        pairs = similarity.semantic_incremental_pairs(
+            store, batch, threshold=0.99, n_cells=16, dim=dim)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) not in got            # old↔old suppressed
+        assert (11, 12) in got              # new↔new
+        assert (1, 11) in got and (2, 12) in got   # new↔old
+        # pre-assigned store must state its fanout
+        assigned = similarity.scaled_sign_clusters(store, 16, dim=dim)
+        with pytest.raises(ValueError, match="epoch fanout"):
+            similarity.semantic_incremental_pairs(assigned, batch, dim=dim)
+        # and with the fanout given, results are identical
+        same = similarity.semantic_incremental_pairs(
+            assigned, batch, threshold=0.99, n_cells=16, dim=dim)
+        assert {(r.id_a, r.id_b) for r in same.collect()} == got
+
     def test_ivf_for_corpus_sizing_rule(self):
         """IVFIndex.for_corpus applies the same k∝N rule as
         scaled_cells (without the power-of-two rounding — KMeans k need

@@ -502,6 +502,18 @@ def test_semantic_dedup_scaled_plan(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_incremental_plan(spark, registry):
+    """semantic_incremental_pairs: candidate generation is the shared
+    incremental bucket machinery (flag/shard/chunk-grid groupBy + grid
+    explosion — Generate), never a nested-loop or cartesian stage; the
+    exact verify joins are equi-joins."""
+    df = registry["semantic_incremental_pairs"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a

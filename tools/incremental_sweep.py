@@ -83,6 +83,29 @@ def main() -> None:
                     "text", "doc_id", 32, 400)))
             spark.catalog.clearCache()
         out["span_incremental"][f"batch_{pct}pct_s"] = t
+    # semantic tier (round 10): same contract against the assigned
+    # embedding store (parquet partitioned by cluster, the production
+    # shape — the batch is signed at the store's epoch fanout)
+    from petropandas_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out["semantic_full_recompute_s"] = timed(lambda: drain(
+        sim.within_cluster_cosine_pairs(
+            sim.scaled_sign_clusters(emb), threshold=0.3)))
+    out["semantic_incremental"] = {}
+    for pct in (5, 20, 50):
+        new = emb.where(f"vec_id % 100 < {pct}")
+        old = emb.where(f"vec_id % 100 >= {pct}")
+        n_cells = sim.scaled_cells(old.count())
+        with tempfile.TemporaryDirectory() as tmp:
+            store_path = os.path.join(tmp, "cell_store")
+            sim.scaled_sign_clusters(old, n_cells).write.partitionBy(
+                "cluster").parquet(store_path)
+            store = spark.read.parquet(store_path)
+            t = timed(lambda s=store, b=new, k=n_cells: drain(
+                sim.semantic_incremental_pairs(s, b, n_cells=k)))
+            spark.catalog.clearCache()
+        out["semantic_incremental"][f"batch_{pct}pct_s"] = t
     print(json.dumps(out))
 
 
