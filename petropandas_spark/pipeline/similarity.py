@@ -333,7 +333,8 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
     return df.join(clustered, id_col)
 
 
-def semantic_incremental_pairs(store: DataFrame, batch: DataFrame,
+def semantic_incremental_pairs(store: DataFrame | None,
+                               batch: DataFrame | None = None,
                                threshold: float = 0.3,
                                n_cells: int | None = None,
                                target_occupancy: int = 64,
@@ -341,7 +342,9 @@ def semantic_incremental_pairs(store: DataFrame, batch: DataFrame,
                                id_col: str = "vec_id",
                                dim: int | None = None,
                                max_bucket: int = 10_000,
-                               store_shards: int = 8) -> DataFrame:
+                               store_shards: int = 8,
+                               batch_assigned: DataFrame | None = None,
+                               ) -> DataFrame:
     """Incremental SemDeDup ingestion: cosine near-dup pairs TOUCHING a
     new embedding batch, without re-pairing the settled corpus — the
     semantic-tier sibling of :func:`dedup.lsh_incremental_pairs`
@@ -367,28 +370,56 @@ def semantic_incremental_pairs(store: DataFrame, batch: DataFrame,
     The exact verify runs only on those candidate pairs.  Result ≡ the
     full scaled-semdedup pair derivation at the store's fanout,
     restricted to pairs touching the batch (the driver oracle checks
-    exactly that).  Returns ``(id_a, id_b, cosine)``, ``id_a < id_b``."""
+    exactly that).  Returns ``(id_a, id_b, cosine)``, ``id_a < id_b``.
+
+    ``store=None`` is the very first batch (nothing settled yet):
+    pairs are new↔new only, mirroring ``lsh_incremental_pairs``.
+    Callers that already assigned the batch at the store fanout (the
+    streaming ingest, which also appends the assignment to the store)
+    pass ``batch_assigned`` — ``(id, vec, cluster)`` — to avoid
+    signing it twice; ``n_cells`` is then required (the epoch fanout
+    both sides were signed at)."""
     from petropandas_spark.pipeline.dedup import (
         _flag_and_shard,
         _incremental_value_pairs,
     )
 
-    dim = dim or _vec_dim(store, vec_col)
-    if "cluster" in store.columns:
+    if batch_assigned is not None:
+        if n_cells is None:
+            raise ValueError(
+                "batch_assigned requires n_cells (its epoch fanout)")
+        assigned_new = batch_assigned
+        batch_vecs = batch_assigned
+    else:
+        if batch is None:
+            raise ValueError("pass batch or batch_assigned")
+        batch_vecs = batch
+        assigned_new = None  # assigned below, once n_cells is known
+    dim = dim or _vec_dim(store if store is not None else batch_vecs,
+                          vec_col)
+    if store is not None and "cluster" in store.columns:
         if n_cells is None:
             raise ValueError(
                 "a pre-assigned store requires n_cells (its epoch fanout)")
         assigned_store = store
-    else:
+    elif store is not None:
         if n_cells is None:
             n_cells = scaled_cells(store.count(), target_occupancy)
         assigned_store = scaled_sign_clusters(
             store, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
-    assigned_new = scaled_sign_clusters(
-        batch, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
+    else:
+        if n_cells is None:
+            raise ValueError(
+                "store=None (first batch) requires n_cells — the fanout "
+                "is the STORE's epoch property, not the batch's")
+        assigned_store = None
+    if assigned_new is None:
+        assigned_new = scaled_sign_clusters(
+            batch, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
     flagged = _flag_and_shard(
         assigned_new.select(id_col, "cluster"),
-        assigned_store.select(id_col, "cluster"),
+        None if assigned_store is None
+        else assigned_store.select(id_col, "cluster"),
         F.col(id_col), store_shards,
     )
     cand = (
@@ -397,11 +428,10 @@ def semantic_incremental_pairs(store: DataFrame, batch: DataFrame,
                 F.greatest("a", "b").alias("id_b"))
         .distinct()
     )
-    e = (
-        store.select(F.col(id_col), _as_double(vec_col).alias("v"))
-        .unionByName(
-            batch.select(F.col(id_col), _as_double(vec_col).alias("v")))
-    )
+    e = batch_vecs.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if store is not None:
+        e = store.select(
+            F.col(id_col), _as_double(vec_col).alias("v")).unionByName(e)
     return _exact_cosine_pairs(e, cand, threshold, "hof", id_col, dim)
 
 

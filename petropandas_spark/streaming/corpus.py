@@ -20,6 +20,11 @@ have streaming twins here with the same semantics:
     ≥n-token n-gram with a static eval set BEFORE they land (streaming
     twin of ``pipeline/contamination.decontaminate``; eval grams derived
     once, per-batch broadcast anti-join, zero stream state);
+  * ``semantic_ingest_stream`` — continuous embedding near-dup
+    detection against the persisted cell-assignment store (streaming
+    twin of ``similarity.semantic_incremental_pairs``; the MinHash and
+    span tiers have the same twin via ``neardup_ingest_stream`` /
+    ``span_ingest_stream``);
   * ``write_partitioned_stream`` — exactly-once landing into
     Hive-partitioned parquet (``partitionBy(lang)``) with a checkpoint;
     downstream batch readers get partition pruning on day one.
@@ -223,6 +228,63 @@ def span_ingest_stream(stream_df, store_path: str, matches_path: str,
         derive=_dd.winnow_fingerprints,
         candidates=lambda store, fps: _dd.span_incremental_pairs(
             store, new_fps=fps),
+    )
+
+
+EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def read_embeddings_stream(spark, path: str,
+                           max_files_per_trigger: int | None = None):
+    """File-source stream over an embeddings directory (each micro-batch
+    = newly landed shards), the vector-side twin of
+    :func:`read_documents_stream`."""
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(path)
+
+
+def read_semantic_pairs(spark, pairs_path: str, id_type: str = "bigint"):
+    """Pinned-schema reader for :func:`semantic_ingest_stream` landings
+    (a zero-near-dup run leaves no data files; inference would raise)."""
+    return spark.read.schema(
+        f"id_a {id_type}, id_b {id_type}, cosine DOUBLE, batch_id BIGINT"
+    ).parquet(pairs_path)
+
+
+def semantic_ingest_stream(stream_df, store_path: str, pairs_path: str,
+                           checkpoint: str, n_cells: int = 1024,
+                           threshold: float = 0.3):
+    """Continuous SEMANTIC near-dup ingestion — the streaming twin of
+    :func:`petropandas_spark.pipeline.similarity.
+    semantic_incremental_pairs`, on the same shared scaffold as the
+    MinHash and span twins (:func:`_incremental_ingest_stream`):
+
+    each micro-batch is sign-assigned at the stream's epoch fanout
+    ``n_cells`` (the only stage touching vectors), bucketed against the
+    persisted cell-assignment store, and the exact-cosine-verified
+    pairs touching the batch land under ``pairs_path``; the batch's
+    assignment (id, vector, cluster) appends to the store for the next
+    trigger.  ``n_cells`` is a STREAM property (the store epoch) —
+    size it with :func:`similarity.scaled_cells` for the corpus this
+    stream is expected to accumulate, and re-block only at epoch
+    compaction (a partition-local split for sign-bit prefix cells).
+    Invariant: union of the landed pair partitions over any batch
+    ordering equals the full-corpus
+    ``within_cluster_cosine_pairs(scaled_sign_clusters(all, n_cells))``
+    pair set at ``threshold`` (pytest-pinned — each pair surfaces when
+    its later member arrives).  Exactly-once semantics: see
+    :func:`_incremental_ingest_stream`."""
+    from petropandas_spark.pipeline import similarity as _sim
+
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=lambda b: _sim.scaled_sign_clusters(
+            b.select("vec_id", "embedding"), n_cells),
+        candidates=lambda store, art: _sim.semantic_incremental_pairs(
+            store, n_cells=n_cells, threshold=threshold,
+            batch_assigned=art),
     )
 
 

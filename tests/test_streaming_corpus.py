@@ -269,3 +269,53 @@ def test_span_ingest_stream_matches_full_recompute(spark, docs_dir,
     fps = spark.read.parquet(store_path)
     assert fps.select("doc_id").distinct().count() \
         == all_docs.select("doc_id").distinct().count()
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    """An embeddings landing directory with two disjoint parquet
+    batches (vec_id parity split)."""
+    path = str(tmp_path_factory.mktemp("emb_stream"))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    return path
+
+
+def test_semantic_ingest_stream_matches_full_recompute(spark, emb_dir,
+                                                       tmp_path):
+    """Union of per-batch incremental semantic pair partitions ==
+    full-corpus within-cell cosine pairs at the stream's epoch fanout,
+    for any batch split (each pair surfaces when its later member
+    arrives; old↔old never re-pairs)."""
+    from petropandas_spark.pipeline import similarity as sim
+
+    n_cells = 16
+    stream = sc.read_embeddings_stream(
+        spark, os.path.join(emb_dir, "*"), max_files_per_trigger=1
+    )
+    store_path = str(tmp_path / "cellstore")
+    pairs_path = str(tmp_path / "sempairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = sc.semantic_ingest_stream(stream, store_path, pairs_path, ckpt,
+                                  n_cells=n_cells, threshold=0.3)
+    assert q.awaitTermination(180)
+
+    landed = sc.read_semantic_pairs(spark, pairs_path)
+    got = {(r.id_a, r.id_b) for r in landed.collect()}
+    all_emb = spark.read.parquet(os.path.join(emb_dir, "*"))
+    full = sim.within_cluster_cosine_pairs(
+        sim.scaled_sign_clusters(all_emb, n_cells), threshold=0.3)
+    expect = {(r.id_a, r.id_b) for r in full.collect()}
+    assert got == expect and len(expect) > 0
+    # the landed cosine VALUES are the exact verify's (bit-equal to the
+    # batch recompute — same hof left-fold on both paths)
+    full_cos = {(r.id_a, r.id_b): r.cosine for r in full.collect()}
+    for r in landed.collect():
+        assert full_cos[(r.id_a, r.id_b)] == r.cosine
+    # store holds one assignment row per vector, with its cell
+    store = spark.read.parquet(store_path)
+    assert store.count() == all_emb.count()
+    assert set(store.columns) >= {"vec_id", "embedding", "cluster"}
