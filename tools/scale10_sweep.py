@@ -61,6 +61,7 @@ QUERIES = [
     "cosine_neardup_pairs",
     "semantic_dedup_groups",
     "semantic_dedup_groups_scaled",
+    "semantic_incremental_pairs",
     "events_sessionize",
 ]
 
