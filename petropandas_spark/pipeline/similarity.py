@@ -281,7 +281,17 @@ def scaled_cells(n_rows: int, target_occupancy: int = 64,
     pair volume O(N·occupancy) — linear in N.  Pure integer arithmetic
     throughout, so an independent SQL engine reproduces the fanout from
     ``COUNT(*)`` exactly (no float log2 whose last-ulp could flip a
-    ceil at a power-of-two boundary)."""
+    ceil at a power-of-two boundary).
+
+    The ``max_bits`` clamp bounds the SKETCH WIDTH, not the algebra: at
+    the default cap (16 bits = 65,536 cells) occupancy starts growing
+    again past ``target_occupancy × 2^16`` ≈ 4.2M vectors — past that,
+    raise ``max_bits`` (``hyperplane_weights`` generates any width, and
+    each added bit costs one more integer sum in the sketch pass; ~24
+    bits covers 10⁹ vectors at occupancy 64).  The REGISTERED oracle
+    query keeps 16 because its oracle unrolls one quantized projection
+    per bit and the testdata never approaches the cap — a production
+    corpus sizes the cap to its scale, the fanout rule is unchanged."""
     k = max(16, -(-n_rows // target_occupancy))
     b = min(max_bits, max(min_bits, (k - 1).bit_length()))
     return 1 << b
