@@ -343,6 +343,64 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
     return df.join(clustered, id_col)
 
 
+def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
+                          n_cells: int | None = None,
+                          target_occupancy: int = 64,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          dim: int | None = None,
+                          max_bucket: int = 10_000) -> DataFrame:
+    """Multi-probe near-dup pairs over the scale-coupled cells: every
+    pair whose cell codes differ in AT MOST ONE sign bit is candidate,
+    then exactly verified — the standard multi-probe LSH recall
+    recovery (Lv et al., VLDB'07) on the :func:`scaled_sign_clusters`
+    fanout.
+
+    Single-cell blocking misses every pair that disagrees on even one
+    blocking hyperplane (measured on the synthetic corpus at
+    threshold 0.3: recall 0.13 at sf0.01, 0.08 at sf0.1 —
+    docs/scale.md r10); tolerating one flipped bit multiplies recall
+    several-fold for a CANDIDATE cost multiplier of only
+    ``b+1 = O(log N)`` rows per vector, preserving the
+    O(N·occupancy·log N) scale algebra — no all-pairs stage anywhere.
+
+    Implementation: each vector lands in its HOME cell as a member and
+    in the ``b`` Hamming-distance-1 cells as a PROBE; per cell the
+    (member × all) grid emits member↔member and member↔probe pairs,
+    never probe↔probe (two probes in one cell can differ in two bits) —
+    the same role-aware grid machinery as the incremental tiers, with
+    the same hot-bucket chunk-grid.  A pair meets exactly when its
+    codes differ in ≤1 bit, so the result is deterministic and the
+    DuckDB oracle reproduces it from
+    ``bit_count(xor(cell_a, cell_b)) <= 1`` alone.  Returns
+    ``(id_a, id_b, cosine)``, ``id_a < id_b``."""
+    from petropandas_spark.pipeline.dedup import _incremental_value_pairs
+
+    dim = dim or _vec_dim(df, vec_col)
+    if n_cells is None:
+        n_cells = scaled_cells(df.count(), target_occupancy)
+    b = (n_cells - 1).bit_length()
+    assigned = scaled_sign_clusters(
+        df, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
+    keys = assigned.select(id_col, "cluster")
+    home = keys.withColumn("__new", F.lit(True))
+    probes = keys.select(
+        id_col,
+        F.explode(F.array(*[
+            F.col("cluster").bitwiseXOR(F.lit(1 << j)) for j in range(b)
+        ])).alias("cluster"),
+    ).withColumn("__new", F.lit(False))
+    flagged = home.unionByName(probes).withColumn("__shard", F.lit(0))
+    cand = (
+        _incremental_value_pairs(flagged, id_col, ["cluster"], max_bucket)
+        .select(F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"))
+        .distinct()
+    )
+    e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return _exact_cosine_pairs(e, cand, threshold, "hof", id_col, dim)
+
+
 def semantic_incremental_pairs(store: DataFrame | None,
                                batch: DataFrame | None = None,
                                threshold: float = 0.3,

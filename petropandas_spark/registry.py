@@ -3510,6 +3510,32 @@ FROM sized WHERE n_members >= 2
         sem_incr_fn, _semdedup_incremental_oracle(),
     )
 
+    # multi-probe recall recovery on the scaled cells (Lv et al.
+    # VLDB'07): candidate = cell codes at Hamming distance ≤ 1, exact
+    # verify on candidates only.  Measured: recall 0.13 → multi-probe
+    # recovers several-fold at a b+1 = O(log N) candidate multiplier
+    # (docs/scale.md r10).  The pair condition is pure integer algebra,
+    # so the oracle reproduces it from bit_count(xor(cluster_a,
+    # cluster_b)) <= 1 — no explosion needed on the oracle side.
+    def sem_multiprobe_fn(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings")
+        return _sim.multiprobe_cell_pairs(emb, threshold=0.3)
+
+    _mp_dot = _dot_sql("na.v", "nb.v", DUCKDB)
+    out["semantic_neardup_multiprobe"] = QuerySpec(
+        sem_multiprobe_fn,
+        f"""
+WITH
+{_scaled_cluster_ctes()}
+SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
+       {_mp_dot} / (na.nrm * nb.nrm) AS cosine
+FROM n na JOIN n nb
+  ON na.vec_id < nb.vec_id
+ AND bit_count(CAST(xor(na.cluster, nb.cluster) AS BIGINT)) <= 1
+WHERE {_mp_dot} / (na.nrm * nb.nrm) >= 0.3e0
+""",
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -4105,6 +4131,7 @@ _VERIFY_FIRST = [
     # never driver-verified (new this round) — leads the head:
     "semantic_dedup_groups_scaled",
     "semantic_incremental_pairs",
+    "semantic_neardup_multiprobe",
     # changed oracle in r9 (json_type gate) but rotated out of the r9
     # head — driver-verify the new oracle now (r9 advisor item), with
     # its sibling extract query alongside:
@@ -4158,7 +4185,6 @@ _VERIFY_FIRST = [
     "ilmenite_end_members",  # r07
     "spinel_end_members",  # r07
     "normalize_100",  # r07
-    "apfu_oxygen_basis",  # r07
 ]
 
 

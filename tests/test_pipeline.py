@@ -1240,6 +1240,45 @@ class TestSimilarity:
             assigned, batch, threshold=0.99, n_cells=16, dim=dim)
         assert {(r.id_a, r.id_b) for r in same.collect()} == got
 
+    def test_multiprobe_cell_pairs_exact_hamming_semantics(self, spark):
+        """multiprobe_cell_pairs == {pairs whose cell codes differ in
+        ≤1 bit AND exact cosine ≥ θ}, recomputed independently on the
+        driver from the collected assignments + numpy cosines — the
+        explosion/role-grid machinery must add nothing and lose
+        nothing."""
+        import numpy as np
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        got = {(r.id_a, r.id_b) for r in
+               similarity.multiprobe_cell_pairs(
+                   emb, threshold=0.3, n_cells=16).collect()}
+        assigned = similarity.scaled_sign_clusters(emb, 16)
+        rows = assigned.select("vec_id", "cluster", "embedding").collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64")
+                for r in rows}
+        cells = {r.vec_id: r.cluster for r in rows}
+        ids = sorted(vecs)
+        expect = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin(cells[a] ^ cells[b]).count("1") > 1:
+                    continue
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb) / (np.linalg.norm(va)
+                                        * np.linalg.norm(vb))
+                if cos >= 0.3:
+                    expect.add((a, b))
+        # numpy's pairwise-summed dot can disagree with the hof fold in
+        # the last bits exactly AT the threshold; no fixture pair sits
+        # within 1e-9 of 0.3, so set equality is exact here
+        assert got == expect and len(expect) > 0
+        # and multi-probe strictly dominates single-cell blocking
+        single = {(r.id_a, r.id_b) for r in
+                  similarity.within_cluster_cosine_pairs(
+                      assigned, threshold=0.3).collect()}
+        assert single < got
+
     def test_ivf_for_corpus_sizing_rule(self):
         """IVFIndex.for_corpus applies the same k∝N rule as
         scaled_cells (without the power-of-two rounding — KMeans k need

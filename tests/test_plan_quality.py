@@ -514,6 +514,18 @@ def test_semantic_incremental_plan(spark, registry):
     assert "Generate" in plan
 
 
+def test_semantic_multiprobe_plan(spark, registry):
+    """semantic_neardup_multiprobe: the Hamming-1 probe fan-out is a
+    Generate (explode) into the cell-keyed grid — never a nested-loop
+    or cartesian stage (the oracle's bit_count join spelling must NOT
+    leak into the Spark plan); verify joins are equi-joins."""
+    df = registry["semantic_neardup_multiprobe"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a

@@ -29,6 +29,7 @@ AUDIT = [
     "semantic_dedup_groups",        # IVF assign + in-cluster verify + CC
     "semantic_dedup_groups_scaled",  # count-derived fanout twin (r10)
     "semantic_incremental_pairs",   # landing-batch semantic tier (r10)
+    "semantic_neardup_multiprobe",  # Hamming-1 probe recall recovery
     "cosine_neardup_pairs",         # hyperplane-LSH + exact verify
     "lsh_incremental_pairs",        # incremental store path
     "pq_search_rerank",             # PQ ADC shortlist + exact re-rank

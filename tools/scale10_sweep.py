@@ -62,6 +62,7 @@ QUERIES = [
     "semantic_dedup_groups",
     "semantic_dedup_groups_scaled",
     "semantic_incremental_pairs",
+    "semantic_neardup_multiprobe",
     "events_sessionize",
 ]
 
