@@ -86,6 +86,35 @@ def main(emb_path: str, out: str) -> None:
     top = idx.search_store(spark, store, query, k=5, n_probe=3)
     top.show()
 
+    # 6. (r10) scale-coupled blocking: the cell count derives from the
+    # corpus size (k ∝ N — fixed k goes quadratic at scale), and
+    # multi-probe admits pairs whose cell codes differ in ≤1 sign bit
+    # (several-fold the single-cell recall at an O(log N) candidate
+    # multiplier; docs/scale.md has the measured table)
+    from petropandas_spark.pipeline.similarity import (
+        multiprobe_cell_pairs,
+        scaled_cells,
+        scaled_sign_clusters,
+        semantic_incremental_pairs,
+    )
+
+    n_cells = scaled_cells(n_total)
+    mp = multiprobe_cell_pairs(emb, threshold=0.3, n_cells=n_cells)
+    print(f"scale-coupled cells: {n_cells}; "
+          f"multi-probe near-dup pairs: {mp.count()}")
+
+    # 7. (r10) nightly loop: a landing batch checks ONLY against the
+    # persisted cell assignment (signed at the store's epoch fanout) —
+    # the settled corpus is never re-paired
+    settled = emb.where("vec_id % 10 < 8")
+    batch = emb.where("vec_id % 10 >= 8")
+    cell_store = os.path.join(out, "cell_store")
+    scaled_sign_clusters(settled, n_cells).write.mode("overwrite") \
+        .partitionBy("cluster").parquet(cell_store)
+    incr = semantic_incremental_pairs(
+        spark.read.parquet(cell_store), batch, n_cells=n_cells)
+    print(f"incremental near-dup pairs touching the batch: {incr.count()}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1
