@@ -3522,17 +3522,53 @@ FROM sized WHERE n_members >= 2
         return _sim.multiprobe_cell_pairs(emb, threshold=0.3)
 
     _mp_dot = _dot_sql("na.v", "nb.v", DUCKDB)
+    _mp_pair_sql = f"""SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
+       {_mp_dot} / (na.nrm * nb.nrm) AS cosine
+FROM n na JOIN n nb
+  ON na.vec_id < nb.vec_id
+ AND bit_count(CAST(xor(na.cluster, nb.cluster) AS BIGINT)) <= 1
+WHERE {_mp_dot} / (na.nrm * nb.nrm) >= 0.3e0"""
     out["semantic_neardup_multiprobe"] = QuerySpec(
         sem_multiprobe_fn,
         f"""
 WITH
 {_scaled_cluster_ctes()}
-SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
-       {_mp_dot} / (na.nrm * nb.nrm) AS cosine
-FROM n na JOIN n nb
-  ON na.vec_id < nb.vec_id
- AND bit_count(CAST(xor(na.cluster, nb.cluster) AS BIGINT)) <= 1
-WHERE {_mp_dot} / (na.nrm * nb.nrm) >= 0.3e0
+{_mp_pair_sql}
+""",
+    )
+
+    # end-to-end curation output of the scaled semantic tier: connected
+    # components over the multi-probe near-dup graph, keeper = minimum
+    # member id, emit the SURVIVING corpus (keepers + singletons) —
+    # the semantic twin of the minhash tier's cluster-keeper selection.
+    def sem_survivors_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = _load(spark, sf_dir, "embeddings")
+        pairs = _sim.multiprobe_cell_pairs(emb, threshold=0.3)
+        comps = _dd.connected_components(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", a_col="id_a", b_col="id_b",
+        )
+        return comps.where(F.col("vec_id") == F.col("component")) \
+            .select("vec_id")
+
+    out["semantic_dedup_survivors"] = QuerySpec(
+        sem_survivors_fn,
+        f"""
+WITH RECURSIVE
+{_scaled_cluster_ctes()},
+p AS ({_mp_pair_sql}),
+sym AS (SELECT id_a AS x, id_b AS y FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lab) AS component
+         FROM reach GROUP BY node)
+SELECT vec_id FROM comp WHERE vec_id = component
 """,
     )
 
@@ -4132,6 +4168,7 @@ _VERIFY_FIRST = [
     "semantic_dedup_groups_scaled",
     "semantic_incremental_pairs",
     "semantic_neardup_multiprobe",
+    "semantic_dedup_survivors",
     # changed oracle in r9 (json_type gate) but rotated out of the r9
     # head — driver-verify the new oracle now (r9 advisor item), with
     # its sibling extract query alongside:
@@ -4184,7 +4221,6 @@ _VERIFY_FIRST = [
     "cordierite_end_members",  # r07
     "ilmenite_end_members",  # r07
     "spinel_end_members",  # r07
-    "normalize_100",  # r07
 ]
 
 

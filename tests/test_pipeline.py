@@ -1279,6 +1279,30 @@ class TestSimilarity:
                       assigned, threshold=0.3).collect()}
         assert single < got
 
+    def test_semantic_dedup_survivors_partition_contract(self, spark):
+        """Survivors = component keepers + singletons: exactly one
+        survivor per connected component of the multi-probe graph, and
+        every dropped vector is reachable from some survivor (its
+        component's minimum member)."""
+        from petropandas_spark.registry import build_registry
+
+        sf = "/root/testdata/sf0.001"
+        surv = {r.vec_id for r in
+                build_registry()["semantic_dedup_survivors"]
+                .spark_fn(spark, sf).collect()}
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        pairs = similarity.multiprobe_cell_pairs(emb, threshold=0.3)
+        from petropandas_spark.pipeline import dedup as dd
+        comps = {r.vec_id: r.component for r in
+                 dd.connected_components(
+                     emb.select("vec_id"), pairs, id_col="vec_id",
+                     a_col="id_a", b_col="id_b").collect()}
+        assert surv == {v for v, c in comps.items() if v == c}
+        # one survivor per component, every component represented
+        assert {comps[v] for v in comps} == surv
+        # dedup actually dropped something on this corpus
+        assert 0 < len(surv) < len(comps)
+
     def test_ivf_for_corpus_sizing_rule(self):
         """IVFIndex.for_corpus applies the same k∝N rule as
         scaled_cells (without the power-of-two rounding — KMeans k need
