@@ -319,3 +319,27 @@ def test_semantic_ingest_stream_matches_full_recompute(spark, emb_dir,
     store = spark.read.parquet(store_path)
     assert store.count() == all_emb.count()
     assert set(store.columns) >= {"vec_id", "embedding", "cluster"}
+
+
+def test_semantic_ingest_zero_pairs_readable(spark, tmp_path):
+    """A semantic ingest run that lands ZERO near-dup pairs leaves the
+    pairs directory without data files — schema inference would raise,
+    the pinned-schema reader must yield the expected empty frame (the
+    same contract as the neardup twin)."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    # two orthogonal one-hot vectors: cosine 0 < threshold, no pairs
+    rows = [(1, [1.0] + [0.0] * 15, 0), (2, [0.0, 1.0] + [0.0] * 14, 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(land / "b0"))
+    stream = sc.read_embeddings_stream(spark, str(land / "*"))
+    q = sc.semantic_ingest_stream(
+        stream, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), n_cells=16, threshold=0.3)
+    assert q.awaitTermination(120)
+    landed = sc.read_semantic_pairs(spark, str(tmp_path / "pairs"))
+    assert landed.count() == 0
+    assert landed.columns == ["id_a", "id_b", "cosine", "batch_id"]
+    # the store still holds the batch's assignment for the next trigger
+    assert spark.read.parquet(str(tmp_path / "store")).count() == 2
