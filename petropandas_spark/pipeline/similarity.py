@@ -179,7 +179,8 @@ def _pair_dot_arrow():
 
 def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
                         verify: str, id_col: str,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        round_to: int | None = None) -> DataFrame:
     """Shared exact verify stage: join candidate ``(id_a, id_b)`` pairs
     back to ``e`` = ``(id, v: array<double>)``, score cosine, filter.
     Dot dispatch: ``"hof"`` = interpreted left-fold (bitwise equal to
@@ -193,7 +194,17 @@ def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
     as if they were valid (two truncated ``[1.0]`` vectors zip to
     cosine 1.0): wrong-dimension rows are filtered out of the verify
     side, so their candidate pairs drop at the inner join — the same
-    fate the unrolled-dot paths give them via try_element_at NULLs."""
+    fate the unrolled-dot paths give them via try_element_at NULLs.
+
+    ``round_to`` rounds the cosine to that many decimals BEFORE the
+    threshold filter (and emits the rounded value): the hash-parity
+    bridge between the dot implementations — hof's left fold and
+    arrow's pairwise-summed einsum differ in the last FP bits (≤1e-12
+    relative), so a raw-cosine comparison can flip a threshold-boundary
+    pair between engines, but both land on the same 9-decimal rounding
+    unless a pair sits within ~1e-12 of a half-ulp of the 9th decimal
+    (none does on the test corpus — verified empirically at
+    sf0.01/sf0.1)."""
     def hdot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -211,10 +222,12 @@ def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
         dot = _pair_dot_arrow()(F.col("va"), F.col("vb"))
     else:
         dot = hdot(F.col("va"), F.col("vb"))
+    cos = F.try_divide(dot, F.col("na") * F.col("nb"))
+    if round_to is not None:
+        cos = F.round(cos, int(round_to))
     return (
         cand.join(na, "id_a").join(nb, "id_b")
-        .withColumn("cosine",
-                    F.try_divide(dot, F.col("na") * F.col("nb")))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
@@ -265,6 +278,58 @@ def _quantized_sign_bits(e: DataFrame, W: list[list[int]],
             for p in range(n_planes)
         ],
     )
+
+
+def _sign_cluster_expr(v, W: list[list[int]], bit_offset: int = 0):
+    """Blocking-cell id from sign bits as ONE inline narrow projection —
+    no posexplode, no groupBy, no join-back (r10 verdict item 5: the
+    explode/agg spelling of :func:`_quantized_sign_bits` costs two
+    corpus shuffles per assignment pass; this expression costs zero —
+    the assignment stage is plan-gated Exchange-free).
+
+    Arithmetic is IDENTICAL to the explode path: per plane ``p`` the
+    quantized-integer projection ``Σ_j ROUND(v_j·1e9)::BIGINT·W[p][j]``
+    — exact, order-independent integer sums, so the sign bits agree
+    bit-for-bit with :func:`_quantized_sign_bits` and with the DuckDB
+    oracles' unrolled spellings (pytest-pinned, incl. dirty rows).
+    NULL-skipping matches SQL ``SUM`` via ``coalesce(term, 0)``: a NULL
+    element, or a length mismatch against the weight array (``zip_with``
+    NULL-pads the shorter side), contributes nothing — the row still
+    gets a real cell over its valid prefix, and the verify stage's
+    corpus-dim filter is what actually drops it.
+
+    Degenerate rows (NULL or EMPTY embedding) get cluster NULL instead
+    of being silently dropped — the explode path emitted no sum row for
+    them and the inner join erased the row entirely (the r10 ADVICE
+    data-drop note); NULL keeps the row visible to library callers, and
+    NULL-bucket pairs still die at the verify stage's dim filter
+    ("garbage loses its verdict, never fabricates one").
+
+    ``bit_offset`` shifts the emitted bit positions: plane ``p``
+    contributes ``2^(bit_offset+p)`` — the epoch-compaction hook
+    (:func:`compact_epoch` appends bits ``b_old..b_new-1`` to an
+    existing prefix code without recomputing the low bits)."""
+    zero = F.lit(0).cast("bigint")
+    quant = F.lit(float(EMB_QUANT))
+
+    def plane_sum(weights):
+        warr = F.array(*[F.lit(int(w)) for w in weights])
+        return F.aggregate(
+            F.zip_with(
+                v, warr,
+                lambda x, w: F.round(x * quant).cast("bigint") * w),
+            zero,
+            lambda acc, t: acc + F.coalesce(t, zero),
+        )
+
+    code = sum(
+        (F.when(plane_sum(W[p]) > 0, F.lit(1 << (bit_offset + p)))
+         .otherwise(F.lit(0))
+         for p in range(1, len(W))),
+        F.when(plane_sum(W[0]) > 0, F.lit(1 << bit_offset))
+        .otherwise(F.lit(0)),
+    )
+    return F.when(F.size(v) > 0, code)
 
 
 def scaled_cells(n_rows: int, target_occupancy: int = 64,
@@ -318,8 +383,18 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
     written partitioned by ``cluster`` exactly like a centroid index
     (:meth:`IVFIndex.write_index`), and growing the corpus only APPENDS
     bits — a cell at fanout 2^b is the disjoint union of two cells at
-    2^(b+1), so re-blocking after growth is a partition-local split,
+    2^(b+1), so re-blocking after growth is a partition-local split
+    (:func:`compact_epoch` — the implemented, pytest-pinned path),
     never a global re-cluster.
+
+    Assignment is ONE inline narrow projection (:func:`_sign_cluster_
+    expr`): zero Exchange in the plan (gated by test) — the r10 form
+    posexploded to dim× rows, shuffled the sums, then equi-joined the
+    cells back to the corpus, i.e. two corpus shuffles per assignment
+    pass.  Rows with a NULL or EMPTY embedding keep their row with
+    ``cluster`` NULL (the r10 form silently dropped them at the
+    join-back); their NULL-bucket pairs still die at the verify stage's
+    dim filter.
 
     Returns ``df`` with a ``cluster`` column (int), ready for
     :func:`within_cluster_cosine_pairs`."""
@@ -331,16 +406,63 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
                          f"got {n_cells}")
     b = (n_cells - 1).bit_length()
     W = hyperplane_weights(b, dim)
-    e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    bits = _quantized_sign_bits(e, W, id_col)
-    clustered = bits.select(
-        id_col,
-        sum(
-            (F.col(f"bit{p}") * F.lit(1 << p) for p in range(1, b)),
-            F.col("bit0"),
-        ).alias("cluster"),
-    )
-    return df.join(clustered, id_col)
+    return df.withColumn(
+        "cluster", _sign_cluster_expr(_as_double(vec_col), W))
+
+
+def compact_epoch(store: DataFrame, n_cells_old: int, n_cells_new: int,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  cluster_col: str = "cluster",
+                  dim: int | None = None) -> DataFrame:
+    """Re-block a persisted cell assignment from fanout ``2^b_old`` to
+    ``2^b_new`` WITHOUT re-clustering — the epoch-compaction path the
+    sign-bit-prefix algebra promises (docstring of
+    :func:`scaled_sign_clusters`): because ``hyperplane_weights`` keys
+    plane ``p`` on ``(p, element)`` alone, the low ``b_old`` bits of
+    the wider code ARE the existing cluster, so compaction only
+    computes the APPENDED planes ``b_old..b_new-1`` and adds them as
+    high bits:
+
+        cluster_new = cluster_old + Σ_{p=b_old}^{b_new-1} bit_p · 2^p
+
+    Each old cell ``c`` splits into the ``2^(b_new-b_old)`` cells
+    ``{c + m·2^b_old}`` — a PARTITION-LOCAL split: the projection is
+    one narrow inline pass (:func:`_sign_cluster_expr` at a bit
+    offset), zero Exchange in the plan (gated by test), so a store
+    written partitioned by cluster re-blocks with no shuffle and no
+    global re-cluster.  Invariants pinned by pytest: (a) the compacted
+    assignment is row-for-row equal to a fresh
+    :func:`scaled_sign_clusters` at ``n_cells_new``; (b)
+    ``cluster_new % n_cells_old == cluster_old``; (c)
+    :func:`semantic_incremental_pairs` over a compacted store is
+    hash-equal to the same query over a fresh full assignment at the
+    new fanout.
+
+    Degenerate rows (NULL cluster from a NULL/empty embedding, or a
+    NULL embedding against a non-NULL stored cluster) stay NULL — the
+    integer add propagates NULL, matching the assignment contract.
+    ``n_cells_new == n_cells_old`` is the no-op epoch (returned
+    unchanged); shrinking an epoch is refused — merging cells would
+    need pair re-derivation, not a split."""
+    for name, n in (("n_cells_old", n_cells_old),
+                    ("n_cells_new", n_cells_new)):
+        if n < 2 or (n & (n - 1)):
+            raise ValueError(f"{name} must be a power of two >= 2, "
+                             f"got {n}")
+    if n_cells_new < n_cells_old:
+        raise ValueError(
+            f"epoch compaction only grows the fanout (a sign-bit-prefix "
+            f"cell SPLITS; merging needs re-derivation): "
+            f"{n_cells_old} -> {n_cells_new}")
+    if n_cells_new == n_cells_old:
+        return store
+    b_old = (n_cells_old - 1).bit_length()
+    b_new = (n_cells_new - 1).bit_length()
+    dim = dim or _vec_dim(store, vec_col)
+    W_appended = hyperplane_weights(b_new, dim)[b_old:]
+    appended = _sign_cluster_expr(
+        _as_double(vec_col), W_appended, bit_offset=b_old)
+    return store.withColumn(cluster_col, F.col(cluster_col) + appended)
 
 
 def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
@@ -349,12 +471,13 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
                           dim: int | None = None,
-                          max_bucket: int = 10_000) -> DataFrame:
+                          max_bucket: int = 10_000,
+                          max_hamming: int = 1) -> DataFrame:
     """Multi-probe near-dup pairs over the scale-coupled cells: every
-    pair whose cell codes differ in AT MOST ONE sign bit is candidate,
-    then exactly verified — the standard multi-probe LSH recall
-    recovery (Lv et al., VLDB'07) on the :func:`scaled_sign_clusters`
-    fanout.
+    pair whose cell codes differ in AT MOST ``max_hamming`` sign bits
+    is candidate, then exactly verified — the standard multi-probe LSH
+    recall recovery (Lv et al., VLDB'07) on the
+    :func:`scaled_sign_clusters` fanout.
 
     Single-cell blocking misses every pair that disagrees on even one
     blocking hyperplane (measured on the synthetic corpus at
@@ -365,17 +488,32 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
     O(N·occupancy·log N) scale algebra — no all-pairs stage anywhere.
 
     Implementation: each vector lands in its HOME cell as a member and
-    in the ``b`` Hamming-distance-1 cells as a PROBE; per cell the
-    (member × all) grid emits member↔member and member↔probe pairs,
-    never probe↔probe (two probes in one cell can differ in two bits) —
-    the same role-aware grid machinery as the incremental tiers, with
-    the same hot-bucket chunk-grid.  A pair meets exactly when its
-    codes differ in ≤1 bit, so the result is deterministic and the
+    in every cell within Hamming distance ``max_hamming`` as a PROBE
+    (distance 1: the ``b`` single-bit flips; ``max_hamming=2`` adds
+    the ``b(b-1)/2`` two-bit flips — candidate multiplier
+    ``1 + b + C(b,2)`` = O(log²N), still never all-pairs); per cell
+    the (member × all) grid emits member↔member and member↔probe
+    pairs, never probe↔probe (two distance-1 probes in one cell can
+    hide a 2-bit gap; under ``max_hamming=2`` every ≤2-bit pair is
+    already reached by a member↔probe meeting, so probe↔probe stays
+    redundant-or-wrong and stays excluded) — the same role-aware grid
+    machinery as the incremental tiers, with the same hot-bucket
+    chunk-grid.  A pair meets exactly when its codes differ in
+    ≤``max_hamming`` bits, so the result is deterministic and the
     DuckDB oracle reproduces it from
-    ``bit_count(xor(cell_a, cell_b)) <= 1`` alone.  Returns
-    ``(id_a, id_b, cosine)``, ``id_a < id_b``."""
+    ``bit_count(xor(cell_a, cell_b)) <= max_hamming`` alone.  Returns
+    ``(id_a, id_b, cosine)``, ``id_a < id_b``.
+
+    Sizing ``max_hamming``: at the production SemDeDup threshold
+    (cosine ≥ 0.9-0.95) each blocking hyperplane agrees with
+    p = 1-θ/π ≈ 0.86-0.90, so Hamming≤1 already catches
+    p^b + b·p^(b-1)(1-p) of true pairs; ≤2 is the knob for deeper
+    fanouts (large b) or lower thresholds — measured on the planted
+    twin corpus in docs/scale.md (recall table, r11)."""
     from petropandas_spark.pipeline.dedup import _incremental_value_pairs
 
+    if max_hamming not in (1, 2):
+        raise ValueError(f"max_hamming must be 1 or 2, got {max_hamming}")
     dim = dim or _vec_dim(df, vec_col)
     if n_cells is None:
         n_cells = scaled_cells(df.count(), target_occupancy)
@@ -384,10 +522,14 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
         df, n_cells, vec_col=vec_col, id_col=id_col, dim=dim)
     keys = assigned.select(id_col, "cluster")
     home = keys.withColumn("__new", F.lit(True))
+    offsets = [1 << j for j in range(b)]
+    if max_hamming >= 2:
+        offsets += [(1 << i) | (1 << j)
+                    for i in range(b) for j in range(i + 1, b)]
     probes = keys.select(
         id_col,
         F.explode(F.array(*[
-            F.col("cluster").bitwiseXOR(F.lit(1 << j)) for j in range(b)
+            F.col("cluster").bitwiseXOR(F.lit(off)) for off in offsets
         ])).alias("cluster"),
     ).withColumn("__new", F.lit(False))
     flagged = home.unionByName(probes).withColumn("__shard", F.lit(0))
@@ -649,7 +791,8 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
                                 id_col: str = "vec_id",
                                 cluster_col: str = "cluster",
                                 verify: str = "hof",
-                                dim: int | None = None) -> DataFrame:
+                                dim: int | None = None,
+                                round_to: int | None = None) -> DataFrame:
     """Exact cosine pairs WITHIN each cluster of a pre-assigned corpus —
     the SemDeDup blocking step (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -681,7 +824,8 @@ def within_cluster_cosine_pairs(assigned: DataFrame,
     # the job, and never fabricates a verdict)
     dim = dim or _vec_dim(assigned, vec_col)
     e = assigned.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    return _exact_cosine_pairs(e, cand, threshold, verify, id_col, dim)
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col, dim,
+                               round_to=round_to)
 
 
 class IVFIndex:

@@ -1360,6 +1360,117 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="power of two"):
             similarity.scaled_sign_clusters(df, n_cells=24)
 
+    def test_sign_cluster_inline_matches_explode_path(self, spark):
+        """The single-pass inline assignment (r11) is bit-identical to
+        the r10 explode/agg/join spelling on every well-formed row —
+        including dirty rows (NULL element, short, long): coalesce(t,0)
+        reproduces SQL SUM's NULL-skipping exactly.  Degenerate rows
+        (NULL/empty embedding) now KEEP their row with cluster NULL
+        where the explode path silently dropped them (r10 ADVICE)."""
+        from pyspark.sql import functions as F
+
+        rows = [(1, [0.5] * 64), (2, None), (3, []),
+                (4, [0.5] * 63 + [None]), (5, [0.1] * 10),
+                (6, [0.2] * 70)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        W = similarity.hyperplane_weights(4, 64)
+        e = df.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v"))
+        bits = similarity._quantized_sign_bits(e, W, "vec_id")
+        old = {r.vec_id: sum(r[f"bit{p}"] << p for p in range(4))
+               for r in bits.collect()}
+        new = {r.vec_id: r.cluster for r in
+               similarity.scaled_sign_clusters(df, 16, dim=64)
+               .select("vec_id", "cluster").collect()}
+        assert set(old) == {1, 4, 5, 6}          # explode path drops 2,3
+        assert all(new[k] == old[k] for k in old)
+        assert new[2] is None and new[3] is None  # retained, NULL cell
+
+    def test_compact_epoch_invariants(self, spark):
+        """Epoch compaction (r10 verdict item 1): (a) cell c at b bits
+        splits into {c + m·2^b} — compacted cluster ≡ fresh assignment
+        at the new fanout, row for row; (b) cluster_new % n_cells_old
+        == cluster_old; (c) same-fanout compaction is the identity;
+        (d) shrinking / non-power-of-two fanouts are refused."""
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        a16 = similarity.scaled_sign_clusters(df, 16)
+        comp = similarity.compact_epoch(a16, 16, 128)
+        m16 = {r.vec_id: r.cluster for r in
+               a16.select("vec_id", "cluster").collect()}
+        m_comp = {r.vec_id: r.cluster for r in
+                  comp.select("vec_id", "cluster").collect()}
+        m_fresh = {r.vec_id: r.cluster for r in
+                   similarity.scaled_sign_clusters(df, 128)
+                   .select("vec_id", "cluster").collect()}
+        assert m_comp == m_fresh and len(m_comp) == len(m16) > 0
+        assert all(m_comp[k] % 16 == m16[k] for k in m16)
+        assert similarity.compact_epoch(a16, 16, 16) is a16
+        with pytest.raises(ValueError, match="only grows"):
+            similarity.compact_epoch(a16, 16, 8)
+        with pytest.raises(ValueError, match="power of two"):
+            similarity.compact_epoch(a16, 16, 48)
+
+    def test_compact_epoch_incremental_pairs_equal_fresh(self, spark):
+        """The invariant the r10 verdict asked to pin: incremental
+        pairs over a COMPACTED store equal the same query over a fresh
+        full assignment at the new fanout — a store that outgrew its
+        epoch re-blocks in place and the pair contract is unchanged."""
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        store_raw = emb.where("vec_id % 10 < 8")
+        batch = emb.where("vec_id % 10 >= 8")
+        compacted = similarity.compact_epoch(
+            similarity.scaled_sign_clusters(store_raw, 16), 16, 32)
+        fresh = similarity.scaled_sign_clusters(store_raw, 32)
+        via_compact = {
+            (r.id_a, r.id_b, r.cosine) for r in
+            similarity.semantic_incremental_pairs(
+                compacted, batch, threshold=0.3, n_cells=32).collect()}
+        via_fresh = {
+            (r.id_a, r.id_b, r.cosine) for r in
+            similarity.semantic_incremental_pairs(
+                fresh, batch, threshold=0.3, n_cells=32).collect()}
+        assert via_compact == via_fresh and len(via_fresh) > 0
+
+    def test_multiprobe_hamming2_semantics(self, spark):
+        """max_hamming=2: pairs == {codes differ in ≤2 bits AND exact
+        cosine ≥ θ}, recomputed independently on the driver — and the
+        H≤2 set strictly contains the H≤1 set on this corpus."""
+        import numpy as np
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        got2 = {(r.id_a, r.id_b) for r in
+                similarity.multiprobe_cell_pairs(
+                    emb, threshold=0.3, n_cells=16,
+                    max_hamming=2).collect()}
+        rows = similarity.scaled_sign_clusters(emb, 16) \
+            .select("vec_id", "cluster", "embedding").collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64")
+                for r in rows}
+        cells = {r.vec_id: r.cluster for r in rows}
+        ids = sorted(vecs)
+        expect = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin(cells[a] ^ cells[b]).count("1") > 2:
+                    continue
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb) / (np.linalg.norm(va)
+                                        * np.linalg.norm(vb))
+                if cos >= 0.3:
+                    expect.add((a, b))
+        assert got2 == expect
+        got1 = {(r.id_a, r.id_b) for r in
+                similarity.multiprobe_cell_pairs(
+                    emb, threshold=0.3, n_cells=16).collect()}
+        assert got1 < got2
+        with pytest.raises(ValueError, match="max_hamming"):
+            similarity.multiprobe_cell_pairs(emb, n_cells=16,
+                                             max_hamming=3)
+
 
 class TestMultimodal:
     @staticmethod

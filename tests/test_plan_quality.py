@@ -526,6 +526,38 @@ def test_semantic_multiprobe_plan(spark, registry):
     assert "Generate" in plan
 
 
+def test_scaled_assignment_single_pass_no_exchange(spark):
+    """scaled_sign_clusters is ONE inline narrow projection (r10 verdict
+    item 5): the r10 form posexploded to dim× rows, shuffled the
+    per-plane sums, then equi-joined the cells back to the corpus — two
+    corpus shuffles per assignment pass.  Gate: the assignment plan
+    contains NO Exchange, no Generate, no join — just the scan and the
+    projection."""
+    from petropandas_spark.pipeline import similarity as _sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(_sim.scaled_sign_clusters(emb, 16), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_epoch_compaction_partition_local_no_exchange(spark):
+    """compact_epoch is the partition-local split the sign-bit-prefix
+    algebra promises: appending bits b_old..b_new-1 is one inline
+    projection over the stored (embedding, cluster) rows — NO Exchange,
+    no Generate, no join in the compaction plan (a cluster-partitioned
+    store re-blocks without any shuffle)."""
+    from petropandas_spark.pipeline import similarity as _sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = _sim.scaled_sign_clusters(emb, 16)
+    plan = _plan(_sim.compact_epoch(assigned, 16, 64), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a
