@@ -60,9 +60,16 @@ def _broadcastable_ids(pairs: DataFrame, a_col: str, b_col: str,
     id + measured ``octet_length`` sum per string/binary id, compared
     against ``ids_max`` default-width slots; 2·|pairs| bounds the
     distinct-id count, and the per-pair octet sum likewise bounds the
-    distinct payload.  Unknown id types (struct/array keys) never hint —
-    the planner/AQE decide from runtime stats.  One bounded driver
-    aggregate (a handful of longs)."""
+    distinct payload.  Both bounds count a high-degree id ONCE PER PAIR
+    it appears in, so a small distinct id set inside a dense duplicate
+    cluster can overshoot the ceiling and lose the hint even though the
+    actual broadcast (distinct ids) is tiny — conservative direction
+    only: the un-hinted join still runs, and AQE re-plans it from
+    runtime stats (a distinct-side aggregate here would cost a shuffle
+    before the gate, defeating the cheap-scan contract; revisit only if
+    the fallback shows up in profiles).  Unknown id types (struct/array
+    keys) never hint — the planner/AQE decide from runtime stats.  One
+    bounded driver aggregate (a handful of longs)."""
     if ids_max is None:
         ids_max = BROADCAST_IDS_MAX
     bytes_max = ids_max * _BROADCAST_ID_WIDTH

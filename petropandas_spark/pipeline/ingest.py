@@ -78,14 +78,25 @@ def _parse_split(raw: DataFrame, schema: T.StructType
       trailing-garbage lines are forced into quarantine where strict
       parsers already put them.
 
+    * an exactly-one-root guard (r10 ADVICE — the one leniency that
+      DISCARDED user bytes instead of quarantining them): two
+      concatenated root objects ``{..}{..}`` end with ``}`` so the
+      structural guard passes, and Jackson silently keeps only the
+      FIRST root.  A regex alone cannot decide this (``}{`` may sit
+      inside a string literal), so the regex ``\\}\\s*\\{`` is only a
+      cheap prefilter and the PARSER issues the verdict: the line
+      bracketed as ``[`` line ``]`` must parse as a JSON array — a
+      second root inside the brackets is a missing-comma syntax
+      error.  Lines without the ``}<ws>{`` byte pattern skip the
+      second parse entirely, and a non-object second root (``{..}[1]``,
+      ``{..}"s"``, ``{..}1``) already dies at the end-with-``}``
+      guard, so object-object is the only shape the probe must catch.
+
     Residual engine-defined edges, kept OUT of the pinned fixture and
     documented here (test_ingest pins each direction): a trailing
     comma ``{"k": 1,}`` (yyjson accepts, Jackson rejects → quarantine
-    HERE, good under a lenient reader); two concatenated root objects
-    ``{..}{..}`` (ends with ``}`` so the guard passes; Jackson reads
-    the first object → good HERE, strict parsers reject); lone
-    surrogate escapes ``"\\ud800"`` (Jackson accepts → good HERE,
-    yyjson rejects)."""
+    HERE, good under a lenient reader); lone surrogate escapes
+    ``"\\ud800"`` (Jackson accepts → good HERE, yyjson rejects)."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
     )
@@ -99,10 +110,19 @@ def _parse_split(raw: DataFrame, schema: T.StructType
     )
     # the guard regex allows trailing WHITESPACE after the brace (CRLF
     # shards leave \r on every line; Jackson and yyjson both ignore it)
+    multi_root = (
+        F.col("value").rlike(r"\}\s*\{")
+        & F.from_json(
+            F.concat(F.lit("["), F.col("value"), F.lit("]")),
+            "array<struct<__probe:string>>",
+            {"mode": "PERMISSIVE", "allowSingleQuotes": "false"},
+        ).isNull()
+    )
     bad = (
         F.col("j").isNull()
         | F.col(f"j.{_CORRUPT}").isNotNull()
         | ~F.col("value").rlike(r"\}\s*$")
+        | multi_root
     )
     good = parsed.where(~bad).select(
         *[F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields])

@@ -3572,6 +3572,154 @@ SELECT vec_id FROM comp WHERE vec_id = component
 """,
     )
 
+    # epoch compaction end-to-end (r10 verdict item 1): assign at a
+    # 16-cell epoch, compact to 64 cells by APPENDING sign bits
+    # (partition-local, zero-Exchange — plan-gated), emit the final
+    # assignment.  Oracle = DIRECT 6-bit assignment (no compaction
+    # concept needed): the invariant under test IS that compaction
+    # equals fresh assignment at the new fanout.
+    def sem_compact_fn(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings")
+        a16 = _sim.scaled_sign_clusters(emb, n_cells=16)
+        return _sim.compact_epoch(a16, 16, 64) \
+            .select("vec_id", "cluster")
+
+    _cw = _sim.hyperplane_weights(6, EMB_DIM)
+    _compact_code = " + ".join(
+        "CASE WHEN ("
+        + " + ".join(f"vq[{j + 1}] * {_cw[p][j]}" for j in range(EMB_DIM))
+        + f") > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(6)
+    )
+    out["semantic_epoch_compaction"] = QuerySpec(
+        sem_compact_fn,
+        f"""
+WITH e AS (SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(ROUND(x * {_sim.EMB_QUANT}e0) AS BIGINT)) AS vq
+  FROM embeddings)
+SELECT vec_id, ({_compact_code}) AS cluster FROM e
+""",
+    )
+
+    # the PRODUCTION verify dot driven through the driver gate (r10
+    # verdict item 3): same scaled-cell candidate derivation as
+    # semantic_dedup_groups_scaled, but the exact verify runs the
+    # Arrow-batched numpy einsum (the candidate-proportional scale
+    # path) instead of the interpreted hof fold.  numpy's pairwise
+    # summation differs from the left fold in the last FP bits
+    # (≤1e-12 relative), so BOTH engines round the cosine to 9
+    # decimals BEFORE the threshold filter — differences that small
+    # survive rounding identically unless a pair sits within ~1e-12
+    # of a half-ulp of the 9th decimal (none does on this corpus:
+    # verified at sf0.01/sf0.1).  The hof twin queries stay registered
+    # as the bit-exact anchors.
+    def sem_arrow_fn(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings")
+        assigned = _sim.scaled_sign_clusters(emb).localCheckpoint()
+        return _sim.within_cluster_cosine_pairs(
+            assigned, threshold=0.3, verify="arrow", round_to=9)
+
+    _ar_dot = _dot_sql("na.v", "nb.v", DUCKDB)
+    out["semantic_neardup_arrow"] = QuerySpec(
+        sem_arrow_fn,
+        f"""
+WITH
+{_scaled_cluster_ctes()}
+SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
+       ROUND({_ar_dot} / (na.nrm * nb.nrm), 9) AS cosine
+FROM n na JOIN n nb
+  ON na.cluster = nb.cluster AND na.vec_id < nb.vec_id
+WHERE ROUND({_ar_dot} / (na.nrm * nb.nrm), 9) >= 0.3e0
+""",
+    )
+
+    # Hamming≤2 multi-probe (r10 verdict item 4): the recall knob for
+    # deep fanouts / hard thresholds — candidate multiplier
+    # 1 + b + C(b,2) = O(log²N), still never all-pairs.  Same pure
+    # integer pair condition, so the oracle is bit_count(xor) <= 2.
+    def sem_multiprobe2_fn(spark, sf_dir):
+        emb = _load(spark, sf_dir, "embeddings")
+        return _sim.multiprobe_cell_pairs(emb, threshold=0.3,
+                                          max_hamming=2)
+
+    _mp2_pair_sql = _mp_pair_sql.replace(
+        "AS BIGINT)) <= 1", "AS BIGINT)) <= 2")
+    out["semantic_neardup_multiprobe_h2"] = QuerySpec(
+        sem_multiprobe2_fn,
+        f"""
+WITH
+{_scaled_cluster_ctes()}
+{_mp2_pair_sql}
+""",
+    )
+
+    # quality-ranked semantic survivor selection (r10 verdict item 6):
+    # the min-id keeper of semantic_dedup_survivors is arbitrary;
+    # here the keeper of each multi-member near-dup group is the
+    # member of HIGHEST embedding L2 norm (tie → min vec_id) — the
+    # deterministic quality proxy both engines compute exactly (the
+    # norm is the verify stage's own sqrt-of-left-fold, bit-equal
+    # across engines, so the rank order cannot diverge).  SemDeDup's
+    # centroid-rank policy needs a centroid; sign-bit cells have
+    # none, and a production corpus would rank on a real quality
+    # column through exactly this window shape.
+    def sem_survivors_ranked_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        emb = _load(spark, sf_dir, "embeddings")
+        pairs = _sim.multiprobe_cell_pairs(emb, threshold=0.3)
+        comps = _dd.connected_components(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", a_col="id_a", b_col="id_b",
+        )
+        v = F.col("embedding").cast("array<double>")
+        nrm = emb.select(
+            "vec_id",
+            F.sqrt(F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, t: acc + t,
+            )).alias("nrm"),
+        )
+        j = comps.join(nrm, "vec_id")
+        w = Window.partitionBy("component")
+        wr = Window.partitionBy("component").orderBy(
+            F.desc("nrm"), F.asc("vec_id"))
+        return (
+            j.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .withColumn("rk", F.row_number().over(wr))
+            .where("rk = 1 AND n_members >= 2")
+            .select("component", F.col("vec_id").alias("keeper"),
+                    "n_members")
+        )
+
+    out["semantic_dedup_survivors_ranked"] = QuerySpec(
+        sem_survivors_ranked_fn,
+        f"""
+WITH RECURSIVE
+{_scaled_cluster_ctes()},
+p AS ({_mp_pair_sql}),
+sym AS (SELECT id_a AS x, id_b AS y FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lab) AS component
+         FROM reach GROUP BY node),
+ranked AS (SELECT c.component, c.vec_id, n.nrm,
+                  COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+                  ROW_NUMBER() OVER (PARTITION BY c.component
+                                     ORDER BY n.nrm DESC, c.vec_id)
+                      AS rk
+           FROM comp c JOIN n ON n.vec_id = c.vec_id)
+SELECT component, vec_id AS keeper, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1 AND n_members >= 2
+""",
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -4165,62 +4313,59 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
     # never driver-verified (new this round) — leads the head:
-    "semantic_dedup_groups_scaled",
-    "semantic_incremental_pairs",
-    "semantic_neardup_multiprobe",
-    "semantic_dedup_survivors",
-    # changed oracle in r9 (json_type gate) but rotated out of the r9
-    # head — driver-verify the new oracle now (r9 advisor item), with
-    # its sibling extract query alongside:
-    "events_json_struct",
-    "events_json_extract",
-    # changed contract this round (strict-JSON ingest pins + 3 new
-    # fixture edges) — changed-oracle queries lead the rotation:
-    "corpus_ingest_jsonl",
-    "corpus_ingest_jsonl_rejects",
-    # stalest proven names (last-green round in comment):
-    "doc_lang_guess",  # r06
-    "doc_lang_confusion",  # r06
-    "doc_quality",  # r06
-    "doc_tokenize_bpe",  # r06
-    "dedup_exact",  # r06
-    "doc_fingerprint",  # r06
-    "minhash_signatures",  # r06
-    "doc_winnowed_fingerprints",  # r06
-    "neardup_minhash_pairs",  # r06
-    "corpus_curation",  # r06
-    "corpus_sample_stratified",  # r06
-    "corpus_train_split",  # r06
-    "corpus_pack_sequences",  # r06
-    "doc_boilerplate_ngrams",  # r06
-    "corpus_contamination",  # r06
-    "doc_repetition_metrics",  # r06
-    "simhash_neardup_pairs",  # r06
-    "jaccard_verified_neardups",  # r06
-    "corpus_spans_removed_all",  # r06
-    "dedup_components",  # r06
-    "media_byte_stats",  # r06
-    "garnet_end_members",  # r07
-    "cpx_end_members",  # r07
-    "feldspar_end_members",  # r07
-    "garnet_apfu_site_filtered",  # r07
-    "garnet_site_allocation",  # r07
-    "garnet_stoichiometry",  # r07
-    "cpx_stoichiometry",  # r07
-    "amphibole_stoichiometry",  # r07
-    "garnetfe3_end_members",  # r07
-    "opx_end_members",  # r07
-    "muscovite_end_members",  # r07
-    "biotite_end_members",  # r07
-    "staurolite_end_members",  # r07
-    "chlorite_end_members",  # r07
-    "epidote_end_members",  # r07
-    "amphibole_end_members",  # r07
-    "titanite_end_members",  # r07
-    "chloritoid_end_members",  # r07
-    "cordierite_end_members",  # r07
-    "ilmenite_end_members",  # r07
-    "spinel_end_members",  # r07
+    "semantic_epoch_compaction",
+    "semantic_neardup_arrow",
+    "semantic_neardup_multiprobe_h2",
+    "semantic_dedup_survivors_ranked",
+    # stalest proven names (last-green round in comment) — the full
+    # r07 cohort rotates through this head (r10 verdict item 2):
+    "normalize_100",  # r07
+    "apfu_oxygen_basis",  # r07
+    "apfu_cation_basis",  # r07
+    "apfu_by_charge",  # r07
+    "split_valence_schumacher",  # r07
+    "tc_garnet_proportions",  # r07
+    "tc_biotite_proportions",  # r07
+    "tc_chlorite_proportions",  # r07
+    "tc_plagioclase_proportions",  # r07
+    "tc_muscovite_proportions",  # r07
+    "tc_staurolite_proportions",  # r07
+    "tc_clinoamphibole_proportions",  # r07
+    "tc_cpx_w24_proportions",  # r07
+    "tc_spinel_t21_proportions",  # r07
+    "tc_garnet_site_occupancies",  # r07
+    "tc_clinoamphibole_site_occupancies",  # r07
+    "weighted_mean_grouped",  # r07
+    "events_value_hour_corr",  # r07
+    "doc_bigram_lm",  # r07
+    "corpus_mixture_reweighted",  # r07
+    "doc_chunks_overlap",  # r07
+    "ivf_assign_fixed_centroids",  # r07
+    "cosine_neardup_pairs",  # r07
+    "media_frame_checksums",  # r07
+    "knn_cosine_topk",  # r07
+    "knn_ivf_topk",  # r07
+    "embedding_norms_by_label",  # r07
+    "ternary_projection_eval",  # r07
+    # r08 cohort fills the remaining slots:
+    "cipw_norm_full",  # r08
+    "cipw_norm_hornblende",  # r08
+    "q8_market_share",  # r08
+    "events_latest_per_user",  # r08
+    "events_daily_rollup",  # r08
+    "events_funnel",  # r08
+    "events_funnel_summary",  # r08
+    "events_value_histogram",  # r08
+    "events_cohort_retention",  # r08
+    "events_gap_filled_locf",  # r08
+    "events_type_pivot",  # r08
+    "lineitem_cube",  # r08
+    "dedup_exact_normalized",  # r08
+    "documents_profile",  # r08
+    "documents_constraints",  # r08
+    "doc_word_rarity",  # r08
+    "doc_tfidf_top_terms",  # r08
+    "events_user_value_anomalies",  # r08
 ]
 
 
@@ -4415,10 +4560,11 @@ def build_registry() -> dict[str, QuerySpec]:
     # JSONL ingestion (pipeline/ingest.py): reads the COMMITTED dirty
     # fixture shard (64 good lines — one with a NULL text field, one
     # with a numeric source token, one with missing fields, one with a
-    # negative int doc_id — plus 11 quarantined: truncated object, bare
+    # negative int doc_id — plus 12 quarantined: truncated object, bare
     # text, double comma, four TYPE-DRIFTED objects, a u64-max token
     # past int64, a single-quoted object, an object with trailing
-    # garbage, and a NaN doc_id token (the r10 strictness pins), plus
+    # garbage, a NaN doc_id token (the r10 strictness pins), and two
+    # concatenated root objects (the r11 exactly-one-root pin), plus
     # one whitespace-only line both sides discard).  Two registry surfaces, BOTH replayed from the same
     # DuckDB raw-line read.  Good-vs-quarantine contract (pinned r9,
     # r8 advisor finding): a line is good iff it parses as a JSON
@@ -4499,13 +4645,20 @@ FROM raw WHERE {_jsonl_good}
     # mirrors the INGEST parser's own strictness: an all-STRING
     # from_json with allowSingleQuotes=false (any field token
     # stringifies, so drift can't fail it — only true parse errors do)
-    # plus the same end-with-'}' structural guard read_jsonl applies.
-    # Residual engine-defined edges (trailing comma, concatenated
-    # objects, lone surrogates) are documented at ingest._parse_split
-    # and kept out of the fixture.
+    # plus the same end-with-'}' structural guard AND the same
+    # exactly-one-root probe read_jsonl applies (r11: concatenated
+    # roots are a PINNED malformed_object — yyjson's json_type already
+    # said so; see ingest._parse_split).  Residual engine-defined
+    # edges (trailing comma, lone surrogates) are documented at
+    # ingest._parse_split and kept out of the fixture.
     _ERR_CLASS_SPARK = (
         "CASE WHEN ltrim(raw_line) NOT LIKE '{%' THEN 'not_json_object' "
-        "WHEN raw_line RLIKE '\\\\}\\\\s*$' AND from_json(raw_line, "
+        "WHEN raw_line RLIKE '\\\\}\\\\s*$' "
+        "AND NOT (raw_line RLIKE '\\\\}\\\\s*\\\\{' AND "
+        "from_json(concat('[', raw_line, ']'), "
+        "'array<struct<__probe: string>>', "
+        "map('allowSingleQuotes', 'false')) IS NULL) "
+        "AND from_json(raw_line, "
         "'doc_id STRING, __c STRING', map('allowSingleQuotes', 'false', "
         "'columnNameOfCorruptRecord', '__c')).__c IS NULL "
         "THEN 'drifted_type' ELSE 'malformed_object' END AS err_class"

@@ -288,6 +288,44 @@ def semantic_ingest_stream(stream_df, store_path: str, pairs_path: str,
     )
 
 
+def read_semantic_store(spark, store_path: str):
+    """Pinned-schema reader for the cell-assignment store
+    :func:`semantic_ingest_stream` accumulates (an empty first batch
+    leaves partition markers and no data files; inference would
+    raise).  ``cluster`` is nullable: degenerate rows (NULL/empty
+    embedding) carry a NULL cell by the assignment contract."""
+    return spark.read.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, cluster INT, "
+        "batch_id BIGINT"
+    ).parquet(store_path)
+
+
+def compact_semantic_store(spark, store_path: str, out_path: str,
+                           n_cells_old: int, n_cells_new: int,
+                           dim: int | None = None) -> None:
+    """Epoch compaction for the PERSISTED semantic store: re-block the
+    accumulated cell assignment from the stream's old epoch fanout to a
+    wider one — :func:`pipeline.similarity.compact_epoch` applied to
+    the store files (one narrow projection per row, zero shuffle: the
+    sign-bit-prefix cells split in place, pinned equal to a fresh full
+    assignment at the new fanout).
+
+    Writes the NEW epoch beside the old (``out_path``) rather than
+    overwriting in place — the object-store-safe pattern (a reader of
+    the old epoch is never left mid-swap with half-rewritten files);
+    the caller swaps the stream's store path + ``n_cells`` to the new
+    epoch between triggers and retires the old directory.  Partitioning
+    by ``batch_id`` is preserved, so the incremental machinery
+    (pinned-schema read, per-batch backfill) continues unchanged on the
+    compacted store."""
+    from petropandas_spark.pipeline.similarity import compact_epoch
+
+    store = read_semantic_store(spark, store_path)
+    compacted = compact_epoch(store, n_cells_old, n_cells_new, dim=dim)
+    compacted.write.mode("overwrite").partitionBy("batch_id") \
+        .parquet(out_path)
+
+
 def read_clean_documents(spark, landing_path: str):
     """Pinned-schema reader for :func:`decontaminate_ingest_stream`
     landings (an all-contaminated run leaves no data files; inference

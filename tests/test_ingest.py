@@ -84,22 +84,30 @@ def test_strict_json_pins_and_engine_defined_edges(spark, tmp_path):
     root object and silently accept) → quarantine; a NaN doc_id token
     quarantines as type drift.
 
+    PINNED since r11 (r10 ADVICE — the one leniency that DISCARDED
+    user bytes): two concatenated root objects end with '}' so the
+    structural guard passes and Jackson would silently keep only the
+    FIRST root — the exactly-one-root probe ('[' line ']' must parse
+    as an array) now quarantines them, agreeing with yyjson.  A '}{'
+    INSIDE a string literal must NOT trip the probe (the regex is only
+    a prefilter; the parser issues the verdict).
+
     ENGINE-DEFINED (documented at _parse_split, kept OUT of the pinned
     fixture — this test pins OUR side's placement so a silent behavior
     change surfaces): trailing comma → Jackson rejects → quarantine
-    here (a lenient yyjson reader calls it good); two concatenated
-    root objects → ends with '}', Jackson reads the first → GOOD here
-    (strict parsers reject); lone surrogate escape → Jackson accepts →
-    GOOD here (yyjson rejects)."""
+    here (a lenient yyjson reader calls it good); lone surrogate
+    escape → Jackson accepts → GOOD here (yyjson rejects)."""
     lines = [
         '{"doc_id": 1, "source": "web", "lang": "en", "text": "ok"}',
         # pinned strictness
         "{'doc_id': 2, 'text': 'single quotes'}",
         '{"doc_id": 3, "text": "trailing"} garbage',
         '{"doc_id": NaN, "text": "nan token"}',
+        '{"doc_id": 5, "text": "first"}{"doc_id": 6, "text": "second"}',
+        '{"doc_id": 8, "text": "brace pair }{ inside a string"}',
+        '{"doc_id": 9, "text": "first"} {"doc_id": 10, "text": "ws gap"}',
         # engine-defined edges (our side pinned)
         '{"doc_id": 4, "text": "trailing comma",}',
-        '{"doc_id": 5, "text": "first"}{"doc_id": 6, "text": "second"}',
         '{"doc_id": 7, "text": "lone surrogate \\ud800"}',
     ]
     p = tmp_path / "strict.jsonl"
@@ -107,12 +115,14 @@ def test_strict_json_pins_and_engine_defined_edges(spark, tmp_path):
     good, quarantine = ingest.read_jsonl(spark, str(p))
     g = {r.doc_id for r in good.collect()}
     q = [r.raw_line for r in quarantine.collect()]
-    assert g == {1, 5, 7}
-    assert len(q) == 4
+    assert g == {1, 7, 8}
+    assert len(q) == 6
     assert any(l.startswith("{'doc_id': 2") for l in q)   # single quotes
     assert any(l.endswith("} garbage") for l in q)        # trailing bytes
     assert any("NaN" in l for l in q)                     # drifted token
     assert any(l.endswith(',}') for l in q)               # trailing comma
+    assert any('"doc_id": 5' in l for l in q)             # multi-root
+    assert any('"doc_id": 9' in l for l in q)             # multi-root + ws
 
 
 def test_good_frame_feeds_the_pipeline(spark, shard):

@@ -321,6 +321,49 @@ def test_semantic_ingest_stream_matches_full_recompute(spark, emb_dir,
     assert set(store.columns) >= {"vec_id", "embedding", "cluster"}
 
 
+def test_compact_semantic_store_new_epoch(spark, emb_dir, tmp_path):
+    """Epoch compaction on the PERSISTED stream store: after draining
+    the ingest stream at the old fanout, compact_semantic_store writes
+    the new epoch beside the old with every cluster re-blocked to the
+    wider fanout (pinned equal to a fresh full assignment), batch_id
+    partitioning preserved; a NEXT landing batch paired against the
+    compacted store at the new fanout equals the fresh-store
+    derivation — the stream continues across the epoch swap."""
+    from petropandas_spark.pipeline import similarity as sim
+
+    stream = sc.read_embeddings_stream(
+        spark, os.path.join(emb_dir, "*"), max_files_per_trigger=1)
+    store_path = str(tmp_path / "cellstore")
+    q = sc.semantic_ingest_stream(
+        stream, store_path, str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), n_cells=16, threshold=0.3)
+    assert q.awaitTermination(180)
+
+    epoch2 = str(tmp_path / "cellstore_epoch2")
+    sc.compact_semantic_store(spark, store_path, epoch2, 16, 64)
+    compacted = sc.read_semantic_store(spark, epoch2)
+    all_emb = spark.read.parquet(os.path.join(emb_dir, "*"))
+    fresh = sim.scaled_sign_clusters(all_emb, 64)
+    assert ({(r.vec_id, r.cluster) for r in
+             compacted.select("vec_id", "cluster").collect()}
+            == {(r.vec_id, r.cluster) for r in
+                fresh.select("vec_id", "cluster").collect()})
+    assert compacted.select("batch_id").distinct().count() == 2
+
+    batch3 = all_emb.select(
+        "vec_id", "embedding").limit(0).sparkSession.createDataFrame(
+        [(10_001, [float(0.9)] * 64), (10_002, [float(0.9)] * 64)],
+        "vec_id long, embedding array<float>")
+    via_compact = {(r.id_a, r.id_b, r.cosine) for r in
+                   sim.semantic_incremental_pairs(
+                       compacted.select("vec_id", "embedding", "cluster"),
+                       batch3, threshold=0.3, n_cells=64).collect()}
+    via_fresh = {(r.id_a, r.id_b, r.cosine) for r in
+                 sim.semantic_incremental_pairs(
+                     fresh, batch3, threshold=0.3, n_cells=64).collect()}
+    assert via_compact == via_fresh and len(via_fresh) > 0
+
+
 def test_semantic_ingest_zero_pairs_readable(spark, tmp_path):
     """A semantic ingest run that lands ZERO near-dup pairs leaves the
     pairs directory without data files — schema inference would raise,
