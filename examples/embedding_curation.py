@@ -115,6 +115,21 @@ def main(emb_path: str, out: str) -> None:
         spark.read.parquet(cell_store), batch, n_cells=n_cells)
     print(f"incremental near-dup pairs touching the batch: {incr.count()}")
 
+    # 8. (r11) epoch compaction: when the corpus outgrows its epoch the
+    # persisted cell store re-blocks by APPENDING sign bits — one
+    # narrow projection, partition-local (a cell at 2^b is the disjoint
+    # union of its 2^(b+2) descendants), never a global re-cluster; the
+    # new epoch is written BESIDE the old and readers swap
+    from petropandas_spark.pipeline.similarity import compact_epoch
+
+    epoch2 = os.path.join(out, "cell_store_epoch2")
+    compact_epoch(spark.read.parquet(cell_store), n_cells, n_cells * 4) \
+        .write.mode("overwrite").partitionBy("cluster").parquet(epoch2)
+    incr2 = semantic_incremental_pairs(
+        spark.read.parquet(epoch2), batch, n_cells=n_cells * 4)
+    print(f"epoch compacted {n_cells} -> {n_cells * 4} cells; "
+          f"batch pairs at the new fanout: {incr2.count()}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1

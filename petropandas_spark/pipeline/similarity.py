@@ -244,7 +244,13 @@ def _quantized_sign_bits(e: DataFrame, W: list[list[int]],
     carries id + len(W) longs.  ``hyperplane_weights`` keys plane ``p``
     on ``(p, element)`` alone, so ``W[:b]`` of a larger family computes
     the identical first ``b`` bits — callers may size the family to
-    their fanout and stay bit-compatible with wider sketches."""
+    their fanout and stay bit-compatible with wider sketches.
+
+    Since r11 no production path calls this: every sketch consumer uses
+    the zero-shuffle inline fold (:func:`_sign_cluster_expr`).  Kept as
+    the REFERENCE spelling — it is the shape the DuckDB oracles derive
+    bits in, and the parity test pins the inline fold against it
+    bit-for-bit on clean and dirty rows."""
     n_planes = len(W)
     ex = e.select(
         id_col, F.posexplode("v").alias("j", "val")
@@ -308,26 +314,53 @@ def _sign_cluster_expr(v, W: list[list[int]], bit_offset: int = 0):
     ``bit_offset`` shifts the emitted bit positions: plane ``p``
     contributes ``2^(bit_offset+p)`` — the epoch-compaction hook
     (:func:`compact_epoch` appends bits ``b_old..b_new-1`` to an
-    existing prefix code without recomputing the low bits)."""
+    existing prefix code without recomputing the low bits).
+
+    Shape: ONE expression tree, evaluated once per row — quantize once
+    (inner ``transform``), one ``aggregate`` whose accumulator is the
+    array of all ``b`` running sums (per element: 1 round + b integer
+    multiply-adds — the weight matrix is transposed into per-POSITION
+    rows so a single left fold feeds every plane), then a second small
+    fold turns the sums array into the bit-weighted code.  A naive
+    per-plane spelling re-quantizes the vector b times and re-evaluates
+    the aggregate per referencing expression (HOF lambdas are
+    interpreted and not CSE'd) — measured slower than the explode path
+    it replaces at bench scale; this form is not."""
+    b = len(W)
+    dim = len(W[0])
     zero = F.lit(0).cast("bigint")
     quant = F.lit(float(EMB_QUANT))
-
-    def plane_sum(weights):
-        warr = F.array(*[F.lit(int(w)) for w in weights])
-        return F.aggregate(
-            F.zip_with(
-                v, warr,
-                lambda x, w: F.round(x * quant).cast("bigint") * w),
-            zero,
-            lambda acc, t: acc + F.coalesce(t, zero),
-        )
-
-    code = sum(
-        (F.when(plane_sum(W[p]) > 0, F.lit(1 << (bit_offset + p)))
-         .otherwise(F.lit(0))
-         for p in range(1, len(W))),
-        F.when(plane_sum(W[0]) > 0, F.lit(1 << bit_offset))
-        .otherwise(F.lit(0)),
+    # transposed weights: element j's contribution row to all b sums
+    wmat = F.array(*[
+        F.array(*[F.lit(int(W[p][j])) for p in range(b)])
+        for j in range(dim)
+    ])
+    vq = F.transform(v, lambda x: F.round(x * quant).cast("bigint"))
+    sums = F.aggregate(
+        # zip pads the SHORTER side with NULL: j beyond dim → wrow NULL
+        # (no terms, matching the explode path's try_element_at); j
+        # beyond len(v) → q NULL → an all-NULL term row.
+        F.zip_with(vq, wmat,
+                   lambda q, wrow: F.transform(wrow, lambda w: q * w)),
+        F.array(*[zero] * b),
+        # coalesce(term, 0) reproduces SQL SUM's NULL-skipping; a NULL
+        # term ROW (vector longer than dim) contributes nothing.
+        lambda acc, trow: F.when(trow.isNull(), acc).otherwise(
+            F.zip_with(acc, trow,
+                       lambda a, t: a + F.coalesce(t, zero))),
+    )
+    # BIGINT throughout: bit 31 of a wide sketch (the 32-plane LSH
+    # band code) overflows int32; callers with a bounded fanout cast
+    # the result down (cluster stays int in stores and oracles).
+    code = F.aggregate(
+        F.zip_with(
+            sums,
+            F.array(*[F.lit(1 << (bit_offset + p)).cast("bigint")
+                      for p in range(b)]),
+            lambda s, w: F.when(s > 0, w).otherwise(zero),
+        ),
+        zero,
+        lambda acc, x: acc + x,
     )
     return F.when(F.size(v) > 0, code)
 
@@ -407,7 +440,8 @@ def scaled_sign_clusters(df: DataFrame, n_cells: int | None = None,
     b = (n_cells - 1).bit_length()
     W = hyperplane_weights(b, dim)
     return df.withColumn(
-        "cluster", _sign_cluster_expr(_as_double(vec_col), W))
+        "cluster",
+        _sign_cluster_expr(_as_double(vec_col), W).cast("int"))
 
 
 def compact_epoch(store: DataFrame, n_cells_old: int, n_cells_new: int,
@@ -462,7 +496,8 @@ def compact_epoch(store: DataFrame, n_cells_old: int, n_cells_new: int,
     W_appended = hyperplane_weights(b_new, dim)[b_old:]
     appended = _sign_cluster_expr(
         _as_double(vec_col), W_appended, bit_offset=b_old)
-    return store.withColumn(cluster_col, F.col(cluster_col) + appended)
+    return store.withColumn(
+        cluster_col, (F.col(cluster_col) + appended).cast("int"))
 
 
 def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
@@ -695,14 +730,25 @@ def lsh_cosine_neardup_pairs(df: DataFrame, threshold: float = 0.2,
     rpb = n_planes // bands
     W = hyperplane_weights(n_planes, dim)
     e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    bits = _quantized_sign_bits(e, W, id_col)
-    keys = bits.select(
+    # sketch as ONE inline single-fold projection (r11, same rewrite as
+    # scaled_sign_clusters): the full n_planes-bit code is one long and
+    # each band key is a bit-slice of it — the r10 explode/groupBy
+    # spelling shuffled (id + n_planes longs) once per corpus pass; this
+    # costs zero shuffles.  codegen_barrier between the code projection
+    # and the band slices: CollapseProject would otherwise inline the
+    # interpreted fold into all `bands` slice expressions and evaluate
+    # it `bands` times per row.  NULL/empty embeddings carry NULL band
+    # keys; their NULL-bucket pairs die at the verify dim filter.
+    from petropandas_spark.sqlgen import codegen_barrier
+
+    coded = codegen_barrier(
+        e.select(id_col, _sign_cluster_expr(F.col("v"), W).alias("__code"))
+    )
+    keys = coded.select(
         id_col,
         *[
-            sum(
-                (F.col(f"bit{b * rpb + r}") * F.lit(1 << r) for r in range(1, rpb)),
-                F.col(f"bit{b * rpb}"),
-            ).alias(f"band{b}")
+            (F.shiftright(F.col("__code"), b * rpb)
+             .bitwiseAND(F.lit((1 << rpb) - 1))).alias(f"band{b}")
             for b in range(bands)
         ],
     )
