@@ -174,7 +174,16 @@ def _pair_dot_arrow():
                                       np.asarray(b, dtype="float64")))
         return pd.Series(out)
 
-    return pair_dot
+    # asNondeterministic — the function IS deterministic; the flag is
+    # the standard guard against expression DUPLICATION: the verify
+    # stage projects the cosine and then filters on it, and the
+    # optimizer inlines the projected column into the pushed-down
+    # filter, planning TWO ArrowEvalPython stages (every candidate pair
+    # paid the Python round-trip twice — observed in the r11 plan
+    # audit).  Nondeterministic expressions are never duplicated or
+    # pushed, so the dot is evaluated exactly once per pair (plan-gated:
+    # one ArrowEvalPython).
+    return pair_dot.asNondeterministic()
 
 
 def _exact_cosine_pairs(e: DataFrame, cand: DataFrame, threshold: float,
@@ -507,7 +516,9 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
                           id_col: str = "vec_id",
                           dim: int | None = None,
                           max_bucket: int = 10_000,
-                          max_hamming: int = 1) -> DataFrame:
+                          max_hamming: int = 1,
+                          verify: str = "hof",
+                          round_to: int | None = None) -> DataFrame:
     """Multi-probe near-dup pairs over the scale-coupled cells: every
     pair whose cell codes differ in AT MOST ``max_hamming`` sign bits
     is candidate, then exactly verified — the standard multi-probe LSH
@@ -549,6 +560,8 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
 
     if max_hamming not in (1, 2):
         raise ValueError(f"max_hamming must be 1 or 2, got {max_hamming}")
+    if verify not in ("hof", "arrow"):
+        raise ValueError(f"verify must be hof|arrow, got {verify!r}")
     dim = dim or _vec_dim(df, vec_col)
     if n_cells is None:
         n_cells = scaled_cells(df.count(), target_occupancy)
@@ -575,7 +588,8 @@ def multiprobe_cell_pairs(df: DataFrame, threshold: float = 0.3,
         .distinct()
     )
     e = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    return _exact_cosine_pairs(e, cand, threshold, "hof", id_col, dim)
+    return _exact_cosine_pairs(e, cand, threshold, verify, id_col, dim,
+                               round_to=round_to)
 
 
 def semantic_incremental_pairs(store: DataFrame | None,

@@ -558,6 +558,18 @@ def test_epoch_compaction_partition_local_no_exchange(spark):
     assert "Join" not in plan, plan
 
 
+def test_arrow_verify_single_python_stage(spark, registry):
+    """semantic_neardup_arrow: the pair-dot pandas UDF must evaluate
+    ONCE per candidate pair.  Without the asNondeterministic guard the
+    optimizer inlines the projected cosine into the pushed-down
+    threshold filter and plans TWO ArrowEvalPython stages — every pair
+    pays the Python round-trip twice (caught in the r11 plan audit)."""
+    df = registry["semantic_neardup_arrow"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_rank_limit_no_global_sort(spark, registry):
     """bm25_search_topk: per-term idf and corpus stats are broadcast-
     sized; the top-k is a rank limit (TakeOrderedAndProject), never a

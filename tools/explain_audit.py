@@ -30,6 +30,10 @@ AUDIT = [
     "semantic_dedup_groups_scaled",  # count-derived fanout twin (r10)
     "semantic_incremental_pairs",   # landing-batch semantic tier (r10)
     "semantic_neardup_multiprobe",  # Hamming-1 probe recall recovery
+    "semantic_neardup_multiprobe_h2",  # Hamming-2 probe knob (r11)
+    "semantic_epoch_compaction",    # partition-local store re-block (r11)
+    "semantic_neardup_arrow",       # Arrow einsum verify path (r11)
+    "semantic_dedup_survivors_ranked",  # norm-ranked keeper window (r11)
     "cosine_neardup_pairs",         # hyperplane-LSH + exact verify
     "lsh_incremental_pairs",        # incremental store path
     "pq_search_rerank",             # PQ ADC shortlist + exact re-rank

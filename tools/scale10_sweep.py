@@ -63,6 +63,10 @@ QUERIES = [
     "semantic_dedup_groups_scaled",
     "semantic_incremental_pairs",
     "semantic_neardup_multiprobe",
+    "semantic_neardup_multiprobe_h2",
+    "semantic_epoch_compaction",
+    "semantic_neardup_arrow",
+    "semantic_dedup_survivors_ranked",
     "events_sessionize",
 ]
 
