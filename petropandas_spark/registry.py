@@ -3720,6 +3720,86 @@ FROM ranked WHERE rk = 1 AND n_members >= 2
 """,
     )
 
+    # operational observability for the scaled semantic tier: the
+    # per-cell occupancy HISTOGRAM (how many cells hold k members).
+    # This is the number a production operator watches to size
+    # target_occupancy / schedule epoch compaction — expected
+    # occupancy ~N/cells, a heavy tail means skewed cells (and a
+    # chunk-gridded pair stage).  Map-side-combinable double groupBy;
+    # scales.
+    def sem_occupancy_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = _load(spark, sf_dir, "embeddings")
+        assigned = _sim.scaled_sign_clusters(emb)
+        return (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("occupancy"))
+            .groupBy("occupancy")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+        )
+
+    out["semantic_cell_occupancy"] = QuerySpec(
+        sem_occupancy_fn,
+        f"""
+WITH
+{_scaled_cluster_ctes()}
+SELECT occupancy, CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS occupancy
+      FROM a GROUP BY cluster)
+GROUP BY occupancy
+""",
+    )
+
+    # cross-modal curation: the TEXT corpus curated by its EMBEDDING
+    # tier — documents that pass a quality floor AND survive semantic
+    # dedup (keeper = the multi-probe component's minimum member),
+    # joined doc_id = vec_id (the testdata tables are 1:1).  This is
+    # the shape SemDeDup actually ships: the embedding pipeline emits
+    # a keeper set, the text pipeline anti-joins/semi-joins it — at
+    # 100 TB the keeper ids are the only thing that crosses the
+    # modality boundary (broadcast-sized after dedup, or a shuffled
+    # semi-join when not).
+    def corpus_sem_curated_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = _load(spark, sf_dir, "documents")
+        emb = _load(spark, sf_dir, "embeddings")
+        pairs = _sim.multiprobe_cell_pairs(emb, threshold=0.3)
+        comps = _dd.connected_components(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", a_col="id_a", b_col="id_b",
+        )
+        keepers = comps.where(
+            F.col("vec_id") == F.col("component")).select("vec_id")
+        return (
+            docs.join(keepers, docs.doc_id == keepers.vec_id)
+            .where("n_chars >= 250")
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+
+    out["corpus_semantic_curated"] = QuerySpec(
+        corpus_sem_curated_fn,
+        f"""
+WITH RECURSIVE
+{_scaled_cluster_ctes()},
+p AS ({_mp_pair_sql}),
+sym AS (SELECT id_a AS x, id_b AS y FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lab) AS component
+         FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN comp c ON d.doc_id = c.vec_id AND c.vec_id = c.component
+WHERE d.n_chars >= 250
+""",
+    )
+
     # duplicate-cluster resolution: connected components over the md5
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
@@ -4317,6 +4397,8 @@ _VERIFY_FIRST = [
     "semantic_neardup_arrow",
     "semantic_neardup_multiprobe_h2",
     "semantic_dedup_survivors_ranked",
+    "semantic_cell_occupancy",
+    "corpus_semantic_curated",
     # stalest proven names (last-green round in comment) — the full
     # r07 cohort rotates through this head (r10 verdict item 2):
     "normalize_100",  # r07
@@ -4364,8 +4446,6 @@ _VERIFY_FIRST = [
     "documents_profile",  # r08
     "documents_constraints",  # r08
     "doc_word_rarity",  # r08
-    "doc_tfidf_top_terms",  # r08
-    "events_user_value_anomalies",  # r08
 ]
 
 

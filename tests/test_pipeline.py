@@ -1387,6 +1387,49 @@ class TestSimilarity:
         assert all(new[k] == old[k] for k in old)
         assert new[2] is None and new[3] is None  # retained, NULL cell
 
+    def test_sign_cluster_inline_randomized_parity(self, spark):
+        """Breadth companion to the hand-picked dirty-row parity test:
+        200 seeded random vectors — lengths 0..80 around the dim-64
+        contract, ~5% NULL elements, a few NULL/empty arrays, values
+        spanning ±2 with subnormal-ish tails — inline fold ≡ explode
+        path on every row the explode path keeps, NULL cluster on the
+        rows it dropped."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(20260816)
+        rows = []
+        for i in range(200):
+            shape = rng.random()
+            if shape < 0.03:
+                rows.append((i, None))
+                continue
+            if shape < 0.06:
+                rows.append((i, []))
+                continue
+            n = 64 if shape < 0.8 else rng.randint(1, 80)
+            vec = [
+                None if rng.random() < 0.05
+                else rng.uniform(-2.0, 2.0) * (10 ** -rng.randint(0, 9))
+                for _ in range(n)
+            ]
+            rows.append((i, vec))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        W = similarity.hyperplane_weights(5, 64)
+        e = df.select("vec_id", F.col("embedding").alias("v"))
+        bits = similarity._quantized_sign_bits(e, W, "vec_id")
+        old = {r.vec_id: sum(r[f"bit{p}"] << p for p in range(5))
+               for r in bits.collect()}
+        new = {r.vec_id: r.cluster for r in
+               similarity.scaled_sign_clusters(df, 32, dim=64)
+               .select("vec_id", "cluster").collect()}
+        assert len(new) == 200
+        assert all(new[k] == old[k] for k in old)
+        dropped = set(new) - set(old)
+        assert dropped and all(new[k] is None for k in dropped)
+
     def test_compact_epoch_invariants(self, spark):
         """Epoch compaction (r10 verdict item 1): (a) cell c at b bits
         splits into {c + m·2^b} — compacted cluster ≡ fresh assignment

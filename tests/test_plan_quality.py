@@ -558,6 +558,18 @@ def test_epoch_compaction_partition_local_no_exchange(spark):
     assert "Join" not in plan, plan
 
 
+def test_corpus_semantic_curated_broadcast_keepers(spark, registry):
+    """corpus_semantic_curated: the keeper-id set (post-dedup, small) is
+    what crosses the modality boundary — the documents join against it
+    must be hash-based (broadcast at this scale), never a nested-loop
+    or cartesian stage."""
+    df = registry["corpus_semantic_curated"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
 def test_arrow_verify_single_python_stage(spark, registry):
     """semantic_neardup_arrow: the pair-dot pandas UDF must evaluate
     ONCE per candidate pair.  Without the asNondeterministic guard the
