@@ -3469,10 +3469,19 @@ FROM sized WHERE n_members >= 2
         from pyspark.sql import functions as F
 
         emb = _load(spark, sf_dir, "embeddings")
-        # eager barrier on the assignment (same rationale as the fixed-k
-        # query: the bucket-pair stage and both verify-join sides would
-        # each re-run the sketch aggregation); localCheckpoint is
-        # GC-cleaned, values unchanged.
+        # eager barrier on the assignment.  r11 note: the original
+        # rationale (the r10 explode/join assignment re-executed per
+        # downstream reference, measured 2× the query) no longer
+        # applies — the inline single-fold assignment is a narrow
+        # projection and recomputing it is wall-neutral at bench scale
+        # (interleaved A/B: 7.15 s barriered vs 6.78 s un-barriered at
+        # sf0.1, 7.34 vs 7.18 at ×10 — window noise).  The barrier
+        # stays for the SCAN COUNT: the chain references the assigned
+        # corpus three times (bucket pairs + both verify-join sides),
+        # and without the barrier each reference is its own parquet
+        # scan — 3× corpus I/O at 100 TB, where the production answer
+        # is write-partitioned-by-cluster-once (similarity docstrings)
+        # and this checkpoint is the in-session equivalent.
         assigned = _sim.scaled_sign_clusters(emb).localCheckpoint()
         pairs = _sim.within_cluster_cosine_pairs(assigned, threshold=0.3)
         comps = _dd.connected_components(
@@ -3616,6 +3625,8 @@ SELECT vec_id, ({_compact_code}) AS cluster FROM e
     # as the bit-exact anchors.
     def sem_arrow_fn(spark, sf_dir):
         emb = _load(spark, sf_dir, "embeddings")
+        # barrier = scan-once, not recompute-avoidance (see the
+        # scaled-groups comment above for the r11 A/B)
         assigned = _sim.scaled_sign_clusters(emb).localCheckpoint()
         return _sim.within_cluster_cosine_pairs(
             assigned, threshold=0.3, verify="arrow", round_to=9)

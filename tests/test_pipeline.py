@@ -1455,6 +1455,19 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="power of two"):
             similarity.compact_epoch(a16, 16, 48)
 
+    def test_compact_epoch_null_cluster_stays_null(self, spark):
+        """Degenerate store rows (NULL cluster from a NULL/empty
+        embedding) stay NULL through compaction — the integer add
+        propagates NULL, no cell is fabricated."""
+        rows = [(1, [0.5] * 16), (2, None), (3, [])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        a = similarity.scaled_sign_clusters(df, 16, dim=16)
+        c = {r.vec_id: r.cluster for r in
+             similarity.compact_epoch(a, 16, 64, dim=16)
+             .select("vec_id", "cluster").collect()}
+        assert c[1] is not None and c[2] is None and c[3] is None
+
     def test_compact_epoch_incremental_pairs_equal_fresh(self, spark):
         """The invariant the r10 verdict asked to pin: incremental
         pairs over a COMPACTED store equal the same query over a fresh
