@@ -34,6 +34,8 @@ AUDIT = [
     "semantic_epoch_compaction",    # partition-local store re-block (r11)
     "semantic_neardup_arrow",       # Arrow einsum verify path (r11)
     "semantic_dedup_survivors_ranked",  # norm-ranked keeper window (r11)
+    "semantic_cell_occupancy",      # occupancy histogram observability (r11)
+    "corpus_semantic_curated",      # cross-modal keeper join (r11)
     "cosine_neardup_pairs",         # hyperplane-LSH + exact verify
     "lsh_incremental_pairs",        # incremental store path
     "pq_search_rerank",             # PQ ADC shortlist + exact re-rank

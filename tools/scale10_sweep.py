@@ -67,6 +67,8 @@ QUERIES = [
     "semantic_epoch_compaction",
     "semantic_neardup_arrow",
     "semantic_dedup_survivors_ranked",
+    "semantic_cell_occupancy",
+    "corpus_semantic_curated",
     "events_sessionize",
 ]
 
