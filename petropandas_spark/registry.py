@@ -2214,6 +2214,101 @@ FROM ranked WHERE rk <= 50
 """
 
 
+def _doc_lm_entropy_sql(duck: bool) -> str:
+    """Per-document bigram cross-entropy under the corpus bigram LM —
+    the CCNet-style perplexity quality filter (Wenzek et al. 2020)
+    with the corpus itself as the LM: score(d) = -(1/B_d)·Σ ln
+    n(b)/n_first(w1(b)) over d's bigrams.  No smoothing needed: every
+    document's bigrams are in the corpus counts by construction, so
+    the conditional is always positive.  Cross-engine exactness: the
+    corpus-count conditional is an exact rational (one double
+    division, identical operands), ln is rounded at 10 decimals (the
+    BM25 convention — JVM vs libm disagree in the last ulp), the
+    per-bigram score is quantized to BIGINT fixed-point before the
+    per-doc SUM (order-independent), and the final normalization is
+    the same two-division chain on both engines.  At 100 TB: one
+    tokenize/explode pass, a broadcast-sized bigram-count table,
+    partial-agg per-doc sums — the BM25 plan shape."""
+    if duck:
+        bigrams = """
+SELECT doc_id, w[u.i] || ' ' || w[u.i + 1] AS bigram
+FROM (SELECT doc_id, w
+      FROM (SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+            FROM documents) w0 WHERE len(w) >= 2) d,
+     LATERAL (SELECT unnest(generate_series(1, len(d.w) - 1, 1)) AS i) u"""
+    else:
+        bigrams = """
+SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram
+FROM (SELECT doc_id, w
+      FROM (SELECT doc_id, split(lower(text), ' +') AS w
+            FROM documents) w0 WHERE size(w) >= 2) d
+LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"""
+    return f"""
+WITH bg AS ({bigrams}),
+cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+uni AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n_first
+        FROM cnt GROUP BY split_part(bigram, ' ', 1)),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(ROUND(LN(CAST(cnt.n AS DOUBLE) / uni.n_first), 10)
+                    * 1000000000e0) AS BIGINT) AS q
+  FROM bg
+  JOIN cnt ON bg.bigram = cnt.bigram
+  JOIN uni ON split_part(bg.bigram, ' ', 1) = uni.w1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       0e0 - (CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*)) AS cross_entropy
+FROM scored GROUP BY doc_id
+"""
+
+
+def _doc_importance_sql(duck: bool) -> str:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each
+    document by the average log-likelihood ratio of its tokens under a
+    TARGET-domain unigram model vs the corpus unigram model — here the
+    target is the ``source = 'books'`` slice, the shape a curation
+    pipeline uses to up-sample a seed domain.  Add-one smoothing over
+    the shared vocabulary (target counts are 0 for most words):
+    p_t(w) = (c_t+1)/(N_t+V), p_c(w) = (c_c+1)/(N_c+V).  Exactness:
+    the ratio is assembled from exact integer counts as ONE double
+    division of two exact (<2^53) products, ln rounded at 10 decimals,
+    BIGINT fixed-point per-token sum, two-division normalization —
+    the same pinning discipline as BM25/cross-entropy.  At 100 TB:
+    tokenize once, two vocab-sized count tables (broadcast), per-doc
+    partial-agg sums."""
+    if duck:
+        tok = ("SELECT doc_id, source, u.w FROM documents, LATERAL "
+               "(SELECT unnest(string_split_regex(lower(text), ' +')) AS w)"
+               " u WHERE u.w != ''")
+    else:
+        tok = ("SELECT doc_id, source, w FROM documents "
+               "LATERAL VIEW explode(split(lower(text), ' +')) t AS w "
+               "WHERE w != ''")
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+corpus AS (SELECT w, COUNT(*) AS cc FROM tok GROUP BY w),
+corpus_n AS (SELECT COUNT(*) AS nc FROM tok),
+target AS (SELECT w, COUNT(*) AS ct FROM tok
+           WHERE source = 'books' GROUP BY w),
+target_n AS (SELECT COUNT(*) AS nt FROM tok WHERE source = 'books'),
+wscore AS (
+  SELECT c.w,
+         CAST(ROUND(ROUND(LN(((COALESCE(t.ct, 0) + 1e0) * (nc + v))
+                             / ((c.cc + 1e0) * (nt + v))), 10)
+                    * 1000000000e0) AS BIGINT) AS q
+  FROM corpus c
+  LEFT JOIN target t ON c.w = t.w
+  CROSS JOIN corpus_n CROSS JOIN target_n CROSS JOIN vocab
+)
+SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ws.q) AS DOUBLE) / 1e9 / COUNT(*) AS importance
+FROM tok JOIN wscore ws ON tok.w = ws.w
+GROUP BY tok.doc_id
+"""
+
+
 # TF-IDF top terms.  The registered spec uses a RATIONAL idf surrogate
 # ((N * 10^6) intdiv df — monotone in 1/df) instead of ln(N/df):
 # measured ln() disagrees bitwise between the JVM and libm on ~1% of
@@ -4410,6 +4505,8 @@ _VERIFY_FIRST = [
     "semantic_dedup_survivors_ranked",
     "semantic_cell_occupancy",
     "corpus_semantic_curated",
+    "doc_lm_cross_entropy",
+    "doc_importance_weights",
     # stalest proven names (last-green round in comment) — the full
     # r07 cohort rotates through this head (r10 verdict item 2):
     "normalize_100",  # r07
@@ -4455,8 +4552,6 @@ _VERIFY_FIRST = [
     "lineitem_cube",  # r08
     "dedup_exact_normalized",  # r08
     "documents_profile",  # r08
-    "documents_constraints",  # r08
-    "doc_word_rarity",  # r08
 ]
 
 
@@ -4792,6 +4887,12 @@ FROM raw WHERE NOT {_jsonl_good}
     )
     r["doc_bigram_lm"] = sql_query(
         ["documents"], _bigram_lm_sql(False), _bigram_lm_sql(True)
+    )
+    r["doc_lm_cross_entropy"] = sql_query(
+        ["documents"], _doc_lm_entropy_sql(False), _doc_lm_entropy_sql(True)
+    )
+    r["doc_importance_weights"] = sql_query(
+        ["documents"], _doc_importance_sql(False), _doc_importance_sql(True)
     )
     r["corpus_mixture_reweighted"] = sql_query(
         ["documents"],
