@@ -2142,6 +2142,54 @@ class TestEdgeSemantics:
         with pytest.raises(ValueError):
             quantize("v", 5, 5)
 
+    def test_importance_weights_empty_target_slice(self, spark):
+        """doc_importance_weights with NO target-domain documents: the
+        add-one smoothing keeps every per-word log-ratio finite (the
+        target model degenerates to the uniform 1/(0+V) distribution —
+        which scores RARE words above the corpus model, so signs are
+        data-dependent), every score stays finite — never NULL, NaN,
+        or a job abort.  Single-word docs score too (unigram model)."""
+        import math
+
+        from petropandas_spark.registry import _doc_importance_sql
+
+        rows = [(1, "alpha beta beta", "web"),
+                (2, "alpha", "web"),
+                (3, "gamma gamma gamma", "code")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).createOrReplaceTempView("documents")
+        got = {r.doc_id: (r.n_tokens, r.importance)
+               for r in spark.sql(_doc_importance_sql(False)).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[2][0] == 1
+        for _, imp in got.values():
+            assert imp is not None and math.isfinite(imp)
+        # the uniform fallback up-weights the corpus-rarest word: the
+        # all-gamma doc (3/7 of corpus mass) must rank below the
+        # alpha-only doc (2/7)
+        assert got[3][1] < got[2][1]
+
+    def test_lm_cross_entropy_short_docs_excluded(self, spark):
+        """doc_lm_cross_entropy: documents with <2 words have no
+        bigrams and are absent from the output (the ≥2-word filter sits
+        before the index explosion); scores are finite and positive."""
+        import math
+
+        from petropandas_spark.registry import _doc_lm_entropy_sql
+
+        rows = [(1, "a b a b", "web"), (2, "solo", "web"),
+                (3, "a b", "web")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).createOrReplaceTempView("documents")
+        got = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+               for r in spark.sql(_doc_lm_entropy_sql(False)).collect()}
+        assert set(got) == {1, 3}
+        assert got[1][0] == 3 and got[3][0] == 1
+        for _, ce in got.values():
+            assert math.isfinite(ce) and ce >= 0.0
+
     def test_incremental_pairs_empty_new_batch(self, spark, docs):
         sigs = dedup.minhash_signatures_portable(docs)
         empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
