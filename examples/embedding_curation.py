@@ -117,8 +117,9 @@ def main(emb_path: str, out: str) -> None:
 
     # 8. (r11) epoch compaction: when the corpus outgrows its epoch the
     # persisted cell store re-blocks by APPENDING sign bits — one
-    # narrow projection, partition-local (a cell at 2^b is the disjoint
-    # union of its 2^(b+2) descendants), never a global re-cluster; the
+    # narrow projection, partition-local (a cell of the 2^b epoch is
+    # the disjoint union of its 2^(b_new-b_old) descendant cells —
+    # here 4), never a global re-cluster; the
     # new epoch is written BESIDE the old and readers swap
     from petropandas_spark.pipeline.similarity import compact_epoch
 

@@ -182,7 +182,11 @@ def _pair_dot_arrow():
     # paid the Python round-trip twice — observed in the r11 plan
     # audit).  Nondeterministic expressions are never duplicated or
     # pushed, so the dot is evaluated exactly once per pair (plan-gated:
-    # one ArrowEvalPython).
+    # one ArrowEvalPython).  Placement restriction that buys: Spark
+    # REJECTS nondeterministic expressions in join conditions and
+    # aggregates, so this column is only legal inside a plain
+    # Project/Filter — reuse it elsewhere and the AnalysisException is
+    # this flag, not the function.
     return pair_dot.asNondeterministic()
 
 

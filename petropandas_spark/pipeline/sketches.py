@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 
 def runtime_filter_confs(application_side_scan_threshold: str = "10GB",
@@ -102,39 +103,65 @@ def hll_merge_estimate(sketches: DataFrame, group_cols: list[str],
 def heavy_hitters(df: DataFrame, col: str, k: int = 10,
                   eps: float = 0.001, confidence: float = 0.99,
                   seed: int = 1) -> list[tuple]:
-    """Top-k frequency estimates from a Count-Min sketch built by the
-    ``count_min_sketch`` SQL aggregate (per-partition sketches, merged
-    associatively — the shuffle carries one (depth × width) grid per
-    partition, never the values).  Returns ``[(value, estimated_count)]``
-    for the k most frequent *candidate* values, candidates taken from a
-    per-partition local top-k union — the standard CMS+candidates
-    pattern: the sketch bounds the error of any candidate's count, the
-    candidate union bounds what can be missed (a true global heavy
-    hitter is a local heavy hitter in at least one partition)."""
-    spark = df.sparkSession
-    blob = df.select(
+    """Top-k frequency estimates over an INTEGRAL column from a
+    Count-Min sketch built by the ``count_min_sketch`` SQL aggregate
+    (per-partition sketches, merged associatively — the shuffle carries
+    one (depth × width) grid per partition, never the values).  Returns
+    ``[(value, estimated_count)]`` for the k most frequent *candidate*
+    values, candidates taken from a per-partition local top-k union —
+    the standard CMS+candidates pattern: the sketch bounds the error of
+    any candidate's count, the candidate union bounds what can be
+    missed (a true global heavy hitter is a local heavy hitter in at
+    least one partition).
+
+    Scale-safe end to end: the candidate set stays DISTRIBUTED — the
+    per-partition local top-(4k) lists are deduplicated by a groupBy
+    (never collected: at 100 TB the union is 4k × partitions rows,
+    driver-OOM-sized), the sketch grid ships executor-side once as a
+    broadcast literal and is probed through the pinned binary reader
+    (:func:`cms_estimate_long`, the exact path
+    :func:`cms_verified_heavy_hitters` uses), and the only driver
+    materializations are the serialized sketch and the final k rows of
+    a rank-limited sort (``TakeOrdered``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not isinstance(df.schema[col].dataType,
+                      (LongType, IntegerType, ShortType, ByteType)):
+        raise TypeError(
+            f"heavy_hitters probes the pinned CMS reader, which hashes "
+            f"64-bit integers; column {col!r} is "
+            f"{df.schema[col].dataType.simpleString()} — pre-hash it "
+            f"(e.g. xxhash64) or use an exact groupBy"
+        )
+    blob = bytes(df.select(
         F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})")
         .alias("s")
-    ).first()["s"]
-    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.\
-        CountMinSketch.readFrom(bytes(blob))
+    ).first()["s"])
+    _, _, width, hash_a, table = parse_cms(blob)
+
+    @pandas_udf("long")
+    def cms_est(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.int64, na_value=0)
+        return pd.Series(cms_estimate_long(x, hash_a, table, width))
 
     # candidate set: per-partition top-(4k) by local count, unioned.
-    # mapInPandas keeps this one narrow Arrow pass, no global shuffle.
+    # mapInPandas keeps this one narrow Arrow pass; the groupBy dedup
+    # shuffles only the bounded candidate lists, not the values.
     def local_topk(batches):
         for pdf in batches:
             vc = pdf[col].value_counts().head(4 * k)
             yield pd.DataFrame({col: vc.index})
 
-    candidates = [
-        r[0]
-        for r in df.select(col).mapInPandas(
-            local_topk, schema=df.select(col).schema
-        ).distinct().collect()
-    ]
-    est = [(v, cms.estimateCount(v)) for v in candidates]
-    est.sort(key=lambda t: (-t[1], str(t[0])))
-    return est[:k]
+    candidates = df.select(col).mapInPandas(
+        local_topk, schema=df.select(col).schema
+    ).groupBy(col).agg(F.lit(1).alias("__one")).drop("__one")
+    top = (
+        candidates.select(col, cms_est(F.col(col)).alias("__est"))
+        .orderBy(F.desc("__est"), F.col(col).cast("string"))
+        .limit(k)
+        .collect()
+    )
+    return [(r[0], r["__est"]) for r in top]
 
 
 # -- Spark BloomFilter binary format, evaluated Python-side -----------------

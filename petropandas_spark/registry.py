@@ -2181,19 +2181,30 @@ def _bigram_lm_sql(duck: bool) -> str:
     # the ≥2-word filter sits INSIDE the subquery, before the index
     # explosion: Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
     # ANSI element_at(w, 0) would then error — correctness must not
-    # depend on filter-pushdown ordering
+    # depend on filter-pushdown ordering.  Tokenization matches the
+    # per-doc LM queries: whitespace-normalized text, no empty tokens.
+    # tokenize by whitespace-NORMALIZING first (trim + collapse space
+    # runs), so no empty token can form (r11 ADVICE: '' tokens from
+    # leading/trailing spaces skewed the bigram stream) — pure
+    # codegen'd string ops, cheaper than a per-row filter() lambda
+    # (interpreted HOF) over the token array
     if duck:
         bigrams = """
 SELECT w[u.i] || ' ' || w[u.i + 1] AS bigram
-FROM (SELECT w FROM (SELECT string_split_regex(lower(text), ' +') AS w
-                     FROM documents) w0 WHERE len(w) >= 2) d,
+FROM (SELECT w FROM (
+        SELECT string_split(
+                 regexp_replace(trim(lower(text)), ' +', ' ', 'g'),
+                 ' ') AS w
+        FROM documents) w0 WHERE len(w) >= 2) d,
      LATERAL (SELECT unnest(generate_series(1, len(d.w) - 1, 1)) AS i) u"""
         div = "//"
     else:
         bigrams = """
 SELECT concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram
-FROM (SELECT w FROM (SELECT split(lower(text), ' +') AS w
-                     FROM documents) w0 WHERE size(w) >= 2) d
+FROM (SELECT w FROM (
+        SELECT split(regexp_replace(trim(lower(text)), ' +', ' '),
+                     ' ') AS w
+        FROM documents) w0 WHERE size(w) >= 2) d
 LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"""
         div = "DIV"
     return f"""
@@ -2226,21 +2237,34 @@ def _doc_lm_entropy_sql(duck: bool) -> str:
     BM25 convention — JVM vs libm disagree in the last ulp), the
     per-bigram score is quantized to BIGINT fixed-point before the
     per-doc SUM (order-independent), and the final normalization is
-    the same two-division chain on both engines.  At 100 TB: one
-    tokenize/explode pass, a broadcast-sized bigram-count table,
-    partial-agg per-doc sums — the BM25 plan shape."""
+    the same two-division chain on both engines.  Tokens come from the
+    whitespace-NORMALIZED text (trim + collapse space runs), so no
+    empty token can skew the bigram stream (r11 ADVICE).  At 100 TB:
+    one tokenize/explode pass, partial-agg per-doc sums, and an
+    equi-join against the bigram-count table — which is CORPUS-SCALED
+    (the distinct-bigram table of a 100 TB corpus is billions of rows,
+    NOT broadcast-sized), so the honest plan is the shuffle (sort-merge
+    under AQE) join on ``bigram``; the broadcastable production
+    variant is the pruned top-K LM with backoff
+    (:func:`_doc_lm_pruned_sql`), whose dimension tables are
+    fixed-size by construction."""
     if duck:
         bigrams = """
 SELECT doc_id, w[u.i] || ' ' || w[u.i + 1] AS bigram
 FROM (SELECT doc_id, w
-      FROM (SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+      FROM (SELECT doc_id,
+                   string_split(
+                     regexp_replace(trim(lower(text)), ' +', ' ', 'g'),
+                     ' ') AS w
             FROM documents) w0 WHERE len(w) >= 2) d,
      LATERAL (SELECT unnest(generate_series(1, len(d.w) - 1, 1)) AS i) u"""
     else:
         bigrams = """
 SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram
 FROM (SELECT doc_id, w
-      FROM (SELECT doc_id, split(lower(text), ' +') AS w
+      FROM (SELECT doc_id,
+                   split(regexp_replace(trim(lower(text)), ' +', ' '),
+                         ' ') AS w
             FROM documents) w0 WHERE size(w) >= 2) d
 LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"""
     return f"""
@@ -2255,6 +2279,84 @@ scored AS (
   FROM bg
   JOIN cnt ON bg.bigram = cnt.bigram
   JOIN uni ON split_part(bg.bigram, ' ', 1) = uni.w1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       0e0 - (CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*)) AS cross_entropy
+FROM scored GROUP BY doc_id
+"""
+
+
+def _doc_lm_pruned_sql(duck: bool, top_k: int = 256, top_v: int = 16) -> str:
+    """Per-document cross-entropy under a PRUNED top-K bigram LM with
+    stupid backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation") — the broadcastable production variant of
+    :func:`_doc_lm_entropy_sql` (r11 verdict item 3): CCNet-style
+    pipelines score against a pruned LM precisely so the model ships to
+    every scorer.  Model: the ``top_k`` most frequent corpus bigrams
+    keep their exact conditional n(b)/n_first(w1); every pruned bigram
+    backs off to ``0.4 · p_uni(w2)`` with the unigram model itself
+    pruned to ``top_v`` words under add-one smoothing over the FULL
+    vocabulary (an out-of-top-V word takes the unseen floor
+    ``1/(N+V_full)``).  Pruning is a rank-limit (``ORDER BY count
+    DESC, key LIMIT k`` — a deterministic total order, and Spark plans
+    it as TakeOrdered: per-partition partial top-k, never a global
+    sort).  Exactness: same pinning as the sibling — exact-integer
+    operands into one double division (+ one double multiply for the
+    backoff), ln rounded at 10 decimals, BIGINT fixed-point per-doc
+    sums.  At 100 TB: the scoring side joins the corpus bigram stream
+    against a K-row and a V-row dimension plus two scalars — all
+    broadcast hash joins; the only corpus-scaled work is the tokenize
+    pass, the per-doc partial-agg sums, and (here, self-contained) the
+    one groupBy that builds the LM — which production replaces with a
+    pre-trained reference-corpus model."""
+    if duck:
+        toks = """
+SELECT doc_id, string_split(
+         regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS w
+FROM documents"""
+        bigrams = """
+SELECT doc_id, w[u.i] || ' ' || w[u.i + 1] AS bigram
+FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 2) d,
+     LATERAL (SELECT unnest(generate_series(1, len(d.w) - 1, 1)) AS i) u"""
+        unig = "SELECT u.t AS w FROM w0, LATERAL (SELECT unnest(w) AS t) u"
+    else:
+        toks = """
+SELECT doc_id, split(regexp_replace(trim(lower(text)), ' +', ' '),
+                     ' ') AS w
+FROM documents"""
+        bigrams = """
+SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bigram
+FROM (SELECT doc_id, w FROM w0 WHERE size(w) >= 2) d
+LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"""
+        unig = ("SELECT t AS w FROM w0 "
+                "LATERAL VIEW explode(w) tt AS t")
+    return f"""
+WITH w0 AS ({toks}),
+bg AS ({bigrams}),
+cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+firsts AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(SUM(n) AS BIGINT) AS n_first
+           FROM cnt GROUP BY split_part(bigram, ' ', 1)),
+topk AS (SELECT c.bigram, c.n, f.n_first
+         FROM cnt c JOIN firsts f ON split_part(c.bigram, ' ', 1) = f.w1
+         ORDER BY c.n DESC, c.bigram LIMIT {top_k}),
+uc AS (SELECT w, COUNT(*) AS c FROM ({unig}) ug
+       WHERE w != '' GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS vfull FROM uc),
+topv AS (SELECT w, c FROM uc ORDER BY c DESC, w LIMIT {top_v}),
+scored AS (
+  SELECT bg.doc_id,
+    CAST(ROUND(ROUND(
+      CASE WHEN tk.bigram IS NOT NULL
+           THEN LN(CAST(tk.n AS DOUBLE) / tk.n_first)
+           ELSE LN(0.4e0 * (CAST(COALESCE(tv.c, 0) + 1 AS DOUBLE)
+                            / (tot.n + tot.vfull)))
+      END, 10) * 1000000000e0) AS BIGINT) AS q
+  FROM bg
+  LEFT JOIN topk tk ON bg.bigram = tk.bigram
+  LEFT JOIN topv tv ON split_part(bg.bigram, ' ', 2) = tv.w
+  CROSS JOIN tot
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        0e0 - (CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*)) AS cross_entropy
@@ -2607,7 +2709,11 @@ def _scaled_cluster_ctes(target_occupancy: int = 64, min_bits: int = 4,
     (``bt``), cell assignment (``a``), and normed vectors (``n``).
     ``count_where`` restricts the fanout-sizing COUNT(*) (the
     incremental oracle sizes from the SETTLED subset — the store's
-    epoch fanout — while assignment still covers every row)."""
+    epoch fanout — while assignment still covers every row).  NULL or
+    empty embeddings get cluster NULL — the same contract as the Spark
+    side's ``_sign_cluster_expr`` ``size(v) > 0`` guard (r11 ADVICE:
+    the previous spelling let NULL dot sums fall into CASE ELSE 0,
+    silently co-clustering degenerate rows with real cell 0)."""
     from petropandas_spark.pipeline.similarity import (
         EMB_QUANT,
         hyperplane_weights,
@@ -2631,13 +2737,15 @@ def _scaled_cluster_ctes(target_occupancy: int = 64, min_bits: int = 4,
        FROM embeddings {count_where}),
 cells AS (SELECT {ladder} AS n_cells FROM nn),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    len(embedding::DOUBLE[]) > 0 AS ok,
     list_transform(embedding::DOUBLE[],
                    x -> CAST(ROUND(x * {EMB_QUANT}e0) AS BIGINT)) AS vq
   FROM embeddings),
-bt AS (SELECT vec_id,
+bt AS (SELECT vec_id, ok,
     {bit_cols}
   FROM e),
-a AS (SELECT vec_id, ({code}) % n_cells AS cluster
+a AS (SELECT vec_id,
+             CASE WHEN ok THEN ({code}) % n_cells ELSE NULL END AS cluster
       FROM bt CROSS JOIN cells),
 n AS (SELECT e.vec_id, a.cluster, e.v, sqrt({dot_vv}) AS nrm
       FROM e JOIN a ON e.vec_id = a.vec_id)"""
@@ -3699,10 +3807,13 @@ SELECT vec_id FROM comp WHERE vec_id = component
         sem_compact_fn,
         f"""
 WITH e AS (SELECT vec_id,
+    len(embedding::DOUBLE[]) > 0 AS ok,
     list_transform(embedding::DOUBLE[],
                    x -> CAST(ROUND(x * {_sim.EMB_QUANT}e0) AS BIGINT)) AS vq
   FROM embeddings)
-SELECT vec_id, ({_compact_code}) AS cluster FROM e
+SELECT vec_id,
+       CASE WHEN ok THEN ({_compact_code}) ELSE NULL END AS cluster
+FROM e
 """,
     )
 
@@ -3751,6 +3862,10 @@ WHERE ROUND({_ar_dot} / (na.nrm * nb.nrm), 9) >= 0.3e0
 
     _mp2_pair_sql = _mp_pair_sql.replace(
         "AS BIGINT)) <= 1", "AS BIGINT)) <= 2")
+    # r11 ADVICE: a drifted anchor would silently leave this as the H≤1
+    # oracle and surface only as a confusing driver-verify mismatch
+    assert _mp2_pair_sql != _mp_pair_sql, \
+        "_mp_pair_sql anchor drifted; H<=2 rewrite no-opped"
     out["semantic_neardup_multiprobe_h2"] = QuerySpec(
         sem_multiprobe2_fn,
         f"""
@@ -4893,6 +5008,9 @@ FROM raw WHERE NOT {_jsonl_good}
     )
     r["doc_importance_weights"] = sql_query(
         ["documents"], _doc_importance_sql(False), _doc_importance_sql(True)
+    )
+    r["doc_lm_pruned_topk"] = sql_query(
+        ["documents"], _doc_lm_pruned_sql(False), _doc_lm_pruned_sql(True)
     )
     r["corpus_mixture_reweighted"] = sql_query(
         ["documents"],
