@@ -1894,6 +1894,50 @@ def simhash(df: DataFrame, text_col: str = "text",
     return votes.select(id_col, body.alias(out_col))
 
 
+def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3,
+                          max_bucket: int = 10_000) -> DataFrame:
+    """Near-dup pairs for ANY precomputed 64-bit integer signature
+    column (SimHash, perceptual aHash/dHash from
+    ``multimodal.phash_images``, an audio fingerprint, ...) by Hamming
+    distance: quarter-blocked on the four 16-bit slices of the
+    signature, so the join key is a short block, never O(n²).
+    Pigeonhole: a pair within distance ≤ 3 shares at least one
+    identical quarter, so for ``max_hamming <= 3`` the blocked join is
+    EXACT (≡ all-pairs + filter); above 3 it is the standard
+    recall-bounded candidate generator.  Same machinery as
+    :func:`simhash_neardup_pairs` (which derives its signature from
+    text first): one shuffle on the block key via ``_bucket_pairs_any``
+    — (id, signature) structs ride into their quarter buckets and pairs
+    explode in place with both signatures present for the verify, hot
+    buckets chunk-grid.  Returns ``(doc_a, doc_b, hamming)``."""
+    blocks = sig.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col(sig_col).alias("s")
+        ).alias("x"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qi).alias("q"),
+                F.shiftrightunsigned(sig_col, qi * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("blk"),
+            )
+            for qi in range(4)
+        ])).alias("bq"),
+    ).select("x", "bq.q", "bq.blk")
+    cand = (
+        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
+        .select(
+            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
+            F.bit_count(
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3,

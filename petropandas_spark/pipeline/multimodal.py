@@ -177,6 +177,138 @@ def media_byte_stats(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def luma_grid(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Integer luminance grid for perceptual hashing: nearest-neighbor
+    sample the decoded float image down to (rows, cols) — the same
+    ``floor((i+0.5)·src/dst)`` index grid :func:`resize_images` uses —
+    then score each sampled pixel with the integer ITU-R BT.601 weights
+    ``299·R + 587·G + 114·B`` over the recovered 0-255 channel values.
+    ALL integer math after the sample: the decode's ``/255`` round-trips
+    exactly under ``rint(px·255)`` (error ≪ 0.5 ulp), so two engines
+    computing from the same source pixels agree bit-for-bit — the
+    property the DuckDB oracle relies on."""
+    src_h, src_w, _ = img.shape
+    ri = np.minimum(((np.arange(rows) + 0.5) * src_h / rows).astype(int),
+                    src_h - 1)
+    ci = np.minimum(((np.arange(cols) + 0.5) * src_w / cols).astype(int),
+                    src_w - 1)
+    px = np.rint(img[ri[:, None], ci[None, :]] * 255.0).astype(np.int64)
+    return px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+
+
+def _pack_bits64(bits) -> int:
+    """64 bools (bit 0 first) → signed 64-bit integer, bit 63 as the
+    sign bit — the same signed-long convention as dedup.simhash."""
+    h = 0
+    for b, bit in enumerate(bits):
+        if bit:
+            h |= 1 << b
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: 8×8 luminance grid, bit (r,c) set iff the cell is
+    brighter than the grid mean — compared in integer form
+    (``64·g > Σg``), so no division can flip a boundary bit."""
+    g = luma_grid(img, 8, 8)
+    total = int(g.sum())
+    return _pack_bits64((64 * g.ravel() > total).tolist())
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash: 8×9 luminance grid, bit (r,c) set iff cell
+    (r,c) is brighter than its right neighbor (r,c+1) — 64 pure integer
+    comparisons, the standard gradient-sign perceptual hash."""
+    g = luma_grid(img, 8, 9)
+    return _pack_bits64((g[:, :-1] > g[:, 1:]).ravel().tolist())
+
+
+def phash_images(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Perceptual hashes for near-duplicate image detection: one narrow
+    Arrow-batched mapInPandas stage runs the REAL decode
+    (:func:`decode_image`) → :func:`ahash64` + :func:`dhash64` per
+    image.  Output ``(id, ahash BIGINT, dhash BIGINT)`` — 8 bytes per
+    image per hash, so at 100 TB the signature table is a vanishing
+    fraction of the corpus and every downstream near-dup step works on
+    integers.  Pair generation goes through the SimHash Hamming-blocked
+    machinery (``dedup.hamming_neardup_pairs``): never all-pairs."""
+    schema = f"{id_col} BIGINT, ahash BIGINT, dhash BIGINT"
+
+    def run(batches):
+        for pdf in batches:
+            ids, ah, dh = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                img = decode_image(bytes(blob) if blob is not None else b"")
+                ids.append(i)
+                ah.append(ahash64(img))
+                dh.append(dhash64(img))
+            yield pd.DataFrame({id_col: ids, "ahash": ah, "dhash": dh})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+# -- deterministic doc-id-derived fixture images ----------------------------
+#
+# The container has no image corpus and no imaging libraries, so the
+# registered pHash queries synthesize their inputs: a 16×16 RGB PPM per
+# document whose pixels are a closed-form integer function of the
+# doc_id — real bytes through the real encoder, decoder, and hash path,
+# while staying exactly re-derivable in the DuckDB oracle's SQL.
+# Family structure plants the near-dup signal: doc_id DIV 3 picks the
+# base image (so consecutive triples share one), doc_id % 3 picks the
+# variant — 0 = pristine, 1 = one sampled pixel brightened (≤2 dHash
+# bits flip → within the Hamming gate), 2 = a global gradient overlay
+# (far beyond the gate).
+
+FIXTURE_IMG_SIZE = 16
+
+
+def fixture_pixel_values(doc_id: int) -> np.ndarray:
+    """(16, 16, 3) int64 channel values in [0, 251) for the fixture
+    image of ``doc_id`` — the single source of truth the PPM synth,
+    the pytest fixtures, and the DuckDB oracle SQL all express."""
+    n = FIXTURE_IMG_SIZE
+    r = np.arange(n)[:, None, None]
+    c = np.arange(n)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    base = doc_id // 3
+    # base-dependent row/col coefficients so gradient SIGNS differ
+    # across families: a base-independent gradient would leave most
+    # families sharing one dHash (a uniform brightness shift flips
+    # signs only at wrap boundaries), turning the planted near-dup
+    # structure into accidental giant clusters — measured 72-doc
+    # clusters at sf0.1 vs max 7 with the mixed coefficients
+    px = (base * 7919 + r * (131 + base % 89)
+          + c * (17 + base % 101) + ch * 59)
+    m = doc_id % 3
+    if m == 1:
+        px = px + np.where((r == 2 * (doc_id % 8) + 1) & (c == 9), 101, 0)
+    elif m == 2:
+        px = px + ((r * 31 + c * 7) % 11) * 13
+    return px % 251
+
+
+def synthesize_fixture_images(df: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: id → deterministic 16×16 fixture PPM bytes (see
+    :func:`fixture_pixel_values`), through the real :func:`encode_ppm`.
+    Output ``(id, content BINARY)`` — the input shape every media
+    operator takes."""
+    schema = f"{id_col} BIGINT, content BINARY"
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                arr = fixture_pixel_values(int(i)).astype(np.float32) / 255.0
+                ids.append(i)
+                blobs.append(encode_ppm(arr))
+            yield pd.DataFrame({id_col: ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """Encode float32 [0,1] (H, W, 3) pixels as binary PPM (P6) — the
     inverse of the P6 branch of :func:`decode_image`."""

@@ -1,0 +1,160 @@
+"""Perceptual-hash media near-dup tier: aHash/dHash over the real
+decode path (pipeline/multimodal.py) + Hamming-blocked pair generation
+(dedup.hamming_neardup_pairs).  New LLM-pipeline surface — no
+petropandas analogue; the contracts tested here are the ones the
+DuckDB oracle relies on (integer-exact luminance grids, signed-long
+bit packing) plus the planted-twin recall the fixture family encodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from petropandas_spark.pipeline import dedup as dd
+from petropandas_spark.pipeline import multimodal as mm
+
+
+def _rand_img(seed: int, n: int = 24) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, (n, n, 3)) / 255.0).astype(np.float32)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+class TestHashUnits:
+    def test_planted_near_identical_image_small_hamming(self):
+        """One blown-out pixel at a grid-sampled position flips at most
+        the two dHash comparisons that read it (and few aHash cells via
+        the mean), while staying within the pair gate."""
+        img = _rand_img(7)
+        twin = img.copy()
+        twin[4, 4] = 1.0  # (4,4) is sampled by BOTH the 8x8 + 8x9 grids
+        assert _ham(mm.dhash64(img), mm.dhash64(twin)) <= 2
+        assert _ham(mm.ahash64(img), mm.ahash64(twin)) <= 4
+
+    def test_unrelated_images_far_apart(self):
+        a, b = _rand_img(1), _rand_img(2)
+        assert _ham(mm.dhash64(a), mm.dhash64(b)) >= 10
+        assert _ham(mm.ahash64(a), mm.ahash64(b)) >= 10
+
+    def test_hash_deterministic_and_encode_decode_invariant(self):
+        """The PPM byte round-trip must not move a single hash bit —
+        the property that lets the oracle skip the encode/decode."""
+        img = _rand_img(3)
+        rt = mm.decode_image(mm.encode_ppm(img))
+        assert mm.ahash64(img) == mm.ahash64(rt)
+        assert mm.dhash64(img) == mm.dhash64(rt)
+
+    def test_pack_bits64_signed_long_convention(self):
+        assert mm._pack_bits64([True] + [False] * 63) == 1
+        assert mm._pack_bits64([False] * 63 + [True]) == -(1 << 63)
+        assert mm._pack_bits64([True] * 64) == -1
+        assert mm._pack_bits64([False] * 64) == 0
+
+    def test_fixture_pixel_values_roundtrip_exact(self):
+        """fixture_pixel_values → encode_ppm → decode_image recovers the
+        integer channel values bit-for-bit under rint(px·255)."""
+        for doc_id in (0, 1, 2, 7, 300):
+            vals = mm.fixture_pixel_values(doc_id)
+            img = mm.decode_image(
+                mm.encode_ppm(vals.astype(np.float32) / 255.0)
+            )
+            back = np.rint(img * 255.0).astype(np.int64)
+            assert (back == vals).all(), doc_id
+
+    def test_fixture_family_structure(self):
+        """Variant 1 (one tweaked pixel) stays within the Hamming gate
+        of its family base; variant 2 (gradient overlay) is far out."""
+        for base in (0, 5, 41):
+            h = [
+                mm.dhash64(mm.decode_image(mm.encode_ppm(
+                    mm.fixture_pixel_values(3 * base + m)
+                    .astype(np.float32) / 255.0)))
+                for m in range(3)
+            ]
+            assert _ham(h[0], h[1]) <= 3
+            assert _ham(h[0], h[2]) > 3
+            assert _ham(h[1], h[2]) > 3
+
+    def test_luma_grid_any_source_size(self):
+        """The grid sampler is not 16×16-specific: a 37×23 image yields
+        the documented shapes with in-range integer luminance."""
+        img = _rand_img(11, n=37)[:, :23]
+        g = mm.luma_grid(img, 8, 9)
+        assert g.shape == (8, 9)
+        assert g.dtype == np.int64
+        assert (g >= 0).all() and (g <= 255 * (299 + 587 + 114)).all()
+
+
+class TestPhashSpark:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        """4 docs: 0 = base, 1 = near-twin (one pixel), 2 = unrelated,
+        3 = exact byte copy of 0."""
+        base = _rand_img(42)
+        twin = base.copy()
+        twin[4, 4] = 1.0
+        blobs = [
+            mm.encode_ppm(base),
+            mm.encode_ppm(twin),
+            mm.encode_ppm(_rand_img(43)),
+            mm.encode_ppm(base),
+        ]
+        return spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id LONG, content BINARY",
+        )
+
+    def test_phash_images_matches_local_path(self, media):
+        rows = {r["doc_id"]: (r["ahash"], r["dhash"])
+                for r in mm.phash_images(media).collect()}
+        base = _rand_img(42)
+        assert rows[0] == (mm.ahash64(base), mm.dhash64(base))
+        assert rows[3] == rows[0]
+
+    def test_hamming_pairs_find_planted_twins_only(self, media):
+        sigs = mm.phash_images(media)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dd.hamming_neardup_pairs(
+                sigs, "dhash", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert set(pairs) == {(0, 1), (0, 3), (1, 3)}
+        assert pairs[(0, 3)] == 0  # exact copy
+        assert pairs[(0, 1)] <= 2  # planted twin
+
+    def test_hamming_pairs_exact_vs_allpairs_at_h3(self, spark):
+        """Pigeonhole contract: with 16-bit quarters the blocked join at
+        max_hamming=3 equals brute-force all-pairs + filter."""
+        def sxor(a: int, b: int) -> int:  # xor in signed-64 space
+            v = (a ^ b) & ((1 << 64) - 1)
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        rng = np.random.default_rng(9)
+        sig_vals = rng.integers(-(1 << 62), 1 << 62, 64,
+                                dtype=np.int64).tolist()
+        # plant collisions: a few values within hamming 1-3 of others
+        sig_vals[1] = sxor(sig_vals[0], 0b1)
+        sig_vals[2] = sxor(sig_vals[0], 0b1010)
+        sig_vals[5] = sxor(sig_vals[4], 1 << 63)  # sign-bit flip = dist 1
+        sigs = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(sig_vals)],
+            "doc_id LONG, sig LONG",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.hamming_neardup_pairs(
+                sigs, "sig", "doc_id", max_hamming=3
+            ).collect()
+        }
+        want = set()
+        for i in range(len(sig_vals)):
+            for j in range(i + 1, len(sig_vals)):
+                h = _ham(sig_vals[i], sig_vals[j])
+                if h <= 3:
+                    want.add((i, j, h))
+        assert got == want

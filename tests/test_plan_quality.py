@@ -165,6 +165,20 @@ def test_simhash_pairs_blocked_equi_join(spark, registry):
     assert "bit_count" in plan  # Hamming stays JVM-side
 
 
+def test_phash_pairs_blocked_equi_join(spark, registry):
+    """Perceptual-hash near-dup pairs must join on the 16-bit pigeonhole
+    quarter block (the SimHash machinery): equi join with the Hamming
+    distance as a JVM-side post-filter — never a cartesian image
+    compare — and the synth + decode/hash python work in exactly two
+    narrow Arrow stages before the block shuffle."""
+    df = registry["media_phash_neardups"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    assert plan.count("MapInPandas") == 2
+
+
 def test_media_decode_single_arrow_stage(spark, registry):
     """Frame checksums run the decode in exactly one Arrow-batched python
     stage over a pruned 2-column scan — no shuffle."""
