@@ -119,6 +119,15 @@ def main() -> None:
     decontaminated = contamination.decontaminate(
         spliced, eval_hashes=eval_hashes)
 
+    # 4b. learned quality gate: fastText-style hashed-ngram linear
+    #     classifier (pipeline/quality.py) — the model-based scorer a
+    #     funnel runs after the heuristic gates.  The shipped weights
+    #     are the fixed seeded table (deterministic, oracle-checkable);
+    #     production swaps in trained weights, same plan.
+    from petropandas_spark.pipeline.quality import quality_filter
+
+    decontaminated = quality_filter(decontaminated)
+
     # 5 + 6. scrub, quality quartiles, deterministic split
     curated = (
         scrub_pii(decontaminated)

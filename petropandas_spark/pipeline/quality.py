@@ -1,0 +1,78 @@
+"""Learned quality filtering: a fastText-style hashed-bag-of-ngrams
+linear classifier (Joulin et al. 2017, "Bag of Tricks for Efficient
+Text Classification") as pure built-in expressions — the standard
+model-based document scorer a curation funnel runs after the heuristic
+gates (doc_quality / Gopher repetition / CCNet cross-entropy).
+
+The model here is a FIXED closed-form weight table
+(``w(b) = (b·2654435761) % 2001 − 1000``, Knuth's multiplicative
+constant as the seed) so the scorer is fully deterministic and
+oracle-checkable; a production deployment replaces the closed form
+with trained weights as an ``n_buckets``-row broadcast dimension and
+the plan shape is unchanged.  Registry twin: the dual-dialect
+``_doc_quality_classifier_sql`` (driver-verified hash-exact), whose
+expressions this module mirrors term for term.
+
+At 100 TB: one tokenize pass (a single index explosion yields BOTH the
+unigram and the bigram at each position), a codegen'd md5/arithmetic
+projection, one partial-agg groupBy(doc_id) — the same linear-scan
+shape as doc_stats.  No UDF, no shuffle beyond the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def classifier_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_buckets: int = 1024) -> DataFrame:
+    """Score each document with the hashed-ngram linear model.
+
+    Returns ``(id, n_ngrams, quality_logit, keep)`` where
+    ``quality_logit = Σ w(bucket(ngram)) / (1000·n_ngrams)`` (the mean
+    weight on the rational ±1 scale) and ``keep = 1`` iff the logit is
+    positive.  All-integer accumulation — the one double division is
+    the final normalization, so scores are bit-stable across engines
+    and partitionings."""
+    w = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " "),
+        " ",
+    )
+    tok = df.select(F.col(id_col), w.alias("w"))
+    expd = tok.select(
+        id_col, "w", F.explode(F.expr("sequence(1, size(w))")).alias("i")
+    )
+    ngs = expd.select(
+        id_col,
+        F.explode(F.expr(
+            "array(element_at(w, i), "
+            "IF(i < size(w), "
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)), "
+            "NULL))"
+        )).alias("ng"),
+    ).where("ng IS NOT NULL AND ng != ''")
+    wgt = ngs.select(
+        id_col,
+        F.expr(
+            f"((CAST(conv(substr(md5(ng), 1, 3), 16, 10) AS BIGINT)"
+            f" % {n_buckets}) * 2654435761) % 2001 - 1000"
+        ).alias("wgt"),
+    )
+    return wgt.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        (F.sum("wgt").cast("double")
+         / (F.lit(1000.0) * F.count(F.lit(1)))).alias("quality_logit"),
+        F.when(F.sum("wgt") > 0, 1).otherwise(0).alias("keep"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   n_buckets: int = 1024) -> DataFrame:
+    """The corpus with model-rejected documents removed: a semi-join of
+    the input against the classifier's keepers — the shape a funnel
+    composes between decontamination and landing."""
+    keep = classifier_scores(df, text_col, id_col, n_buckets) \
+        .where("keep = 1").select(id_col)
+    return df.join(keep, id_col, "semi")

@@ -2364,6 +2364,75 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _doc_quality_classifier_sql(duck: bool, n_buckets: int = 1024) -> str:
+    """fastText-style learned quality filter (Joulin et al. 2017, "Bag
+    of Tricks for Efficient Text Classification") as PURE vectorized
+    SQL: hash each word uni/bigram into ``n_buckets`` buckets, sum the
+    bucket weights of a FIXED linear model, keep documents with a
+    positive mean weight.  The weight table is a closed-form seeded
+    literal (``w(b) = (b·2654435761) % 2001 − 1000``, the Knuth
+    multiplicative constant — public-knowledge shape; a real deployment
+    swaps in trained weights as a broadcast dimension with the same
+    plan), so no side table ships at all — the "model" is three integer
+    ops inside the projection.  Bucketing is md5-portable: bucket =
+    int(first 3 hex digits) % n_buckets, exact in both engines.
+    Exactness: ALL integer math (hash, bucket, weight, per-doc SUM) with
+    ONE final double division ``Σw / (1000·n)`` of identical operands —
+    hash-exact by construction, no transcendentals.  At 100 TB: one
+    tokenize pass (a single index explosion yields BOTH the unigram and
+    the bigram at each position — plan-gated to one parquet scan), a
+    codegen'd md5/arith projection, one partial-agg groupBy(doc_id) —
+    the same linear-scan shape as doc_stats."""
+    if duck:
+        body = """
+w0 AS (SELECT doc_id,
+              string_split(
+                regexp_replace(trim(lower(text)), ' +', ' ', 'g'),
+                ' ') AS w
+       FROM documents),
+expd AS (SELECT doc_id, w, u.i FROM w0,
+         LATERAL (SELECT unnest(generate_series(1, len(w), 1)) AS i) u),
+ngs AS (SELECT doc_id, g.ng FROM expd,
+        LATERAL (SELECT unnest([
+            w[i],
+            CASE WHEN i < len(w) THEN w[i] || ' ' || w[i + 1]
+                 ELSE NULL END]) AS ng) g
+        WHERE g.ng IS NOT NULL AND g.ng != '')"""
+        hex3 = ("((strpos('0123456789abcdef', substr(md5(ng), 1, 1)) - 1)"
+                " * 256 + "
+                "(strpos('0123456789abcdef', substr(md5(ng), 2, 1)) - 1)"
+                " * 16 + "
+                "(strpos('0123456789abcdef', substr(md5(ng), 3, 1)) - 1))")
+    else:
+        body = """
+w0 AS (SELECT doc_id,
+              split(regexp_replace(trim(lower(text)), ' +', ' '),
+                    ' ') AS w
+       FROM documents),
+expd AS (SELECT doc_id, w, i FROM w0
+         LATERAL VIEW explode(sequence(1, size(w))) t AS i),
+ngs AS (SELECT doc_id, ng FROM expd
+        LATERAL VIEW explode(array(
+            element_at(w, i),
+            IF(i < size(w),
+               concat(element_at(w, i), ' ', element_at(w, i + 1)),
+               NULL))) g AS ng
+        WHERE ng IS NOT NULL AND ng != '')"""
+        hex3 = "CAST(conv(substr(md5(ng), 1, 3), 16, 10) AS BIGINT)"
+    return f"""
+WITH {body},
+scored AS (
+  SELECT doc_id,
+         (({hex3} % {n_buckets}) * 2654435761) % 2001 - 1000 AS wgt
+  FROM ngs
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(wgt) AS DOUBLE) / (1000e0 * COUNT(*)) AS quality_logit,
+       CASE WHEN SUM(wgt) > 0 THEN 1 ELSE 0 END AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
 def _doc_importance_sql(duck: bool) -> str:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score each
@@ -5122,6 +5191,18 @@ FROM raw WHERE NOT {_jsonl_good}
     )
     r["doc_lm_pruned_topk"] = sql_query(
         ["documents"], _doc_lm_pruned_sql(False), _doc_lm_pruned_sql(True)
+    )
+    # Spark side goes through the LIBRARY scorer (pipeline/quality.py)
+    # so the user-facing API is what the driver verifies; the SQL
+    # builder's Spark dialect stays as the dual-dialect anchor
+    # (test_dual_dialect pins library ≡ SQL).
+    def _quality_cls_fn(spark, sf_dir):
+        from petropandas_spark.pipeline.quality import classifier_scores
+
+        return classifier_scores(_load(spark, sf_dir, "documents"))
+
+    r["doc_quality_classifier"] = QuerySpec(
+        _quality_cls_fn, _doc_quality_classifier_sql(True)
     )
     r["corpus_mixture_reweighted"] = sql_query(
         ["documents"],

@@ -165,6 +165,20 @@ def test_simhash_pairs_blocked_equi_join(spark, registry):
     assert "bit_count" in plan  # Hamming stays JVM-side
 
 
+def test_quality_classifier_one_tokenize_pass(spark, registry):
+    """The learned quality scorer must be ONE pruned scan (a single
+    index explosion yields both the unigram and the bigram at each
+    position — not a per-ngram-order UNION re-scanning the corpus), a
+    codegen'd md5 projection, and one partial-agg exchange."""
+    df = registry["doc_quality_classifier"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "lang" not in read_schema
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
 def test_phash_pairs_blocked_equi_join(spark, registry):
     """Perceptual-hash near-dup pairs must join on the 16-bit pigeonhole
     quarter block (the SimHash machinery): equi join with the Hamming
