@@ -4793,60 +4793,64 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # CORRECTNESS row are therefore emitted FIRST, so every round extends the
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
-    # never driver-verified (new this round) — leads the head:
+    # never driver-checked — always lead:
+    "doc_lm_pruned_topk",
+    "doc_quality_classifier",
+    "media_phash_signatures",
+    "media_phash_neardups",
+    # changed this round — tokenizer normalization moved the results
+    # (r11 ADVICE empty-token fix), so the last green rows no longer
+    # describe the current query:
+    "doc_lm_cross_entropy",
+    "doc_bigram_lm",
+    # changed this round — oracle text gained the NULL-cluster guard
+    # (values unchanged on the fixtures, but a changed oracle re-proves
+    # here by policy):
     "semantic_epoch_compaction",
+    "semantic_dedup_groups_scaled",
+    "semantic_incremental_pairs",
+    "semantic_neardup_multiprobe",
+    "semantic_dedup_survivors",
     "semantic_neardup_arrow",
     "semantic_neardup_multiprobe_h2",
     "semantic_dedup_survivors_ranked",
     "semantic_cell_occupancy",
     "corpus_semantic_curated",
-    "doc_lm_cross_entropy",
-    "doc_importance_weights",
-    # stalest proven names (last-green round in comment) — the full
-    # r07 cohort rotates through this head (r10 verdict item 2):
-    "normalize_100",  # r07
-    "apfu_oxygen_basis",  # r07
-    "apfu_cation_basis",  # r07
-    "apfu_by_charge",  # r07
-    "split_valence_schumacher",  # r07
-    "tc_garnet_proportions",  # r07
-    "tc_biotite_proportions",  # r07
-    "tc_chlorite_proportions",  # r07
-    "tc_plagioclase_proportions",  # r07
-    "tc_muscovite_proportions",  # r07
-    "tc_staurolite_proportions",  # r07
-    "tc_clinoamphibole_proportions",  # r07
-    "tc_cpx_w24_proportions",  # r07
-    "tc_spinel_t21_proportions",  # r07
-    "tc_garnet_site_occupancies",  # r07
-    "tc_clinoamphibole_site_occupancies",  # r07
-    "weighted_mean_grouped",  # r07
-    "events_value_hour_corr",  # r07
-    "doc_bigram_lm",  # r07
-    "corpus_mixture_reweighted",  # r07
-    "doc_chunks_overlap",  # r07
-    "ivf_assign_fixed_centroids",  # r07
-    "cosine_neardup_pairs",  # r07
-    "media_frame_checksums",  # r07
-    "knn_cosine_topk",  # r07
-    "knn_ivf_topk",  # r07
-    "embedding_norms_by_label",  # r07
-    "ternary_projection_eval",  # r07
-    # r08 cohort fills the remaining slots:
-    "cipw_norm_full",  # r08
-    "cipw_norm_hornblende",  # r08
-    "q8_market_share",  # r08
-    "events_latest_per_user",  # r08
-    "events_daily_rollup",  # r08
-    "events_funnel",  # r08
-    "events_funnel_summary",  # r08
-    "events_value_histogram",  # r08
-    "events_cohort_retention",  # r08
-    "events_gap_filled_locf",  # r08
-    "events_type_pivot",  # r08
-    "lineitem_cube",  # r08
-    "dedup_exact_normalized",  # r08
-    "documents_profile",  # r08
+    # 34 head slots left; stalest proven names (last-green round in comment):
+    "documents_constraints",  # r08
+    "doc_word_rarity",  # r08
+    "doc_tfidf_top_terms",  # r08
+    "events_user_value_anomalies",  # r08
+    "simhash_signatures",  # r08
+    "lsh_candidate_pairs",  # r08
+    "containment_verified_pairs",  # r08
+    "neardup_verdicts",  # r08
+    "pq_search_rerank",  # r08
+    "semantic_dedup_groups",  # r08
+    "dedup_components_star",  # r08
+    "lsh_incremental_pairs",  # r08
+    "bm25_search_topk",  # r08
+    "decontamination_neardup",  # r08
+    "neardup_pairs_hot_bucket",  # r08
+    "dedup_cluster_keepers",  # r08
+    "corpus_neardup_filtered",  # r08
+    "embedding_label_centroids",  # r08
+    "bloom_pruned_semijoin",  # r08
+    "cms_heavy_hitters_exact",  # r08
+    "oxides_melt_long",  # r08
+    "source_domain_stats",  # r08
+    "corpus_quality_quartiles",  # r08
+    "corpus_sample_k_per_lang",  # r08
+    "oxide_impute_group_mean",  # r08
+    "events_zorder_values",  # r08
+    "pii_scrub_emails",  # r08
+    "petro_select_reframe",  # r08
+    "eval_dialect_projection",  # r08
+    "profile_traverse_neighborhood",  # r08
+    "petro_concat_union",  # r08
+    "dedup_incremental_antijoin",  # r08
+    "to_moles",  # r09
+    "feo_to_fe2o3",  # r09
 ]
 
 

@@ -70,6 +70,14 @@ QUERIES = [
     "semantic_cell_occupancy",
     "corpus_semantic_curated",
     "events_sessionize",
+    # r12: LM scoring tier (the r11 verdict asked for ×10 rows), the
+    # learned quality filter, and the perceptual-hash media tier
+    "doc_lm_cross_entropy",
+    "doc_importance_weights",
+    "doc_lm_pruned_topk",
+    "doc_quality_classifier",
+    "media_phash_signatures",
+    "media_phash_neardups",
 ]
 
 
