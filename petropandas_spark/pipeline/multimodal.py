@@ -432,6 +432,99 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: the sign of consecutive frame-energy
+    differences (the time-domain core of the Haitsma-Kalker 2002
+    "highly robust audio fingerprint" — their per-band filterbank
+    version drops in here when an FFT library is available).  The clip
+    is cut into 65 proportional frames (frame of sample i =
+    ``i·65 // n``); bit f is set iff E(f+1) > E(f), where E is the
+    integer energy Σs² of the channel-summed 16-bit samples.  ALL
+    integer math after sample recovery — ``rint(x·32768)`` restores the
+    exact PCM integers the WAV carried (a power-of-two scale is exact
+    in float32) — so the fingerprint is engine-reproducible, and pairs
+    go through the same Hamming-blocked machinery as SimHash/pHash."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    s = np.rint(samples * 32768.0).astype(np.int64).sum(axis=1)
+    n = len(s)
+    if n == 0:
+        return 0
+    frames = (np.arange(n, dtype=np.int64) * 65) // n
+    energy = np.zeros(65, dtype=np.int64)
+    np.add.at(energy, frames, s * s)
+    return _pack_bits64((energy[1:] > energy[:-1]).tolist())
+
+
+def audio_fingerprints(df: DataFrame, content_col: str = "content",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-clip 64-bit fingerprints in ONE narrow Arrow stage (decode →
+    :func:`audio_fingerprint64`), the audio twin of
+    :func:`phash_images`: 8 bytes per clip, near-dup pairs via
+    ``dedup.hamming_neardup_pairs``."""
+    schema = f"{id_col} BIGINT, afp BIGINT"
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                x, _rate = decode_audio(bytes(blob))
+                ids.append(i)
+                fps.append(audio_fingerprint64(x))
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+# fixture clips: the audio twin of fixture_pixel_values — a mono
+# 16-bit WAV per doc whose samples are a closed-form integer function
+# of the doc_id; same family structure (DIV 3 base / % 3 variant:
+# 0 = pristine, 1 = one frame +300 → ≤2 fingerprint bits, 2 = a
+# sawtooth overlay → far outside the gate)
+
+FIXTURE_WAV_SAMPLES = 1040  # 65 frames × 16 samples
+FIXTURE_WAV_RATE = 8000
+
+
+def fixture_audio_samples(doc_id: int) -> np.ndarray:
+    """int64 sample values in [-2000, 2301] for the fixture clip."""
+    i = np.arange(FIXTURE_WAV_SAMPLES, dtype=np.int64)
+    base = doc_id // 3
+    m = doc_id % 3
+    # the quadratic term's base-mixed coefficient keeps fingerprints
+    # distinct across families: a purely linear ramp mod 4001 makes
+    # the frame-energy sequence a phase rotation shared by every base
+    # with the same slope (measured 19-clip accidental clusters at
+    # sf0.1; max 2 with the quadratic)
+    s = base * 73 + i * (31 + base % 29) + i * i * (1 + base % 23)
+    if m == 2:
+        s = s + (i % 7) * 211
+    s = s % 4001 - 2000
+    if m == 1:
+        s = s + np.where(i * 65 // FIXTURE_WAV_SAMPLES
+                         == doc_id % 65, 300, 0)
+    return s
+
+
+def synthesize_fixture_audio(df: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: id → deterministic fixture WAV bytes through the
+    real :func:`encode_wav` (16-bit PCM; ``v/32767`` survives the
+    encode rint and the decode's ``/32768`` restores v exactly)."""
+    schema = f"{id_col} BIGINT, content BINARY"
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                s = fixture_audio_samples(int(i)).astype(np.float32) / 32767.0
+                ids.append(i)
+                blobs.append(encode_wav(s, FIXTURE_WAV_RATE))
+            yield pd.DataFrame({id_col: ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
 def audio_features(df: DataFrame, content_col: str = "content",
                    id_col: str = "doc_id") -> DataFrame:
     """Per-clip audio descriptors in ONE narrow Arrow stage (mapInPandas

@@ -3038,6 +3038,65 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def _audio_fp_duck_ctes() -> str:
+    """CTE body re-deriving the audio fingerprints of the doc-id-derived
+    fixture clips exactly as the Spark path computes them
+    (``multimodal.synthesize_fixture_audio`` → ``encode_wav`` →
+    ``decode_audio`` → ``audio_fingerprint64``): the 16-bit PCM
+    round-trip restores the closed-form integer samples
+    (``multimodal.fixture_audio_samples``) bit-for-bit, so the oracle
+    scores them directly — 65 proportional frames, integer energies,
+    sign-of-difference bits, the signed-long packing."""
+    pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+            "THEN -9223372036854775808 "
+            "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+            "ELSE 0 END) AS BIGINT)")
+    n = 1040  # FIXTURE_WAV_SAMPLES = 65 frames × 16
+    return f"""asmp AS (
+  SELECT doc_id, u.i,
+         (CASE WHEN doc_id % 3 = 2
+               THEN ((doc_id // 3) * 73
+                     + u.i * (31 + (doc_id // 3) % 29)
+                     + u.i * u.i * (1 + (doc_id // 3) % 23)
+                     + (u.i % 7) * 211)
+               ELSE ((doc_id // 3) * 73
+                     + u.i * (31 + (doc_id // 3) % 29)
+                     + u.i * u.i * (1 + (doc_id // 3) % 23)) END) % 4001
+         - 2000
+         + CASE WHEN doc_id % 3 = 1
+                     AND (u.i * 65) // {n} = doc_id % 65
+                THEN 300 ELSE 0 END AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, {n - 1}, 1)) AS i) u
+),
+anrg AS (SELECT doc_id, (i * 65) // {n} AS f, SUM(s * s) AS e
+         FROM asmp GROUP BY doc_id, (i * 65) // {n}),
+afbit AS (SELECT a.doc_id, a.f AS b,
+                 CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+          FROM anrg a JOIN anrg nx
+            ON a.doc_id = nx.doc_id AND nx.f = a.f + 1),
+afps AS (SELECT doc_id, {pack} AS afp FROM afbit GROUP BY doc_id)"""
+
+
+AUDIO_FP_DUCK = f"WITH {_audio_fp_duck_ctes()}\nSELECT * FROM afps"
+
+_AUDIO_BLOCKS = ", ".join(
+    f"{q} * 65536 + ((afp >> {16 * q}) & 65535)" for q in range(4)
+)
+
+AUDIO_PAIRS_DUCK = f"""
+WITH {_audio_fp_duck_ctes()},
+ablocks AS (
+  SELECT doc_id, afp, u.bh FROM afps,
+  LATERAL (SELECT unnest([{_AUDIO_BLOCKS}]) AS bh) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM ablocks a JOIN ablocks b ON a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
 def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
     """CTE chain computing the portable LSH candidate pairs exactly as
     dedup.lsh_candidate_pairs_portable: 4 salted md5 digests per
@@ -4500,6 +4559,29 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
     out["media_phash_neardups"] = QuerySpec(
         media_phash_pairs_fn, PHASH_PAIRS_DUCK
     )
+
+    # the audio twin: deterministic fixture WAVs → real PCM decode →
+    # 64-bit frame-energy-sign fingerprint (Haitsma-Kalker time-domain
+    # core) → the same quarter-blocked Hamming pairs.  With this, every
+    # modality has exact + fuzzy dedup: text (MinHash/SimHash/spans),
+    # embeddings (semantic cells), images (pHash), audio (fingerprint).
+    def media_audio_fp_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        return _mm.audio_fingerprints(_mm.synthesize_fixture_audio(docs))
+
+    out["media_audio_fingerprints"] = QuerySpec(
+        media_audio_fp_fn, AUDIO_FP_DUCK
+    )
+
+    def media_audio_pairs_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        fps = _mm.audio_fingerprints(_mm.synthesize_fixture_audio(docs))
+        return _dd.hamming_neardup_pairs(fps, "afp", "doc_id",
+                                         max_hamming=3)
+
+    out["media_audio_neardups"] = QuerySpec(
+        media_audio_pairs_fn, AUDIO_PAIRS_DUCK
+    )
     return out
 
 
@@ -4798,6 +4880,8 @@ _VERIFY_FIRST = [
     "doc_quality_classifier",
     "media_phash_signatures",
     "media_phash_neardups",
+    "media_audio_fingerprints",
+    "media_audio_neardups",
     # changed this round — tokenizer normalization moved the results
     # (r11 ADVICE empty-token fix), so the last green rows no longer
     # describe the current query:
@@ -4849,8 +4933,6 @@ _VERIFY_FIRST = [
     "profile_traverse_neighborhood",  # r08
     "petro_concat_union",  # r08
     "dedup_incremental_antijoin",  # r08
-    "to_moles",  # r09
-    "feo_to_fe2o3",  # r09
 ]
 
 

@@ -89,6 +89,68 @@ class TestHashUnits:
         assert (g >= 0).all() and (g <= 255 * (299 + 587 + 114)).all()
 
 
+class TestAudioFingerprint:
+    def test_fixture_samples_roundtrip_exact(self):
+        """fixture_audio_samples → encode_wav → decode_audio restores
+        the integer PCM values bit-for-bit under rint(x·32768)."""
+        for doc_id in (0, 1, 2, 7, 300):
+            vals = mm.fixture_audio_samples(doc_id)
+            x, rate = mm.decode_audio(mm.encode_wav(
+                vals.astype(np.float32) / 32767.0, mm.FIXTURE_WAV_RATE))
+            assert rate == mm.FIXTURE_WAV_RATE
+            back = np.rint(x[:, 0] * 32768.0).astype(np.int64)
+            assert (back == vals).all(), doc_id
+
+    def test_fixture_family_structure(self):
+        """Variant 1 (one +300 frame) moves at most the two
+        fingerprint bits that compare that frame's energy; variant 2
+        (sawtooth overlay) lands far outside the gate."""
+        for base in (0, 5, 41):
+            h = [
+                mm.audio_fingerprint64(mm.decode_audio(mm.encode_wav(
+                    mm.fixture_audio_samples(3 * base + m)
+                    .astype(np.float32) / 32767.0, 8000))[0])
+                for m in range(3)
+            ]
+            assert _ham(h[0], h[1]) <= 2
+            assert _ham(h[0], h[2]) > 3
+            assert _ham(h[1], h[2]) > 3
+
+    def test_near_identical_clip_small_hamming(self):
+        """A localized dropout in an arbitrary real-valued clip flips
+        at most the bits whose frames it touches."""
+        rng = np.random.default_rng(5)
+        clip = (rng.normal(0, 0.2, 1300).clip(-1, 1)
+                .astype(np.float32))
+        twin = clip.copy()
+        twin[400:420] = 0.0  # 20-sample dropout spans ≤2 of 65 frames
+        assert _ham(mm.audio_fingerprint64(clip),
+                    mm.audio_fingerprint64(twin)) <= 4
+
+    def test_empty_clip_zero_fingerprint(self):
+        assert mm.audio_fingerprint64(np.zeros((0, 1),
+                                               dtype=np.float32)) == 0
+
+    def test_spark_pairs_find_planted_twins(self, spark):
+        """4 clips: base, near-twin, unrelated, exact copy — the pair
+        query finds exactly the three twin pairs."""
+        base = mm.fixture_audio_samples(0).astype(np.float32) / 32767.0
+        twin = mm.fixture_audio_samples(1).astype(np.float32) / 32767.0
+        other = mm.fixture_audio_samples(302).astype(np.float32) / 32767.0
+        blobs = [mm.encode_wav(s, 8000) for s in (base, twin, other, base)]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id LONG, content BINARY",
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.hamming_neardup_pairs(
+                mm.audio_fingerprints(df), "afp", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert pairs == {(0, 1), (0, 3), (1, 3)}
+
+
 class TestPhashSpark:
     @pytest.fixture(scope="class")
     def media(self, spark):

@@ -193,6 +193,16 @@ def test_phash_pairs_blocked_equi_join(spark, registry):
     assert plan.count("MapInPandas") == 2
 
 
+def test_audio_pairs_blocked_equi_join(spark, registry):
+    """Audio fingerprint near-dups: same contract as the pHash gate."""
+    df = registry["media_audio_neardups"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    assert plan.count("MapInPandas") == 2
+
+
 def test_media_decode_single_arrow_stage(spark, registry):
     """Frame checksums run the decode in exactly one Arrow-batched python
     stage over a pruned 2-column scan — no shuffle."""
