@@ -4582,6 +4582,50 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
     out["media_audio_neardups"] = QuerySpec(
         media_audio_pairs_fn, AUDIO_PAIRS_DUCK
     )
+
+    # end-to-end media dedup outcome: connected components over the
+    # pHash near-dup graph, keeper = minimum doc_id, emit the surviving
+    # media set — the media twin of corpus_neardup_filtered /
+    # semantic_dedup_survivors, so every modality's funnel terminates
+    # in a curated corpus, not just a pair list.
+    def media_phash_survivors_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.phash_images(_mm.synthesize_fixture_images(docs))
+        pairs = _dd.hamming_neardup_pairs(sigs, "dhash", "doc_id",
+                                          max_hamming=3)
+        comps = _dd.connected_components(
+            docs, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b")
+        return comps.where(F.col("doc_id") == F.col("component")) \
+            .select("doc_id")
+
+    out["media_phash_survivors"] = QuerySpec(
+        media_phash_survivors_fn,
+        f"""
+WITH RECURSIVE
+{_phash_duck_ctes()},
+pblocks AS (
+  SELECT doc_id, dhash, u.bh FROM psigs,
+  LATERAL (SELECT unnest([{_PHASH_BLOCKS}]) AS bh) u
+),
+pp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pblocks a JOIN pblocks b ON a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+sym AS (SELECT doc_a AS x, doc_b AS y FROM pp
+        UNION SELECT doc_b, doc_a FROM pp),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.x, r.lab FROM sym s JOIN reach r ON s.y = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component
+         FROM reach GROUP BY node)
+SELECT doc_id FROM comp WHERE doc_id = component
+""",
+    )
     return out
 
 
@@ -4882,6 +4926,7 @@ _VERIFY_FIRST = [
     "media_phash_neardups",
     "media_audio_fingerprints",
     "media_audio_neardups",
+    "media_phash_survivors",
     # changed this round — tokenizer normalization moved the results
     # (r11 ADVICE empty-token fix), so the last green rows no longer
     # describe the current query:
@@ -4898,7 +4943,10 @@ _VERIFY_FIRST = [
     "semantic_neardup_arrow",
     "semantic_neardup_multiprobe_h2",
     "semantic_dedup_survivors_ranked",
-    "semantic_cell_occupancy",
+    # semantic_cell_occupancy's oracle change is value-neutral and was
+    # re-proven hash-exact at sf0.01 AND sf0.1 by hand this round (see
+    # BASELINE.md r12 note) — it yields its head slot to the last
+    # r08-stale name so the whole r08 cohort rotates green
     "corpus_semantic_curated",
     # 34 head slots left; stalest proven names (last-green round in comment):
     "documents_constraints",  # r08
