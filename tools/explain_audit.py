@@ -52,6 +52,12 @@ AUDIT = [
     "corpus_contamination",         # broadcast eval-gram collision join
     "events_gap_filled_locf",       # window LOCF
     "doc_tfidf_top_terms",          # text scan + window rank
+    "doc_lm_cross_entropy",         # corpus-LM shuffle join (r11)
+    "doc_lm_pruned_topk",           # pruned broadcastable LM (r12)
+    "doc_quality_classifier",       # hashed-ngram linear scorer (r12)
+    "media_phash_neardups",         # pHash quarter-blocked pairs (r12)
+    "media_phash_survivors",        # media CC + keeper funnel (r12)
+    "media_audio_neardups",         # audio fingerprint pairs (r12)
 ]
 
 
