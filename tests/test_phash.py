@@ -79,6 +79,25 @@ class TestHashUnits:
             assert _ham(h[0], h[2]) > 3
             assert _ham(h[1], h[2]) > 3
 
+    def test_monotone_luminance_invariance(self):
+        """The property that makes gradient-sign hashes PERCEPTUAL: an
+        affine brightness change (dimming, contrast scaling) preserves
+        every pairwise luminance comparison — including the exact
+        integer mean comparison (64·g > Σg) — so both hashes are
+        bit-identical on the transformed image.  Even-valued pixels
+        keep the ×0.5 transform rounding-free (odd values would tie
+        adjacent levels through rint and could flip razor-thin
+        margins — a quantization artifact, not a hash property)."""
+        rng = np.random.default_rng(21)
+        vals = rng.integers(0, 128, (24, 24, 3)) * 2  # even 0..254
+        img = (vals / 255.0).astype(np.float32)
+        dimmed = (vals / 2 / 255.0).astype(np.float32)
+        shifted = ((vals / 2 + 64) / 255.0).astype(np.float32)
+        assert mm.dhash64(img) == mm.dhash64(dimmed)
+        assert mm.ahash64(img) == mm.ahash64(dimmed)
+        assert mm.dhash64(img) == mm.dhash64(shifted)
+        assert mm.ahash64(img) == mm.ahash64(shifted)
+
     def test_luma_grid_any_source_size(self):
         """The grid sampler is not 16×16-specific: a 37×23 image yields
         the documented shapes with in-range integer luminance."""
