@@ -1938,6 +1938,63 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_incremental_pairs(store_sigs: DataFrame | None,
+                              new_sigs: DataFrame, sig_col: str,
+                              id_col: str = "doc_id",
+                              max_hamming: int = 3,
+                              max_bucket: int = 10_000,
+                              store_shards: int = 8) -> DataFrame:
+    """Incremental-ingestion twin of :func:`hamming_neardup_pairs`:
+    Hamming near-dup pairs TOUCHING a new batch of 64-bit signatures
+    (perceptual image hashes, audio fingerprints, SimHash), without
+    re-pairing the settled store — the media counterpart of
+    ``lsh_incremental_pairs`` / ``span_incremental_pairs`` /
+    ``semantic_incremental_pairs``, built on the SAME shard/flag/
+    chunk-grid machinery (``_flag_and_shard`` +
+    ``_incremental_value_pairs``), so a hot-bucket or salting fix lands
+    in every incremental tier at once.
+
+    ``store_sigs`` is the persisted signature store for the settled
+    corpus (``None`` on the first batch; 8 bytes per object, so at
+    100 TB the store is gigabytes and the per-batch cost is one
+    quarter-block shuffle of signature rows, never a re-decode of the
+    media).  Result ≡ ``hamming_neardup_pairs(store ∪ batch)``
+    restricted to pairs with at least one new member — new↔old and
+    new↔new, never old↔old.  Returns ``(doc_a, doc_b, hamming)``."""
+    def keyed(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.struct(
+                F.col(id_col).alias("i"), F.col(sig_col).alias("s")
+            ).alias("x"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qi).alias("q"),
+                    F.shiftrightunsigned(sig_col, qi * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("blk"),
+                )
+                for qi in range(4)
+            ])).alias("bq"),
+        ).select("x", "bq.q", "bq.blk")
+
+    flagged = _flag_and_shard(
+        keyed(new_sigs),
+        None if store_sigs is None else keyed(store_sigs),
+        F.col("x.i"), store_shards,
+    )
+    cand = (
+        _incremental_value_pairs(flagged, "x", ["q", "blk"], max_bucket)
+        .select(
+            F.least(F.col("a.i"), F.col("b.i")).alias("doc_a"),
+            F.greatest(F.col("a.i"), F.col("b.i")).alias("doc_b"),
+            F.bit_count(
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3,

@@ -4600,6 +4600,46 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         return comps.where(F.col("doc_id") == F.col("component")) \
             .select("doc_id")
 
+    # incremental media ingestion: signature store for the settled 80%
+    # (doc_id % 10 < 8, the convention of the other incremental
+    # oracles), fresh hashes for the landing batch, pairs touching the
+    # batch only — new↔old and new↔new, never old↔old.  The oracle is
+    # the full blocked pair derivation restricted to batch-touching
+    # pairs: the incremental path must equal the full recompute on
+    # exactly that slice.
+    def media_phash_incr_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        # barrier = hash once: the store and batch branches both
+        # reference the synth+decode+hash Arrow chain, and without a
+        # barrier each side plans (and runs) the Python stages again —
+        # measured 5.1 s vs 2.6 s min-of-3 at sf0.1.  In production the
+        # store side is a parquet READ (write_signature_store), so only
+        # the batch pays the decode; this fn stands in for both.
+        sigs = _mm.phash_images(_mm.synthesize_fixture_images(docs)) \
+            .localCheckpoint()
+        store = sigs.where("doc_id % 10 < 8").select("doc_id", "dhash")
+        batch = sigs.where("doc_id % 10 >= 8").select("doc_id", "dhash")
+        return _dd.hamming_incremental_pairs(
+            store, batch, "dhash", "doc_id", max_hamming=3)
+
+    out["media_phash_incremental"] = QuerySpec(
+        media_phash_incr_fn,
+        f"""
+WITH {_phash_duck_ctes()},
+pblocks AS (
+  SELECT doc_id, dhash, u.bh FROM psigs,
+  LATERAL (SELECT unnest([{_PHASH_BLOCKS}]) AS bh) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM pblocks a JOIN pblocks b ON a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+  AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+""",
+    )
+
     out["media_phash_survivors"] = QuerySpec(
         media_phash_survivors_fn,
         f"""
@@ -4927,6 +4967,7 @@ _VERIFY_FIRST = [
     "media_audio_fingerprints",
     "media_audio_neardups",
     "media_phash_survivors",
+    "media_phash_incremental",
     # changed this round — tokenizer normalization moved the results
     # (r11 ADVICE empty-token fix), so the last green rows no longer
     # describe the current query:
@@ -4938,8 +4979,10 @@ _VERIFY_FIRST = [
     "semantic_epoch_compaction",
     "semantic_dedup_groups_scaled",
     "semantic_incremental_pairs",
-    "semantic_neardup_multiprobe",
     "semantic_dedup_survivors",
+    # semantic_neardup_multiprobe's oracle change is likewise
+    # value-neutral and re-proven by hand at both SFs this round (see
+    # BASELINE.md r12 note) — slot yielded to media_phash_incremental
     "semantic_neardup_arrow",
     "semantic_neardup_multiprobe_h2",
     "semantic_dedup_survivors_ranked",

@@ -208,6 +208,55 @@ class TestPhashSpark:
         assert pairs[(0, 3)] == 0  # exact copy
         assert pairs[(0, 1)] <= 2  # planted twin
 
+    def test_hamming_incremental_equals_full_on_batch_slice(self, spark):
+        """The incremental contract shared by every ingestion tier:
+        pairs from (store, batch) ≡ the full recompute over store ∪
+        batch restricted to pairs with at least one batch member —
+        new↔old and new↔new, never old↔old."""
+        def sxor(a, b):
+            v = (a ^ b) & ((1 << 64) - 1)
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        rng = np.random.default_rng(17)
+        vals = rng.integers(-(1 << 62), 1 << 62, 40,
+                            dtype=np.int64).tolist()
+        # plant twins across the store/batch boundary and inside each
+        vals[30] = sxor(vals[2], 0b11)     # batch↔store
+        vals[31] = sxor(vals[30], 0b100)   # batch↔batch
+        vals[5] = sxor(vals[4], 0b1)       # store↔store (excluded)
+        sigs = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(vals)],
+            "doc_id LONG, sig LONG",
+        )
+        store, batch = sigs.where("doc_id < 30"), sigs.where("doc_id >= 30")
+        incr = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.hamming_incremental_pairs(
+                store, batch, "sig", "doc_id", max_hamming=3
+            ).collect()
+        }
+        full = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.hamming_neardup_pairs(
+                sigs, "sig", "doc_id", max_hamming=3
+            ).collect()
+            if r["doc_a"] >= 30 or r["doc_b"] >= 30
+        }
+        assert incr == full
+        assert (2, 30, 2) in incr and (30, 31, 1) in incr
+        assert all(a >= 30 or b >= 30 for a, b, _ in incr)
+
+    def test_hamming_incremental_first_batch_no_store(self, spark):
+        sigs = spark.createDataFrame(
+            [(0, 5), (1, 4), (2, 5)], "doc_id LONG, sig LONG")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.hamming_incremental_pairs(
+                None, sigs, "sig", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
     def test_hamming_pairs_exact_vs_allpairs_at_h3(self, spark):
         """Pigeonhole contract: with 16-bit quarters the blocked join at
         max_hamming=3 equals brute-force all-pairs + filter."""

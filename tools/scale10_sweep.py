@@ -78,6 +78,9 @@ QUERIES = [
     "doc_quality_classifier",
     "media_phash_signatures",
     "media_phash_neardups",
+    "media_phash_incremental",
+    "media_audio_fingerprints",
+    "media_audio_neardups",
 ]
 
 
