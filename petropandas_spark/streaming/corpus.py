@@ -231,6 +231,59 @@ def span_ingest_stream(stream_df, store_path: str, matches_path: str,
     )
 
 
+MEDIA_SCHEMA = "doc_id BIGINT, content BINARY"
+
+
+def read_media_stream(spark, path: str,
+                      max_files_per_trigger: int | None = None):
+    """File-source stream over a media landing directory (each
+    micro-batch = newly landed object shards: ``(doc_id, content)``
+    with the binary column opaque until the per-batch decode)."""
+    reader = spark.readStream.schema(MEDIA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format("parquet").load(path)
+
+
+def read_phash_pairs(spark, pairs_path: str, id_type: str = "bigint"):
+    """Pinned-schema reader for :func:`phash_ingest_stream` landings (a
+    zero-near-dup run leaves no data files; inference would raise)."""
+    return spark.read.schema(
+        f"doc_a {id_type}, doc_b {id_type}, hamming INT, batch_id BIGINT"
+    ).parquet(pairs_path)
+
+
+def phash_ingest_stream(stream_df, store_path: str, pairs_path: str,
+                        checkpoint: str):
+    """Continuous MEDIA near-dup ingestion — the streaming twin of
+    :func:`petropandas_spark.pipeline.dedup.hamming_incremental_pairs`,
+    on the same exactly-once scaffold as the MinHash / span / semantic
+    twins (:func:`_incremental_ingest_stream` — a fix there lands in
+    all four tiers).
+
+    Each micro-batch's images are decoded and perceptually hashed (the
+    only stage that touches bytes — 8-byte aHash/dHash per object),
+    quarter-blocked against the persisted signature store, and the
+    Hamming-gated pairs touching the batch land under ``pairs_path``;
+    the batch's signatures append to the store so the next trigger sees
+    them.  The settled media corpus is never re-decoded — per trigger
+    the decode work is O(batch), the pair shuffle carries 8-byte
+    signatures.  Invariant (pytest-pinned): union of the landed pair
+    partitions over any batch ordering equals the full-corpus
+    ``hamming_neardup_pairs`` pair set."""
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline import multimodal as _mm
+
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=_mm.phash_images,
+        candidates=lambda store, sigs: _dd.hamming_incremental_pairs(
+            None if store is None else store.select("doc_id", "dhash"),
+            sigs.select("doc_id", "dhash"), "dhash", "doc_id",
+            max_hamming=3),
+    )
+
+
 EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
 
 

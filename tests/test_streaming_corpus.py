@@ -386,3 +386,76 @@ def test_semantic_ingest_zero_pairs_readable(spark, tmp_path):
     assert landed.columns == ["id_a", "id_b", "cosine", "batch_id"]
     # the store still holds the batch's assignment for the next trigger
     assert spark.read.parquet(str(tmp_path / "store")).count() == 2
+
+
+@pytest.fixture(scope="module")
+def media_dir(spark, tmp_path_factory):
+    """A media landing directory: two parquet shards of doc-id-derived
+    fixture PPMs (near-twin families span the shard boundary), the
+    second re-landing a few byte-identical objects from the first."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path_factory.mktemp("media_stream"))
+    ids = spark.range(0, 36).selectExpr("id AS doc_id")
+    media = mm.synthesize_fixture_images(ids)
+    first = media.filter("doc_id % 2 = 0")
+    relanded = first.filter("doc_id % 8 = 0")
+    fresh = media.filter("doc_id % 2 = 1")
+    first.coalesce(1).write.parquet(os.path.join(path, "batch0"))
+    fresh.union(relanded).coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    return path
+
+
+def test_phash_ingest_stream_matches_full_recompute(spark, media_dir,
+                                                    tmp_path):
+    """Union of per-batch incremental media pair partitions == the
+    full-corpus pHash recompute, for any batch split (each pair
+    surfaces when its later member arrives; re-landed byte-identical
+    objects collapse in the quarter buckets)."""
+    from petropandas_spark.pipeline import dedup as dd
+    from petropandas_spark.pipeline import multimodal as mm
+
+    stream = sc.read_media_stream(
+        spark, os.path.join(media_dir, "*"), max_files_per_trigger=1)
+    store_path = str(tmp_path / "phash_store")
+    pairs_path = str(tmp_path / "phash_pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = sc.phash_ingest_stream(stream, store_path, pairs_path, ckpt)
+    assert q.awaitTermination(180)
+
+    landed = sc.read_phash_pairs(spark, pairs_path)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in landed.collect()}
+    all_media = spark.read.parquet(os.path.join(media_dir, "*")).distinct()
+    expect = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.hamming_neardup_pairs(
+            mm.phash_images(all_media), "dhash", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the planted twin families DID surface
+    # store holds both hashes for every landed object occurrence
+    sigs = spark.read.parquet(store_path)
+    assert set(sigs.columns) == {"doc_id", "ahash", "dhash", "batch_id"}
+    assert sigs.select("doc_id").distinct().count() \
+        == all_media.select("doc_id").distinct().count()
+
+
+def test_phash_ingest_zero_pairs_readable(spark, tmp_path):
+    """A batch with no near-dups lands an empty pair partition; the
+    pinned-schema reader returns the empty frame (inference would
+    raise)."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "media_solo")
+    # two unrelated families, one member each -> zero pairs
+    ids = spark.createDataFrame([(0,), (30,)], "doc_id LONG")
+    mm.synthesize_fixture_images(ids).coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    stream = sc.read_media_stream(spark, os.path.join(path, "*"))
+    q = sc.phash_ingest_stream(
+        stream, str(tmp_path / "st"), str(tmp_path / "pp"),
+        str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    assert sc.read_phash_pairs(spark, str(tmp_path / "pp")).count() == 0
