@@ -224,7 +224,8 @@ def dhash64(img: np.ndarray) -> int:
 
 
 def phash_images(df: DataFrame, content_col: str = "content",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 on_error: str = "raise") -> DataFrame:
     """Perceptual hashes for near-duplicate image detection: one narrow
     Arrow-batched mapInPandas stage runs the REAL decode
     (:func:`decode_image`) → :func:`ahash64` + :func:`dhash64` per
@@ -232,18 +233,46 @@ def phash_images(df: DataFrame, content_col: str = "content",
     image per hash, so at 100 TB the signature table is a vanishing
     fraction of the corpus and every downstream near-dup step works on
     integers.  Pair generation goes through the SimHash Hamming-blocked
-    machinery (``dedup.hamming_neardup_pairs``): never all-pairs."""
+    machinery (``dedup.hamming_neardup_pairs``): never all-pairs.
+
+    ``on_error``: ``"raise"`` (default — a corrupt blob fails the job
+    loudly) or ``"quarantine"`` — the JSONL-ingest contract for a
+    production landing stream: undecodable objects keep their row with
+    NULL hashes and the exception text in ``decode_error``, so the
+    caller splits good/bad with one filter instead of losing the batch
+    to one bad object (and nothing is silently dropped).  The good
+    slice's hashes are identical under either mode."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
     schema = f"{id_col} BIGINT, ahash BIGINT, dhash BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
 
     def run(batches):
         for pdf in batches:
-            ids, ah, dh = [], [], []
+            ids, ah, dh, errs = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                img = decode_image(bytes(blob) if blob is not None else b"")
                 ids.append(i)
-                ah.append(ahash64(img))
-                dh.append(dhash64(img))
-            yield pd.DataFrame({id_col: ids, "ahash": ah, "dhash": dh})
+                try:
+                    img = decode_image(
+                        bytes(blob) if blob is not None else b"")
+                    ah.append(ahash64(img))
+                    dh.append(dhash64(img))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ah.append(None)
+                    dh.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids,
+                   "ahash": pd.array(ah, dtype="Int64"),
+                   "dhash": pd.array(dh, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 

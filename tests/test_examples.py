@@ -32,6 +32,16 @@ def test_embedding_curation_example(tmp_path):
     assert os.path.isdir(os.path.join(out, "ivf_store"))
 
 
+def test_media_curation_example(tmp_path):
+    out = str(tmp_path / "media")
+    r = _run(["examples/media_curation.py", "/root/testdata/sf0.001", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "media dedup: kept" in r.stdout
+    assert "audio near-dup pairs" in r.stdout
+    assert os.path.isdir(os.path.join(out, "phash_store"))
+    assert os.path.isdir(os.path.join(out, "features"))
+
+
 def test_corpus_curation_example(tmp_path):
     out = str(tmp_path / "curated")
     r = _run(["examples/corpus_curation.py",

@@ -196,6 +196,29 @@ class TestPhashSpark:
         assert rows[0] == (mm.ahash64(base), mm.dhash64(base))
         assert rows[3] == rows[0]
 
+    def test_phash_quarantine_routes_corrupt_blobs(self, spark):
+        """on_error='quarantine': a corrupt blob keeps its row with NULL
+        hashes and the error class; good rows hash identically to the
+        raise-mode path; default mode still fails loudly."""
+        good = mm.encode_ppm(_rand_img(42))
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(b"\x89PNGnotdecodable")),
+             (2, bytearray(b""))],
+            "doc_id LONG, content BINARY",
+        )
+        rows = {r["doc_id"]: r for r in
+                mm.phash_images(df, on_error="quarantine").collect()}
+        assert rows[0]["decode_error"] is None
+        assert rows[0]["dhash"] == mm.dhash64(_rand_img(42))
+        for bad in (1, 2):
+            assert rows[bad]["ahash"] is None
+            assert rows[bad]["dhash"] is None
+            assert "NotImplementedError" in rows[bad]["decode_error"]
+        with pytest.raises(Exception):
+            mm.phash_images(df).collect()  # default: loud
+        with pytest.raises(ValueError):
+            mm.phash_images(df, on_error="skip")
+
     def test_hamming_pairs_find_planted_twins_only(self, media):
         sigs = mm.phash_images(media)
         pairs = {
