@@ -486,21 +486,42 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
 
 
 def audio_fingerprints(df: DataFrame, content_col: str = "content",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       on_error: str = "raise") -> DataFrame:
     """Per-clip 64-bit fingerprints in ONE narrow Arrow stage (decode →
     :func:`audio_fingerprint64`), the audio twin of
     :func:`phash_images`: 8 bytes per clip, near-dup pairs via
-    ``dedup.hamming_neardup_pairs``."""
+    ``dedup.hamming_neardup_pairs``.  ``on_error='quarantine'`` routes
+    undecodable clips to a NULL-fingerprint row with the error text in
+    ``decode_error`` — the same landing-batch contract as the image
+    path."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
     schema = f"{id_col} BIGINT, afp BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
 
     def run(batches):
         for pdf in batches:
-            ids, fps = [], []
+            ids, fps, errs = [], [], []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                x, _rate = decode_audio(bytes(blob))
                 ids.append(i)
-                fps.append(audio_fingerprint64(x))
-            yield pd.DataFrame({id_col: ids, "afp": fps})
+                try:
+                    x, _rate = decode_audio(
+                        bytes(blob) if blob is not None else b"")
+                    fps.append(audio_fingerprint64(x))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "afp": pd.array(fps, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 

@@ -67,6 +67,62 @@ def classifier_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def weight_table(spark, n_buckets: int = 1024) -> DataFrame:
+    """The classifier model AS A DIMENSION: ``(bucket, wgt)`` rows —
+    here generated from the closed form so the table variant is
+    bit-equal to :func:`classifier_scores` (pytest-pinned); a real
+    deployment loads TRAINED weights with this schema and nothing else
+    changes.  At any realistic size (fastText default 2M buckets ×
+    8 bytes) the table broadcasts."""
+    return spark.range(n_buckets).selectExpr(
+        "id AS bucket", "(id * 2654435761) % 2001 - 1000 AS wgt")
+
+
+def classifier_scores_table(df: DataFrame, weights: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_buckets: int = 1024) -> DataFrame:
+    """:func:`classifier_scores` with the weights joined from a
+    ``weights`` dimension (``bucket BIGINT, wgt BIGINT``) instead of
+    computed inline — the production shape for trained models.  The
+    join is an explicit broadcast hash join on ``bucket`` (plan-gated),
+    so the corpus-side plan is unchanged: one tokenize pass, one
+    partial-agg exchange.  Unseen buckets (absent rows) contribute
+    weight 0 — the sparse-model convention."""
+    w = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " "),
+        " ",
+    )
+    tok = df.select(F.col(id_col), w.alias("w"))
+    expd = tok.select(
+        id_col, "w", F.explode(F.expr("sequence(1, size(w))")).alias("i")
+    )
+    ngs = expd.select(
+        id_col,
+        F.explode(F.expr(
+            "array(element_at(w, i), "
+            "IF(i < size(w), "
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)), "
+            "NULL))"
+        )).alias("ng"),
+    ).where("ng IS NOT NULL AND ng != ''")
+    bucketed = ngs.select(
+        id_col,
+        F.expr(
+            f"CAST(conv(substr(md5(ng), 1, 3), 16, 10) AS BIGINT)"
+            f" % {n_buckets}"
+        ).alias("bucket"),
+    )
+    joined = bucketed.join(F.broadcast(weights), "bucket", "left") \
+        .withColumn("wgt", F.coalesce("wgt", F.lit(0)))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        (F.sum("wgt").cast("double")
+         / (F.lit(1000.0) * F.count(F.lit(1)))).alias("quality_logit"),
+        F.when(F.sum("wgt") > 0, 1).otherwise(0).alias("keep"),
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    n_buckets: int = 1024) -> DataFrame:

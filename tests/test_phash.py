@@ -150,6 +150,23 @@ class TestAudioFingerprint:
         assert mm.audio_fingerprint64(np.zeros((0, 1),
                                                dtype=np.float32)) == 0
 
+    def test_audio_quarantine_routes_corrupt_clips(self, spark):
+        good = mm.encode_wav(
+            mm.fixture_audio_samples(0).astype(np.float32) / 32767.0, 8000)
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(b"ID3mp3-ish")),
+             (2, bytearray(b""))],
+            "doc_id LONG, content BINARY",
+        )
+        rows = {r["doc_id"]: r for r in
+                mm.audio_fingerprints(df, on_error="quarantine").collect()}
+        assert rows[0]["decode_error"] is None and rows[0]["afp"] is not None
+        for bad in (1, 2):
+            assert rows[bad]["afp"] is None
+            assert "NotImplementedError" in rows[bad]["decode_error"]
+        with pytest.raises(Exception):
+            mm.audio_fingerprints(df).collect()
+
     def test_spark_pairs_find_planted_twins(self, spark):
         """4 clips: base, near-twin, unrelated, exact copy — the pair
         query finds exactly the three twin pairs."""

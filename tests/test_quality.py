@@ -58,6 +58,36 @@ def test_classifier_edge_texts(spark):
     assert got[5][0] == 1  # one unigram, no bigram
 
 
+def test_classifier_table_variant_bit_equal_and_broadcast(spark, docs):
+    """The trained-weights production shape: joining the weights as a
+    broadcast dimension must be bit-equal to the inline closed form,
+    plan a BroadcastHashJoin, and keep the corpus side at one scan."""
+    from petropandas_spark.pipeline.quality import (
+        classifier_scores_table,
+        weight_table,
+    )
+
+    tbl = classifier_scores_table(docs, weight_table(spark))
+    assert tbl.orderBy("doc_id").collect() == \
+        classifier_scores(docs).orderBy("doc_id").collect()
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1  # executed plan: tree only
+
+
+def test_classifier_table_unseen_buckets_weight_zero(spark):
+    """A sparse model (missing bucket rows) scores unseen ngrams 0 —
+    never NULL-poisons the per-doc sum."""
+    from petropandas_spark.pipeline.quality import classifier_scores_table
+
+    df = spark.createDataFrame([(1, "hello world")],
+                               "doc_id LONG, text STRING")
+    empty = spark.createDataFrame([], "bucket BIGINT, wgt BIGINT")
+    rows = classifier_scores_table(df, empty).collect()
+    assert rows[0]["quality_logit"] == 0.0
+    assert rows[0]["keep"] == 0
+
+
 def test_quality_filter_semi_join(docs):
     scores = classifier_scores(docs)
     n_keep = scores.where("keep = 1").count()
