@@ -1938,6 +1938,27 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_neardup_pairs_either(sig: DataFrame, sig_cols: list[str],
+                                 id_col: str = "doc_id",
+                                 max_hamming: int = 3,
+                                 max_bucket: int = 10_000) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` on ANY of several 64-bit
+    signature columns — the union gate a production image pipeline runs
+    over (aHash, dHash): the hashes fail on DISJOINT transform classes
+    (measured in ``tools/phash_recall.py``: 1-px translation collapses
+    dHash to recall 0 while aHash holds 0.8; a rescale round-trip is
+    the reverse), so the union recovers what either alone misses while
+    the unrelated-pair floor stays ~21 bits.  Cost: one blocked pair
+    pass per signature (each a shuffle of 8-byte signatures, never
+    media) + a distinct.  Returns ``(doc_a, doc_b)``."""
+    out = None
+    for c in sig_cols:
+        p = hamming_neardup_pairs(sig, c, id_col, max_hamming,
+                                  max_bucket).select("doc_a", "doc_b")
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 def hamming_incremental_pairs(store_sigs: DataFrame | None,
                               new_sigs: DataFrame, sig_col: str,
                               id_col: str = "doc_id",

@@ -248,6 +248,31 @@ class TestPhashSpark:
         assert pairs[(0, 3)] == 0  # exact copy
         assert pairs[(0, 1)] <= 2  # planted twin
 
+    def test_either_hash_union_gate(self, spark):
+        """The union gate finds pairs either hash finds: a translated
+        twin (dHash-far, aHash-near for this construction) and a
+        rescaled twin (the reverse) both surface, and the result equals
+        the union of the single-hash passes."""
+        base = _rand_img(50, n=32)
+        shifted = np.roll(base, 1, axis=1)  # aHash-recoverable
+        resc = base[::2, ::2].repeat(2, 0).repeat(2, 1)  # dHash-ish twin
+        blobs = [mm.encode_ppm(x) for x in
+                 (base, shifted, resc, _rand_img(51, n=32))]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id LONG, content BINARY",
+        )
+        sigs = mm.phash_images(df).localCheckpoint()
+        got = {(r.doc_a, r.doc_b) for r in dd.hamming_neardup_pairs_either(
+            sigs, ["ahash", "dhash"], "doc_id", max_hamming=3).collect()}
+        want = set()
+        for c in ("ahash", "dhash"):
+            want |= {(r.doc_a, r.doc_b) for r in dd.hamming_neardup_pairs(
+                sigs, c, "doc_id", max_hamming=3).collect()}
+        assert got == want
+        assert all(3 not in p for p in got)  # the unrelated image stays out
+        assert len(got) >= 1  # at least one twin class surfaced
+
     def test_hamming_incremental_equals_full_on_batch_slice(self, spark):
         """The incremental contract shared by every ingestion tier:
         pairs from (store, batch) ≡ the full recompute over store ∪
