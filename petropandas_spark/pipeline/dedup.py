@@ -1897,21 +1897,25 @@ def simhash(df: DataFrame, text_col: str = "text",
 def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
                           id_col: str = "doc_id",
                           max_hamming: int = 3,
-                          max_bucket: int = 10_000) -> DataFrame:
-    """Near-dup pairs for ANY precomputed 64-bit integer signature
-    column (SimHash, perceptual aHash/dHash from
-    ``multimodal.phash_images``, an audio fingerprint, ...) by Hamming
-    distance: quarter-blocked on the four 16-bit slices of the
-    signature, so the join key is a short block, never O(n²).
-    Pigeonhole: a pair within distance ≤ 3 shares at least one
-    identical quarter, so for ``max_hamming <= 3`` the blocked join is
-    EXACT (≡ all-pairs + filter); above 3 it is the standard
-    recall-bounded candidate generator.  Same machinery as
-    :func:`simhash_neardup_pairs` (which derives its signature from
-    text first): one shuffle on the block key via ``_bucket_pairs_any``
-    — (id, signature) structs ride into their quarter buckets and pairs
-    explode in place with both signatures present for the verify, hot
-    buckets chunk-grid.  Returns ``(doc_a, doc_b, hamming)``."""
+                          max_bucket: int = 10_000,
+                          quarter_bits: int = 16) -> DataFrame:
+    """Near-dup pairs for ANY precomputed integer signature column
+    (SimHash, perceptual aHash/dHash from ``multimodal.phash_images``,
+    an audio fingerprint, ...) by Hamming distance: blocked on the four
+    ``quarter_bits``-wide slices of the signature (16 for 64-bit
+    signatures, 15 for the 60-bit portable SimHash), so the join key is
+    a short block, never O(n²).  Pigeonhole: a pair within distance ≤ 3
+    shares at least one identical quarter, so for ``max_hamming <= 3``
+    the blocked join is EXACT (≡ all-pairs + filter); above 3 it is the
+    standard recall-bounded candidate generator (the registered SimHash
+    query runs it at 6).  One shuffle on the block key via
+    ``_bucket_pairs_any`` — (id, signature) structs ride into their
+    quarter buckets and pairs explode in place with both signatures
+    present for the verify, hot buckets chunk-grid.  Returns
+    ``(doc_a, doc_b, hamming)``."""
+    qmask = (1 << quarter_bits) - 1
+    # shiftrightunsigned: a 64-bit signature uses bit 63 (sign), and
+    # quarter extraction must not sign-extend before masking
     blocks = sig.select(
         F.struct(
             F.col(id_col).alias("i"), F.col(sig_col).alias("s")
@@ -1919,8 +1923,8 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
         F.explode(F.array(*[
             F.struct(
                 F.lit(qi).alias("q"),
-                F.shiftrightunsigned(sig_col, qi * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("blk"),
+                F.shiftrightunsigned(sig_col, qi * quarter_bits)
+                .bitwiseAND(F.lit(qmask)).alias("blk"),
             )
             for qi in range(4)
         ])).alias("bq"),
@@ -2026,41 +2030,13 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     identical quarter — pigeonhole), so the join key is a short block,
     not O(n²).  ``portable=True`` blocks the 60-bit md5 signature on
     15-bit quarters (same algorithm; DuckDB-reproducible)."""
+    # delegate to the generic signature-pair machinery (r12): the text
+    # tier derives its signature, then blocks exactly like the
+    # perceptual/audio tiers — 15-bit quarters for the 60-bit portable
+    # hash, 16-bit for the 64-bit xxhash one.  Same physical plan as
+    # the pre-delegation inline spelling (oracle re-checked).
     sig_col = "simhash60" if portable else "simhash64"
-    qbits, qmask = (15, 0x7FFF) if portable else (16, 0xFFFF)
     sig = simhash(df, text_col, id_col, portable=portable)
-    # shiftrightunsigned: the 64-bit signature uses bit 63 (sign), so
-    # quarter extraction must not sign-extend before masking (the 60-bit
-    # portable signature is non-negative — either shift works).
-    # Bucket-groupBy pair generation (one shuffle on the block key, no
-    # self-join — see _bucket_pairs): each (id, signature) struct rides
-    # into its quarter buckets, pairs explode in place with both
-    # signatures present for the Hamming verify.
-    blocks = sig.select(
-        F.struct(
-            F.col(id_col).alias("i"), F.col(sig_col).alias("s")
-        ).alias("x"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(qi).alias("q"),
-                F.shiftrightunsigned(sig_col, qi * qbits)
-                .bitwiseAND(F.lit(qmask)).alias("blk"),
-            )
-            for qi in range(4)
-        ])).alias("bq"),
-    ).select("x", "bq.q", "bq.blk")
-    # (id, signature) structs ride into their quarter buckets, pairs
-    # explode in place with both signatures present for the Hamming
-    # verify; the shared hot-bucket guard distributes degenerate
-    # dup-heavy quarter blocks across tasks.
-    cand = (
-        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
-        .select(
-            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
-            F.bit_count(
-                F.col("a.s").bitwiseXOR(F.col("b.s"))
-            ).alias("hamming"),
-        )
-        .distinct()
-    )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return hamming_neardup_pairs(
+        sig, sig_col, id_col, max_hamming, max_bucket,
+        quarter_bits=15 if portable else 16)

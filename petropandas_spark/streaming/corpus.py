@@ -284,6 +284,26 @@ def phash_ingest_stream(stream_df, store_path: str, pairs_path: str,
     )
 
 
+def audio_ingest_stream(stream_df, store_path: str, pairs_path: str,
+                        checkpoint: str):
+    """Continuous AUDIO near-dup ingestion — identical contract to
+    :func:`phash_ingest_stream` with the fingerprint tier (decode →
+    ``audio_fingerprint64`` per batch, quarter-blocked against the
+    store, batch-touching pairs land, fingerprints append).  Read the
+    pairs back with :func:`read_phash_pairs` (same pinned schema)."""
+    from petropandas_spark.pipeline import dedup as _dd
+    from petropandas_spark.pipeline import multimodal as _mm
+
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=_mm.audio_fingerprints,
+        candidates=lambda store, fps: _dd.hamming_incremental_pairs(
+            None if store is None else store.select("doc_id", "afp"),
+            fps.select("doc_id", "afp"), "afp", "doc_id",
+            max_hamming=3),
+    )
+
+
 EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
 
 

@@ -459,3 +459,36 @@ def test_phash_ingest_zero_pairs_readable(spark, tmp_path):
         str(tmp_path / "ck"))
     assert q.awaitTermination(120)
     assert sc.read_phash_pairs(spark, str(tmp_path / "pp")).count() == 0
+
+
+def test_audio_ingest_stream_matches_full_recompute(spark, tmp_path):
+    """The audio twin of the pHash ingest invariant: union of landed
+    pair partitions == full-corpus fingerprint recompute."""
+    from petropandas_spark.pipeline import dedup as dd
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "audio_landing")
+    ids = spark.range(0, 30).selectExpr("id AS doc_id")
+    clips = mm.synthesize_fixture_audio(ids)
+    clips.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    clips.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    stream = sc.read_media_stream(
+        spark, os.path.join(path, "*"), max_files_per_trigger=1)
+    q = sc.audio_ingest_stream(
+        stream, str(tmp_path / "afp_store"), str(tmp_path / "afp_pairs"),
+        str(tmp_path / "ck"))
+    assert q.awaitTermination(180)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           sc.read_phash_pairs(spark, str(tmp_path / "afp_pairs"))
+           .collect()}
+    expect = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.hamming_neardup_pairs(
+            mm.audio_fingerprints(spark.read.parquet(
+                os.path.join(path, "*"))),
+            "afp", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
