@@ -412,6 +412,189 @@ def sample_frames(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=schema)
 
 
+# -- video: REAL multi-frame container (concatenated P6) -------------------
+#
+# The honest no-codec video format this container can actually parse:
+# P6 frames laid end to end (the PPM analog of MJPEG — each frame is
+# self-delimiting through its own header).  Everything below is real
+# byte parsing; swap decode_video_frames for an ffmpeg/pyav reader and
+# the fingerprint/pair machinery is unchanged.
+
+
+def _ppm_frame_extent(blob: bytes, offset: int) -> tuple[int, int, int]:
+    """Parse one P6 header at ``offset``; return (frame_end_offset,
+    width, height).  Raises on anything that is not a P6 frame."""
+    if blob[offset:offset + 2] != b"P6":
+        raise NotImplementedError(
+            f"expected P6 frame at offset {offset} "
+            f"(got {blob[offset:offset + 2]!r})")
+    parts: list[bytes] = []
+    i = offset + 2
+    while len(parts) < 3:
+        while i < len(blob) and blob[i:i + 1].isspace():
+            i += 1
+        if blob[i:i + 1] == b"#":
+            while i < len(blob) and blob[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j:j + 1].isspace():
+            j += 1
+        parts.append(blob[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, _maxval = (int(p) for p in parts)
+    return i + w * h * 3, w, h
+
+
+def encode_ppm_video(frames: list[np.ndarray]) -> bytes:
+    """Concatenate frames (each float [0,1] (H, W, 3)) as back-to-back
+    P6 — the inverse of :func:`decode_video_frames`."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_video_frames(blob: bytes) -> list[np.ndarray]:
+    """REAL container parse: walk the concatenated P6 stream frame by
+    frame (each header declares its own extent) and decode each frame
+    through :func:`decode_image`.  A truncated or foreign byte stream
+    raises — nothing silently fakes a parse."""
+    frames: list[np.ndarray] = []
+    off = 0
+    while off < len(blob):
+        end, _w, _h = _ppm_frame_extent(blob, off)
+        if end > len(blob):
+            raise NotImplementedError(
+                f"truncated frame at offset {off} "
+                f"(needs {end}, have {len(blob)})")
+        frames.append(decode_image(blob[off:end]))
+        off = end
+    return frames
+
+
+def video_fingerprints(df: DataFrame, content_col: str = "content",
+                       id_col: str = "doc_id", n_frames: int = 4,
+                       on_error: str = "raise") -> DataFrame:
+    """Per-video frame fingerprints in ONE narrow Arrow stage: parse
+    the container, nearest-neighbor-sample ``n_frames`` frames
+    (``floor((i+0.5)·F/n)`` — the temporal analog of the spatial grid),
+    dHash each sampled frame.  Output one row per sampled frame:
+    ``(id, frame_idx, fhash BIGINT)`` — near-dup videos are pairs
+    sharing ≥ k frame hashes (:func:`video_neardup_pairs`), the
+    shot-level matching a dedup pipeline runs when whole-file hashes
+    are defeated by trims and re-muxes.  ``on_error='quarantine'``
+    emits a single NULL-hash row per bad object with ``decode_error``
+    (frame_idx −1), the landing-batch contract."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = f"{id_col} BIGINT, frame_idx INT, fhash BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def run(batches):
+        for pdf in batches:
+            ids, fis, fhs, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = decode_video_frames(
+                        bytes(blob) if blob is not None else b"")
+                    if not frames:
+                        raise NotImplementedError("zero-frame stream")
+                    nf = len(frames)
+                    picks = [min(int((k + 0.5) * nf / n_frames), nf - 1)
+                             for k in range(n_frames)]
+                    for k, p in enumerate(picks):
+                        ids.append(i)
+                        fis.append(k)
+                        fhs.append(dhash64(frames[p]))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    fis.append(-1)
+                    fhs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "frame_idx": fis,
+                   "fhash": pd.array(fhs, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        min_shared: int = 2) -> DataFrame:
+    """Near-dup video pairs: videos sharing at least ``min_shared``
+    DISTINCT sampled-frame hashes.  One (id, fhash) dedup, one
+    equi-join shuffle on the 8-byte hash, one partial-agg count — the
+    fan-out is per shared-hash value, and the frame hash itself is a
+    dHash, so re-encoded/brightness-shifted frames still meet.  The
+    input is expected barriered/cached by the caller if it is an
+    expensive derivation (the registry fn localCheckpoints)."""
+    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
+        .distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.fhash") == F.col("b.fhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
+FIXTURE_VIDEO_FRAMES = 8
+
+
+def fixture_video_pixel_values(doc_id: int, frame: int) -> np.ndarray:
+    """(16, 16, 3) int64 channel values for frame ``frame`` of the
+    fixture video of ``doc_id`` — the video analog of
+    :func:`fixture_pixel_values`: family base = doc_id DIV 3, variant
+    m = doc_id % 3 (0 = pristine; 1 = a gradient overlay on ONE sampled
+    frame — the other sampled frames still match, so the pair clears
+    ``min_shared``; 2 = the overlay on every frame — nothing matches)."""
+    n = FIXTURE_IMG_SIZE
+    r = np.arange(n)[:, None, None]
+    c = np.arange(n)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    base = doc_id // 3
+    m = doc_id % 3
+    px = (base * 7919 + frame * 401 + r * (131 + base % 89)
+          + c * (17 + base % 101) + ch * 59)
+    hit = (m == 2) or (m == 1 and frame == 2 * (doc_id % 4) + 1)
+    if hit:
+        # non-uniform overlay: a constant shift would be monotone and
+        # leave the dHash unchanged (see the invariance test)
+        px = px + ((r * 31 + c * 7) % 11) * 13
+    return px % 251
+
+
+def synthesize_fixture_videos(df: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: id → deterministic 8-frame concatenated-P6 video
+    bytes through the real :func:`encode_ppm_video`."""
+    schema = f"{id_col} BIGINT, content BINARY"
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                frames = [
+                    fixture_video_pixel_values(int(i), f)
+                    .astype(np.float32) / 255.0
+                    for f in range(FIXTURE_VIDEO_FRAMES)
+                ]
+                ids.append(i)
+                blobs.append(encode_ppm_video(frames))
+            yield pd.DataFrame({id_col: ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
 # -- audio: REAL PCM WAV decode (stdlib wave + NumPy — no external libs) ----
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:

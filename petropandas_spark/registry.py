@@ -3097,6 +3097,70 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 
+def _video_duck_ctes() -> str:
+    """CTE body re-deriving the sampled-frame dHashes of the fixture
+    videos exactly as ``multimodal.video_fingerprints`` computes them
+    over ``synthesize_fixture_videos`` output: 8 concatenated P6
+    frames, temporal NN sample picks frames {1,3,5,7}, per-frame
+    16×16 → 8×9 luminance grid, gradient-sign bits, signed-long
+    packing.  Pixel source: ``multimodal.fixture_video_pixel_values``
+    (byte round-trip is integer-exact, so the oracle scores the
+    closed form)."""
+    def px(ch: int) -> str:
+        return (f"((base*7919 + f*401 + r*(131 + base % 89) "
+                f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+
+    pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+            "THEN -9223372036854775808 "
+            "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+            "ELSE 0 END) AS BIGINT)")
+    dmap = ",".join(
+        f"({gc},{src})"
+        for gc, src in enumerate([0, 2, 4, 6, 8, 9, 11, 13, 15])
+    )
+    return f"""vg0 AS (
+  SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS mm,
+         ff.f, rr.r, cc.c
+  FROM documents,
+       (SELECT unnest([1, 3, 5, 7]) AS f) ff,
+       (SELECT unnest(generate_series(0, 15, 1)) AS r) rr,
+       (SELECT unnest(generate_series(0, 15, 1)) AS c) cc
+),
+vg1 AS (
+  SELECT doc_id, base, f, r, c,
+         CASE WHEN mm = 2 OR (mm = 1 AND f = 2 * (doc_id % 4) + 1)
+              THEN ((r*31 + c*7) % 11) * 13 ELSE 0 END AS pert
+  FROM vg0
+),
+vcells AS (
+  SELECT doc_id, f, r, c,
+         299 * {px(0)} + 587 * {px(1)} + 114 * {px(2)} AS g
+  FROM vg1
+),
+vdsel AS (SELECT doc_id, f, (r-1)//2 AS gr, cm.gc, g
+          FROM vcells JOIN (VALUES {dmap}) cm(gc, src)
+            ON vcells.c = cm.src
+          WHERE r % 2 = 1),
+vdbit AS (SELECT a.doc_id, a.f, a.gr*8 + a.gc AS b,
+                 CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+          FROM vdsel a JOIN vdsel n
+            ON a.doc_id = n.doc_id AND a.f = n.f AND a.gr = n.gr
+           AND n.gc = a.gc + 1),
+vsigs AS (SELECT doc_id, f, {pack} AS fhash
+          FROM vdbit GROUP BY doc_id, f)"""
+
+
+VIDEO_PAIRS_DUCK = f"""
+WITH {_video_duck_ctes()},
+vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM vd a JOIN vd b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
     """CTE chain computing the portable LSH candidate pairs exactly as
     dedup.lsh_candidate_pairs_portable: 4 salted md5 digests per
@@ -4583,6 +4647,25 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         media_audio_pairs_fn, AUDIO_PAIRS_DUCK
     )
 
+    # video tier: REAL container parse (concatenated P6 — each frame
+    # self-delimits through its own header), temporal NN frame sample,
+    # per-frame dHash, near-dup = videos sharing ≥2 sampled-frame
+    # hashes — shot-level matching that survives trims/re-muxes where
+    # a whole-file hash fails.  Fixture families: variant 1 overlays
+    # ONE sampled frame (3 of 4 still match → found), variant 2
+    # overlays every frame (its overlaid frame equals variant 1's —
+    # exactly 1 shared hash → excluded): the ≥2 gate is exercised from
+    # both sides.
+    def media_video_pairs_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_fingerprints(
+            _mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        return _mm.video_neardup_pairs(sigs, "doc_id", min_shared=2)
+
+    out["media_video_neardups"] = QuerySpec(
+        media_video_pairs_fn, VIDEO_PAIRS_DUCK
+    )
+
     # end-to-end media dedup outcome: connected components over the
     # pHash near-dup graph, keeper = minimum doc_id, emit the surviving
     # media set — the media twin of corpus_neardup_filtered /
@@ -4968,6 +5051,7 @@ _VERIFY_FIRST = [
     "media_audio_neardups",
     "media_phash_survivors",
     "media_phash_incremental",
+    "media_video_neardups",
     # changed this round — tokenizer normalization moved the results
     # (r11 ADVICE empty-token fix), so the last green rows no longer
     # describe the current query:
@@ -4978,7 +5062,9 @@ _VERIFY_FIRST = [
     # here by policy):
     "semantic_epoch_compaction",
     "semantic_dedup_groups_scaled",
-    "semantic_incremental_pairs",
+    # semantic_incremental_pairs: value-neutral oracle change, re-proven
+    # by hand at both SFs (BASELINE.md r12 note) — slot yielded to
+    # media_video_neardups
     "semantic_dedup_survivors",
     # semantic_neardup_multiprobe's oracle change is likewise
     # value-neutral and re-proven by hand at both SFs this round (see

@@ -353,3 +353,67 @@ class TestPhashSpark:
                 if h <= 3:
                     want.add((i, j, h))
         assert got == want
+
+
+class TestVideoTier:
+    def test_container_roundtrip(self):
+        frames = [_rand_img(s, n=12) for s in (1, 2, 3)]
+        blob = mm.encode_ppm_video(frames)
+        back = mm.decode_video_frames(blob)
+        assert len(back) == 3
+        for a, b in zip(frames, back):
+            assert np.allclose(a, b, atol=1 / 255)
+
+    def test_truncated_and_foreign_streams_raise(self):
+        blob = mm.encode_ppm_video([_rand_img(1, n=8)])
+        with pytest.raises(NotImplementedError):
+            mm.decode_video_frames(blob[:-10])
+        with pytest.raises(NotImplementedError):
+            mm.decode_video_frames(b"\x00\x01notppm")
+
+    def test_fixture_family_shared_hash_structure(self):
+        """m0–m1 share 3 of 4 sampled frame hashes (found at ≥2);
+        m1–m2 share exactly the one overlaid frame (excluded); m0–m2
+        share none."""
+        def fhashes(d):
+            frames = mm.decode_video_frames(mm.encode_ppm_video([
+                mm.fixture_video_pixel_values(d, f).astype(np.float32)
+                / 255.0 for f in range(mm.FIXTURE_VIDEO_FRAMES)]))
+            return {mm.dhash64(frames[p]) for p in (1, 3, 5, 7)}
+
+        for base in (0, 7):
+            h0, h1, h2 = (fhashes(3 * base + m) for m in range(3))
+            assert len(h0 & h1) == 3
+            assert len(h1 & h2) == 1
+            assert len(h0 & h2) == 0
+
+    def test_spark_video_pairs(self, spark):
+        docs = spark.range(0, 12).selectExpr("id AS doc_id")
+        sigs = mm.video_fingerprints(
+            mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        pairs = {(r.doc_a, r.doc_b): r.n_shared
+                 for r in mm.video_neardup_pairs(sigs).collect()}
+        for fam in range(4):
+            assert pairs.get((3 * fam, 3 * fam + 1)) == 3
+            assert (3 * fam, 3 * fam + 2) not in pairs
+            assert (3 * fam + 1, 3 * fam + 2) not in pairs
+        plan = mm.video_neardup_pairs(sigs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_video_quarantine(self, spark):
+        good = mm.encode_ppm_video([_rand_img(9, n=8)] * 2)
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(b"AVI1notppm"))],
+            "doc_id LONG, content BINARY",
+        )
+        rows = mm.video_fingerprints(df, on_error="quarantine").collect()
+        good_rows = [r for r in rows if r["doc_id"] == 0]
+        bad_rows = [r for r in rows if r["doc_id"] == 1]
+        assert len(good_rows) == 4 and all(
+            r["decode_error"] is None for r in good_rows)
+        assert len(bad_rows) == 1 and bad_rows[0]["fhash"] is None
+        assert bad_rows[0]["frame_idx"] == -1
+        with pytest.raises(Exception):
+            mm.video_fingerprints(df).collect()

@@ -58,6 +58,7 @@ AUDIT = [
     "media_phash_neardups",         # pHash quarter-blocked pairs (r12)
     "media_phash_survivors",        # media CC + keeper funnel (r12)
     "media_audio_neardups",         # audio fingerprint pairs (r12)
+    "media_video_neardups",         # shared-frame-hash video pairs (r12)
 ]
 
 

@@ -81,6 +81,7 @@ QUERIES = [
     "media_phash_incremental",
     "media_audio_fingerprints",
     "media_audio_neardups",
+    "media_video_neardups",
 ]
 
 
