@@ -107,6 +107,13 @@ def main(sf_dir: str, out: str) -> None:
         "afp", "doc_id", max_hamming=3)
     print(f"audio near-dup pairs touching the landing batch: "
           f"{a_pairs.count()}")
+
+    # 6. video tier: real container parse (concatenated P6), per-frame
+    #    dHash, near-dup = videos sharing >= 2 sampled-frame hashes
+    vids = mm.synthesize_fixture_videos(docs)
+    vsigs = mm.video_fingerprints(vids).localCheckpoint()
+    v_pairs = mm.video_neardup_pairs(vsigs, min_shared=2)
+    print(f"video near-dup pairs (shared-frame-hash): {v_pairs.count()}")
     print(f"curated media store + features under {out}")
 
 

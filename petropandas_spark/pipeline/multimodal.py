@@ -547,6 +547,41 @@ def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def video_incremental_pairs(store_sigs: DataFrame | None,
+                            new_sigs: DataFrame, id_col: str = "doc_id",
+                            min_shared: int = 2) -> DataFrame:
+    """Incremental twin of :func:`video_neardup_pairs`: pairs TOUCHING
+    a new batch of frame signatures — the batch's (id, fhash) rows join
+    against store ∪ batch on the hash (new↔old and new↔new, never
+    old↔old), canonicalized and counted like the full pass.  Result ≡
+    full recompute restricted to batch-touching pairs (pytest-pinned).
+    The store carries 8-byte hashes, so no settled video is ever
+    re-parsed."""
+    newd = new_sigs.select(id_col, "fhash") \
+        .where(F.col("fhash").isNotNull()).distinct()
+    alld = newd if store_sigs is None else newd.unionByName(
+        store_sigs.select(id_col, "fhash")
+        .where(F.col("fhash").isNotNull())).distinct()
+    a, b = newd.alias("a"), alld.alias("b")
+    matched = (
+        a.join(b, (F.col("a.fhash") == F.col("b.fhash"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_b"),
+            F.col("a.fhash").alias("fhash"),
+        )
+        .distinct()  # new↔new pairs meet twice (once per side)
+    )
+    return (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
 FIXTURE_VIDEO_FRAMES = 8
 
 

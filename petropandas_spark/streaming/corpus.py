@@ -304,6 +304,33 @@ def audio_ingest_stream(stream_df, store_path: str, pairs_path: str,
     )
 
 
+def read_video_pairs(spark, pairs_path: str, id_type: str = "bigint"):
+    """Pinned-schema reader for :func:`video_ingest_stream` landings."""
+    return spark.read.schema(
+        f"doc_a {id_type}, doc_b {id_type}, n_shared BIGINT, "
+        f"batch_id BIGINT"
+    ).parquet(pairs_path)
+
+
+def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
+                        checkpoint: str, min_shared: int = 2):
+    """Continuous VIDEO near-dup ingestion on the shared exactly-once
+    scaffold: each micro-batch's containers are parsed + frame-hashed
+    (the only stage touching bytes), the shared-frame-hash pairs
+    touching the batch land, the batch's (id, frame_idx, fhash) rows
+    append to the store.  Invariant (pytest-pinned): union of landed
+    pair partitions ≡ the full-corpus :func:`...video_neardup_pairs`
+    (each pair surfaces when its later member arrives)."""
+    from petropandas_spark.pipeline import multimodal as _mm
+
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=_mm.video_fingerprints,
+        candidates=lambda store, sigs: _mm.video_incremental_pairs(
+            store, sigs, "doc_id", min_shared=min_shared),
+    )
+
+
 EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
 
 

@@ -417,3 +417,29 @@ class TestVideoTier:
         assert bad_rows[0]["frame_idx"] == -1
         with pytest.raises(Exception):
             mm.video_fingerprints(df).collect()
+
+    def test_video_incremental_equals_full_on_batch_slice(self, spark):
+        docs = spark.range(0, 24).selectExpr("id AS doc_id")
+        sigs = mm.video_fingerprints(
+            mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        store = sigs.where("doc_id % 2 = 0")
+        batch = sigs.where("doc_id % 2 = 1")
+        incr = {(r.doc_a, r.doc_b, r.n_shared)
+                for r in mm.video_incremental_pairs(
+                    store, batch).collect()}
+        batch_ids = {r.doc_id for r in
+                     batch.select("doc_id").distinct().collect()}
+        full = {(r.doc_a, r.doc_b, r.n_shared)
+                for r in mm.video_neardup_pairs(sigs).collect()
+                if r.doc_a in batch_ids or r.doc_b in batch_ids}
+        assert incr == full and len(incr) > 0
+
+    def test_video_incremental_first_batch_no_store(self, spark):
+        docs = spark.range(0, 6).selectExpr("id AS doc_id")
+        sigs = mm.video_fingerprints(
+            mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        incr = {(r.doc_a, r.doc_b)
+                for r in mm.video_incremental_pairs(None, sigs).collect()}
+        full = {(r.doc_a, r.doc_b)
+                for r in mm.video_neardup_pairs(sigs).collect()}
+        assert incr == full

@@ -203,6 +203,17 @@ def test_audio_pairs_blocked_equi_join(spark, registry):
     assert plan.count("MapInPandas") == 2
 
 
+def test_video_pairs_hash_equijoin(spark, registry):
+    """Video near-dups: the pair stage must be an equi join on the
+    8-byte frame hash (hash/sort-merge under AQE), never a nested-loop
+    frame compare; the container parse is one Arrow stage behind the
+    checkpoint barrier."""
+    df = registry["media_video_neardups"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_media_decode_single_arrow_stage(spark, registry):
     """Frame checksums run the decode in exactly one Arrow-batched python
     stage over a pruned 2-column scan — no shuffle."""

@@ -492,3 +492,30 @@ def test_audio_ingest_stream_matches_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_video_ingest_stream_matches_full_recompute(spark, tmp_path):
+    """The video twin of the media ingest invariant: union of landed
+    shared-frame-hash pair partitions == the full-corpus recompute."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "video_landing")
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    vids = mm.synthesize_fixture_videos(ids)
+    vids.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    vids.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    stream = sc.read_media_stream(
+        spark, os.path.join(path, "*"), max_files_per_trigger=1)
+    q = sc.video_ingest_stream(
+        stream, str(tmp_path / "vstore"), str(tmp_path / "vpairs"),
+        str(tmp_path / "vck"))
+    assert q.awaitTermination(180)
+    got = {(r.doc_a, r.doc_b, r.n_shared) for r in
+           sc.read_video_pairs(spark, str(tmp_path / "vpairs")).collect()}
+    full_sigs = mm.video_fingerprints(
+        spark.read.parquet(os.path.join(path, "*"))).localCheckpoint()
+    expect = {(r.doc_a, r.doc_b, r.n_shared)
+              for r in mm.video_neardup_pairs(full_sigs).collect()}
+    assert got == expect and len(got) > 0
