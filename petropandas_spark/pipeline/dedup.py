@@ -1914,6 +1914,10 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
     present for the verify, hot buckets chunk-grid.  Returns
     ``(doc_a, doc_b, hamming)``."""
     qmask = (1 << quarter_bits) - 1
+    # quarantined rows (NULL signature, e.g. phash_images on_error=
+    # 'quarantine') never enter a bucket: a NULL block key would group
+    # quarantined rows together and only die later at the Hamming filter
+    sig = sig.where(F.col(sig_col).isNotNull())
     # shiftrightunsigned: a 64-bit signature uses bit 63 (sign), and
     # quarter extraction must not sign-extend before masking
     blocks = sig.select(
@@ -1987,6 +1991,7 @@ def hamming_incremental_pairs(store_sigs: DataFrame | None,
     restricted to pairs with at least one new member — new↔old and
     new↔new, never old↔old.  Returns ``(doc_a, doc_b, hamming)``."""
     def keyed(sig: DataFrame) -> DataFrame:
+        sig = sig.where(F.col(sig_col).isNotNull())  # quarantined rows
         return sig.select(
             F.struct(
                 F.col(id_col).alias("i"), F.col(sig_col).alias("s")

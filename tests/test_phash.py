@@ -443,3 +443,19 @@ class TestVideoTier:
         full = {(r.doc_a, r.doc_b)
                 for r in mm.video_neardup_pairs(sigs).collect()}
         assert incr == full
+
+    def test_quarantined_rows_never_pair(self, spark):
+        """NULL signatures (quarantine mode) are filtered before the
+        quarter blocking — corrupt objects can neither pair with each
+        other nor inflate a bucket."""
+        sigs = spark.createDataFrame(
+            [(0, 7), (1, 7), (2, None), (3, None)],
+            "doc_id LONG, sig LONG",
+        )
+        got = {(r.doc_a, r.doc_b) for r in dd.hamming_neardup_pairs(
+            sigs, "sig", "doc_id", max_hamming=3).collect()}
+        assert got == {(0, 1)}
+        incr = {(r.doc_a, r.doc_b) for r in dd.hamming_incremental_pairs(
+            sigs.where("doc_id < 2"), sigs.where("doc_id >= 2"),
+            "sig", "doc_id", max_hamming=3).collect()}
+        assert incr == set()
