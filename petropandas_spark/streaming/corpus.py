@@ -426,6 +426,36 @@ def compact_semantic_store(spark, store_path: str, out_path: str,
         .parquet(out_path)
 
 
+def compact_ingest_store(spark, store_path: str, out_path: str,
+                         schema: str, target_file_mb: int = 512) -> None:
+    """Small-file compaction for ANY scaffold ingest store (MinHash
+    signatures, winnow fingerprints, pHash/audio/video signatures): a
+    long-running stream appends one ``batch_id`` partition per trigger,
+    and after thousands of triggers scan cost is file-open overhead,
+    not bytes.  Rewrites the accumulated artifact rows into
+    size-targeted files under ``batch_id = -1`` — a partition no
+    ``foreachBatch`` epoch ever owns, so a post-swap RETRY of a live
+    batch still overwrites only its own partition and the exactly-once
+    contract is untouched.  Writes BESIDE the old store (``out_path``,
+    the object-store-safe swap pattern of
+    :func:`compact_semantic_store`); the caller swaps the stream's
+    store path between triggers.  ``schema`` is the pinned artifact
+    schema INCLUDING ``batch_id`` (the reader's empty-first-batch
+    contract)."""
+    from petropandas_spark.pipeline.dedup import read_signature_store
+
+    store = read_signature_store(spark, store_path, schema=schema)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    store.withColumn("batch_id", F.lit(-1).cast("long")) \
+        .repartition(int(n_files)) \
+        .write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
+
+
 def read_clean_documents(spark, landing_path: str):
     """Pinned-schema reader for :func:`decontaminate_ingest_stream`
     landings (an all-contaminated run leaves no data files; inference

@@ -519,3 +519,56 @@ def test_video_ingest_stream_matches_full_recompute(spark, tmp_path):
     expect = {(r.doc_a, r.doc_b, r.n_shared)
               for r in mm.video_neardup_pairs(full_sigs).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
+    """Compact the pHash signature store between two drains: the
+    resumed stream keeps landing the same pairs it would have against
+    the uncompacted store (batch_id = -1 is never a foreachBatch epoch,
+    so retry idempotence is untouched), and the compacted store is one
+    partition of size-targeted files."""
+    from petropandas_spark.pipeline import dedup as dd
+    from petropandas_spark.pipeline import multimodal as mm
+
+    store1 = str(tmp_path / "store_epoch1")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+    # drain ONLY batch0 (maxFilesPerTrigger=1 + availableNow drains all
+    # files present; stage batch0 first, compact, then land batch1)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    import shutil
+    shutil.copytree(os.path.join(media_dir, "batch0"),
+                    os.path.join(staged, "batch0"))
+    q = sc.phash_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(staged, "*")),
+        store1, pairs_path, ckpt)
+    assert q.awaitTermination(120)
+
+    store2 = str(tmp_path / "store_epoch2")
+    sc.compact_ingest_store(
+        spark, store1, store2,
+        "doc_id BIGINT, ahash BIGINT, dhash BIGINT, batch_id BIGINT")
+    comp = spark.read.parquet(store2)
+    assert {r.batch_id for r in
+            comp.select("batch_id").distinct().collect()} == {-1}
+    assert comp.drop("batch_id").orderBy("doc_id").collect() == \
+        spark.read.parquet(store1).drop("batch_id") \
+        .orderBy("doc_id").collect()
+
+    # resume on the compacted store with the SAME checkpoint
+    shutil.copytree(os.path.join(media_dir, "batch1"),
+                    os.path.join(staged, "batch1"))
+    q2 = sc.phash_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(staged, "*")),
+        store2, pairs_path, ckpt)
+    assert q2.awaitTermination(120)
+
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           sc.read_phash_pairs(spark, pairs_path).collect()}
+    all_media = spark.read.parquet(os.path.join(staged, "*")).distinct()
+    expect = {(r.doc_a, r.doc_b, r.hamming)
+              for r in dd.hamming_neardup_pairs(
+                  mm.phash_images(all_media), "dhash", "doc_id",
+                  max_hamming=3).collect()}
+    assert got == expect
