@@ -1946,6 +1946,35 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_block_occupancy(sig: DataFrame, sig_col: str,
+                            id_col: str = "doc_id",
+                            quarter_bits: int = 16) -> DataFrame:
+    """Observability for the Hamming pair tiers (the signature-space
+    twin of ``semantic_cell_occupancy``): histogram of quarter-bucket
+    sizes — ``(occupancy, n_buckets)`` — for sizing ``max_bucket``
+    (in-bucket pair fan-out is quadratic in occupancy, so the tail of
+    this histogram is the chunk-grid's workload) and for spotting
+    degenerate signature mass (a huge bucket at one hash = a corpus of
+    near-identical objects, or a fixture aliasing bug — exactly how the
+    r12 fixture-design issue in docs/scale.md would have surfaced).
+    Two map-side-combinable groupBys, no pair explosion."""
+    qmask = (1 << quarter_bits) - 1
+    blocks = sig.where(F.col(sig_col).isNotNull()).select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qi).alias("q"),
+                F.shiftrightunsigned(sig_col, qi * quarter_bits)
+                .bitwiseAND(F.lit(qmask)).alias("blk"),
+            )
+            for qi in range(4)
+        ])).alias("bq"),
+    ).select("bq.q", "bq.blk")
+    per_bucket = blocks.groupBy("q", "blk").agg(
+        F.count(F.lit(1)).alias("occupancy"))
+    return per_bucket.groupBy("occupancy").agg(
+        F.count(F.lit(1)).alias("n_buckets"))
+
+
 def hamming_neardup_pairs_either(sig: DataFrame, sig_cols: list[str],
                                  id_col: str = "doc_id",
                                  max_hamming: int = 3,

@@ -459,3 +459,20 @@ class TestVideoTier:
             sigs.where("doc_id < 2"), sigs.where("doc_id >= 2"),
             "sig", "doc_id", max_hamming=3).collect()}
         assert incr == set()
+
+    def test_block_occupancy_histogram(self, spark):
+        """Occupancy histogram sums to 4·n_signatures block entries and
+        flags a planted degenerate cluster in its tail."""
+        rng = np.random.default_rng(31)
+        vals = rng.integers(-(1 << 62), 1 << 62, 20,
+                            dtype=np.int64).tolist()
+        vals += [7] * 12  # degenerate: 12 identical signatures
+        sigs = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(vals)],
+            "doc_id LONG, sig LONG",
+        )
+        hist = {r.occupancy: r.n_buckets
+                for r in dd.hamming_block_occupancy(
+                    sigs, "sig", "doc_id").collect()}
+        assert sum(o * n for o, n in hist.items()) == 4 * len(vals)
+        assert hist.get(12, 0) >= 4  # the planted cluster's 4 quarters

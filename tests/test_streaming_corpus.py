@@ -572,3 +572,25 @@ def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
                   mm.phash_images(all_media), "dhash", "doc_id",
                   max_hamming=3).collect()}
     assert got == expect
+
+
+def test_compact_ingest_store_minhash_schema(spark, docs_dir, tmp_path):
+    """The compaction helper is store-agnostic: the MinHash signature
+    store (17 columns) round-trips values exactly under batch_id=-1."""
+    store1 = str(tmp_path / "mh_store")
+    q = sc.neardup_ingest_stream(
+        sc.read_documents_stream(spark, os.path.join(docs_dir, "*"),
+                                 max_files_per_trigger=1),
+        store1, str(tmp_path / "mh_pairs"), str(tmp_path / "mh_ck"))
+    assert q.awaitTermination(180)
+    fields = spark.read.parquet(store1).schema.fields
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+        if f.name != "batch_id") + ", batch_id BIGINT"
+    store2 = str(tmp_path / "mh_store2")
+    sc.compact_ingest_store(spark, store1, store2, schema)
+    a = spark.read.parquet(store1).drop("batch_id") \
+        .orderBy("doc_id").collect()
+    b = spark.read.parquet(store2).drop("batch_id") \
+        .orderBy("doc_id").collect()
+    assert a == b
