@@ -242,7 +242,8 @@ def minhash_signatures_portable(df: DataFrame, text_col: str = "text",
 
 
 def _bucket_pairs_any(keyed: DataFrame, val_col: str, key_cols: list[str],
-                      max_bucket: int = 10_000) -> DataFrame:
+                      max_bucket: int = 10_000,
+                      max_occupancy: int | None = None) -> DataFrame:
     """(bucket key, value) rows → ``(a, b)`` pairs (``a < b`` in the
     value ordering) sharing a bucket; values may be atomics or structs.
 
@@ -264,12 +265,26 @@ def _bucket_pairs_any(keyed: DataFrame, val_col: str, key_cols: list[str],
     chunks, the (i ≤ j) chunk-pair grid is exploded and round-robin
     repartitioned, and each grid cell emits its ≤ max_bucket² pairs in
     its own task — the quadratic work distributes across the cluster
-    instead of landing on one executor."""
+    instead of landing on one executor.
+
+    Stop-key cap (``max_occupancy``): when set, buckets whose DISTINCT
+    value count exceeds it are DROPPED entirely before the explosion —
+    the standard stop-word/stop-hash contract for keys that carry no
+    matching signal (a black/fade/title video frame whose dHash is one
+    constant shared by a large fraction of the corpus, a boilerplate
+    shingle).  Unlike the chunk-grid (which distributes quadratic work
+    but still emits it), the cap removes the O(occupancy²) pair mass;
+    the bucket size is exactly the key's corpus document frequency, so
+    the check is free — it reads the already-aggregated array length.
+    ``None`` (default) preserves exact semantics for the tiers whose
+    keys are frequency-bounded by construction (LSH bands)."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set(F.col(val_col))).alias("vs"))
         .where(F.size("vs") >= 2)
     )
+    if max_occupancy is not None:
+        buckets = buckets.where(F.size("vs") <= int(max_occupancy))
     # ONE unified path, not a small/large branch pair: a branched plan
     # references the bucket aggregate twice, and without guaranteed
     # exchange reuse the whole upstream signature derivation plans (and
@@ -621,7 +636,8 @@ def _flag_and_shard(new_keyed: DataFrame, store_keyed: DataFrame | None,
 
 def _incremental_value_pairs(flagged: DataFrame, val_col: str,
                              key_cols: list[str],
-                             max_bucket: int) -> DataFrame:
+                             max_bucket: int,
+                             with_keys: bool = False) -> DataFrame:
     """Per (bucket, shard): the (new values) × (all values) grid —
     exactly the pairs with at least one new member (new↔old and
     new↔new, never old↔old), chunk-gridded like
@@ -630,7 +646,11 @@ def _incremental_value_pairs(flagged: DataFrame, val_col: str,
     incremental paths (one copy of the shard/flag/chunk-grid machinery
     — a hot-bucket or salting fix lands in both).  Returns ``(a, b)``
     value pairs, ``a != b``, not yet deduplicated (new↔new pairs meet
-    in every shard; callers ``distinct()`` after their projection)."""
+    in every shard; callers ``distinct()`` after their projection).
+    ``with_keys=True`` carries the bucket key columns through to the
+    output — for callers that COUNT shared buckets per pair (the video
+    shared-frame-hash tier) and therefore must dedup on
+    ``(key, a, b)`` before counting, not on ``(a, b)``."""
     buckets = (
         flagged.groupBy(*key_cols, "__shard")
         .agg(
@@ -641,9 +661,10 @@ def _incremental_value_pairs(flagged: DataFrame, val_col: str,
         .where((F.size("ns") >= 1) & (F.size("vs") >= 2))
     )
     mb = max_bucket
+    keep = list(key_cols) if with_keys else []
     ncn = f"CAST(ceil(size(ns) / {mb}.0) AS INT)"
     ncv = f"CAST(ceil(size(vs) / {mb}.0) AS INT)"
-    grid = buckets.select(F.explode(F.expr(
+    grid = buckets.select(*keep, F.explode(F.expr(
         f"flatten(transform(sequence(0, {ncn} - 1), i -> "
         f"transform(sequence(0, {ncv} - 1), j -> struct("
         f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
@@ -654,9 +675,9 @@ def _incremental_value_pairs(flagged: DataFrame, val_col: str,
     cross = ("flatten(transform(c.ca, x -> "
              "transform(c.cb, y -> struct(x AS a, y AS b))))")
     return (
-        spread.select(F.explode(F.expr(cross)).alias("p"))
+        spread.select(*keep, F.explode(F.expr(cross)).alias("p"))
         .where(F.col("p.a") != F.col("p.b"))
-        .select("p.a", "p.b")
+        .select(*keep, "p.a", "p.b")
     )
 
 
@@ -1988,6 +2009,8 @@ def hamming_neardup_pairs_either(sig: DataFrame, sig_cols: list[str],
     the unrelated-pair floor stays ~21 bits.  Cost: one blocked pair
     pass per signature (each a shuffle of 8-byte signatures, never
     media) + a distinct.  Returns ``(doc_a, doc_b)``."""
+    if not sig_cols:
+        raise ValueError("sig_cols must be non-empty")
     out = None
     for c in sig_cols:
         p = hamming_neardup_pairs(sig, c, id_col, max_hamming,
@@ -2052,6 +2075,39 @@ def hamming_incremental_pairs(store_sigs: DataFrame | None,
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def hamming_incremental_pairs_either(store_sigs: DataFrame | None,
+                                     new_sigs: DataFrame,
+                                     sig_cols: list[str],
+                                     id_col: str = "doc_id",
+                                     max_hamming: int = 3,
+                                     max_bucket: int = 10_000,
+                                     store_shards: int = 8) -> DataFrame:
+    """Incremental twin of :func:`hamming_neardup_pairs_either`: pairs
+    TOUCHING a new batch that are within ``max_hamming`` on ANY of the
+    signature columns — the union gate the production image path runs
+    over (aHash, dHash), under ingestion.  One
+    :func:`hamming_incremental_pairs` pass per signature (each an
+    8-byte-signature shuffle, never media) + one pair-level aggregate.
+    Returns ``(doc_a, doc_b, hamming)`` where ``hamming`` is the MIN
+    distance over the gates that fired (a pair surfaced by only one
+    hash reports that hash's distance) — the natural "closest evidence"
+    summary; union-of-landed-partitions ≡ the full-corpus
+    :func:`hamming_neardup_pairs_either` pair set (pytest-pinned via
+    the streaming twin)."""
+    if not sig_cols:
+        raise ValueError("sig_cols must be non-empty")
+    out = None
+    for c in sig_cols:
+        p = hamming_incremental_pairs(
+            None if store_sigs is None
+            else store_sigs.select(id_col, c),
+            new_sigs.select(id_col, c), c, id_col,
+            max_hamming, max_bucket, store_shards)
+        out = p if out is None else out.unionByName(p)
+    return out.groupBy("doc_a", "doc_b").agg(
+        F.min("hamming").alias("hamming"))
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",

@@ -126,9 +126,16 @@ def classifier_scores_table(df: DataFrame, weights: DataFrame,
 def quality_filter(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    n_buckets: int = 1024) -> DataFrame:
-    """The corpus with model-rejected documents removed: a semi-join of
-    the input against the classifier's keepers — the shape a funnel
-    composes between decontamination and landing."""
-    keep = classifier_scores(df, text_col, id_col, n_buckets) \
-        .where("keep = 1").select(id_col)
-    return df.join(keep, id_col, "semi")
+    """The corpus with model-REJECTED documents removed: an anti-join
+    of the input against the classifier's explicit rejections — the
+    shape a funnel composes between decontamination and landing.
+
+    Anti-join against ``keep = 0`` rather than semi-join against
+    ``keep = 1``: a document that produces ZERO ngrams (empty /
+    whitespace-only / NULL text) has no ``classifier_scores`` row at
+    all — the model never scored it, so this filter must not silently
+    remove it (length-based gates like ``doc_quality`` own that
+    decision).  Only documents the model explicitly rejected drop."""
+    rejected = classifier_scores(df, text_col, id_col, n_buckets) \
+        .where("keep = 0").select(id_col)
+    return df.join(rejected, id_col, "anti")

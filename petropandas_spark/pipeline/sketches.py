@@ -122,7 +122,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     (:func:`cms_estimate_long`, the exact path
     :func:`cms_verified_heavy_hitters` uses), and the only driver
     materializations are the serialized sketch and the final k rows of
-    a rank-limited sort (``TakeOrdered``)."""
+    a rank-limited sort (``TakeOrdered``).
+
+    BREAKING vs the pre-r12 JVM ``estimateCount`` path: string/byte
+    columns are no longer accepted — the pinned binary reader hashes
+    64-bit integers only.  Pre-hash strings with ``xxhash64(col)``
+    (heavy hitters of the hashed column are heavy hitters of the
+    original up to 64-bit collisions) or use an exact groupBy; the
+    raise below makes the migration explicit rather than silent."""
     from pyspark.sql.functions import pandas_udf
 
     if not isinstance(df.schema[col].dataType,

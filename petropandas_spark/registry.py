@@ -3037,6 +3037,18 @@ FROM pblocks a JOIN pblocks b ON a.bh = b.bh AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
+# the union gate's semantic contract: within Hamming ≤ 3 on EITHER
+# hash.  All-pairs + OR is exactly the union of the two quarter-blocked
+# passes (blocking is pigeonhole-exact at H ≤ 3) and keeps the oracle
+# independent of the blocking mechanics it is checking.
+PHASH_PAIRS_EITHER_DUCK = f"""
+WITH {_phash_duck_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM psigs a JOIN psigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+   OR bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
 
 def _audio_fp_duck_ctes() -> str:
     """CTE body re-deriving the audio fingerprints of the doc-id-derived
@@ -3097,7 +3109,7 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 
-def _video_duck_ctes() -> str:
+def _video_duck_ctes(black_frame: bool = False) -> str:
     """CTE body re-deriving the sampled-frame dHashes of the fixture
     videos exactly as ``multimodal.video_fingerprints`` computes them
     over ``synthesize_fixture_videos`` output: 8 concatenated P6
@@ -3105,10 +3117,16 @@ def _video_duck_ctes() -> str:
     16×16 → 8×9 luminance grid, gradient-sign bits, signed-long
     packing.  Pixel source: ``multimodal.fixture_video_pixel_values``
     (byte round-trip is integer-exact, so the oracle scores the
-    closed form)."""
+    closed form).  ``black_frame=True`` mirrors
+    ``fixture_video_pixel_values_bf``: frame 1 of every video is
+    uniform black (pixel 0 → dHash 0 corpus-wide — the planted
+    degenerate hash the stop-hash cap drops)."""
     def px(ch: int) -> str:
-        return (f"((base*7919 + f*401 + r*(131 + base % 89) "
+        body = (f"((base*7919 + f*401 + r*(131 + base % 89) "
                 f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+        if black_frame:
+            return f"(CASE WHEN f = 1 THEN 0 ELSE {body} END)"
+        return body
 
     pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
             "THEN -9223372036854775808 "
@@ -3150,15 +3168,36 @@ vsigs AS (SELECT doc_id, f, {pack} AS fhash
           FROM vdbit GROUP BY doc_id, f)"""
 
 
-VIDEO_PAIRS_DUCK = f"""
-WITH {_video_duck_ctes()},
-vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs)
+def _video_pairs_duck(cap: int, black_frame: bool = False) -> str:
+    """Shared-frame-hash pair oracle WITH the stop-hash cap mirrored:
+    frame hashes whose document frequency exceeds ``cap`` are dropped
+    before pairing — the exact contract of
+    ``multimodal.video_neardup_pairs(max_hash_df=cap)``."""
+    return f"""
+WITH {_video_duck_ctes(black_frame)},
+vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs),
+vok AS (SELECT fhash FROM vd GROUP BY fhash HAVING COUNT(*) <= {cap}),
+vk AS (SELECT vd.doc_id, vd.fhash FROM vd JOIN vok USING (fhash))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM vd a JOIN vd b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+FROM vk a JOIN vk b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 2
 """
+
+
+# the registered full-corpus video query runs the production default
+# cap (10 000 — no fixture hash approaches it, so the r12 oracle's
+# values are unchanged; hand-proved value-neutral at sf0.01 and sf0.1,
+# see BASELINE.md r13 note) — the cap contract is oracle-mirrored, not
+# silently absent
+VIDEO_PAIRS_DUCK = _video_pairs_duck(10_000)
+
+# the stop-hash guard query: black-frame fixture family (every video's
+# frame 1 is uniform → one corpus-wide hash, df = |documents| ≫ 100)
+# with a cap that TRIGGERS — the planted degenerate class drops, the
+# family pair structure survives
+VIDEO_PAIRS_BF_DUCK = _video_pairs_duck(100, black_frame=True)
 
 
 def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
@@ -4624,6 +4663,27 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         media_phash_pairs_fn, PHASH_PAIRS_DUCK
     )
 
+    # the either-hash union gate, registered (r12 verdict item 3): the
+    # two hashes fail on DISJOINT transform classes (tools/
+    # phash_recall.py: 1-px translation collapses dHash to recall 0
+    # while aHash holds 0.805; an integer rescale round-trip is the
+    # mirror), so the production image gate is the union of the two
+    # blocked passes — one 8-byte-signature shuffle per hash + a
+    # distinct, never media.  The oracle states the union's SEMANTIC
+    # contract directly (all-pairs + OR at Hamming ≤ 3 — equivalent to
+    # the quarter-blocked union because blocking is pigeonhole-EXACT at
+    # H ≤ 3; sf0.01/0.1-sized for DuckDB).
+    def media_phash_either_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.phash_images(
+            _mm.synthesize_fixture_images(docs)).localCheckpoint()
+        return _dd.hamming_neardup_pairs_either(
+            sigs, ["ahash", "dhash"], "doc_id", max_hamming=3)
+
+    out["media_phash_neardups_either"] = QuerySpec(
+        media_phash_either_fn, PHASH_PAIRS_EITHER_DUCK
+    )
+
     # the audio twin: deterministic fixture WAVs → real PCM decode →
     # 64-bit frame-energy-sign fingerprint (Haitsma-Kalker time-domain
     # core) → the same quarter-blocked Hamming pairs.  With this, every
@@ -4660,10 +4720,34 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         docs = _load(spark, sf_dir, "documents").select("doc_id")
         sigs = _mm.video_fingerprints(
             _mm.synthesize_fixture_videos(docs)).localCheckpoint()
-        return _mm.video_neardup_pairs(sigs, "doc_id", min_shared=2)
+        return _mm.video_neardup_pairs(sigs, "doc_id", min_shared=2,
+                                       max_hash_df=10_000)
 
     out["media_video_neardups"] = QuerySpec(
         media_video_pairs_fn, VIDEO_PAIRS_DUCK
+    )
+
+    # the stop-hash guard exercised for real (r12 verdict item 1):
+    # black-frame fixture — frame 1 of EVERY video is uniform, so one
+    # dHash value has document frequency = |corpus| (the degenerate
+    # black/fade/title-card class that dominates real video corpora).
+    # With max_hash_df=100 the hot hash is stop-worded out BEFORE the
+    # pair explosion (fan-out linear — pytest-gated in test_phash), and
+    # the result is the family pair structure; without the cap every
+    # variant-1↔variant-2 pair would clear min_shared through the
+    # shared black frame (the oracle mirrors the cap, so this is
+    # hash-checked, not just asserted).
+    def media_video_stophash_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_fingerprints(
+            _mm.synthesize_fixture_videos(
+                docs, pixel_fn=_mm.fixture_video_pixel_values_bf)
+        ).localCheckpoint()
+        return _mm.video_neardup_pairs(sigs, "doc_id", min_shared=2,
+                                       max_hash_df=100)
+
+    out["media_video_stophash"] = QuerySpec(
+        media_video_stophash_fn, VIDEO_PAIRS_BF_DUCK
     )
 
     # end-to-end media dedup outcome: connected components over the

@@ -268,19 +268,30 @@ def phash_ingest_stream(stream_df, store_path: str, pairs_path: str,
     the batch's signatures append to the store so the next trigger sees
     them.  The settled media corpus is never re-decoded — per trigger
     the decode work is O(batch), the pair shuffle carries 8-byte
-    signatures.  Invariant (pytest-pinned): union of the landed pair
-    partitions over any batch ordering equals the full-corpus
-    ``hamming_neardup_pairs`` pair set."""
+    signatures.
+
+    Candidates run the EITHER-hash union gate
+    (:func:`...hamming_incremental_pairs_either` over (aHash, dHash)) —
+    the production spelling: the two hashes fail on disjoint transform
+    classes (``tools/phash_recall.py``: 1-px translation collapses
+    dHash recall to 0 while aHash holds 0.805; rescale is the mirror),
+    and the store carries both hashes, so the union costs one extra
+    8-byte-signature shuffle, never a re-decode.  The landed
+    ``hamming`` is the MIN distance over the gates that fired.
+    Invariant (pytest-pinned): union of the landed pair partitions over
+    any batch ordering equals the full-corpus
+    ``hamming_neardup_pairs_either`` pair set."""
     from petropandas_spark.pipeline import dedup as _dd
     from petropandas_spark.pipeline import multimodal as _mm
 
     return _incremental_ingest_stream(
         stream_df, store_path, pairs_path, checkpoint,
         derive=_mm.phash_images,
-        candidates=lambda store, sigs: _dd.hamming_incremental_pairs(
-            None if store is None else store.select("doc_id", "dhash"),
-            sigs.select("doc_id", "dhash"), "dhash", "doc_id",
-            max_hamming=3),
+        candidates=lambda store, sigs: _dd.hamming_incremental_pairs_either(
+            None if store is None
+            else store.select("doc_id", "ahash", "dhash"),
+            sigs.select("doc_id", "ahash", "dhash"),
+            ["ahash", "dhash"], "doc_id", max_hamming=3),
     )
 
 
@@ -313,21 +324,36 @@ def read_video_pairs(spark, pairs_path: str, id_type: str = "bigint"):
 
 
 def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
-                        checkpoint: str, min_shared: int = 2):
+                        checkpoint: str, min_shared: int = 2,
+                        max_hash_df: int | None = None):
     """Continuous VIDEO near-dup ingestion on the shared exactly-once
     scaffold: each micro-batch's containers are parsed + frame-hashed
     (the only stage touching bytes), the shared-frame-hash pairs
     touching the batch land, the batch's (id, frame_idx, fhash) rows
     append to the store.  Invariant (pytest-pinned): union of landed
     pair partitions ≡ the full-corpus :func:`...video_neardup_pairs`
-    (each pair surfaces when its later member arrives)."""
+    (each pair surfaces when its later member arrives).
+
+    ``max_hash_df`` is the stop-hash document-frequency cap of
+    :func:`...video_incremental_pairs` (drop degenerate black/fade
+    frame hashes).  Default ``None`` — NOT the batch function's
+    production default — because under incremental ingestion the cap's
+    df is evaluated over store ∪ batch AT EACH TRIGGER: a pair emitted
+    while the hash was under the cap is never retracted, so the landed
+    union equals the full recompute only for hashes that stay on one
+    side of the cap for the whole run (true for genuinely degenerate
+    hashes, which blow through the cap almost immediately; the
+    boundary-crossing window is the documented approximation).  Set it
+    explicitly to opt in; the unconditional chunk-grid guard applies
+    either way."""
     from petropandas_spark.pipeline import multimodal as _mm
 
     return _incremental_ingest_stream(
         stream_df, store_path, pairs_path, checkpoint,
         derive=_mm.video_fingerprints,
         candidates=lambda store, sigs: _mm.video_incremental_pairs(
-            store, sigs, "doc_id", min_shared=min_shared),
+            store, sigs, "doc_id", min_shared=min_shared,
+            max_hash_df=max_hash_df),
     )
 
 

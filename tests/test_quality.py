@@ -97,3 +97,23 @@ def test_quality_filter_semi_join(docs):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_keeps_unscored_docs(spark, docs):
+    """A zero-ngram document (empty / whitespace / NULL text) has no
+    classifier_scores row — the model never scored it, so the filter
+    must NOT silently remove it (only explicit keep=0 rejections drop).
+    Pinned per the r12 advisory."""
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "     "), (900003, None)],
+        "doc_id LONG, text STRING")
+    augmented = docs.select("doc_id", "text").unionByName(extra)
+    scored_ids = {r["doc_id"]
+                  for r in classifier_scores(augmented).collect()}
+    assert not scored_ids & {900001, 900002, 900003}
+    kept_ids = {r["doc_id"] for r in quality_filter(augmented).collect()}
+    assert {900001, 900002, 900003} <= kept_ids
+    rejected = {r["doc_id"] for r in
+                classifier_scores(augmented).where("keep = 0").collect()}
+    assert kept_ids == ({r["doc_id"] for r in augmented.collect()}
+                        - rejected)
