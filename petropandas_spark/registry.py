@@ -5127,73 +5127,57 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
     # never driver-checked — always lead:
-    "doc_lm_pruned_topk",
-    "doc_quality_classifier",
-    "media_phash_signatures",
-    "media_phash_neardups",
-    "media_audio_fingerprints",
-    "media_audio_neardups",
-    "media_phash_survivors",
-    "media_phash_incremental",
-    "media_video_neardups",
-    # changed this round — tokenizer normalization moved the results
-    # (r11 ADVICE empty-token fix), so the last green rows no longer
-    # describe the current query:
-    "doc_lm_cross_entropy",
-    "doc_bigram_lm",
-    # changed this round — oracle text gained the NULL-cluster guard
-    # (values unchanged on the fixtures, but a changed oracle re-proves
-    # here by policy):
-    "semantic_epoch_compaction",
-    "semantic_dedup_groups_scaled",
-    # semantic_incremental_pairs: value-neutral oracle change, re-proven
-    # by hand at both SFs (BASELINE.md r12 note) — slot yielded to
-    # media_video_neardups
-    "semantic_dedup_survivors",
-    # semantic_neardup_multiprobe's oracle change is likewise
-    # value-neutral and re-proven by hand at both SFs this round (see
-    # BASELINE.md r12 note) — slot yielded to media_phash_incremental
-    "semantic_neardup_arrow",
-    "semantic_neardup_multiprobe_h2",
-    "semantic_dedup_survivors_ranked",
-    # semantic_cell_occupancy's oracle change is value-neutral and was
-    # re-proven hash-exact at sf0.01 AND sf0.1 by hand this round (see
-    # BASELINE.md r12 note) — it yields its head slot to the last
-    # r08-stale name so the whole r08 cohort rotates green
-    "corpus_semantic_curated",
-    # 34 head slots left; stalest proven names (last-green round in comment):
-    "documents_constraints",  # r08
-    "doc_word_rarity",  # r08
-    "doc_tfidf_top_terms",  # r08
-    "events_user_value_anomalies",  # r08
-    "simhash_signatures",  # r08
-    "lsh_candidate_pairs",  # r08
-    "containment_verified_pairs",  # r08
-    "neardup_verdicts",  # r08
-    "pq_search_rerank",  # r08
-    "semantic_dedup_groups",  # r08
-    "dedup_components_star",  # r08
-    "lsh_incremental_pairs",  # r08
-    "bm25_search_topk",  # r08
-    "decontamination_neardup",  # r08
-    "neardup_pairs_hot_bucket",  # r08
-    "dedup_cluster_keepers",  # r08
-    "corpus_neardup_filtered",  # r08
-    "embedding_label_centroids",  # r08
-    "bloom_pruned_semijoin",  # r08
-    "cms_heavy_hitters_exact",  # r08
-    "oxides_melt_long",  # r08
-    "source_domain_stats",  # r08
-    "corpus_quality_quartiles",  # r08
-    "corpus_sample_k_per_lang",  # r08
-    "oxide_impute_group_mean",  # r08
-    "events_zorder_values",  # r08
-    "pii_scrub_emails",  # r08
-    "petro_select_reframe",  # r08
-    "eval_dialect_projection",  # r08
-    "profile_traverse_neighborhood",  # r08
-    "petro_concat_union",  # r08
-    "dedup_incremental_antijoin",  # r08
+    "media_phash_neardups_either",
+    "media_video_stophash",
+    # 48 head slots left; stalest proven names (last-green round in comment):
+    "to_moles",  # r09
+    "feo_to_fe2o3",  # r09
+    "oxidize_moles",  # r09
+    "from_apfu_roundtrip",  # r09
+    "bulk_alumina_saturation",  # r09
+    "bulk_oxide_ratios",  # r09
+    "bulk_apatite_correction",  # r09
+    "cipw_norm_simple",  # r09
+    "thermo_bulk_prep_tc",  # r09
+    "oxide_means_grouped",  # r09
+    "q1_pricing_summary",  # r09
+    "q3_shipping_topk",  # r09
+    "q5_local_supplier",  # r09
+    "q6_forecast_revenue",  # r09
+    "q10_returned_items",  # r09
+    "part_brand_stats",  # r09
+    "topk_customers",  # r09
+    "part_brand_stats_salted",  # r09
+    "q4_order_priority",  # r09
+    "q12_shipmode",  # r09
+    "q14_promo_revenue",  # r09
+    "q18_large_orders",  # r09
+    "q19_disjunctive_pred",  # r09
+    "q22_global_sales",  # r09
+    "q2_min_acctbal_supplier",  # r09
+    "q7_volume_shipping",  # r09
+    "q9_product_profit",  # r09
+    "q11_important_parts",  # r09
+    "q13_cust_distribution",  # r09
+    "q15_top_supplier",  # r09
+    "q16_supplier_cnt",  # r09
+    "q17_small_qty_revenue",  # r09
+    "q20_share_threshold",  # r09
+    "q21_sole_return_supplier",  # r09
+    "events_hourly",  # r09
+    "events_running_totals",  # r09
+    "events_sessionize",  # r09
+    "events_asof_last_purchase",  # r09
+    "events_near_purchases",  # r09
+    "events_value_percentiles",  # r09
+    "lineitem_rollup",  # r09
+    "topk_orders_per_customer",  # r09
+    "doc_stats",  # r09
+    "repeated_span_pairs",  # r09
+    "shared_span_extents",  # r09
+    "span_incremental_pairs",  # r09
+    "corpus_span_removed",  # r09
+    "ivf_assign_large_k_path",  # r09
 ]
 
 
