@@ -15,7 +15,13 @@ The flow a 100 TB image/audio store runs continuously:
 2. ``phash_ingest_stream`` drains the landing dir exactly-once: each
    micro-batch is decoded + perceptually hashed (the ONLY stage that
    touches bytes), quarter-blocked against the 8-byte signature store,
-   and the Hamming-gated near-dup pairs land per batch_id;
+   and the Hamming-gated near-dup pairs land per batch_id.  The gate is
+   the EITHER-hash union over (aHash, dHash) — the production gate,
+   since the two hashes fail on disjoint transform classes
+   (``tools/phash_recall.py``: 1-px translation kills dHash recall
+   while aHash holds 0.805; rescale is the mirror) — batch twin:
+   ``dedup.hamming_neardup_pairs_either``, registry query
+   ``media_phash_neardups_either``;
 3. connected components over the landed pair graph pick one keeper per
    duplicate cluster; the surviving media ids are the curated set;
 4. survivors (only) flow into the expensive downstream stages — resize
@@ -109,7 +115,10 @@ def main(sf_dir: str, out: str) -> None:
           f"{a_pairs.count()}")
 
     # 6. video tier: real container parse (concatenated P6), per-frame
-    #    dHash, near-dup = videos sharing >= 2 sampled-frame hashes
+    #    dHash, near-dup = videos sharing >= 2 sampled-frame hashes.
+    #    The default stop-hash cap (max_hash_df) drops degenerate
+    #    black/fade/title frame hashes — the class that dominates real
+    #    video corpora and would otherwise be an O(V^2) join bucket.
     vids = mm.synthesize_fixture_videos(docs)
     vsigs = mm.video_fingerprints(vids).localCheckpoint()
     v_pairs = mm.video_neardup_pairs(vsigs, min_shared=2)

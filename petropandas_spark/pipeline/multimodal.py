@@ -769,7 +769,8 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
-def audio_fingerprint64(samples: np.ndarray) -> int:
+def audio_fingerprint64(samples: np.ndarray,
+                        offset_frac: float = 0.0) -> int:
     """64-bit audio fingerprint: the sign of consecutive frame-energy
     differences (the time-domain core of the Haitsma-Kalker 2002
     "highly robust audio fingerprint" — their per-band filterbank
@@ -780,10 +781,22 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     integer math after sample recovery — ``rint(x·32768)`` restores the
     exact PCM integers the WAV carried (a power-of-two scale is exact
     in float32) — so the fingerprint is engine-reproducible, and pairs
-    go through the same Hamming-blocked machinery as SimHash/pHash."""
+    go through the same Hamming-blocked machinery as SimHash/pHash.
+
+    ``offset_frac`` shifts the framing grid by that fraction of one
+    frame (drops the first ``n·offset_frac/65`` samples before
+    framing).  The proportional framing is NOT translation-invariant —
+    a ~half-frame trim flips most sign bits (measured recall 0.0 at
+    H≤3 in ``tools/audio_recall.py``, the audio analog of dHash vs
+    1-px translation) — so production probing stores fingerprints at a
+    few framing offsets and unions the blocked passes
+    (:func:`audio_neardup_pairs_multioffset`): a trimmed twin realigns
+    with whichever stored offset is nearest its cut point."""
     if samples.ndim == 1:
         samples = samples[:, None]
     s = np.rint(samples * 32768.0).astype(np.int64).sum(axis=1)
+    if offset_frac:
+        s = s[int(len(s) * offset_frac / 65.0):]
     n = len(s)
     if n == 0:
         return 0
@@ -832,6 +845,83 @@ def audio_fingerprints(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def audio_fingerprints_offsets(df: DataFrame,
+                               offsets: tuple = (0.0, 0.5),
+                               content_col: str = "content",
+                               id_col: str = "doc_id",
+                               on_error: str = "raise") -> DataFrame:
+    """Multi-offset fingerprints: one ``(id, off_idx, afp)`` row per
+    clip per framing offset, decoded ONCE in one Arrow stage (the
+    per-offset cost is an integer re-frame of the already-recovered
+    samples, not a re-decode).  This is the mitigation for the
+    measured time-offset failure (``tools/audio_recall.py``: a
+    half-frame trim has recall 0.0 at H≤3 single-offset): storing the
+    grid at ``offsets`` fractions of a frame and pairing STACKED rows
+    means a trimmed twin meets the stored offset nearest its cut point
+    — the Haitsma-Kalker overlapping-window idea, paid as
+    ``len(offsets)`` 8-byte columns instead of an FFT.  Pairs via
+    :func:`audio_neardup_pairs_multioffset`."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    offs = [float(o) for o in offsets]
+    schema = f"{id_col} BIGINT, off_idx INT, afp BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def run(batches):
+        for pdf in batches:
+            ids, ois, fps, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    x, _rate = decode_audio(
+                        bytes(blob) if blob is not None else b"")
+                    for oi, off in enumerate(offs):
+                        ids.append(i)
+                        ois.append(oi)
+                        fps.append(audio_fingerprint64(x, off))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    ois.append(-1)
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "off_idx": ois,
+                   "afp": pd.array(fps, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def audio_neardup_pairs_multioffset(fps: DataFrame,
+                                    id_col: str = "doc_id",
+                                    max_hamming: int = 3,
+                                    max_bucket: int = 10_000
+                                    ) -> DataFrame:
+    """Near-dup clip pairs over multi-offset fingerprints
+    (:func:`audio_fingerprints_offsets` output): the stacked
+    ``(id, afp)`` rows go through ONE quarter-blocked Hamming pass, so
+    every offset combination (a@0 ↔ b@0, a@0 ↔ b@½, …) is probed by
+    the same join — cross-offset matches are exactly how a trimmed
+    twin surfaces.  Returns ``(doc_a, doc_b, hamming)`` with hamming =
+    MIN over the offset combinations that fired; same-id rows (one
+    clip's own offsets pairing with each other) are filtered."""
+    from petropandas_spark.pipeline.dedup import hamming_neardup_pairs
+
+    p = hamming_neardup_pairs(fps.select(id_col, "afp"), "afp", id_col,
+                              max_hamming, max_bucket)
+    return (
+        p.where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
 
 
 # fixture clips: the audio twin of fixture_pixel_values — a mono

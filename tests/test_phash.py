@@ -186,6 +186,55 @@ class TestAudioFingerprint:
         }
         assert pairs == {(0, 1), (0, 3), (1, 3)}
 
+    def test_multioffset_gate_recovers_trimmed_twin(self, spark):
+        """The measured time-offset failure class (tools/
+        audio_recall.py: a half-frame trim has single-offset recall
+        0.0) and its mitigation: multi-offset fingerprints pair the
+        trimmed twin through a cross-offset match, while the
+        single-offset gate misses it; unrelated clips stay out and a
+        clip's own offset rows never self-pair."""
+        rng = np.random.default_rng(23)
+        n = 2080  # 65 frames x 32 samples -> half-frame = 16
+        prof = rng.uniform(0.1, 0.9, 66)
+        amp = np.interp(np.linspace(0.0, 65.0, n), np.arange(66.0), prof)
+        t = np.arange(n) / 8000.0
+        base = (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        trimmed = base[16:]  # half-frame cut
+        other = (np.interp(np.linspace(0.0, 65.0, n), np.arange(66.0),
+                           rng.uniform(0.1, 0.9, 66))
+                 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        blobs = [mm.encode_wav(s, 8000) for s in (base, trimmed, other)]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id LONG, content BINARY",
+        )
+        single = {(r.doc_a, r.doc_b) for r in dd.hamming_neardup_pairs(
+            mm.audio_fingerprints(df), "afp", "doc_id",
+            max_hamming=3).collect()}
+        assert (0, 1) not in single  # the documented failure class
+        fps = mm.audio_fingerprints_offsets(df, offsets=(0.0, 0.5))
+        assert fps.count() == 6  # 3 clips x 2 offsets
+        multi = {(r.doc_a, r.doc_b): r.hamming
+                 for r in mm.audio_neardup_pairs_multioffset(
+                     fps, "doc_id", max_hamming=3).collect()}
+        assert set(multi) == {(0, 1)}  # recovered; unrelated stays out
+
+    def test_multioffset_quarantine(self, spark):
+        df = spark.createDataFrame(
+            [(0, bytearray(mm.encode_wav(
+                mm.fixture_audio_samples(0).astype(np.float32) / 32767.0,
+                8000))),
+             (1, bytearray(b"notwav"))],
+            "doc_id LONG, content BINARY",
+        )
+        rows = mm.audio_fingerprints_offsets(
+            df, offsets=(0.0, 0.5), on_error="quarantine").collect()
+        good = [r for r in rows if r["doc_id"] == 0]
+        bad = [r for r in rows if r["doc_id"] == 1]
+        assert len(good) == 2 and all(r["afp"] is not None for r in good)
+        assert len(bad) == 1 and bad[0]["afp"] is None \
+            and bad[0]["off_idx"] == -1
+
 
 class TestPhashSpark:
     @pytest.fixture(scope="class")
