@@ -924,6 +924,37 @@ def audio_neardup_pairs_multioffset(fps: DataFrame,
     )
 
 
+def audio_incremental_pairs_multioffset(store_fps: DataFrame | None,
+                                        new_fps: DataFrame,
+                                        id_col: str = "doc_id",
+                                        max_hamming: int = 3,
+                                        max_bucket: int = 10_000,
+                                        store_shards: int = 8
+                                        ) -> DataFrame:
+    """Incremental twin of :func:`audio_neardup_pairs_multioffset`:
+    multi-offset pairs TOUCHING a new batch of stacked
+    ``(id, off_idx, afp)`` rows — one shared-machinery
+    ``hamming_incremental_pairs`` pass over the stacked rows (every
+    offset combination probed by the same quarter-blocked join,
+    new↔old and new↔new, never old↔old), same-id rows filtered,
+    hamming = MIN over the fired combinations.  A clip lands with ALL
+    its offset rows in one batch, so result ≡ full recompute
+    restricted to batch-touching pairs (pytest-pinned); the store
+    carries ``len(offsets)`` 8-byte rows per settled clip — never
+    re-decoded."""
+    from petropandas_spark.pipeline.dedup import hamming_incremental_pairs
+
+    p = hamming_incremental_pairs(
+        None if store_fps is None else store_fps.select(id_col, "afp"),
+        new_fps.select(id_col, "afp"), "afp", id_col,
+        max_hamming, max_bucket, store_shards)
+    return (
+        p.where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 # fixture clips: the audio twin of fixture_pixel_values — a mono
 # 16-bit WAV per doc whose samples are a closed-form integer function
 # of the doc_id; same family structure (DIV 3 base / % 3 variant:

@@ -296,15 +296,32 @@ def phash_ingest_stream(stream_df, store_path: str, pairs_path: str,
 
 
 def audio_ingest_stream(stream_df, store_path: str, pairs_path: str,
-                        checkpoint: str):
+                        checkpoint: str, offsets: tuple | None = None):
     """Continuous AUDIO near-dup ingestion — identical contract to
     :func:`phash_ingest_stream` with the fingerprint tier (decode →
     ``audio_fingerprint64`` per batch, quarter-blocked against the
     store, batch-touching pairs land, fingerprints append).  Read the
-    pairs back with :func:`read_phash_pairs` (same pinned schema)."""
+    pairs back with :func:`read_phash_pairs` (same pinned schema).
+
+    ``offsets`` (e.g. ``(0.0, 0.25, 0.5, 0.75)``) switches the tier to
+    MULTI-OFFSET fingerprints — the measured time-offset mitigation
+    (``tools/audio_recall.py``: a half-frame trim has single-offset
+    recall 0.0; the K=4 grid recovers 1.0): the store carries
+    ``len(offsets)`` 8-byte rows per settled clip, each batch decodes
+    once and re-frames K times, and pairs come from ONE stacked
+    quarter-blocked pass with cross-offset matches (landed ``hamming``
+    = min over fired combinations).  ``None`` keeps the single-offset
+    tier and the r12 store layout."""
     from petropandas_spark.pipeline import dedup as _dd
     from petropandas_spark.pipeline import multimodal as _mm
 
+    if offsets is not None:
+        return _incremental_ingest_stream(
+            stream_df, store_path, pairs_path, checkpoint,
+            derive=lambda df: _mm.audio_fingerprints_offsets(
+                df, offsets=offsets),
+            candidates=_mm.audio_incremental_pairs_multioffset,
+        )
     return _incremental_ingest_stream(
         stream_df, store_path, pairs_path, checkpoint,
         derive=_mm.audio_fingerprints,

@@ -219,6 +219,31 @@ class TestAudioFingerprint:
                      fps, "doc_id", max_hamming=3).collect()}
         assert set(multi) == {(0, 1)}  # recovered; unrelated stays out
 
+    def test_multioffset_incremental_equals_full_on_batch_slice(
+            self, spark):
+        """Multi-offset incremental contract: stacked-row pairs from
+        (store, batch) ≡ the full multi-offset recompute restricted to
+        batch-touching pairs (a clip lands with ALL its offset rows in
+        one batch)."""
+        docs = spark.range(0, 18).selectExpr("id AS doc_id")
+        fps = mm.audio_fingerprints_offsets(
+            mm.synthesize_fixture_audio(docs),
+            offsets=(0.0, 0.5)).localCheckpoint()
+        store = fps.where("doc_id % 2 = 0")
+        batch = fps.where("doc_id % 2 = 1")
+        incr = {(r.doc_a, r.doc_b, r.hamming)
+                for r in mm.audio_incremental_pairs_multioffset(
+                    store, batch).collect()}
+        full = {(r.doc_a, r.doc_b, r.hamming)
+                for r in mm.audio_neardup_pairs_multioffset(fps).collect()
+                if r.doc_a % 2 == 1 or r.doc_b % 2 == 1}
+        assert incr == full and len(incr) > 0
+        first = {(r.doc_a, r.doc_b, r.hamming)
+                 for r in mm.audio_incremental_pairs_multioffset(
+                     None, fps).collect()}
+        assert first == {(r.doc_a, r.doc_b, r.hamming) for r in
+                         mm.audio_neardup_pairs_multioffset(fps).collect()}
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(

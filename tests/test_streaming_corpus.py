@@ -499,6 +499,40 @@ def test_audio_ingest_stream_matches_full_recompute(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_audio_ingest_stream_multioffset_matches_full(spark, tmp_path):
+    """Multi-offset streaming twin: union of landed pair partitions ==
+    the full-corpus multi-offset union gate (cross-offset matches
+    included), and the store carries K rows per settled clip."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "audio_mo_landing")
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    clips = mm.synthesize_fixture_audio(ids)
+    clips.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    clips.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    stream = sc.read_media_stream(
+        spark, os.path.join(path, "*"), max_files_per_trigger=1)
+    store_path = str(tmp_path / "afp_mo_store")
+    q = sc.audio_ingest_stream(
+        stream, store_path, str(tmp_path / "afp_mo_pairs"),
+        str(tmp_path / "ck_mo"), offsets=(0.0, 0.5))
+    assert q.awaitTermination(180)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           sc.read_phash_pairs(spark, str(tmp_path / "afp_mo_pairs"))
+           .collect()}
+    expect = {(r.doc_a, r.doc_b, r.hamming)
+              for r in mm.audio_neardup_pairs_multioffset(
+                  mm.audio_fingerprints_offsets(
+                      spark.read.parquet(os.path.join(path, "*")),
+                      offsets=(0.0, 0.5))).collect()}
+    assert got == expect and len(got) > 0
+    store = spark.read.parquet(store_path)
+    assert store.count() == 2 * 24  # K rows per settled clip
+    assert set(store.columns) == {"doc_id", "off_idx", "afp", "batch_id"}
+
+
 def test_video_ingest_stream_matches_full_recompute(spark, tmp_path):
     """The video twin of the media ingest invariant: union of landed
     shared-frame-hash pair partitions == the full-corpus recompute."""

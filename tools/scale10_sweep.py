@@ -82,6 +82,10 @@ QUERIES = [
     "media_audio_fingerprints",
     "media_audio_neardups",
     "media_video_neardups",
+    # r13: the stop-hash guard query (black-frame fixture, triggering
+    # cap) and the registered either-hash union gate
+    "media_video_stophash",
+    "media_phash_neardups_either",
 ]
 
 
@@ -193,7 +197,8 @@ def main() -> int:
                                   "sec": round(best, 3)}))
         return 0
 
-    for name in QUERIES:
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for name in (only or QUERIES):
         t_01 = run(name, SRC)
         t_10 = run(name, OUT)
         print(json.dumps({
