@@ -59,6 +59,8 @@ AUDIT = [
     "media_phash_survivors",        # media CC + keeper funnel (r12)
     "media_audio_neardups",         # audio fingerprint pairs (r12)
     "media_video_neardups",         # shared-frame-hash video pairs (r12)
+    "media_video_stophash",         # stop-hash cap + black-frame fixture (r13)
+    "media_phash_neardups_either",  # aHash/dHash union gate (r13)
 ]
 
 
