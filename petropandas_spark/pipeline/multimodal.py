@@ -525,6 +525,75 @@ def video_fingerprints(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def video_fingerprints_shots(df: DataFrame, content_col: str = "content",
+                             id_col: str = "doc_id",
+                             min_cut: int = 1_000_000,
+                             on_error: str = "raise") -> DataFrame:
+    """SHOT-ANCHORED video fingerprints — the trim-robust alternative to
+    :func:`video_fingerprints`'s fixed-count temporal sampling.
+
+    Fixed-count sampling has the same time-offset failure the audio
+    framing has (``tools/video_recall.py``: a head-trim shifts every
+    sampled position, so the sampled hashes change even though the
+    content matched).  Shot anchors are CONTENT-LOCKED instead: frame i
+    is an anchor iff the integer 8×8-luminance-grid difference from
+    frame i−1 exceeds ``min_cut`` (Σ|Δ| over the 64 BT.601 cells — the
+    standard hard-cut detector), so trimming or prepending frames moves
+    anchor INDICES but not anchor CONTENT, and the anchor dHashes are
+    exactly the shot-boundary frames both versions share.  A video with
+    no detected cut (single shot) falls back to its middle frame —
+    within one shot the frames are near-identical, so the middle
+    frame's dHash is itself trim-stable.
+
+    One Arrow stage (parse container → grid-diff scan → dHash anchors);
+    output ``(id, anchor_idx, fhash)`` rows feed the SAME pair/
+    incremental/occupancy machinery as the sampled tier
+    (:func:`video_neardup_pairs` et al. take any (id, fhash) rows).
+    ``on_error='quarantine'`` matches :func:`video_fingerprints`."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = f"{id_col} BIGINT, anchor_idx INT, fhash BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def anchors_of(frames: list[np.ndarray]) -> list[int]:
+        grids = [luma_grid(f, 8, 8) for f in frames]
+        out = [i for i in range(1, len(grids))
+               if int(np.abs(grids[i] - grids[i - 1]).sum()) > min_cut]
+        return out or [len(frames) // 2]
+
+    def run(batches):
+        for pdf in batches:
+            ids, ais, fhs, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = decode_video_frames(
+                        bytes(blob) if blob is not None else b"")
+                    if not frames:
+                        raise NotImplementedError("zero-frame stream")
+                    for a in anchors_of(frames):
+                        ids.append(i)
+                        ais.append(a)
+                        fhs.append(dhash64(frames[a]))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    ais.append(-1)
+                    fhs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "anchor_idx": ais,
+                   "fhash": pd.array(fhs, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 #: stop-hash document-frequency cap for the video pair tiers: a frame
 #: hash appearing in more videos than this carries no matching signal —
 #: real video corpora are DOMINATED by degenerate frame hashes (a
@@ -561,6 +630,40 @@ def video_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                              max_occupancy=max_hash_df)
 
 
+def video_stop_hashes(sigs: DataFrame, id_col: str = "doc_id",
+                      max_hash_df: int = DEFAULT_VIDEO_STOP_HASH_DF
+                      ) -> DataFrame:
+    """What the stop-hash cap REMOVES — ``(fhash, df)`` for every frame
+    hash whose document frequency exceeds ``max_hash_df`` (no silent
+    caps: the pair tiers drop these before the explosion, this query
+    names them).  On a real corpus the rows are the black/fade/
+    title-card classes; an unexpected entry is a decoder bug or a
+    fixture-aliasing problem.  One map-side-combinable aggregate over
+    (id, fhash) rows — run it alongside :func:`video_hash_df_histogram`
+    when sizing the cap."""
+    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
+        .distinct()
+    return (
+        d.groupBy("fhash").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > int(max_hash_df))
+    )
+
+
+def video_hash_df_histogram(sigs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Observability for sizing ``max_hash_df``: histogram of frame-hash
+    document frequencies — ``(df, n_hashes)`` — the video twin of
+    ``dedup.hamming_block_occupancy``.  The tail is the candidate
+    stop-hash mass (in-bucket pair fan-out is quadratic in df); a heavy
+    tail at one df value means a planted/degenerate frame class.  Two
+    map-side-combinable groupBys, no pair explosion."""
+    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
+        .distinct()
+    per_hash = d.groupBy("fhash").agg(F.count(F.lit(1)).alias("df"))
+    return per_hash.groupBy("df").agg(
+        F.count(F.lit(1)).alias("n_hashes"))
+
+
 def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         min_shared: int = 2,
                         max_hash_df: int | None =
@@ -581,6 +684,75 @@ def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
         video_candidate_pairs(sigs, id_col, max_hash_df, max_bucket)
         .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def video_neardup_pairs_fuzzy(sigs: DataFrame, id_col: str = "doc_id",
+                              min_shared: int = 2, max_hamming: int = 3,
+                              max_hash_df: int | None =
+                              DEFAULT_VIDEO_STOP_HASH_DF,
+                              max_bucket: int = 10_000) -> DataFrame:
+    """Near-dup video pairs with FUZZY frame matching: videos with at
+    least ``min_shared`` frame hashes matching within Hamming
+    ``max_hamming`` (vs :func:`video_neardup_pairs`'s exact equality).
+
+    Why: the exact gate is brittle to photometric edits — ±2-level
+    noise or a brightness shift flips 1–2 dHash bits per frame, so the
+    EXACT hash no longer meets even though every frame still matches
+    perceptually (``tools/video_recall.py``: noise recall 0.0 exact →
+    1.0 fuzzy).  Same machinery as the image tier: frame hashes
+    quarter-block through ``_bucket_pairs_any`` (pigeonhole-EXACT at
+    H≤3, chunk-grid for hot blocks), the stop-hash cap drops degenerate
+    exact hashes first, and ``n_shared`` counts MATCHED FRAME HASHES
+    conservatively — ``least(distinct a-side, distinct b-side)`` — so
+    one frame matching two similar frames of the other video cannot
+    inflate the count.  At ``max_hamming=0`` this degenerates to the
+    exact gate.  Cost vs exact: 4× block fan-out on 8-byte rows (the
+    quarter explosion), never media."""
+    from petropandas_spark.pipeline.dedup import _bucket_pairs_any
+
+    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
+        .distinct()
+    if max_hash_df is not None:
+        hot = (
+            d.groupBy("fhash").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > int(max_hash_df)).select("fhash")
+        )
+        d = d.join(F.broadcast(hot), "fhash", "anti")
+    qmask = 0xFFFF
+    blocks = d.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col("fhash").alias("s")
+        ).alias("x"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qi).alias("q"),
+                F.shiftrightunsigned("fhash", qi * 16)
+                .bitwiseAND(F.lit(qmask)).alias("blk"),
+            )
+            for qi in range(4)
+        ])).alias("bq"),
+    ).select("x", "bq.q", "bq.blk")
+    # struct ordering (i, s) makes a.i <= b.i; != leaves a.i < b.i
+    matched = (
+        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
+        .where(F.col("a.i") != F.col("b.i"))
+        .select(
+            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
+            F.col("a.s").alias("sig_a"), F.col("b.s").alias("sig_b"),
+            F.bit_count(
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+    return (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(F.least(
+            F.countDistinct("sig_a"), F.countDistinct("sig_b")
+        ).alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
 

@@ -578,6 +578,97 @@ class TestVideoTier:
                 if r.doc_a in batch_ids or r.doc_b in batch_ids}
         assert incr == full and len(incr) > 0
 
+    def test_shot_anchored_fingerprints(self, spark):
+        """Shot anchors are content-locked: a head-trimmed twin keeps
+        the SAME anchor hashes (the sampled tier's failure class —
+        tools/video_recall.py), anchor indices shift by the trim, and
+        a single-shot video falls back to its middle frame."""
+        rng = np.random.default_rng(31)
+
+        def shot(seed):
+            base = (rng.integers(0, 256, (4, 4, 3)).repeat(4, 0)
+                    .repeat(4, 1) + rng.integers(-12, 13, (16, 16, 3)))
+            return [np.clip(base, 0, 255).astype(np.float32) / 255.0] * 6
+
+        s1, s2, s3 = shot(1), shot(2), shot(3)
+        full = s1 + s2 + s3
+        trimmed = full[4:]  # drops most of shot 1, keeps both cuts
+        single = s1
+        df = spark.createDataFrame(
+            [(0, bytearray(mm.encode_ppm_video(full))),
+             (1, bytearray(mm.encode_ppm_video(trimmed))),
+             (2, bytearray(mm.encode_ppm_video(single)))],
+            "doc_id LONG, content BINARY",
+        )
+        rows = mm.video_fingerprints_shots(df).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # two cuts detected in both versions, same hashes, shifted idx
+        assert {r["anchor_idx"] for r in by_doc[0]} == {6, 12}
+        assert {r["anchor_idx"] for r in by_doc[1]} == {2, 8}
+        assert ({r["fhash"] for r in by_doc[0]}
+                == {r["fhash"] for r in by_doc[1]})
+        # single-shot fallback: one middle-frame row
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["anchor_idx"] == 3
+        # the anchors feed the standard pair gate: 0 and 1 pair at >=2
+        pairs = {(r.doc_a, r.doc_b)
+                 for r in mm.video_neardup_pairs(
+                     mm.video_fingerprints_shots(df).localCheckpoint()
+                 ).collect()}
+        assert pairs == {(0, 1)}
+
+    def test_video_fuzzy_pairs_gate(self, spark):
+        """The fuzzy gate matches frame hashes within Hamming<=3 where
+        the exact gate needs equality; the conservative least(a-side,
+        b-side) count stops one frame matching two similar frames from
+        inflating n_shared; the stop-hash cap still applies."""
+        rows = [
+            # videos 0/1: two frame hashes each, pairwise within H<=2
+            (0, 0b1111000), (0, 1 << 40),
+            (1, 0b1111011), (1, (1 << 40) | 6),
+            # video 2: two hashes both near 0's FIRST hash only ->
+            # least(1, 2) = 1 < min_shared
+            (2, 0b1111001), (2, 0b1111010),
+            # videos 3/4: a hot hash shared by everyone (df > cap)
+            (3, 99), (4, 99), (0, 99), (1, 99), (2, 99),
+        ]
+        sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+        exact = {(r.doc_a, r.doc_b)
+                 for r in mm.video_neardup_pairs(
+                     sigs, min_shared=2, max_hash_df=4).collect()}
+        assert exact == set()  # nothing byte-identical twice
+        fuzzy = {(r.doc_a, r.doc_b): r.n_shared
+                 for r in mm.video_neardup_pairs_fuzzy(
+                     sigs, min_shared=2, max_hamming=3,
+                     max_hash_df=4).collect()}
+        assert set(fuzzy) == {(0, 1)} and fuzzy[(0, 1)] == 2
+        # without the cap the hot hash 99 gives everyone 1 exact match,
+        # and (0,2)'s fuzzy matches become least(1+1, 2+1) = 2
+        open_fuzzy = {(r.doc_a, r.doc_b)
+                      for r in mm.video_neardup_pairs_fuzzy(
+                          sigs, min_shared=2, max_hamming=3,
+                          max_hash_df=None).collect()}
+        assert (0, 2) in open_fuzzy
+        # degenerates to the exact gate at max_hamming=0
+        h0 = {(r.doc_a, r.doc_b, r.n_shared)
+              for r in mm.video_neardup_pairs_fuzzy(
+                  sigs, min_shared=2, max_hamming=0,
+                  max_hash_df=4).collect()}
+        assert h0 == set()
+
+    def test_video_stop_hash_observability(self, spark):
+        """video_stop_hashes names exactly what the cap removes;
+        video_hash_df_histogram carries the df tail."""
+        rows = [(i, 7) for i in range(6)] + [(0, 11), (1, 13)]
+        sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+        stopped = {(r.fhash, r.df) for r in
+                   mm.video_stop_hashes(sigs, max_hash_df=4).collect()}
+        assert stopped == {(7, 6)}
+        hist = {r["df"]: r["n_hashes"] for r in
+                mm.video_hash_df_histogram(sigs).collect()}
+        assert hist == {6: 1, 1: 2}
+
     def test_video_incremental_first_batch_no_store(self, spark):
         docs = spark.range(0, 6).selectExpr("id AS doc_id")
         sigs = mm.video_fingerprints(
