@@ -606,11 +606,15 @@ def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
     got = {(r.doc_a, r.doc_b, r.hamming) for r in
            sc.read_phash_pairs(spark, pairs_path).collect()}
     all_media = spark.read.parquet(os.path.join(staged, "*")).distinct()
-    expect = {(r.doc_a, r.doc_b, r.hamming)
-              for r in dd.hamming_neardup_pairs(
-                  mm.phash_images(all_media), "dhash", "doc_id",
-                  max_hamming=3).collect()}
-    assert got == expect
+    # the stream runs the either-hash union gate (min over fired gates)
+    sigs = mm.phash_images(all_media).localCheckpoint()
+    exp: dict = {}
+    for c in ("ahash", "dhash"):
+        for r in dd.hamming_neardup_pairs(
+                sigs, c, "doc_id", max_hamming=3).collect():
+            k = (r.doc_a, r.doc_b)
+            exp[k] = min(exp.get(k, 64), r.hamming)
+    assert got == {(a, b, h) for (a, b), h in exp.items()}
 
 
 def test_compact_ingest_store_minhash_schema(spark, docs_dir, tmp_path):
