@@ -824,6 +824,93 @@ def video_incremental_pairs(store_sigs: DataFrame | None,
     )
 
 
+def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
+                                  new_sigs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  min_shared: int = 2,
+                                  max_hamming: int = 3,
+                                  max_hash_df: int | None =
+                                  DEFAULT_VIDEO_STOP_HASH_DF,
+                                  max_bucket: int = 10_000,
+                                  store_shards: int = 8) -> DataFrame:
+    """Incremental twin of :func:`video_neardup_pairs_fuzzy`: fuzzy
+    (Hamming ≤ ``max_hamming`` per frame hash) pairs TOUCHING a new
+    batch — new↔old and new↔new, never old↔old, on the shared
+    ``_flag_and_shard`` + ``_incremental_value_pairs`` machinery with
+    the same global stop-hash cap as the full pass (df over store ∪
+    batch, so result ≡ full recompute restricted to batch-touching
+    pairs; pytest-pinned).  The store carries 8-byte hashes — settled
+    video is never re-parsed; per batch the cost is one quarter-block
+    shuffle of signature rows plus the cap's count."""
+    from petropandas_spark.pipeline.dedup import (
+        _flag_and_shard, _incremental_value_pairs)
+
+    newd = new_sigs.select(id_col, "fhash") \
+        .where(F.col("fhash").isNotNull()).distinct()
+    stored = None if store_sigs is None else (
+        store_sigs.select(id_col, "fhash")
+        .where(F.col("fhash").isNotNull()).distinct())
+    if max_hash_df is not None:
+        alld = newd if stored is None else newd.unionByName(stored)
+        hot = (
+            alld.distinct().groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > int(max_hash_df)).select("fhash")
+        )
+        newd = newd.join(F.broadcast(hot), "fhash", "anti")
+        if stored is not None:
+            stored = stored.join(F.broadcast(hot), "fhash", "anti")
+
+    qmask = 0xFFFF
+
+    def keyed(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("fhash").alias("s")
+            ).alias("x"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qi).alias("q"),
+                    F.shiftrightunsigned("fhash", qi * 16)
+                    .bitwiseAND(F.lit(qmask)).alias("blk"),
+                )
+                for qi in range(4)
+            ])).alias("bq"),
+        ).select("x", "bq.q", "bq.blk")
+
+    flagged = _flag_and_shard(
+        keyed(newd), None if stored is None else keyed(stored),
+        F.col("x.i"), store_shards)
+    swap = F.col("a.i") > F.col("b.i")
+    matched = (
+        _incremental_value_pairs(flagged, "x", ["q", "blk"], max_bucket)
+        .where(F.col("a.i") != F.col("b.i"))
+        .select(
+            F.when(swap, F.col("b.i")).otherwise(F.col("a.i"))
+            .alias("doc_a"),
+            F.when(swap, F.col("a.i")).otherwise(F.col("b.i"))
+            .alias("doc_b"),
+            F.when(swap, F.col("b.s")).otherwise(F.col("a.s"))
+            .alias("sig_a"),
+            F.when(swap, F.col("a.s")).otherwise(F.col("b.s"))
+            .alias("sig_b"),
+            F.bit_count(
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()  # combos meet once per shared quarter and, for
+        # new↔new, once per shard — collapse before counting
+    )
+    return (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(F.least(
+            F.countDistinct("sig_a"), F.countDistinct("sig_b")
+        ).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
 FIXTURE_VIDEO_FRAMES = 8
 
 

@@ -342,7 +342,9 @@ def read_video_pairs(spark, pairs_path: str, id_type: str = "bigint"):
 
 def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
                         checkpoint: str, min_shared: int = 2,
-                        max_hash_df: int | None = None):
+                        max_hash_df: int | None = None,
+                        fingerprints: str = "sampled",
+                        fuzzy: bool = False):
     """Continuous VIDEO near-dup ingestion on the shared exactly-once
     scaffold: each micro-batch's containers are parsed + frame-hashed
     (the only stage touching bytes), the shared-frame-hash pairs
@@ -362,13 +364,30 @@ def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
     hashes, which blow through the cap almost immediately; the
     boundary-crossing window is the documented approximation).  Set it
     explicitly to opt in; the unconditional chunk-grid guard applies
-    either way."""
+    either way.
+
+    ``fingerprints``: ``"sampled"`` (fixed-count temporal NN — the r12
+    store layout) or ``"shots"`` (hard-cut anchors,
+    :func:`...video_fingerprints_shots` — trim/prepend-robust per
+    ``tools/video_recall.py``).  ``fuzzy=True`` gates frame matches at
+    Hamming ≤ 3 instead of exact equality
+    (:func:`...video_incremental_pairs_fuzzy` — the photometric-edit
+    mitigation).  The measured production spelling is the UNION of two
+    streams (sampled+fuzzy, shots+fuzzy) over separate store/pair
+    paths — 1.0 recall on every measured edit class."""
     from petropandas_spark.pipeline import multimodal as _mm
 
+    if fingerprints not in ("sampled", "shots"):
+        raise ValueError(f"fingerprints must be 'sampled' or 'shots', "
+                         f"got {fingerprints!r}")
+    derive = (_mm.video_fingerprints if fingerprints == "sampled"
+              else _mm.video_fingerprints_shots)
+    pair_fn = (_mm.video_incremental_pairs_fuzzy if fuzzy
+               else _mm.video_incremental_pairs)
     return _incremental_ingest_stream(
         stream_df, store_path, pairs_path, checkpoint,
-        derive=_mm.video_fingerprints,
-        candidates=lambda store, sigs: _mm.video_incremental_pairs(
+        derive=derive,
+        candidates=lambda store, sigs: pair_fn(
             store, sigs, "doc_id", min_shared=min_shared,
             max_hash_df=max_hash_df),
     )

@@ -657,6 +657,53 @@ class TestVideoTier:
                   max_hash_df=4).collect()}
         assert h0 == set()
 
+    def test_video_fuzzy_incremental_equals_full_on_batch_slice(
+            self, spark):
+        """Fuzzy incremental contract: (store, batch) pairs ≡ the full
+        fuzzy recompute restricted to batch-touching pairs — including
+        cross-boundary near-matches and the global stop-hash cap."""
+        rng = np.random.default_rng(41)
+
+        def sxor(a, b):
+            v = (a ^ b) & ((1 << 64) - 1)
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        rows = []
+        vals = rng.integers(-(1 << 62), 1 << 62, 30,
+                            dtype=np.int64).tolist()
+        for vid in range(10):
+            # 3 frame hashes per video; twin videos (2k, 2k+1) share
+            # two frame hashes within H<=2, never exactly
+            base = vals[vid // 2 * 3: vid // 2 * 3 + 3]
+            for j, h in enumerate(base):
+                rows.append((vid, int(sxor(h, (vid % 2) * (3 << j)))))
+        # a hot hash everyone shares (df 10 > cap 6)
+        rows += [(vid, 777) for vid in range(10)]
+        sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+        store = sigs.where("doc_id < 6")
+        batch = sigs.where("doc_id >= 6")
+        incr = {(r.doc_a, r.doc_b, r.n_shared)
+                for r in mm.video_incremental_pairs_fuzzy(
+                    store, batch, min_shared=2, max_hamming=3,
+                    max_hash_df=6).collect()}
+        full = {(r.doc_a, r.doc_b, r.n_shared)
+                for r in mm.video_neardup_pairs_fuzzy(
+                    sigs, min_shared=2, max_hamming=3,
+                    max_hash_df=6).collect()
+                if r.doc_a >= 6 or r.doc_b >= 6}
+        assert incr == full and len(incr) > 0
+        # the store↔store twin (0,1) is excluded, the boundary/batch
+        # twins are present
+        assert all(a >= 6 or b >= 6 for a, b, _ in incr)
+        first = {(r.doc_a, r.doc_b, r.n_shared)
+                 for r in mm.video_incremental_pairs_fuzzy(
+                     None, sigs, min_shared=2, max_hamming=3,
+                     max_hash_df=6).collect()}
+        assert first == {(r.doc_a, r.doc_b, r.n_shared)
+                         for r in mm.video_neardup_pairs_fuzzy(
+                             sigs, min_shared=2, max_hamming=3,
+                             max_hash_df=6).collect()}
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""

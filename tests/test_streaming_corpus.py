@@ -533,6 +533,44 @@ def test_audio_ingest_stream_multioffset_matches_full(spark, tmp_path):
     assert set(store.columns) == {"doc_id", "off_idx", "afp", "batch_id"}
 
 
+def test_video_ingest_stream_shots_fuzzy_matches_full(spark, tmp_path):
+    """The production video stream spelling (shot anchors + fuzzy
+    gate): union of landed pair partitions ≡ the full-corpus
+    video_neardup_pairs_fuzzy over video_fingerprints_shots."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "video_sf_landing")
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    vids = mm.synthesize_fixture_videos(ids)
+    vids.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    vids.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    stream = sc.read_media_stream(
+        spark, os.path.join(path, "*"), max_files_per_trigger=1)
+    store_path = str(tmp_path / "vshot_store")
+    q = sc.video_ingest_stream(
+        stream, store_path, str(tmp_path / "vshot_pairs"),
+        str(tmp_path / "vshot_ck"), min_shared=1,
+        fingerprints="shots", fuzzy=True)
+    assert q.awaitTermination(180)
+    got = {(r.doc_a, r.doc_b, r.n_shared) for r in
+           sc.read_video_pairs(spark, str(tmp_path / "vshot_pairs"))
+           .collect()}
+    full_sigs = mm.video_fingerprints_shots(
+        spark.read.parquet(os.path.join(path, "*"))).localCheckpoint()
+    expect = {(r.doc_a, r.doc_b, r.n_shared)
+              for r in mm.video_neardup_pairs_fuzzy(
+                  full_sigs, min_shared=1).collect()}
+    assert got == expect and len(got) > 0
+    # the shots store layout landed (anchor_idx, not frame_idx)
+    store = spark.read.parquet(store_path)
+    assert "anchor_idx" in store.columns
+    with pytest.raises(ValueError, match="fingerprints"):
+        sc.video_ingest_stream(stream, store_path, "x", "y",
+                               fingerprints="nope")
+
+
 def test_video_ingest_stream_matches_full_recompute(spark, tmp_path):
     """The video twin of the media ingest invariant: union of landed
     shared-frame-hash pair partitions == the full-corpus recompute."""
