@@ -688,6 +688,59 @@ def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _video_capped_hashes(sigs: DataFrame, id_col: str,
+                         max_hash_df: int | None) -> DataFrame:
+    """Distinct (id, fhash) rows with the stop-hash cap applied — the
+    shared head of every fuzzy video gate."""
+    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
+        .distinct()
+    if max_hash_df is not None:
+        hot = (
+            d.groupBy("fhash").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > int(max_hash_df)).select("fhash")
+        )
+        d = d.join(F.broadcast(hot), "fhash", "anti")
+    return d
+
+
+def _video_fuzzy_matches(d: DataFrame, id_col: str, max_hamming: int,
+                         max_bucket: int) -> DataFrame:
+    """Distinct fuzzy frame-hash matches between videos:
+    ``(doc_a, doc_b, sig_a, sig_b, hamming)`` with doc_a < doc_b, via
+    the quarter-block machinery (pigeonhole-exact at H ≤ 3,
+    chunk-grid).  Shared by the near-dup and containment gates."""
+    from petropandas_spark.pipeline.dedup import _bucket_pairs_any
+
+    qmask = 0xFFFF
+    blocks = d.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col("fhash").alias("s")
+        ).alias("x"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qi).alias("q"),
+                F.shiftrightunsigned("fhash", qi * 16)
+                .bitwiseAND(F.lit(qmask)).alias("blk"),
+            )
+            for qi in range(4)
+        ])).alias("bq"),
+    ).select("x", "bq.q", "bq.blk")
+    # struct ordering (i, s) makes a.i <= b.i; != leaves a.i < b.i
+    return (
+        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
+        .where(F.col("a.i") != F.col("b.i"))
+        .select(
+            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
+            F.col("a.s").alias("sig_a"), F.col("b.s").alias("sig_b"),
+            F.bit_count(
+                F.col("a.s").bitwiseXOR(F.col("b.s"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+
+
 def video_neardup_pairs_fuzzy(sigs: DataFrame, id_col: str = "doc_id",
                               min_shared: int = 2, max_hamming: int = 3,
                               max_hash_df: int | None =
@@ -710,50 +763,61 @@ def video_neardup_pairs_fuzzy(sigs: DataFrame, id_col: str = "doc_id",
     inflate the count.  At ``max_hamming=0`` this degenerates to the
     exact gate.  Cost vs exact: 4× block fan-out on 8-byte rows (the
     quarter explosion), never media."""
-    from petropandas_spark.pipeline.dedup import _bucket_pairs_any
-
-    d = sigs.select(id_col, "fhash").where(F.col("fhash").isNotNull()) \
-        .distinct()
-    if max_hash_df is not None:
-        hot = (
-            d.groupBy("fhash").agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > int(max_hash_df)).select("fhash")
-        )
-        d = d.join(F.broadcast(hot), "fhash", "anti")
-    qmask = 0xFFFF
-    blocks = d.select(
-        F.struct(
-            F.col(id_col).alias("i"), F.col("fhash").alias("s")
-        ).alias("x"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(qi).alias("q"),
-                F.shiftrightunsigned("fhash", qi * 16)
-                .bitwiseAND(F.lit(qmask)).alias("blk"),
-            )
-            for qi in range(4)
-        ])).alias("bq"),
-    ).select("x", "bq.q", "bq.blk")
-    # struct ordering (i, s) makes a.i <= b.i; != leaves a.i < b.i
-    matched = (
-        _bucket_pairs_any(blocks, "x", ["q", "blk"], max_bucket)
-        .where(F.col("a.i") != F.col("b.i"))
-        .select(
-            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
-            F.col("a.s").alias("sig_a"), F.col("b.s").alias("sig_b"),
-            F.bit_count(
-                F.col("a.s").bitwiseXOR(F.col("b.s"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= int(max_hamming))
-        .distinct()
-    )
+    d = _video_capped_hashes(sigs, id_col, max_hash_df)
+    matched = _video_fuzzy_matches(d, id_col, max_hamming, max_bucket)
     return (
         matched.groupBy("doc_a", "doc_b")
         .agg(F.least(
             F.countDistinct("sig_a"), F.countDistinct("sig_b")
         ).alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def video_containment_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                            min_frac: float = 0.8, max_hamming: int = 3,
+                            max_hash_df: int | None =
+                            DEFAULT_VIDEO_STOP_HASH_DF,
+                            max_bucket: int = 10_000) -> DataFrame:
+    """SHORT-IN-LONG video detection — the video twin of the text
+    tier's ``containment_verified_pairs``: a pair fires when at least
+    ``min_frac`` of EITHER video's (capped) frame hashes fuzzy-match
+    (Hamming ≤ ``max_hamming``) the other's, so a clip cut from a
+    longer video surfaces even though the symmetric ``min_shared``
+    near-dup count treats it as a weak match.
+
+    ``containment_a = matched a-side hashes / |a hashes|`` (and the
+    mirror); the gate is ``greatest(containment_a, containment_b) ≥
+    min_frac``.  Denominators are post-cap hash counts — a video whose
+    only content is stop-worded black frames has no denominator and
+    never fires.  Same matched-frame derivation as
+    :func:`video_neardup_pairs_fuzzy` (one blocked pass over 8-byte
+    rows) + one per-video count joined to both sides.  Returns
+    ``(doc_a, doc_b, n_matched_a, n_matched_b, containment)``."""
+    d = _video_capped_hashes(sigs, id_col, max_hash_df)
+    counts = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    matched = _video_fuzzy_matches(d, id_col, max_hamming, max_bucket)
+    per_pair = matched.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("sig_a").alias("n_matched_a"),
+        F.countDistinct("sig_b").alias("n_matched_b"),
+    )
+    joined = (
+        per_pair
+        .join(counts.withColumnRenamed(id_col, "doc_a")
+              .withColumnRenamed("__n", "__na"), "doc_a")
+        .join(counts.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("__n", "__nb"), "doc_b")
+    )
+    containment = F.greatest(
+        F.col("n_matched_a") / F.col("__na"),
+        F.col("n_matched_b") / F.col("__nb"),
+    )
+    return (
+        joined.select(
+            "doc_a", "doc_b", "n_matched_a", "n_matched_b",
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= float(min_frac))
     )
 
 

@@ -704,6 +704,38 @@ class TestVideoTier:
                              sigs, min_shared=2, max_hamming=3,
                              max_hash_df=6).collect()}
 
+    def test_video_containment_short_in_long(self, spark):
+        """A 2-hash clip cut from a 6-hash video: the symmetric
+        near-dup gate at min_shared=3 misses it, containment >= 0.8
+        finds it (2/2 of the SHORT side matched); an unrelated video
+        stays out; denominators are post-cap."""
+        rows = (
+            # the long video: sparse and dense patterns, all pairwise
+            # far (> 3 bits) from every other video's hashes
+            [(0, int(h)) for h in (10, 200, 3000, 40000,
+                                   0x5A5A5A5A, 0x33CC33CC)]
+            + [(1, 201), (1, 3001)]                # clip, H=1 fuzz
+            + [(2, 0xFF00FF00FF), (2, 0xAA55AA55AA55)]  # unrelated
+            + [(i, 777) for i in range(3)]         # hot hash (capped)
+        )
+        sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+        neardup = {(r.doc_a, r.doc_b)
+                   for r in mm.video_neardup_pairs_fuzzy(
+                       sigs, min_shared=3, max_hash_df=2).collect()}
+        assert (0, 1) not in neardup
+        got = {(r.doc_a, r.doc_b): r for r in
+               mm.video_containment_pairs(
+                   sigs, min_frac=0.8, max_hash_df=2).collect()}
+        assert set(got) == {(0, 1)}
+        r = got[(0, 1)]
+        assert r.n_matched_b == 2 and abs(r.containment - 1.0) < 1e-9
+        # without the cap, hash 777 inflates video 2's match side but
+        # 1/3 of its hashes < 0.8 still keeps it out
+        open_got = {(r.doc_a, r.doc_b)
+                    for r in mm.video_containment_pairs(
+                        sigs, min_frac=0.8, max_hash_df=None).collect()}
+        assert (0, 2) not in open_got and (1, 2) not in open_got
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""

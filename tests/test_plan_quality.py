@@ -214,6 +214,31 @@ def test_video_pairs_hash_equijoin(spark, registry):
     assert "CartesianProduct" not in plan
 
 
+def test_video_stophash_plan_gate(spark, registry):
+    """The stop-hash guard query (r13): bucketed pair path — no
+    nested-loop/cartesian, no self-join of the signature derivation
+    (the localCheckpoint barrier leaves zero parquet scans and the
+    bucket aggregation reads the checkpoint once)."""
+    df = registry["media_video_stophash"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan  # derivation is behind the barrier
+
+
+def test_phash_either_plan_gate(spark, registry):
+    """The union gate (r13): two quarter-blocked passes over the
+    checkpointed 8-byte signatures + a distinct — never a nested-loop
+    image compare, never a re-decode (no Arrow stage past the
+    barrier)."""
+    df = registry["media_phash_neardups_either"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "bit_count" in plan
+
+
 def test_media_decode_single_arrow_stage(spark, registry):
     """Frame checksums run the decode in exactly one Arrow-batched python
     stage over a pruned 2-column scan — no shuffle."""
