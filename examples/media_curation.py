@@ -123,6 +123,23 @@ def main(sf_dir: str, out: str) -> None:
     vsigs = mm.video_fingerprints(vids).localCheckpoint()
     v_pairs = mm.video_neardup_pairs(vsigs, min_shared=2)
     print(f"video near-dup pairs (shared-frame-hash): {v_pairs.count()}")
+
+    # 7. the MEASURED production video gate (tools/video_recall.py:
+    #    the two tiers fail on disjoint edit classes — trims vs
+    #    photometric — so the union is 1.0 on every measured edit):
+    #    fuzzy Hamming frame matching over BOTH the fixed-count sampled
+    #    hashes and the shot-anchored hashes, unioned.
+    shot_sigs = mm.video_fingerprints_shots(vids).localCheckpoint()
+    union_pairs = (
+        mm.video_neardup_pairs_fuzzy(vsigs, min_shared=2)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            mm.video_neardup_pairs_fuzzy(shot_sigs, min_shared=2)
+            .select("doc_a", "doc_b"))
+        .distinct()
+    )
+    print(f"video near-dup pairs (union fuzzy gate): "
+          f"{union_pairs.count()}")
     print(f"curated media store + features under {out}")
 
 
