@@ -736,6 +736,80 @@ class TestVideoTier:
                         sigs, min_frac=0.8, max_hash_df=None).collect()}
         assert (0, 2) not in open_got and (1, 2) not in open_got
 
+    def test_video_fuzzy_gate_duckdb_cross_check(self, spark):
+        """DuckDB mirror of the fuzzy gate on the closed-form fixture
+        (the registration-ready oracle shape): re-derive the sampled
+        frame dHashes from the pixel formulas (registry._video_duck_ctes
+        — the same CTE the registered exact query uses), apply the cap
+        and the all-pairs H≤3 least-side count, and match the Spark
+        result exactly."""
+        import duckdb
+
+        from petropandas_spark.registry import _video_duck_ctes
+
+        n = 45
+        docs = spark.range(0, n).selectExpr("id AS doc_id")
+        sigs = mm.video_fingerprints(
+            mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        got = {(r.doc_a, r.doc_b, r.n_shared)
+               for r in mm.video_neardup_pairs_fuzzy(
+                   sigs, min_shared=2, max_hamming=3,
+                   max_hash_df=10).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE documents AS "
+            f"SELECT unnest(generate_series(0, {n - 1}, 1)) AS doc_id")
+        sql = f"""
+WITH {_video_duck_ctes()},
+vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs),
+vok AS (SELECT fhash FROM vd GROUP BY fhash HAVING COUNT(*) <= 10),
+vk AS (SELECT vd.doc_id, vd.fhash FROM vd JOIN vok USING (fhash)),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fhash AS sa, b.fhash AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.fhash, b.fhash)) <= 3)
+SELECT doc_a, doc_b,
+       least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) AS n_shared
+FROM m GROUP BY doc_a, doc_b
+HAVING least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) >= 2
+"""
+        expect = {(a, b, int(s)) for a, b, s in con.execute(sql).fetchall()}
+        assert got == expect and len(got) > 0
+
+        # containment mirror on the same derivation: fraction of the
+        # shorter side's capped hashes matched, rounded for FP parity
+        got_c = {(r.doc_a, r.doc_b, r.n_matched_a, r.n_matched_b,
+                  round(r.containment, 9))
+                 for r in mm.video_containment_pairs(
+                     sigs, min_frac=0.7, max_hamming=3,
+                     max_hash_df=10).collect()}
+        sql_c = f"""
+WITH {_video_duck_ctes()},
+vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs),
+vok AS (SELECT fhash FROM vd GROUP BY fhash HAVING COUNT(*) <= 10),
+vk AS (SELECT vd.doc_id, vd.fhash FROM vd JOIN vok USING (fhash)),
+vc AS (SELECT doc_id, COUNT(*) AS n FROM vk GROUP BY doc_id),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fhash AS sa, b.fhash AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+pp AS (SELECT doc_a, doc_b,
+              COUNT(DISTINCT sa) AS na, COUNT(DISTINCT sb) AS nb
+       FROM m GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, na, nb,
+       greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+         AS containment
+FROM pp JOIN vc ca ON ca.doc_id = pp.doc_a
+        JOIN vc cb ON cb.doc_id = pp.doc_b
+WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+      >= 0.7
+"""
+        expect_c = {(a, b, int(na), int(nb), round(c, 9))
+                    for a, b, na, nb, c in con.execute(sql_c).fetchall()}
+        assert got_c == expect_c and len(got_c) > 0
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""
