@@ -244,6 +244,65 @@ class TestAudioFingerprint:
         assert first == {(r.doc_a, r.doc_b, r.hamming) for r in
                          mm.audio_neardup_pairs_multioffset(fps).collect()}
 
+    def test_multioffset_duckdb_cross_check(self, spark):
+        """DuckDB mirror of the multi-offset fingerprints and the
+        min-over-combos pair gate on the closed-form fixture clips
+        (the registration-ready oracle shape): the WAV round-trip is
+        integer-exact, so the oracle re-frames the sample formula at
+        each offset (drop the first floor(n·off/65) samples,
+        proportional frames over the remainder) and packs the
+        energy-sign bits exactly like the Spark path."""
+        import duckdb
+
+        from petropandas_spark.registry import _audio_fp_duck_ctes
+
+        n_docs, n = 36, 1040
+        docs = spark.range(0, n_docs).selectExpr("id AS doc_id")
+        fps = mm.audio_fingerprints_offsets(
+            mm.synthesize_fixture_audio(docs),
+            offsets=(0.0, 0.5)).localCheckpoint()
+        got_fps = {(r.doc_id, r.off_idx, r.afp) for r in fps.collect()}
+        got_pairs = {(r.doc_a, r.doc_b, r.hamming)
+                     for r in mm.audio_neardup_pairs_multioffset(
+                         fps, max_hamming=3).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE documents AS "
+            f"SELECT unnest(generate_series(0, {n_docs - 1}, 1)) AS doc_id")
+        pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+                "THEN -9223372036854775808 "
+                "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+                "ELSE 0 END) AS BIGINT)")
+        # offsets {0.0, 0.5} -> drop k = floor(n*off/65) head samples
+        sql = f"""
+WITH {_audio_fp_duck_ctes()},
+offs AS (SELECT * FROM (VALUES (0, 0), (1, {n // 130})) o(oi, k)),
+osmp AS (SELECT a.doc_id, o.oi, a.i - o.k AS j, a.s
+         FROM asmp a, offs o WHERE a.i >= o.k),
+onrg AS (SELECT doc_id, oi, (j * 65) // ({n} - IF(oi = 1, {n // 130}, 0))
+                AS f, SUM(s * s) AS e
+         FROM osmp GROUP BY ALL),
+obit AS (SELECT a.doc_id, a.oi, a.f AS b,
+                CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+         FROM onrg a JOIN onrg nx
+           ON a.doc_id = nx.doc_id AND a.oi = nx.oi AND nx.f = a.f + 1),
+ofps AS (SELECT doc_id, oi, {pack} AS afp FROM obit GROUP BY doc_id, oi)
+SELECT doc_id, oi, afp FROM ofps
+"""
+        expect_fps = {(d, o, a) for d, o, a in con.execute(sql).fetchall()}
+        assert got_fps == expect_fps
+        pair_sql = sql.replace(
+            "SELECT doc_id, oi, afp FROM ofps", f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(MIN(bit_count(xor(a.afp, b.afp))) AS INT) AS hamming
+FROM ofps a JOIN ofps b ON a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING MIN(bit_count(xor(a.afp, b.afp))) <= 3
+""")
+        expect_pairs = {(a, b, h)
+                        for a, b, h in con.execute(pair_sql).fetchall()}
+        assert got_pairs == expect_pairs and len(got_pairs) > 0
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(
