@@ -869,6 +869,86 @@ WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
                     for a, b, na, nb, c in con.execute(sql_c).fetchall()}
         assert got_c == expect_c and len(got_c) > 0
 
+    def test_shot_anchored_duckdb_cross_check(self, spark):
+        """DuckDB mirror of video_fingerprints_shots on the closed-form
+        fixture (registration-ready oracle shape): re-derive every
+        frame's 8×8 grid from the pixel formulas, the inter-frame
+        Σ|Δ| cut metric, the anchor set (> min_cut, middle-frame
+        fallback), and the anchor dHashes."""
+        import duckdb
+
+        n_docs = 30
+        docs = spark.range(0, n_docs).selectExpr("id AS doc_id")
+        got = {(r.doc_id, r.anchor_idx, r.fhash)
+               for r in mm.video_fingerprints_shots(
+                   mm.synthesize_fixture_videos(docs)).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE documents AS "
+            f"SELECT unnest(generate_series(0, {n_docs - 1}, 1)) AS doc_id")
+
+        def px(ch):
+            return (f"((base*7919 + f*401 + r*(131 + base % 89) "
+                    f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+
+        pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+                "THEN -9223372036854775808 "
+                "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+                "ELSE 0 END) AS BIGINT)")
+        dmap = ",".join(
+            f"({gc},{src})"
+            for gc, src in enumerate([0, 2, 4, 6, 8, 9, 11, 13, 15]))
+        sql = f"""
+WITH vg0 AS (
+  SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS mm,
+         ff.f, rr.r, cc.c
+  FROM documents,
+       (SELECT unnest(generate_series(0, 7, 1)) AS f) ff,
+       (SELECT unnest(generate_series(0, 15, 1)) AS r) rr,
+       (SELECT unnest(generate_series(0, 15, 1)) AS c) cc
+),
+vg1 AS (
+  SELECT doc_id, base, f, r, c,
+         CASE WHEN mm = 2 OR (mm = 1 AND f = 2 * (doc_id % 4) + 1)
+              THEN ((r*31 + c*7) % 11) * 13 ELSE 0 END AS pert
+  FROM vg0
+),
+cells AS (
+  SELECT doc_id, f, r, c,
+         299 * {px(0)} + 587 * {px(1)} + 114 * {px(2)} AS g
+  FROM vg1
+),
+g8 AS (SELECT doc_id, f, r, c, g FROM cells
+       WHERE r % 2 = 1 AND c % 2 = 1),
+cuts AS (SELECT a.doc_id, a.f, SUM(ABS(a.g - p.g)) AS d
+         FROM g8 a JOIN g8 p
+           ON a.doc_id = p.doc_id AND p.f = a.f - 1
+          AND a.r = p.r AND a.c = p.c
+         GROUP BY a.doc_id, a.f),
+detected AS (SELECT doc_id, f AS a FROM cuts WHERE d > 1000000),
+anchors AS (
+  SELECT doc_id, a FROM detected
+  UNION ALL
+  SELECT doc_id, 4 AS a FROM documents
+  WHERE NOT EXISTS (SELECT 1 FROM detected x
+                    WHERE x.doc_id = documents.doc_id)
+),
+dsel AS (SELECT c0.doc_id, c0.f, (c0.r-1)//2 AS gr, cm.gc, c0.g
+         FROM cells c0
+         JOIN anchors an ON an.doc_id = c0.doc_id AND an.a = c0.f
+         JOIN (VALUES {dmap}) cm(gc, src) ON c0.c = cm.src
+         WHERE c0.r % 2 = 1),
+dbit AS (SELECT a.doc_id, a.f, a.gr*8 + a.gc AS b,
+                CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+         FROM dsel a JOIN dsel n
+           ON a.doc_id = n.doc_id AND a.f = n.f AND a.gr = n.gr
+          AND n.gc = a.gc + 1)
+SELECT doc_id, f AS anchor_idx, {pack} AS fhash
+FROM dbit GROUP BY doc_id, f
+"""
+        expect = {(d, a, h) for d, a, h in con.execute(sql).fetchall()}
+        assert got == expect and len(got) > 0
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""
