@@ -888,6 +888,60 @@ def video_incremental_pairs(store_sigs: DataFrame | None,
     )
 
 
+def video_incremental_containment(store_sigs: DataFrame | None,
+                                  new_sigs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  min_frac: float = 0.8,
+                                  max_hamming: int = 3,
+                                  max_hash_df: int | None =
+                                  DEFAULT_VIDEO_STOP_HASH_DF,
+                                  max_bucket: int = 10_000,
+                                  store_shards: int = 8) -> DataFrame:
+    """Incremental twin of :func:`video_containment_pairs`: containment
+    pairs TOUCHING a new batch — the ingest-time "is this landing clip
+    cut from a settled video (or vice versa)?" check.  Matched frames
+    come from the shared incremental machinery (new↔old and new↔new,
+    never old↔old); denominators are per-video capped hash counts over
+    store ∪ batch, so result ≡ the full containment gate restricted to
+    batch-touching pairs (pytest-pinned).  Store cost: 8-byte hash
+    rows + one count aggregate per batch."""
+    matched = _video_incremental_fuzzy_matches(
+        store_sigs, new_sigs, id_col, max_hamming, max_hash_df,
+        max_bucket, store_shards)
+    newd = _video_capped_hashes(new_sigs, id_col, None)
+    alld = newd if store_sigs is None else newd.unionByName(
+        _video_capped_hashes(store_sigs, id_col, None)).distinct()
+    if max_hash_df is not None:
+        hot = (
+            alld.groupBy("fhash").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > int(max_hash_df)).select("fhash")
+        )
+        alld = alld.join(F.broadcast(hot), "fhash", "anti")
+    counts = alld.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    per_pair = matched.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("sig_a").alias("n_matched_a"),
+        F.countDistinct("sig_b").alias("n_matched_b"),
+    )
+    joined = (
+        per_pair
+        .join(counts.withColumnRenamed(id_col, "doc_a")
+              .withColumnRenamed("__n", "__na"), "doc_a")
+        .join(counts.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("__n", "__nb"), "doc_b")
+    )
+    containment = F.greatest(
+        F.col("n_matched_a") / F.col("__na"),
+        F.col("n_matched_b") / F.col("__nb"),
+    )
+    return (
+        joined.select(
+            "doc_a", "doc_b", "n_matched_a", "n_matched_b",
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= float(min_frac))
+    )
+
+
 def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
                                   new_sigs: DataFrame,
                                   id_col: str = "doc_id",
@@ -906,6 +960,28 @@ def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
     pairs; pytest-pinned).  The store carries 8-byte hashes — settled
     video is never re-parsed; per batch the cost is one quarter-block
     shuffle of signature rows plus the cap's count."""
+    matched = _video_incremental_fuzzy_matches(
+        store_sigs, new_sigs, id_col, max_hamming, max_hash_df,
+        max_bucket, store_shards)
+    return (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(F.least(
+            F.countDistinct("sig_a"), F.countDistinct("sig_b")
+        ).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def _video_incremental_fuzzy_matches(store_sigs: DataFrame | None,
+                                     new_sigs: DataFrame, id_col: str,
+                                     max_hamming: int,
+                                     max_hash_df: int | None,
+                                     max_bucket: int,
+                                     store_shards: int) -> DataFrame:
+    """Distinct batch-touching fuzzy frame-hash matches
+    ``(doc_a, doc_b, sig_a, sig_b, hamming)`` — the shared head of the
+    incremental fuzzy near-dup and containment gates (global stop-hash
+    cap, shard/flag/chunk-grid machinery)."""
     from petropandas_spark.pipeline.dedup import (
         _flag_and_shard, _incremental_value_pairs)
 
@@ -946,7 +1022,7 @@ def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
         keyed(newd), None if stored is None else keyed(stored),
         F.col("x.i"), store_shards)
     swap = F.col("a.i") > F.col("b.i")
-    matched = (
+    return (
         _incremental_value_pairs(flagged, "x", ["q", "blk"], max_bucket)
         .where(F.col("a.i") != F.col("b.i"))
         .select(
@@ -965,13 +1041,6 @@ def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
         .where(F.col("hamming") <= int(max_hamming))
         .distinct()  # combos meet once per shared quarter and, for
         # new↔new, once per shard — collapse before counting
-    )
-    return (
-        matched.groupBy("doc_a", "doc_b")
-        .agg(F.least(
-            F.countDistinct("sig_a"), F.countDistinct("sig_b")
-        ).alias("n_shared"))
-        .where(F.col("n_shared") >= int(min_shared))
     )
 
 

@@ -949,6 +949,70 @@ FROM dbit GROUP BY doc_id, f
         expect = {(d, a, h) for d, a, h in con.execute(sql).fetchall()}
         assert got == expect and len(got) > 0
 
+    def test_video_incremental_containment_equals_full(self, spark):
+        """Ingest-time containment: (store, batch) result ≡ the full
+        containment gate restricted to batch-touching pairs, with
+        denominators over store ∪ batch."""
+        rng = np.random.default_rng(47)
+        rows = []
+        for vid in range(12):
+            base = rng.integers(-(1 << 62), 1 << 62,
+                                6 if vid % 2 == 0 else 2,
+                                dtype=np.int64)
+            # odd videos are clips of the preceding even video (H=1)
+            if vid % 2 == 1:
+                prev = [r for r in rows if r[0] == vid - 1][:2]
+                base = [p[1] ^ 1 for p in prev]
+            rows += [(vid, int(h)) for h in base]
+        sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+        store = sigs.where("doc_id < 7")
+        batch = sigs.where("doc_id >= 7")
+        incr = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                for r in mm.video_incremental_containment(
+                    store, batch, min_frac=0.8, max_hash_df=None
+                ).collect()}
+        full = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                for r in mm.video_containment_pairs(
+                    sigs, min_frac=0.8, max_hash_df=None).collect()
+                if r.doc_a >= 7 or r.doc_b >= 7}
+        assert incr == full and len(incr) > 0
+        first = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                 for r in mm.video_incremental_containment(
+                     None, sigs, min_frac=0.8, max_hash_df=None
+                 ).collect()}
+        assert first == {(r.doc_a, r.doc_b, round(r.containment, 9))
+                         for r in mm.video_containment_pairs(
+                             sigs, min_frac=0.8,
+                             max_hash_df=None).collect()}
+
+    def test_fuzzy_h0_equals_exact_gate_randomized(self, spark):
+        """Property: the fuzzy gate at max_hamming=0 is EXACTLY the
+        exact gate — same pairs, same n_shared — on randomized
+        signature sets with planted shared hashes (the degenerate-case
+        contract both docstrings state)."""
+        for seed in (3, 17):
+            rng = np.random.default_rng(seed)
+            rows = []
+            for vid in range(20):
+                own = rng.integers(-(1 << 62), 1 << 62, 4,
+                                   dtype=np.int64)
+                rows += [(vid, int(h)) for h in own]
+            # plant shared hashes across random pairs
+            shared = rng.integers(-(1 << 62), 1 << 62, 15,
+                                  dtype=np.int64)
+            for h in shared:
+                a, b = rng.choice(20, 2, replace=False)
+                rows += [(int(a), int(h)), (int(b), int(h))]
+            sigs = spark.createDataFrame(rows, "doc_id LONG, fhash LONG")
+            exact = {(r.doc_a, r.doc_b, r.n_shared)
+                     for r in mm.video_neardup_pairs(
+                         sigs, min_shared=1, max_hash_df=None).collect()}
+            h0 = {(r.doc_a, r.doc_b, r.n_shared)
+                  for r in mm.video_neardup_pairs_fuzzy(
+                      sigs, min_shared=1, max_hamming=0,
+                      max_hash_df=None).collect()}
+            assert exact == h0 and len(exact) > 0
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""
