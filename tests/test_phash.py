@@ -303,6 +303,40 @@ HAVING MIN(bit_count(xor(a.afp, b.afp))) <= 3
                         for a, b, h in con.execute(pair_sql).fetchall()}
         assert got_pairs == expect_pairs and len(got_pairs) > 0
 
+    def test_either_incremental_equals_full_on_batch_slice(self, spark):
+        """hamming_incremental_pairs_either ≡ the union gate's full
+        recompute (pair set + min-over-fired-gates hamming) restricted
+        to batch-touching pairs."""
+        rng = np.random.default_rng(29)
+        rows = []
+        vals = rng.integers(-(1 << 62), 1 << 62, (20, 2),
+                            dtype=np.int64)
+        # plant: 12 is an ahash-twin of 2, 13 a dhash-twin of 3,
+        # 14 both-twin of 15 (batch-batch)
+        vals[12, 0] = vals[2, 0] ^ 0b11
+        vals[13, 1] = vals[3, 1] ^ 0b1
+        vals[14] = vals[15] ^ np.int64(0b101)
+        rows = [(i, int(a), int(d)) for i, (a, d) in enumerate(vals)]
+        sigs = spark.createDataFrame(
+            rows, "doc_id LONG, ahash LONG, dhash LONG")
+        store = sigs.where("doc_id < 12")
+        batch = sigs.where("doc_id >= 12")
+        incr = {(r.doc_a, r.doc_b, r.hamming)
+                for r in dd.hamming_incremental_pairs_either(
+                    store, batch, ["ahash", "dhash"]).collect()}
+        full: dict = {}
+        for c in ("ahash", "dhash"):
+            for r in dd.hamming_neardup_pairs(
+                    sigs, c, "doc_id", max_hamming=3).collect():
+                if r.doc_a >= 12 or r.doc_b >= 12:
+                    k = (r.doc_a, r.doc_b)
+                    full[k] = min(full.get(k, 64), r.hamming)
+        assert incr == {(a, b, h) for (a, b), h in full.items()}
+        assert {(p[0], p[1]) for p in incr} == {(2, 12), (3, 13),
+                                                (14, 15)}
+        with pytest.raises(ValueError, match="sig_cols"):
+            dd.hamming_incremental_pairs_either(store, batch, [])
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(
