@@ -3199,6 +3199,178 @@ VIDEO_PAIRS_DUCK = _video_pairs_duck(10_000)
 # family pair structure survives
 VIDEO_PAIRS_BF_DUCK = _video_pairs_duck(100, black_frame=True)
 
+# capped distinct (doc, fhash) rows — the shared head of the fuzzy /
+# containment oracles, mirroring multimodal._video_capped_hashes
+_VIDEO_CAPPED_CTES = """
+vd AS (SELECT DISTINCT doc_id, fhash FROM vsigs),
+vok AS (SELECT fhash FROM vd GROUP BY fhash HAVING COUNT(*) <= {cap}),
+vk AS (SELECT vd.doc_id, vd.fhash FROM vd JOIN vok USING (fhash))"""
+
+# the fuzzy gate's semantic contract (video_neardup_pairs_fuzzy): after
+# the stop-hash cap, count frame hashes matching within Hamming ≤ 3 —
+# conservatively, least(distinct a-side, distinct b-side) — and keep
+# pairs clearing min_shared.  All-pairs + bit_count is exactly the
+# quarter-blocked pass (pigeonhole-exact at H ≤ 3) and keeps the oracle
+# independent of the blocking mechanics it is checking.
+VIDEO_PAIRS_FUZZY_DUCK = f"""
+WITH {_video_duck_ctes()},{_VIDEO_CAPPED_CTES.format(cap=10_000)},
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fhash AS sa, b.fhash AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.fhash, b.fhash)) <= 3)
+SELECT doc_a, doc_b,
+       CAST(least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) AS BIGINT)
+         AS n_shared
+FROM m GROUP BY doc_a, doc_b
+HAVING least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) >= 2
+"""
+
+# short-in-long containment (video_containment_pairs): fraction of
+# EITHER side's post-cap hashes fuzzy-matched; the single int/int
+# division and the greatest() are one IEEE op each on both engines, so
+# the double column is hash-exact, not tolerance-compared.
+VIDEO_CONTAINMENT_DUCK = f"""
+WITH {_video_duck_ctes()},{_VIDEO_CAPPED_CTES.format(cap=10_000)},
+vc AS (SELECT doc_id, COUNT(*) AS n FROM vk GROUP BY doc_id),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fhash AS sa, b.fhash AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+pp AS (SELECT doc_a, doc_b,
+              COUNT(DISTINCT sa) AS na, COUNT(DISTINCT sb) AS nb
+       FROM m GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, CAST(na AS BIGINT) AS n_matched_a,
+       CAST(nb AS BIGINT) AS n_matched_b,
+       greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+         AS containment
+FROM pp JOIN vc ca ON ca.doc_id = pp.doc_a
+        JOIN vc cb ON cb.doc_id = pp.doc_b
+WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+      >= 0.7
+"""
+
+
+def _video_shots_duck() -> str:
+    """Full oracle for ``video_fingerprints_shots`` on the fixture
+    videos: re-derive EVERY frame's 8×8 BT.601 luminance grid from the
+    closed-form pixel values (``multimodal.fixture_video_pixel_values``
+    — the byte round-trip is integer-exact), the inter-frame Σ|Δ| cut
+    metric, the anchor set (Σ|Δ| > min_cut=1 000 000, middle-frame
+    fallback at index 4 of 8), and each anchor frame's dHash with the
+    16→8/9 NN column map — all-integer math end to end."""
+    def px(ch: int) -> str:
+        return (f"((base*7919 + f*401 + r*(131 + base % 89) "
+                f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+
+    pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+            "THEN -9223372036854775808 "
+            "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+            "ELSE 0 END) AS BIGINT)")
+    dmap = ",".join(
+        f"({gc},{src})"
+        for gc, src in enumerate([0, 2, 4, 6, 8, 9, 11, 13, 15]))
+    return f"""
+WITH vg0 AS (
+  SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS mm,
+         ff.f, rr.r, cc.c
+  FROM documents,
+       (SELECT unnest(generate_series(0, 7, 1)) AS f) ff,
+       (SELECT unnest(generate_series(0, 15, 1)) AS r) rr,
+       (SELECT unnest(generate_series(0, 15, 1)) AS c) cc
+),
+vg1 AS (
+  SELECT doc_id, base, f, r, c,
+         CASE WHEN mm = 2 OR (mm = 1 AND f = 2 * (doc_id % 4) + 1)
+              THEN ((r*31 + c*7) % 11) * 13 ELSE 0 END AS pert
+  FROM vg0
+),
+cells AS (
+  SELECT doc_id, f, r, c,
+         299 * {px(0)} + 587 * {px(1)} + 114 * {px(2)} AS g
+  FROM vg1
+),
+g8 AS (SELECT doc_id, f, r, c, g FROM cells
+       WHERE r % 2 = 1 AND c % 2 = 1),
+cuts AS (SELECT a.doc_id, a.f, SUM(ABS(a.g - p.g)) AS d
+         FROM g8 a JOIN g8 p
+           ON a.doc_id = p.doc_id AND p.f = a.f - 1
+          AND a.r = p.r AND a.c = p.c
+         GROUP BY a.doc_id, a.f),
+detected AS (SELECT doc_id, f AS a FROM cuts WHERE d > 1000000),
+anchors AS (
+  SELECT doc_id, a FROM detected
+  UNION ALL
+  SELECT doc_id, 4 AS a FROM documents
+  WHERE NOT EXISTS (SELECT 1 FROM detected x
+                    WHERE x.doc_id = documents.doc_id)
+),
+dsel AS (SELECT c0.doc_id, c0.f, (c0.r-1)//2 AS gr, cm.gc, c0.g
+         FROM cells c0
+         JOIN anchors an ON an.doc_id = c0.doc_id AND an.a = c0.f
+         JOIN (VALUES {dmap}) cm(gc, src) ON c0.c = cm.src
+         WHERE c0.r % 2 = 1),
+dbit AS (SELECT a.doc_id, a.f, a.gr*8 + a.gc AS b,
+                CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+         FROM dsel a JOIN dsel n
+           ON a.doc_id = n.doc_id AND a.f = n.f AND a.gr = n.gr
+          AND n.gc = a.gc + 1)
+SELECT doc_id, CAST(f AS INT) AS anchor_idx, {pack} AS fhash
+FROM dbit GROUP BY doc_id, f
+"""
+
+
+VIDEO_SHOTS_DUCK = _video_shots_duck()
+
+
+def _audio_offsets_duck_ctes() -> str:
+    """CTE chain extending ``_audio_fp_duck_ctes``'s closed-form sample
+    recovery (``asmp``) to the multi-offset fingerprints of
+    ``multimodal.audio_fingerprints_offsets(offsets=(0.0, 0.5))``: each
+    offset drops ``floor(n·off/65)`` head samples, re-frames the
+    remainder proportionally over 65 frames, and packs the
+    energy-difference sign bits exactly like the single-offset path."""
+    pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+            "THEN -9223372036854775808 "
+            "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+            "ELSE 0 END) AS BIGINT)")
+    n = 1040  # FIXTURE_WAV_SAMPLES; offset 0.5 drops n·0.5/65 = n//130
+    k = n // 130
+    return f"""{_audio_fp_duck_ctes()},
+offs AS (SELECT * FROM (VALUES (0, 0), (1, {k})) o(oi, k)),
+osmp AS (SELECT a.doc_id, o.oi, a.i - o.k AS j, a.s
+         FROM asmp a, offs o WHERE a.i >= o.k),
+onrg AS (SELECT doc_id, oi, (j * 65) // ({n} - IF(oi = 1, {k}, 0))
+                AS f, SUM(s * s) AS e
+         FROM osmp GROUP BY ALL),
+obit AS (SELECT a.doc_id, a.oi, a.f AS b,
+                CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+         FROM onrg a JOIN onrg nx
+           ON a.doc_id = nx.doc_id AND a.oi = nx.oi AND nx.f = a.f + 1),
+ofps AS (SELECT doc_id, CAST(oi AS INT) AS off_idx, {pack} AS afp
+         FROM obit GROUP BY doc_id, oi)"""
+
+
+AUDIO_FP_OFFSETS_DUCK = (
+    f"WITH {_audio_offsets_duck_ctes()}\n"
+    f"SELECT doc_id, off_idx, afp FROM ofps"
+)
+
+# the multi-offset pair gate's semantic contract
+# (audio_neardup_pairs_multioffset): hamming = MIN over the offset
+# combinations, gate at ≤ 3.  All-pairs MIN ≤ 3 equals min-over-fired-
+# combos because a qualifying minimum combo necessarily fired in the
+# (pigeonhole-exact) blocked pass.
+AUDIO_PAIRS_MULTIOFFSET_DUCK = f"""
+WITH {_audio_offsets_duck_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(MIN(bit_count(xor(a.afp, b.afp))) AS INT) AS hamming
+FROM ofps a JOIN ofps b ON a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING MIN(bit_count(xor(a.afp, b.afp))) <= 3
+"""
+
 
 def _lsh_duck_cands(shingle: int = 5, prefix: int = 400) -> str:
     """CTE chain computing the portable LSH candidate pairs exactly as
@@ -4750,6 +4922,98 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         media_video_stophash_fn, VIDEO_PAIRS_BF_DUCK
     )
 
+    # the FUZZY video gate (r13 robustness program, registered r14):
+    # the exact gate is brittle to photometric edits — ±2-level noise
+    # flips 1–2 dHash bits per frame, so exact equality misses every
+    # pair (tools/video_recall.py: noise recall 0.0 exact → 1.0 fuzzy).
+    # Frame hashes match within Hamming ≤ 3 through the same
+    # quarter-block machinery as the image tier (pigeonhole-EXACT at
+    # H≤3), the stop-hash cap drops degenerate hashes first, and
+    # n_shared counts matched hashes conservatively (least of the two
+    # sides) so one frame matching two similar frames cannot inflate
+    # the count.  Cost vs exact: a 4× block fan-out on 8-byte rows.
+    def media_video_fuzzy_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_fingerprints(
+            _mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        return _mm.video_neardup_pairs_fuzzy(
+            sigs, "doc_id", min_shared=2, max_hamming=3,
+            max_hash_df=10_000)
+
+    out["media_video_neardups_fuzzy"] = QuerySpec(
+        media_video_fuzzy_fn, VIDEO_PAIRS_FUZZY_DUCK
+    )
+
+    # SHORT-IN-LONG containment (the video twin of the text tier's
+    # asymmetric containment): a pair fires when ≥ min_frac of EITHER
+    # video's post-cap frame hashes fuzzy-match the other's, so a clip
+    # cut from a longer video surfaces even though the symmetric
+    # min_shared count treats it as a weak match.  On the fixture the
+    # base↔variant-1 families match 3 of 4 sampled hashes = 0.75 ≥ 0.7;
+    # the double division is one IEEE op on both engines (hash-exact).
+    def media_video_containment_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_fingerprints(
+            _mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        return _mm.video_containment_pairs(
+            sigs, "doc_id", min_frac=0.7, max_hamming=3,
+            max_hash_df=10_000)
+
+    out["media_video_containment"] = QuerySpec(
+        media_video_containment_fn, VIDEO_CONTAINMENT_DUCK
+    )
+
+    # SHOT-ANCHORED fingerprints — the trim-robust signature tier:
+    # fixed-count temporal sampling shifts every sampled position under
+    # a head trim (tools/video_recall.py: head-trim-3 recall 0.050),
+    # while shot anchors are CONTENT-LOCKED (frame i anchors iff the
+    # 8×8-grid Σ|Δ| from frame i−1 exceeds min_cut; single-shot videos
+    # fall back to the middle frame), so both versions hash the same
+    # boundary frames (trim recall 1.0 on every measured class).  The
+    # oracle re-derives the full scan — grids, cut metric, anchor set,
+    # anchor dHashes — from the closed-form pixel values.
+    def media_video_shots_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        return _mm.video_fingerprints_shots(
+            _mm.synthesize_fixture_videos(docs))
+
+    out["media_video_shots"] = QuerySpec(
+        media_video_shots_fn, VIDEO_SHOTS_DUCK
+    )
+
+    # MULTI-OFFSET audio fingerprints (r13 robustness program,
+    # registered r14): proportional framing is not translation-
+    # invariant — a half-frame trim flips most energy-sign bits
+    # (tools/audio_recall.py: trim recall 0.000 single-offset) — so the
+    # production layout stores the fingerprint at K framing offsets,
+    # decoded ONCE per clip (the per-offset cost is an integer re-frame
+    # of recovered samples, K 8-byte rows per clip).
+    def media_audio_offsets_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        return _mm.audio_fingerprints_offsets(
+            _mm.synthesize_fixture_audio(docs), offsets=(0.0, 0.5))
+
+    out["media_audio_fp_offsets"] = QuerySpec(
+        media_audio_offsets_fn, AUDIO_FP_OFFSETS_DUCK
+    )
+
+    # the multi-offset pair gate: stacked (id, afp) rows go through ONE
+    # quarter-blocked Hamming pass so every offset combination is
+    # probed by the same join (a trimmed twin realigns with whichever
+    # stored offset is nearest its cut point — measured recall 0→1.0 at
+    # K=4); hamming = MIN over the fired combinations, same-id rows
+    # filtered.
+    def media_audio_multioffset_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        fps = _mm.audio_fingerprints_offsets(
+            _mm.synthesize_fixture_audio(docs),
+            offsets=(0.0, 0.5)).localCheckpoint()
+        return _mm.audio_neardup_pairs_multioffset(fps, max_hamming=3)
+
+    out["media_audio_multioffset"] = QuerySpec(
+        media_audio_multioffset_fn, AUDIO_PAIRS_MULTIOFFSET_DUCK
+    )
+
     # end-to-end media dedup outcome: connected components over the
     # pHash near-dup graph, keeper = minimum doc_id, emit the surviving
     # media set — the media twin of corpus_neardup_filtered /
@@ -5127,57 +5391,57 @@ SELECT doc_id, h FROM r WHERE rk = 1
 # union of driver-verified queries; the set below rotates as rows land.
 _VERIFY_FIRST = [
     # never driver-checked — always lead:
-    "media_phash_neardups_either",
-    "media_video_stophash",
-    # 48 head slots left; stalest proven names (last-green round in comment):
-    "to_moles",  # r09
-    "feo_to_fe2o3",  # r09
-    "oxidize_moles",  # r09
-    "from_apfu_roundtrip",  # r09
-    "bulk_alumina_saturation",  # r09
-    "bulk_oxide_ratios",  # r09
-    "bulk_apatite_correction",  # r09
-    "cipw_norm_simple",  # r09
-    "thermo_bulk_prep_tc",  # r09
-    "oxide_means_grouped",  # r09
-    "q1_pricing_summary",  # r09
-    "q3_shipping_topk",  # r09
-    "q5_local_supplier",  # r09
-    "q6_forecast_revenue",  # r09
-    "q10_returned_items",  # r09
-    "part_brand_stats",  # r09
-    "topk_customers",  # r09
-    "part_brand_stats_salted",  # r09
-    "q4_order_priority",  # r09
-    "q12_shipmode",  # r09
-    "q14_promo_revenue",  # r09
-    "q18_large_orders",  # r09
-    "q19_disjunctive_pred",  # r09
-    "q22_global_sales",  # r09
-    "q2_min_acctbal_supplier",  # r09
-    "q7_volume_shipping",  # r09
-    "q9_product_profit",  # r09
-    "q11_important_parts",  # r09
-    "q13_cust_distribution",  # r09
-    "q15_top_supplier",  # r09
-    "q16_supplier_cnt",  # r09
-    "q17_small_qty_revenue",  # r09
-    "q20_share_threshold",  # r09
-    "q21_sole_return_supplier",  # r09
-    "events_hourly",  # r09
-    "events_running_totals",  # r09
-    "events_sessionize",  # r09
-    "events_asof_last_purchase",  # r09
-    "events_near_purchases",  # r09
-    "events_value_percentiles",  # r09
-    "lineitem_rollup",  # r09
-    "topk_orders_per_customer",  # r09
-    "doc_stats",  # r09
-    "repeated_span_pairs",  # r09
-    "shared_span_extents",  # r09
-    "span_incremental_pairs",  # r09
-    "corpus_span_removed",  # r09
-    "ivf_assign_large_k_path",  # r09
+    "media_video_neardups_fuzzy",
+    "media_video_containment",
+    "media_video_shots",
+    "media_audio_fp_offsets",
+    "media_audio_multioffset",
+    # 45 head slots left; stalest proven names (last-green round in comment):
+    "garnet_end_members",  # r10
+    "cpx_end_members",  # r10
+    "feldspar_end_members",  # r10
+    "garnet_apfu_site_filtered",  # r10
+    "garnet_site_allocation",  # r10
+    "garnet_stoichiometry",  # r10
+    "cpx_stoichiometry",  # r10
+    "amphibole_stoichiometry",  # r10
+    "garnetfe3_end_members",  # r10
+    "opx_end_members",  # r10
+    "muscovite_end_members",  # r10
+    "biotite_end_members",  # r10
+    "staurolite_end_members",  # r10
+    "chlorite_end_members",  # r10
+    "epidote_end_members",  # r10
+    "amphibole_end_members",  # r10
+    "titanite_end_members",  # r10
+    "chloritoid_end_members",  # r10
+    "cordierite_end_members",  # r10
+    "ilmenite_end_members",  # r10
+    "spinel_end_members",  # r10
+    "doc_lang_guess",  # r10
+    "doc_lang_confusion",  # r10
+    "doc_quality",  # r10
+    "doc_tokenize_bpe",  # r10
+    "dedup_exact",  # r10
+    "doc_fingerprint",  # r10
+    "minhash_signatures",  # r10
+    "doc_winnowed_fingerprints",  # r10
+    "neardup_minhash_pairs",  # r10
+    "corpus_curation",  # r10
+    "corpus_sample_stratified",  # r10
+    "corpus_train_split",  # r10
+    "corpus_pack_sequences",  # r10
+    "doc_boilerplate_ngrams",  # r10
+    "corpus_contamination",  # r10
+    "corpus_ingest_jsonl",  # r10
+    "corpus_ingest_jsonl_rejects",  # r10
+    "doc_repetition_metrics",  # r10
+    "simhash_neardup_pairs",  # r10
+    "jaccard_verified_neardups",  # r10
+    "corpus_spans_removed_all",  # r10
+    "semantic_incremental_pairs",  # r10
+    "semantic_neardup_multiprobe",  # r10
+    "dedup_components",  # r10
 ]
 
 
