@@ -114,32 +114,44 @@ def main(sf_dir: str, out: str) -> None:
     print(f"audio near-dup pairs touching the landing batch: "
           f"{a_pairs.count()}")
 
-    # 6. video tier: real container parse (concatenated P6), per-frame
-    #    dHash, near-dup = videos sharing >= 2 sampled-frame hashes.
-    #    The default stop-hash cap (max_hash_df) drops degenerate
-    #    black/fade/title frame hashes — the class that dominates real
-    #    video corpora and would otherwise be an O(V^2) join bucket.
+    # 6. video tier — the MEASURED production gate, streamed: each
+    #    micro-batch's containers are parsed ONCE into BOTH fingerprint
+    #    tiers (fixed-count sampled + shot-anchored; tier-tagged store
+    #    rows), and candidates run the per-tier fuzzy gates unioned.
+    #    tools/video_recall.py: the tiers fail on DISJOINT edit classes
+    #    (sampling dies on trims, exact hashing on photometric noise);
+    #    the union holds 1.0 recall on every measured edit class.
+    #    Registered oracle-checked batch twins:
+    #    ``media_video_neardups_fuzzy`` (the fuzzy gate) +
+    #    ``media_video_shots`` (the anchor tier) — and
+    #    ``media_video_neardups``/``media_video_stophash`` for the
+    #    exact/cap contracts.
+    v_landing = os.path.join(out, "video_landing")
     vids = mm.synthesize_fixture_videos(docs)
-    vsigs = mm.video_fingerprints(vids).localCheckpoint()
-    v_pairs = mm.video_neardup_pairs(vsigs, min_shared=2)
-    print(f"video near-dup pairs (shared-frame-hash): {v_pairs.count()}")
+    vids.filter("doc_id % 2 = 0").coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(v_landing, "batch0"))
+    vids.filter("doc_id % 2 = 1").coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(v_landing, "batch1"))
+    vq = sc.video_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(v_landing, "*"),
+                             max_files_per_trigger=1),
+        os.path.join(out, "video_store"),
+        os.path.join(out, "video_pairs"),
+        os.path.join(out, "video_ckpt"),
+        fingerprints="union", max_hash_df=10_000)
+    vq.awaitTermination(180)
+    v_pairs = sc.read_video_pairs(spark, os.path.join(out, "video_pairs"))
+    print(f"video near-dup pairs (union fuzzy gate, streamed): "
+          f"{v_pairs.count()}")
 
-    # 7. the MEASURED production video gate (tools/video_recall.py:
-    #    the two tiers fail on disjoint edit classes — trims vs
-    #    photometric — so the union is 1.0 on every measured edit):
-    #    fuzzy Hamming frame matching over BOTH the fixed-count sampled
-    #    hashes and the shot-anchored hashes, unioned.
-    shot_sigs = mm.video_fingerprints_shots(vids).localCheckpoint()
-    union_pairs = (
-        mm.video_neardup_pairs_fuzzy(vsigs, min_shared=2)
-        .select("doc_a", "doc_b")
-        .unionByName(
-            mm.video_neardup_pairs_fuzzy(shot_sigs, min_shared=2)
-            .select("doc_a", "doc_b"))
-        .distinct()
-    )
-    print(f"video near-dup pairs (union fuzzy gate): "
-          f"{union_pairs.count()}")
+    # 7. no silent caps: name what the stop-hash df cap removed — on a
+    #    real corpus these rows are the black/fade/title-card frame
+    #    classes; an unexpected entry is a decoder bug or fixture
+    #    aliasing.  One map-side-combinable aggregate over the landed
+    #    8-byte store rows.
+    vstore = spark.read.parquet(os.path.join(out, "video_store"))
+    dropped = mm.video_stop_hashes(vstore, max_hash_df=10_000)
+    print(f"stop-hashes dropped by the df cap: {dropped.count()}")
     print(f"curated media store + features under {out}")
 
 

@@ -679,7 +679,15 @@ def video_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id",
     frame hash is a dHash, so re-encoded/brightness-shifted frames
     still meet.  The input is expected barriered/cached by the caller
     if it is an expensive derivation (the registry fn
-    localCheckpoints)."""
+    localCheckpoints).
+
+    The cap is SILENT in the pair output by design (warning from inside
+    the operator would force an extra action per call); what it removes
+    is first-class observable — run :func:`video_stop_hashes` (the
+    dropped ``(fhash, df)`` rows) / :func:`video_hash_df_histogram`
+    alongside, as ``examples/media_curation.py`` step 7 does.  Callers
+    that need the pre-r13 unbounded semantics pass
+    ``max_hash_df=None`` explicitly."""
     return (
         video_candidate_pairs(sigs, id_col, max_hash_df, max_bucket)
         .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
@@ -821,6 +829,145 @@ def video_containment_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def video_union_fingerprints(df: DataFrame, content_col: str = "content",
+                             id_col: str = "doc_id", n_frames: int = 4,
+                             min_cut: int = 1_000_000,
+                             on_error: str = "raise") -> DataFrame:
+    """BOTH fingerprint tiers from ONE decode — the artifact of the
+    measured production video gate (union of sampled-fuzzy and
+    shots-fuzzy = 1.0 recall on every edit class in
+    ``tools/video_recall.py``, where each tier alone fails a disjoint
+    class: fixed-count sampling dies on trims, shot anchors alone
+    under-cover single-shot edits).  Output one row per fingerprint:
+    ``(id, tier, idx, fhash)`` with tier 0 = the fixed-count temporal-NN
+    sample of :func:`video_fingerprints` (idx = sample slot) and tier 1
+    = the content-locked hard-cut anchors of
+    :func:`video_fingerprints_shots` (idx = anchor frame).  The
+    container is parsed and the frames hashed ONCE — running the two
+    derivations as separate stages would double the decode, the only
+    expensive part.  Pairs via :func:`video_neardup_pairs_union`;
+    ``on_error='quarantine'`` emits one NULL-hash row per bad object
+    (tier −1), the landing-batch contract."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = f"{id_col} BIGINT, tier INT, idx INT, fhash BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def run(batches):
+        for pdf in batches:
+            ids, tiers, idxs, fhs, errs = [], [], [], [], []
+
+            def emit(i, tier, idx, fh):
+                ids.append(i)
+                tiers.append(tier)
+                idxs.append(idx)
+                fhs.append(fh)
+                errs.append(None)
+
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = decode_video_frames(
+                        bytes(blob) if blob is not None else b"")
+                    if not frames:
+                        raise NotImplementedError("zero-frame stream")
+                    nf = len(frames)
+                    hashes = {}  # frame index → dHash, computed once
+
+                    def fh_of(p, frames=frames, hashes=hashes):
+                        if p not in hashes:
+                            hashes[p] = dhash64(frames[p])
+                        return hashes[p]
+
+                    for k in range(n_frames):
+                        p = min(int((k + 0.5) * nf / n_frames), nf - 1)
+                        emit(i, 0, k, fh_of(p))
+                    grids = [luma_grid(f, 8, 8) for f in frames]
+                    anchors = [a for a in range(1, nf)
+                               if int(np.abs(grids[a] - grids[a - 1])
+                                      .sum()) > min_cut] or [nf // 2]
+                    for a in anchors:
+                        emit(i, 1, a, fh_of(a))
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    tiers.append(-1)
+                    idxs.append(-1)
+                    fhs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "tier": tiers, "idx": idxs,
+                   "fhash": pd.array(fhs, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def video_neardup_pairs_union(sigs: DataFrame, id_col: str = "doc_id",
+                              min_shared: int = 2, max_hamming: int = 3,
+                              max_hash_df: int | None =
+                              DEFAULT_VIDEO_STOP_HASH_DF,
+                              max_bucket: int = 10_000) -> DataFrame:
+    """The measured production video gate over tier-tagged rows
+    (:func:`video_union_fingerprints` output): run the fuzzy gate
+    INDEPENDENTLY per tier — stop-hash cap, quarter-blocked Hamming ≤
+    ``max_hamming`` matching, the conservative least-side ``n_shared``
+    — and a pair fires when EITHER tier clears ``min_shared``
+    (``n_shared`` = greatest over the tiers that fired).  Per-tier
+    evaluation matters: document frequencies, denominators, and share
+    counts must not mix across tiers (a sampled hash and a shot hash of
+    the same frame are the same value — pooling them would double-count
+    it).  Cost: two blocked passes over disjoint slices of the same
+    8-byte rows, exactly what running the registered
+    ``media_video_neardups_fuzzy`` + ``media_video_shots``-based gates
+    separately costs, minus the second decode."""
+    parts = [
+        video_neardup_pairs_fuzzy(
+            sigs.where(F.col("tier") == t), id_col, min_shared,
+            max_hamming, max_hash_df, max_bucket)
+        for t in (0, 1)
+    ]
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("n_shared").alias("n_shared"))
+    )
+
+
+def video_incremental_pairs_union(store_sigs: DataFrame | None,
+                                  new_sigs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  min_shared: int = 2,
+                                  max_hamming: int = 3,
+                                  max_hash_df: int | None =
+                                  DEFAULT_VIDEO_STOP_HASH_DF,
+                                  max_bucket: int = 10_000,
+                                  store_shards: int = 8) -> DataFrame:
+    """Incremental twin of :func:`video_neardup_pairs_union`: the
+    per-tier fuzzy incremental gates over a tier-tagged store/batch,
+    unioned with ``n_shared`` = greatest over fired tiers.  Result ≡
+    the full union gate restricted to batch-touching pairs
+    (pytest-pinned): each tier's restriction is exact, and the union of
+    restrictions is the restriction of the union."""
+    parts = [
+        video_incremental_pairs_fuzzy(
+            None if store_sigs is None
+            else store_sigs.where(F.col("tier") == t),
+            new_sigs.where(F.col("tier") == t), id_col, min_shared,
+            max_hamming, max_hash_df, max_bucket, store_shards)
+        for t in (0, 1)
+    ]
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("n_shared").alias("n_shared"))
+    )
+
+
 def video_incremental_pairs(store_sigs: DataFrame | None,
                             new_sigs: DataFrame, id_col: str = "doc_id",
                             min_shared: int = 2,
@@ -905,18 +1052,16 @@ def video_incremental_containment(store_sigs: DataFrame | None,
     store ∪ batch, so result ≡ the full containment gate restricted to
     batch-touching pairs (pytest-pinned).  Store cost: 8-byte hash
     rows + one count aggregate per batch."""
+    # one capped store∪batch derivation feeds BOTH the matcher and the
+    # denominators (the r13 advice: the df aggregate and the distinct
+    # row set used to be computed twice per batch)
+    newd, stored = _video_incremental_capped(
+        store_sigs, new_sigs, id_col, max_hash_df)
     matched = _video_incremental_fuzzy_matches(
         store_sigs, new_sigs, id_col, max_hamming, max_hash_df,
-        max_bucket, store_shards)
-    newd = _video_capped_hashes(new_sigs, id_col, None)
-    alld = newd if store_sigs is None else newd.unionByName(
-        _video_capped_hashes(store_sigs, id_col, None)).distinct()
-    if max_hash_df is not None:
-        hot = (
-            alld.groupBy("fhash").agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > int(max_hash_df)).select("fhash")
-        )
-        alld = alld.join(F.broadcast(hot), "fhash", "anti")
+        max_bucket, store_shards, capped=(newd, stored))
+    alld = newd if stored is None \
+        else newd.unionByName(stored).distinct()
     counts = alld.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     per_pair = matched.groupBy("doc_a", "doc_b").agg(
         F.countDistinct("sig_a").alias("n_matched_a"),
@@ -972,19 +1117,16 @@ def video_incremental_pairs_fuzzy(store_sigs: DataFrame | None,
     )
 
 
-def _video_incremental_fuzzy_matches(store_sigs: DataFrame | None,
-                                     new_sigs: DataFrame, id_col: str,
-                                     max_hamming: int,
-                                     max_hash_df: int | None,
-                                     max_bucket: int,
-                                     store_shards: int) -> DataFrame:
-    """Distinct batch-touching fuzzy frame-hash matches
-    ``(doc_a, doc_b, sig_a, sig_b, hamming)`` — the shared head of the
-    incremental fuzzy near-dup and containment gates (global stop-hash
-    cap, shard/flag/chunk-grid machinery)."""
-    from petropandas_spark.pipeline.dedup import (
-        _flag_and_shard, _incremental_value_pairs)
-
+def _video_incremental_capped(store_sigs: DataFrame | None,
+                              new_sigs: DataFrame, id_col: str,
+                              max_hash_df: int | None
+                              ) -> tuple[DataFrame, DataFrame | None]:
+    """Distinct non-NULL (id, fhash) rows for batch and store with the
+    GLOBAL stop-hash cap applied (df over store ∪ batch, so the
+    incremental result equals the full recompute's slice) — the shared
+    head of the incremental fuzzy matcher and the containment twin's
+    denominators, extracted so the df aggregate is planned once per
+    batch instead of twice."""
     newd = new_sigs.select(id_col, "fhash") \
         .where(F.col("fhash").isNotNull()).distinct()
     stored = None if store_sigs is None else (
@@ -1000,6 +1142,30 @@ def _video_incremental_fuzzy_matches(store_sigs: DataFrame | None,
         newd = newd.join(F.broadcast(hot), "fhash", "anti")
         if stored is not None:
             stored = stored.join(F.broadcast(hot), "fhash", "anti")
+    return newd, stored
+
+
+def _video_incremental_fuzzy_matches(store_sigs: DataFrame | None,
+                                     new_sigs: DataFrame, id_col: str,
+                                     max_hamming: int,
+                                     max_hash_df: int | None,
+                                     max_bucket: int,
+                                     store_shards: int,
+                                     capped: tuple | None = None
+                                     ) -> DataFrame:
+    """Distinct batch-touching fuzzy frame-hash matches
+    ``(doc_a, doc_b, sig_a, sig_b, hamming)`` — the shared head of the
+    incremental fuzzy near-dup and containment gates (global stop-hash
+    cap, shard/flag/chunk-grid machinery).  ``capped`` lets a caller
+    that also needs the capped row sets (the containment twin's
+    denominators) pass the :func:`_video_incremental_capped` result in
+    instead of deriving it a second time."""
+    from petropandas_spark.pipeline.dedup import (
+        _flag_and_shard, _incremental_value_pairs)
+
+    newd, stored = capped if capped is not None \
+        else _video_incremental_capped(
+            store_sigs, new_sigs, id_col, max_hash_df)
 
     qmask = 0xFFFF
 

@@ -135,7 +135,15 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     whitespace-only / NULL text) has no ``classifier_scores`` row at
     all — the model never scored it, so this filter must not silently
     remove it (length-based gates like ``doc_quality`` own that
-    decision).  Only documents the model explicitly rejected drop."""
+    decision).  Only documents the model explicitly rejected drop.
+
+    NULL ``id_col`` rows follow the same retention rule by the same
+    mechanism: a NULL id never equi-matches in the anti-join, so such
+    rows are always RETAINED here (under the old semi-join spelling
+    they were dropped).  This is deliberate — a NULL id is an identity
+    problem, not a quality verdict, and identity hygiene belongs to the
+    ingest/validation layer (``corpus_ingest_jsonl`` quarantines,
+    ``validation.expect_unique_keys``), not a quality gate."""
     rejected = classifier_scores(df, text_col, id_col, n_buckets) \
         .where("keep = 0").select(id_col)
     return df.join(rejected, id_col, "anti")

@@ -146,6 +146,29 @@ def _incremental_ingest_stream(stream_df, store_path: str,
                 store_schema = StructType(
                     list(art.schema.fields)
                     + [StructField("batch_id", LongType())])
+                # layout guard: the pinned schema is derived from the
+                # CURRENT mode's artifact, so reusing a store path after
+                # switching modes (video fingerprints='shots'/'union',
+                # audio offsets=...) would silently read old-layout
+                # parquet through the new schema — absent columns come
+                # back NULL and old-mode hashes mix into the new gate.
+                # Compare the landed files' actual column names and fail
+                # loudly instead (footer-only read; skipped only when
+                # there are no data files yet, where the pinned schema
+                # is the layout by construction).
+                try:
+                    landed = sorted(spark.read.parquet(store_path)
+                                    .schema.names)
+                except Exception:  # noqa: BLE001 — no data files yet;
+                    landed = None  # a corrupt store still fails the
+                    #                pinned-schema read below
+                pinned = sorted(f.name for f in store_schema.fields)
+                if landed is not None and landed != pinned:
+                    raise ValueError(
+                        f"signature store at {store_path} has layout "
+                        f"{landed}, but the current ingest mode writes "
+                        f"{pinned} — changing fingerprint/offset modes "
+                        f"requires a fresh store_path")
                 store = _dd.read_signature_store(
                     spark, store_path, schema=store_schema).drop("batch_id")
             else:  # first batch: matches among the batch itself
@@ -344,7 +367,8 @@ def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
                         checkpoint: str, min_shared: int = 2,
                         max_hash_df: int | None = None,
                         fingerprints: str = "sampled",
-                        fuzzy: bool = False):
+                        fuzzy: bool = False, max_hamming: int = 3,
+                        min_cut: int = 1_000_000):
     """Continuous VIDEO near-dup ingestion on the shared exactly-once
     scaffold: each micro-batch's containers are parsed + frame-hashed
     (the only stage touching bytes), the shared-frame-hash pairs
@@ -367,29 +391,51 @@ def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
     either way.
 
     ``fingerprints``: ``"sampled"`` (fixed-count temporal NN — the r12
-    store layout) or ``"shots"`` (hard-cut anchors,
+    store layout), ``"shots"`` (hard-cut anchors at ``min_cut``,
     :func:`...video_fingerprints_shots` — trim/prepend-robust per
-    ``tools/video_recall.py``).  ``fuzzy=True`` gates frame matches at
-    Hamming ≤ 3 instead of exact equality
+    ``tools/video_recall.py``), or ``"union"`` — the MEASURED
+    production spelling (1.0 recall on every edit class): BOTH tiers
+    from ONE decode per batch
+    (:func:`...video_union_fingerprints` — tier-tagged store rows),
+    per-tier fuzzy gates unioned
+    (:func:`...video_incremental_pairs_union`; registered batch twins:
+    ``media_video_neardups_fuzzy`` + ``media_video_shots``).
+    ``fuzzy=True`` gates frame matches at Hamming ≤ ``max_hamming``
+    instead of exact equality
     (:func:`...video_incremental_pairs_fuzzy` — the photometric-edit
-    mitigation).  The measured production spelling is the UNION of two
-    streams (sampled+fuzzy, shots+fuzzy) over separate store/pair
-    paths — 1.0 recall on every measured edit class."""
+    mitigation); the union tier is inherently fuzzy, so ``fuzzy`` is
+    implied there.  Changing ``fingerprints`` (or the audio twin's
+    ``offsets``) against an EXISTING store is a layout change — the
+    scaffold validates landed column names per batch and fails loudly
+    rather than mixing old-mode rows into the new gate."""
     from petropandas_spark.pipeline import multimodal as _mm
 
-    if fingerprints not in ("sampled", "shots"):
-        raise ValueError(f"fingerprints must be 'sampled' or 'shots', "
-                         f"got {fingerprints!r}")
+    if fingerprints not in ("sampled", "shots", "union"):
+        raise ValueError(f"fingerprints must be 'sampled', 'shots' or "
+                         f"'union', got {fingerprints!r}")
+    if fingerprints == "union":
+        return _incremental_ingest_stream(
+            stream_df, store_path, pairs_path, checkpoint,
+            derive=lambda df: _mm.video_union_fingerprints(
+                df, min_cut=min_cut),
+            candidates=lambda store, sigs: _mm.video_incremental_pairs_union(
+                store, sigs, "doc_id", min_shared=min_shared,
+                max_hamming=max_hamming, max_hash_df=max_hash_df),
+        )
     derive = (_mm.video_fingerprints if fingerprints == "sampled"
-              else _mm.video_fingerprints_shots)
-    pair_fn = (_mm.video_incremental_pairs_fuzzy if fuzzy
-               else _mm.video_incremental_pairs)
+              else (lambda df: _mm.video_fingerprints_shots(
+                  df, min_cut=min_cut)))
+    if fuzzy:
+        candidates = lambda store, sigs: _mm.video_incremental_pairs_fuzzy(  # noqa: E731
+            store, sigs, "doc_id", min_shared=min_shared,
+            max_hamming=max_hamming, max_hash_df=max_hash_df)
+    else:
+        candidates = lambda store, sigs: _mm.video_incremental_pairs(  # noqa: E731
+            store, sigs, "doc_id", min_shared=min_shared,
+            max_hash_df=max_hash_df)
     return _incremental_ingest_stream(
         stream_df, store_path, pairs_path, checkpoint,
-        derive=derive,
-        candidates=lambda store, sigs: pair_fn(
-            store, sigs, "doc_id", min_shared=min_shared,
-            max_hash_df=max_hash_df),
+        derive=derive, candidates=candidates,
     )
 
 

@@ -1047,6 +1047,56 @@ FROM dbit GROUP BY doc_id, f
                       max_hash_df=None).collect()}
             assert exact == h0 and len(exact) > 0
 
+    def test_union_fingerprints_match_single_tier_derivations(self, spark):
+        """video_union_fingerprints (one decode) reproduces EXACTLY the
+        two single-tier artifacts: tier 0 ≡ video_fingerprints (slot →
+        hash), tier 1 ≡ video_fingerprints_shots (anchor → hash)."""
+        docs = spark.range(0, 12).selectExpr("id AS doc_id")
+        vids = mm.synthesize_fixture_videos(docs).localCheckpoint()
+        u = mm.video_union_fingerprints(vids).localCheckpoint()
+        t0 = {(r.doc_id, r.idx, r.fhash)
+              for r in u.where("tier = 0").collect()}
+        t1 = {(r.doc_id, r.idx, r.fhash)
+              for r in u.where("tier = 1").collect()}
+        sampled = {(r.doc_id, r.frame_idx, r.fhash)
+                   for r in mm.video_fingerprints(vids).collect()}
+        shots = {(r.doc_id, r.anchor_idx, r.fhash)
+                 for r in mm.video_fingerprints_shots(vids).collect()}
+        assert t0 == sampled and t1 == shots
+        # quarantine contract: one NULL row, tier -1
+        bad = spark.createDataFrame(
+            [(99, bytearray(b"notvideo"))], "doc_id LONG, content BINARY")
+        rows = mm.video_union_fingerprints(
+            bad, on_error="quarantine").collect()
+        assert len(rows) == 1 and rows[0].tier == -1 \
+            and rows[0].fhash is None
+
+    def test_union_gate_equals_union_of_tier_gates(self, spark):
+        """video_neardup_pairs_union ≡ per-tier fuzzy gates unioned
+        with n_shared = greatest over fired tiers, and the incremental
+        twin ≡ the full union restricted to batch-touching pairs."""
+        docs = spark.range(0, 15).selectExpr("id AS doc_id")
+        vids = mm.synthesize_fixture_videos(docs).localCheckpoint()
+        u = mm.video_union_fingerprints(vids).localCheckpoint()
+        got = {(r.doc_a, r.doc_b, r.n_shared)
+               for r in mm.video_neardup_pairs_union(
+                   u, min_shared=1).collect()}
+        expect: dict = {}
+        for t in (0, 1):
+            for r in mm.video_neardup_pairs_fuzzy(
+                    u.where(f"tier = {t}"), min_shared=1).collect():
+                k = (r.doc_a, r.doc_b)
+                expect[k] = max(expect.get(k, 0), r.n_shared)
+        assert got == {(a, b, n) for (a, b), n in expect.items()}
+        assert len(got) > 0
+        store = u.where("doc_id < 9")
+        batch = u.where("doc_id >= 9")
+        incr = {(r.doc_a, r.doc_b, r.n_shared)
+                for r in mm.video_incremental_pairs_union(
+                    store, batch, min_shared=1).collect()}
+        assert incr == {(a, b, n) for (a, b, n) in got
+                        if a >= 9 or b >= 9}
+
     def test_video_stop_hash_observability(self, spark):
         """video_stop_hashes names exactly what the cap removes;
         video_hash_df_histogram carries the df tail."""

@@ -598,6 +598,74 @@ def test_video_ingest_stream_matches_full_recompute(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_video_ingest_stream_union_matches_full(spark, tmp_path):
+    """The SHIPPED production video spelling (fingerprints='union' —
+    one decode per batch, tier-tagged store, per-tier fuzzy gates
+    unioned): union of landed pair partitions ≡ the full-corpus
+    video_neardup_pairs_union over video_union_fingerprints."""
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "video_u_landing")
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    vids = mm.synthesize_fixture_videos(ids)
+    vids.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    vids.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    stream = sc.read_media_stream(
+        spark, os.path.join(path, "*"), max_files_per_trigger=1)
+    store_path = str(tmp_path / "vu_store")
+    q = sc.video_ingest_stream(
+        stream, store_path, str(tmp_path / "vu_pairs"),
+        str(tmp_path / "vu_ck"), min_shared=1, fingerprints="union")
+    assert q.awaitTermination(180)
+    got = {(r.doc_a, r.doc_b, r.n_shared) for r in
+           sc.read_video_pairs(spark, str(tmp_path / "vu_pairs"))
+           .collect()}
+    full_sigs = mm.video_union_fingerprints(
+        spark.read.parquet(os.path.join(path, "*"))).localCheckpoint()
+    expect = {(r.doc_a, r.doc_b, r.n_shared)
+              for r in mm.video_neardup_pairs_union(
+                  full_sigs, min_shared=1).collect()}
+    assert got == expect and len(got) > 0
+    # tier-tagged store layout landed
+    store = spark.read.parquet(store_path)
+    assert {"tier", "idx", "fhash"} <= set(store.columns)
+
+
+def test_video_store_layout_guard_fails_loudly(spark, tmp_path):
+    """Reusing a store path across fingerprint modes must FAIL the
+    batch, not silently read old-layout parquet through the new pinned
+    schema (r13 advice): drain once with 'sampled', then point a
+    'union' stream at the same store — the second drain raises with
+    the layout mismatch named."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "video_lg_landing")
+    ids = spark.range(0, 6).selectExpr("id AS doc_id")
+    mm.synthesize_fixture_videos(ids).coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    store_path = str(tmp_path / "vlg_store")
+    q = sc.video_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(path, "*")),
+        store_path, str(tmp_path / "vlg_pairs"),
+        str(tmp_path / "vlg_ck"))
+    assert q.awaitTermination(180)
+    # second landing, new stream in a DIFFERENT mode over the SAME store
+    mm.synthesize_fixture_videos(
+        spark.range(6, 12).selectExpr("id AS doc_id")
+    ).coalesce(1).write.parquet(os.path.join(path, "batch1"))
+    q2 = sc.video_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(path, "*")),
+        store_path, str(tmp_path / "vlg_pairs"),
+        str(tmp_path / "vlg_ck2"), fingerprints="union")
+    with pytest.raises(StreamingQueryException, match="fresh store_path"):
+        q2.awaitTermination(180)
+        q2.processAllAvailable()
+
+
 def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
     """Compact the pHash signature store between two drains: the
     resumed stream keeps landing the same pairs it would have against
