@@ -308,8 +308,16 @@ def fixture_pixel_values(doc_id: int) -> np.ndarray:
     # signs only at wrap boundaries), turning the planted near-dup
     # structure into accidental giant clusters — measured 72-doc
     # clusters at sf0.1 vs max 7 with the mixed coefficients
+    # the r·c CROSS term (base-mixed, r14) makes the column gradient
+    # row-DEPENDENT: with row/col slopes alone the dHash sign-pattern
+    # space is ~(89·101) and saturates at corpus scale — measured max
+    # same-hash cluster 50 at 50k contiguous ids (the ×10 sweep tier),
+    # which manufactured a 44–58× H≤3 pair blowup the operators then
+    # absorbed.  With the cross term: max cluster 3 at 50k / 4 at 150k,
+    # planted pairs only at H≤3, family structure intact (variant 1
+    # within H≤2 of base, variant 2 ≥ 20 bits out).
     px = (base * 7919 + r * (131 + base % 89)
-          + c * (17 + base % 101) + ch * 59)
+          + c * (17 + base % 101) + r * c * (7 + base % 13) + ch * 59)
     m = doc_id % 3
     if m == 1:
         px = px + np.where((r == 2 * (doc_id % 8) + 1) & (c == 9), 101, 0)
@@ -1480,6 +1488,115 @@ def audio_neardup_pairs_multioffset(fps: DataFrame,
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def audio_fingerprints_windows(df: DataFrame,
+                               window_samples: int = 260,
+                               content_col: str = "content",
+                               id_col: str = "doc_id",
+                               on_error: str = "raise") -> DataFrame:
+    """WINDOWED audio fingerprints — the containment substrate: one
+    ``(id, win_idx, afp)`` row per full ``window_samples`` slice of the
+    decoded clip (decode ONCE, fingerprint each window with
+    :func:`audio_fingerprint64`'s proportional 65-frame grid over the
+    window).  Whole-clip fingerprints collapse a clip and the longer
+    track it was cut from into ONE comparison that fails (the global
+    energy profile differs), exactly the failure the video tier solved
+    with per-frame hashes: windows are the audio analog of frames, and
+    a clip cut at window granularity shares its windows' fingerprints
+    with the track's corresponding windows.  Pairs via
+    :func:`audio_containment_pairs` (asymmetric fraction-matched gate);
+    a clip shorter than one window emits no rows (nothing to contain);
+    ``on_error='quarantine'`` emits one NULL row (win_idx −1)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    w = int(window_samples)
+    if w <= 0:
+        raise ValueError(f"window_samples must be positive, got {w}")
+    schema = f"{id_col} BIGINT, win_idx INT, afp BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def run(batches):
+        for pdf in batches:
+            ids, wis, fps, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    x, _rate = decode_audio(
+                        bytes(blob) if blob is not None else b"")
+                    for k in range(len(x) // w):
+                        ids.append(i)
+                        wis.append(k)
+                        fps.append(audio_fingerprint64(x[k * w:(k + 1) * w]))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    wis.append(-1)
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "win_idx": wis,
+                   "afp": pd.array(fps, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def audio_containment_pairs(fps: DataFrame, id_col: str = "doc_id",
+                            min_frac: float = 0.8, max_hamming: int = 3,
+                            max_fp_df: int | None =
+                            DEFAULT_VIDEO_STOP_HASH_DF,
+                            max_bucket: int = 10_000) -> DataFrame:
+    """SHORT-IN-LONG audio detection — the audio twin of
+    :func:`video_containment_pairs` (r13 verdict next-item 5): a pair
+    fires when at least ``min_frac`` of EITHER clip's (capped) windowed
+    fingerprints fuzzy-match (Hamming ≤ ``max_hamming``) the other's —
+    a clip sampled from a longer track matches ~all of ITS windows
+    while covering few of the track's, which is exactly what the
+    symmetric whole-clip gate cannot see.  Sampling/clipping is the
+    dominant real-world audio edit, so this is the ingest-time
+    provenance gate for audio.
+
+    Same machinery as the video gate (the helpers are generic over
+    ``(id, signature)`` rows): stop-signature df cap first
+    (``max_fp_df`` — a silence/tone window shared by a large fraction
+    of all clips is a degenerate O(N²) bucket, the audio analog of
+    black frames), one quarter-blocked pass over 8-byte rows,
+    post-cap denominators.  Input: :func:`audio_fingerprints_windows`
+    output.  Returns ``(doc_a, doc_b, n_matched_a, n_matched_b,
+    containment)``."""
+    return video_containment_pairs(
+        fps.select(id_col, F.col("afp").alias("fhash")), id_col,
+        min_frac, max_hamming, max_fp_df, max_bucket)
+
+
+def audio_incremental_containment(store_fps: DataFrame | None,
+                                  new_fps: DataFrame,
+                                  id_col: str = "doc_id",
+                                  min_frac: float = 0.8,
+                                  max_hamming: int = 3,
+                                  max_fp_df: int | None =
+                                  DEFAULT_VIDEO_STOP_HASH_DF,
+                                  max_bucket: int = 10_000,
+                                  store_shards: int = 8) -> DataFrame:
+    """Incremental twin of :func:`audio_containment_pairs` — the
+    ingest-time "is this landing clip sampled from a settled track (or
+    vice versa)?" check, delegating to the shared incremental
+    containment machinery (global df cap over store ∪ batch,
+    batch-touching pairs only, denominators over store ∪ batch; result
+    ≡ the full gate restricted to batch-touching pairs,
+    pytest-pinned).  The store carries 8-byte window fingerprints —
+    settled audio is never re-decoded."""
+    rename = (lambda d: None if d is None
+              else d.select(id_col, F.col("afp").alias("fhash")))
+    return video_incremental_containment(
+        rename(store_fps), rename(new_fps), id_col, min_frac,
+        max_hamming, max_fp_df, max_bucket, store_shards)
 
 
 def audio_incremental_pairs_multioffset(store_fps: DataFrame | None,

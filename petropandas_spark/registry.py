@@ -2967,8 +2967,11 @@ def _phash_duck_ctes() -> str:
     integer mean / right-neighbor comparisons, simhash's signed-long
     bit packing (bit 63 = Long.MIN_VALUE, added inside the SUM)."""
     def px(ch: int) -> str:
+        # r·c cross term mirrors the r14 de-aliased fixture (see
+        # multimodal.fixture_pixel_values)
         return (f"((base*7919 + r*(131 + base % 89) "
-                f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+                f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
+                f"+ {ch}*59 + pert) % 251)")
 
     pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
             "THEN -9223372036854775808 "
@@ -5396,6 +5399,14 @@ _VERIFY_FIRST = [
     "media_video_shots",
     "media_audio_fp_offsets",
     "media_audio_multioffset",
+    # r14 changed-oracle (image fixture de-aliased with the r*c cross
+    # term — all five image-query oracles changed; they must re-prove
+    # under the driver this round):
+    "media_phash_signatures",
+    "media_phash_neardups",
+    "media_phash_neardups_either",
+    "media_phash_incremental",
+    "media_phash_survivors",
     # 45 head slots left; stalest proven names (last-green round in comment):
     "garnet_end_members",  # r10
     "cpx_end_members",  # r10
@@ -5437,11 +5448,6 @@ _VERIFY_FIRST = [
     "corpus_ingest_jsonl_rejects",  # r10
     "doc_repetition_metrics",  # r10
     "simhash_neardup_pairs",  # r10
-    "jaccard_verified_neardups",  # r10
-    "corpus_spans_removed_all",  # r10
-    "semantic_incremental_pairs",  # r10
-    "semantic_neardup_multiprobe",  # r10
-    "dedup_components",  # r10
 ]
 
 

@@ -337,6 +337,163 @@ HAVING MIN(bit_count(xor(a.afp, b.afp))) <= 3
         with pytest.raises(ValueError, match="sig_cols"):
             dd.hamming_incremental_pairs_either(store, batch, [])
 
+    def test_audio_containment_short_in_long(self, spark):
+        """A 2-window clip sampled from a 4-window track: the symmetric
+        whole-clip gate misses it (the global energy profile differs),
+        the windowed containment gate finds it at containment 1.0 (2/2
+        of the SHORT side's windows matched); an unrelated track stays
+        out.  Per-clip random amplitude profiles (the r13 fixture
+        lesson: global envelopes degenerate the unrelated floor)."""
+        rng = np.random.default_rng(61)
+        w, rate = 1040, 8000
+
+        def wav(samples):
+            return bytearray(mm.encode_wav(
+                samples.astype(np.float32) / 32767.0, rate))
+
+        track = rng.integers(-2000, 2000, 4 * w).astype(np.int64)
+        clip = track[w:3 * w]                      # windows 1..2
+        other = rng.integers(-2000, 2000, 3 * w).astype(np.int64)
+        df = spark.createDataFrame(
+            [(0, wav(track)), (1, wav(clip)), (2, wav(other))],
+            "doc_id LONG, content BINARY")
+        fps = mm.audio_fingerprints_windows(
+            df, window_samples=w).localCheckpoint()
+        # whole-clip symmetric gate: clip vs track NOT within H<=3
+        whole = mm.audio_fingerprints(df)
+        sym = {(r.doc_a, r.doc_b) for r in
+               dd.hamming_neardup_pairs(whole, "afp", "doc_id",
+                                        max_hamming=3).collect()}
+        assert (0, 1) not in sym
+        got = {(r.doc_a, r.doc_b): r
+               for r in mm.audio_containment_pairs(
+                   fps, min_frac=0.8).collect()}
+        assert set(got) == {(0, 1)}
+        r = got[(0, 1)]
+        assert r.n_matched_b == 2 and abs(r.containment - 1.0) < 1e-9
+
+    def test_audio_incremental_containment_equals_full(self, spark):
+        """(store, batch) containment ≡ the full gate restricted to
+        batch-touching pairs, denominators over store ∪ batch."""
+        rng = np.random.default_rng(67)
+        rows = []
+        for cid in range(10):
+            sigs = rng.integers(-(1 << 62), 1 << 62,
+                                5 if cid % 2 == 0 else 2, dtype=np.int64)
+            if cid % 2 == 1:  # odd clips are cut from the previous track
+                prev = [r for r in rows if r[0] == cid - 1][1:3]
+                sigs = [p[2] ^ 1 for p in prev]
+            rows += [(cid, k, int(s)) for k, s in enumerate(sigs)]
+        fps = spark.createDataFrame(
+            rows, "doc_id LONG, win_idx INT, afp LONG")
+        store = fps.where("doc_id < 6")
+        batch = fps.where("doc_id >= 6")
+        incr = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                for r in mm.audio_incremental_containment(
+                    store, batch, min_frac=0.8).collect()}
+        full = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                for r in mm.audio_containment_pairs(
+                    fps, min_frac=0.8).collect()
+                if r.doc_a >= 6 or r.doc_b >= 6}
+        assert incr == full and len(incr) > 0
+        first = {(r.doc_a, r.doc_b, round(r.containment, 9))
+                 for r in mm.audio_incremental_containment(
+                     None, fps, min_frac=0.8).collect()}
+        assert first == {(r.doc_a, r.doc_b, round(r.containment, 9))
+                         for r in mm.audio_containment_pairs(
+                             fps, min_frac=0.8).collect()}
+
+    def test_audio_windows_duckdb_cross_check(self, spark):
+        """DuckDB mirror of the windowed fingerprints and the
+        containment gate on the closed-form fixture clips (the
+        r15-registration-ready oracle shape): re-frame the sample
+        formula per 260-sample window (4 windows per 1040-sample clip),
+        pack the energy-sign bits, and apply the capped all-pairs H≤3
+        fraction gate."""
+        import duckdb
+
+        from petropandas_spark.registry import _audio_fp_duck_ctes
+
+        n_docs, w = 36, 260
+        docs = spark.range(0, n_docs).selectExpr("id AS doc_id")
+        fps = mm.audio_fingerprints_windows(
+            mm.synthesize_fixture_audio(docs),
+            window_samples=w).localCheckpoint()
+        got_fps = {(r.doc_id, r.win_idx, r.afp) for r in fps.collect()}
+        got_pairs = {(r.doc_a, r.doc_b, r.n_matched_a, r.n_matched_b,
+                      round(r.containment, 9))
+                     for r in mm.audio_containment_pairs(
+                         fps, min_frac=0.7, max_hamming=3,
+                         max_fp_df=10).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE documents AS "
+            f"SELECT unnest(generate_series(0, {n_docs - 1}, 1)) AS doc_id")
+        pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+                "THEN -9223372036854775808 "
+                "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+                "ELSE 0 END) AS BIGINT)")
+        base = f"""
+WITH {_audio_fp_duck_ctes()},
+wsmp AS (SELECT doc_id, i // {w} AS wi, i % {w} AS j, s FROM asmp),
+wnrg AS (SELECT doc_id, wi, (j * 65) // {w} AS f, SUM(s * s) AS e
+         FROM wsmp GROUP BY ALL),
+wbit AS (SELECT a.doc_id, a.wi, a.f AS b,
+                CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+         FROM wnrg a JOIN wnrg nx
+           ON a.doc_id = nx.doc_id AND a.wi = nx.wi AND nx.f = a.f + 1),
+wfps AS (SELECT doc_id, CAST(wi AS INT) AS win_idx, {pack} AS afp
+         FROM wbit GROUP BY doc_id, wi)"""
+        expect_fps = {(d, i, a) for d, i, a in con.execute(
+            base + "\nSELECT doc_id, win_idx, afp FROM wfps").fetchall()}
+        assert got_fps == expect_fps and len(got_fps) == 4 * n_docs
+        pair_sql = base + f"""
+, vd AS (SELECT DISTINCT doc_id, afp FROM wfps),
+vok AS (SELECT afp FROM vd GROUP BY afp HAVING COUNT(*) <= 10),
+vk AS (SELECT vd.doc_id, vd.afp FROM vd JOIN vok USING (afp)),
+vc AS (SELECT doc_id, COUNT(*) AS n FROM vk GROUP BY doc_id),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.afp AS sa, b.afp AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.afp, b.afp)) <= 3),
+pp AS (SELECT doc_a, doc_b,
+              COUNT(DISTINCT sa) AS na, COUNT(DISTINCT sb) AS nb
+       FROM m GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, na, nb,
+       greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+         AS containment
+FROM pp JOIN vc ca ON ca.doc_id = pp.doc_a
+        JOIN vc cb ON cb.doc_id = pp.doc_b
+WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+      >= 0.7
+"""
+        expect_pairs = {(a, b, int(na), int(nb), round(c, 9))
+                        for a, b, na, nb, c in
+                        con.execute(pair_sql).fetchall()}
+        assert got_pairs == expect_pairs and len(got_pairs) > 0
+
+    def test_audio_windows_quarantine_and_short_clip(self, spark):
+        """Quarantine contract (NULL row, win_idx -1) and the
+        shorter-than-one-window clip emitting no rows."""
+        ok = mm.fixture_audio_samples(0).astype(np.float32) / 32767.0
+        df = spark.createDataFrame(
+            [(0, bytearray(mm.encode_wav(ok, 8000))),
+             (1, bytearray(b"notwav")),
+             (2, bytearray(mm.encode_wav(ok[:100], 8000)))],
+            "doc_id LONG, content BINARY")
+        rows = mm.audio_fingerprints_windows(
+            df, window_samples=520, on_error="quarantine").collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, []).append(r)
+        assert len(by_id[0]) == 2  # 1040 // 520
+        assert len(by_id[1]) == 1 and by_id[1][0].afp is None \
+            and by_id[1][0].win_idx == -1
+        assert 2 not in by_id  # 100 < 520: no full window
+        with pytest.raises(ValueError, match="window_samples"):
+            mm.audio_fingerprints_windows(df, window_samples=0)
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(

@@ -239,6 +239,54 @@ def test_phash_either_plan_gate(spark, registry):
     assert "bit_count" in plan
 
 
+def test_video_fuzzy_plan_gate(spark, registry):
+    """The fuzzy video gate (r14): quarter-blocked equi machinery over
+    the checkpointed 8-byte hashes — no nested-loop frame compare, no
+    re-decode past the barrier, Hamming as a JVM-side post-filter, and
+    the stop-hash cap's anti-join BROADCAST (the hot set is
+    operator-sized by construction)."""
+    df = registry["media_video_neardups_fuzzy"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "bit_count" in plan
+
+
+def test_video_containment_plan_gate(spark, registry):
+    """Containment (r14): the matched-frame derivation plus two
+    per-video count joins — every join equi (pair keys / id), no
+    cartesian, no re-decode past the barrier."""
+    df = registry["media_video_containment"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_video_shots_single_arrow_stage(spark, registry):
+    """Shot-anchored fingerprints (r14): the whole scan (parse →
+    grid-diff → anchor dHashes) is ONE Arrow stage over the synth
+    stage — no shuffle at all in the signature derivation."""
+    df = registry["media_video_shots"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("MapInPandas") == 2  # synth + fingerprint scan
+    assert "Exchange" not in plan
+
+
+def test_audio_multioffset_plan_gate(spark, registry):
+    """Multi-offset audio pairs (r14): ONE blocked pass over the
+    stacked checkpointed rows (every offset combination probed by the
+    same equi join), min-over-combos as a partial agg — no
+    nested-loop, no re-decode past the barrier."""
+    df = registry["media_audio_multioffset"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "bit_count" in plan
+
+
 def test_media_decode_single_arrow_stage(spark, registry):
     """Frame checksums run the decode in exactly one Arrow-batched python
     stage over a pruned 2-column scan — no shuffle."""

@@ -86,6 +86,13 @@ QUERIES = [
     # cap) and the registered either-hash union gate
     "media_video_stophash",
     "media_phash_neardups_either",
+    # r14: the registered robustness tiers (fuzzy/containment/shots
+    # video, multi-offset audio)
+    "media_video_neardups_fuzzy",
+    "media_video_containment",
+    "media_video_shots",
+    "media_audio_fp_offsets",
+    "media_audio_multioffset",
 ]
 
 
