@@ -1234,8 +1234,15 @@ def fixture_video_pixel_values(doc_id: int, frame: int) -> np.ndarray:
     ch = np.arange(3)[None, None, :]
     base = doc_id // 3
     m = doc_id % 3
+    # the r·c cross term de-aliases frame-hash entropy at corpus scale,
+    # exactly as in fixture_pixel_values (r14): without it the per-frame
+    # dHash sign-pattern space saturates — measured max same-hash
+    # cluster 32 at sf0.1 / 201 at the ×10 tier (quadratic in-bucket
+    # pair mass in the fuzzy gates), vs 2 / 6 with it, while the
+    # planted family structure (shared exact frames within a family)
+    # is untouched
     px = (base * 7919 + frame * 401 + r * (131 + base % 89)
-          + c * (17 + base % 101) + ch * 59)
+          + c * (17 + base % 101) + r * c * (7 + base % 13) + ch * 59)
     hit = (m == 2) or (m == 1 and frame == 2 * (doc_id % 4) + 1)
     if hit:
         # non-uniform overlay: a constant shift would be monotone and

@@ -3125,8 +3125,11 @@ def _video_duck_ctes(black_frame: bool = False) -> str:
     uniform black (pixel 0 → dHash 0 corpus-wide — the planted
     degenerate hash the stop-hash cap drops)."""
     def px(ch: int) -> str:
+        # r·c cross term mirrors the r14 de-aliased video fixture (see
+        # multimodal.fixture_video_pixel_values)
         body = (f"((base*7919 + f*401 + r*(131 + base % 89) "
-                f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+                f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
+                f"+ {ch}*59 + pert) % 251)")
         if black_frame:
             return f"(CASE WHEN f = 1 THEN 0 ELSE {body} END)"
         return body
@@ -3264,8 +3267,10 @@ def _video_shots_duck() -> str:
     fallback at index 4 of 8), and each anchor frame's dHash with the
     16→8/9 NN column map — all-integer math end to end."""
     def px(ch: int) -> str:
+        # r·c cross term: same de-aliased form as _video_duck_ctes
         return (f"((base*7919 + f*401 + r*(131 + base % 89) "
-                f"+ c*(17 + base % 101) + {ch}*59 + pert) % 251)")
+                f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
+                f"+ {ch}*59 + pert) % 251)")
 
     pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
             "THEN -9223372036854775808 "
@@ -5407,6 +5412,10 @@ _VERIFY_FIRST = [
     "media_phash_neardups_either",
     "media_phash_incremental",
     "media_phash_survivors",
+    # r14 changed-oracle (video fixture de-aliased the same way —
+    # both previously-green video queries must re-prove):
+    "media_video_neardups",
+    "media_video_stophash",
     # 45 head slots left; stalest proven names (last-green round in comment):
     "garnet_end_members",  # r10
     "cpx_end_members",  # r10
@@ -5446,8 +5455,6 @@ _VERIFY_FIRST = [
     "corpus_contamination",  # r10
     "corpus_ingest_jsonl",  # r10
     "corpus_ingest_jsonl_rejects",  # r10
-    "doc_repetition_metrics",  # r10
-    "simhash_neardup_pairs",  # r10
 ]
 
 
