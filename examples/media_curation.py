@@ -121,11 +121,13 @@ def main(sf_dir: str, out: str) -> None:
     #    tools/video_recall.py: the tiers fail on DISJOINT edit classes
     #    (sampling dies on trims, exact hashing on photometric noise);
     #    the union holds 1.0 recall on every measured edit class.
-    #    Registered oracle-checked batch twins:
-    #    ``media_video_neardups_fuzzy`` (the fuzzy gate) +
-    #    ``media_video_shots`` (the anchor tier) — and
-    #    ``media_video_neardups``/``media_video_stophash`` for the
-    #    exact/cap contracts.
+    #    Registered oracle-checked batch twin of THIS gate:
+    #    ``media_video_neardups_union`` (tier-tagged rows, per-tier
+    #    capped fuzzy gates, greatest-over-fired n_shared); the
+    #    per-tier contracts are separately registered as
+    #    ``media_video_neardups_fuzzy`` + ``media_video_shots``, and
+    #    ``media_video_neardups``/``media_video_stophash`` pin the
+    #    exact/cap semantics.
     v_landing = os.path.join(out, "video_landing")
     vids = mm.synthesize_fixture_videos(docs)
     vids.filter("doc_id % 2 = 0").coalesce(1).write.mode("overwrite") \

@@ -1240,9 +1240,17 @@ def fixture_video_pixel_values(doc_id: int, frame: int) -> np.ndarray:
     # cluster 32 at sf0.1 / 201 at the ×10 tier (quadratic in-bucket
     # pair mass in the fuzzy gates), vs 2 / 6 with it, while the
     # planted family structure (shared exact frames within a family)
-    # is untouched
+    # is untouched.  The c·frame term additionally makes the COLUMN
+    # gradient frame-dependent: dHash reads only the c-derivative, and
+    # a frame-independent c-gradient leaves every frame of a video with
+    # a near-identical sign pattern (the f·401 shift is monotone) —
+    # real shot anchors carry different content per shot, but a fixture
+    # without this term gave the 7-anchor shots tier ~2× the planted
+    # pair mass at the ×10 tier (36 265 vs 17 330 pairs) through
+    # cross-frame near-collisions
     px = (base * 7919 + frame * 401 + r * (131 + base % 89)
-          + c * (17 + base % 101) + r * c * (7 + base % 13) + ch * 59)
+          + c * (17 + base % 101) + r * c * (7 + base % 13)
+          + c * frame * (3 + base % 17) + ch * 59)
     hit = (m == 2) or (m == 1 and frame == 2 * (doc_id % 4) + 1)
     if hit:
         # non-uniform overlay: a constant shift would be monotone and

@@ -3129,7 +3129,7 @@ def _video_duck_ctes(black_frame: bool = False) -> str:
         # multimodal.fixture_video_pixel_values)
         body = (f"((base*7919 + f*401 + r*(131 + base % 89) "
                 f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
-                f"+ {ch}*59 + pert) % 251)")
+                f"+ c*f*(3 + base % 17) + {ch}*59 + pert) % 251)")
         if black_frame:
             return f"(CASE WHEN f = 1 THEN 0 ELSE {body} END)"
         return body
@@ -3258,19 +3258,22 @@ WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
 """
 
 
-def _video_shots_duck() -> str:
-    """Full oracle for ``video_fingerprints_shots`` on the fixture
-    videos: re-derive EVERY frame's 8×8 BT.601 luminance grid from the
+def _video_shots_duck_ctes(p: str = "s") -> str:
+    """CTE chain re-deriving ``video_fingerprints_shots`` on the
+    fixture videos: EVERY frame's 8×8 BT.601 luminance grid from the
     closed-form pixel values (``multimodal.fixture_video_pixel_values``
     — the byte round-trip is integer-exact), the inter-frame Σ|Δ| cut
     metric, the anchor set (Σ|Δ| > min_cut=1 000 000, middle-frame
     fallback at index 4 of 8), and each anchor frame's dHash with the
-    16→8/9 NN column map — all-integer math end to end."""
+    16→8/9 NN column map — all-integer math end to end.  ``p`` prefixes
+    every CTE name so the chain composes with ``_video_duck_ctes`` in
+    the union-gate oracle; the terminal CTE is ``{p}sigs(doc_id, f,
+    fhash)``."""
     def px(ch: int) -> str:
         # r·c cross term: same de-aliased form as _video_duck_ctes
         return (f"((base*7919 + f*401 + r*(131 + base % 89) "
                 f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
-                f"+ {ch}*59 + pert) % 251)")
+                f"+ c*f*(3 + base % 17) + {ch}*59 + pert) % 251)")
 
     pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
             "THEN -9223372036854775808 "
@@ -3279,8 +3282,7 @@ def _video_shots_duck() -> str:
     dmap = ",".join(
         f"({gc},{src})"
         for gc, src in enumerate([0, 2, 4, 6, 8, 9, 11, 13, 15]))
-    return f"""
-WITH vg0 AS (
+    return f"""{p}g0 AS (
   SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS mm,
          ff.f, rr.r, cc.c
   FROM documents,
@@ -3288,48 +3290,81 @@ WITH vg0 AS (
        (SELECT unnest(generate_series(0, 15, 1)) AS r) rr,
        (SELECT unnest(generate_series(0, 15, 1)) AS c) cc
 ),
-vg1 AS (
+{p}g1 AS (
   SELECT doc_id, base, f, r, c,
          CASE WHEN mm = 2 OR (mm = 1 AND f = 2 * (doc_id % 4) + 1)
               THEN ((r*31 + c*7) % 11) * 13 ELSE 0 END AS pert
-  FROM vg0
+  FROM {p}g0
 ),
-cells AS (
+{p}cells AS (
   SELECT doc_id, f, r, c,
          299 * {px(0)} + 587 * {px(1)} + 114 * {px(2)} AS g
-  FROM vg1
+  FROM {p}g1
 ),
-g8 AS (SELECT doc_id, f, r, c, g FROM cells
+{p}g8 AS (SELECT doc_id, f, r, c, g FROM {p}cells
        WHERE r % 2 = 1 AND c % 2 = 1),
-cuts AS (SELECT a.doc_id, a.f, SUM(ABS(a.g - p.g)) AS d
-         FROM g8 a JOIN g8 p
+{p}cuts AS (SELECT a.doc_id, a.f, SUM(ABS(a.g - p.g)) AS d
+         FROM {p}g8 a JOIN {p}g8 p
            ON a.doc_id = p.doc_id AND p.f = a.f - 1
           AND a.r = p.r AND a.c = p.c
          GROUP BY a.doc_id, a.f),
-detected AS (SELECT doc_id, f AS a FROM cuts WHERE d > 1000000),
-anchors AS (
-  SELECT doc_id, a FROM detected
+{p}det AS (SELECT doc_id, f AS a FROM {p}cuts WHERE d > 1000000),
+{p}anchors AS (
+  SELECT doc_id, a FROM {p}det
   UNION ALL
   SELECT doc_id, 4 AS a FROM documents
-  WHERE NOT EXISTS (SELECT 1 FROM detected x
+  WHERE NOT EXISTS (SELECT 1 FROM {p}det x
                     WHERE x.doc_id = documents.doc_id)
 ),
-dsel AS (SELECT c0.doc_id, c0.f, (c0.r-1)//2 AS gr, cm.gc, c0.g
-         FROM cells c0
-         JOIN anchors an ON an.doc_id = c0.doc_id AND an.a = c0.f
+{p}dsel AS (SELECT c0.doc_id, c0.f, (c0.r-1)//2 AS gr, cm.gc, c0.g
+         FROM {p}cells c0
+         JOIN {p}anchors an ON an.doc_id = c0.doc_id AND an.a = c0.f
          JOIN (VALUES {dmap}) cm(gc, src) ON c0.c = cm.src
          WHERE c0.r % 2 = 1),
-dbit AS (SELECT a.doc_id, a.f, a.gr*8 + a.gc AS b,
+{p}dbit AS (SELECT a.doc_id, a.f, a.gr*8 + a.gc AS b,
                 CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
-         FROM dsel a JOIN dsel n
+         FROM {p}dsel a JOIN {p}dsel n
            ON a.doc_id = n.doc_id AND a.f = n.f AND a.gr = n.gr
-          AND n.gc = a.gc + 1)
-SELECT doc_id, CAST(f AS INT) AS anchor_idx, {pack} AS fhash
-FROM dbit GROUP BY doc_id, f
+          AND n.gc = a.gc + 1),
+{p}sigs AS (SELECT doc_id, f, {pack} AS fhash
+            FROM {p}dbit GROUP BY doc_id, f)"""
+
+
+VIDEO_SHOTS_DUCK = (
+    f"WITH {_video_shots_duck_ctes()}\n"
+    f"SELECT doc_id, CAST(f AS INT) AS anchor_idx, fhash FROM ssigs"
+)
+
+# the SHIPPED production video gate (video_neardup_pairs_union over
+# video_union_fingerprints): per-tier capped fuzzy gates — tier 0 the
+# fixed-count sampled hashes, tier 1 the shot anchors — unioned with
+# n_shared = greatest over the tiers that fired.  The oracle derives
+# both tiers from the closed form, tags them, and runs the capped
+# all-pairs H≤3 least-side count PER TIER (dfs and counts never mix
+# across tiers, exactly the Spark contract).
+VIDEO_PAIRS_UNION_DUCK = f"""
+WITH {_video_duck_ctes()},
+{_video_shots_duck_ctes()},
+u0 AS (SELECT doc_id, 0 AS tier, fhash FROM vsigs
+       UNION ALL
+       SELECT doc_id, 1 AS tier, fhash FROM ssigs),
+ud AS (SELECT DISTINCT tier, doc_id, fhash FROM u0),
+uok AS (SELECT tier, fhash FROM ud GROUP BY tier, fhash
+        HAVING COUNT(*) <= 10000),
+uk AS (SELECT ud.tier, ud.doc_id, ud.fhash
+       FROM ud JOIN uok USING (tier, fhash)),
+um AS (SELECT a.tier, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.fhash AS sa, b.fhash AS sb
+       FROM uk a JOIN uk b
+         ON a.tier = b.tier AND a.doc_id < b.doc_id
+        AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+up AS (SELECT tier, doc_a, doc_b,
+              least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) AS ns
+       FROM um GROUP BY tier, doc_a, doc_b
+       HAVING least(COUNT(DISTINCT sa), COUNT(DISTINCT sb)) >= 2)
+SELECT doc_a, doc_b, CAST(MAX(ns) AS BIGINT) AS n_shared
+FROM up GROUP BY doc_a, doc_b
 """
-
-
-VIDEO_SHOTS_DUCK = _video_shots_duck()
 
 
 def _audio_offsets_duck_ctes() -> str:
@@ -3377,6 +3412,60 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM ofps a JOIN ofps b ON a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING MIN(bit_count(xor(a.afp, b.afp))) <= 3
+"""
+
+
+def _audio_windows_duck_ctes(w: int = 260) -> str:
+    """CTE chain extending ``_audio_fp_duck_ctes``'s closed-form sample
+    recovery to WINDOWED fingerprints
+    (``multimodal.audio_fingerprints_windows(window_samples=w)``): each
+    full ``w``-sample slice re-frames proportionally over 65 frames and
+    packs its energy-difference sign bits; terminal CTE
+    ``wfps(doc_id, win_idx, afp)`` — 1040 // w windows per fixture
+    clip."""
+    pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
+            "THEN -9223372036854775808 "
+            "WHEN bit = 1 THEN (CAST(1 AS BIGINT) << b) "
+            "ELSE 0 END) AS BIGINT)")
+    return f"""{_audio_fp_duck_ctes()},
+wsmp AS (SELECT doc_id, i // {w} AS wi, i % {w} AS j, s FROM asmp
+         WHERE i // {w} < 1040 // {w}),
+wnrg AS (SELECT doc_id, wi, (j * 65) // {w} AS f, SUM(s * s) AS e
+         FROM wsmp GROUP BY ALL),
+wbit AS (SELECT a.doc_id, a.wi, a.f AS b,
+                CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+         FROM wnrg a JOIN wnrg nx
+           ON a.doc_id = nx.doc_id AND a.wi = nx.wi AND nx.f = a.f + 1),
+wfps AS (SELECT doc_id, CAST(wi AS INT) AS win_idx, {pack} AS afp
+         FROM wbit GROUP BY doc_id, wi)"""
+
+
+# SHORT-IN-LONG audio containment (audio_containment_pairs over the
+# windowed fingerprints): same capped fraction-matched contract as the
+# video gate, over afp signatures — fixture clips give 4 windows each
+# at W=260, base↔variant-1 match 3 of 4 (containment 0.75 ≥ 0.7).
+AUDIO_CONTAINMENT_DUCK = f"""
+WITH {_audio_windows_duck_ctes()},
+vd AS (SELECT DISTINCT doc_id, afp FROM wfps),
+vok AS (SELECT afp FROM vd GROUP BY afp HAVING COUNT(*) <= 10000),
+vk AS (SELECT vd.doc_id, vd.afp FROM vd JOIN vok USING (afp)),
+vc AS (SELECT doc_id, COUNT(*) AS n FROM vk GROUP BY doc_id),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.afp AS sa, b.afp AS sb
+      FROM vk a JOIN vk b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.afp, b.afp)) <= 3),
+pp AS (SELECT doc_a, doc_b,
+              COUNT(DISTINCT sa) AS na, COUNT(DISTINCT sb) AS nb
+       FROM m GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, CAST(na AS BIGINT) AS n_matched_a,
+       CAST(nb AS BIGINT) AS n_matched_b,
+       greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+         AS containment
+FROM pp JOIN vc ca ON ca.doc_id = pp.doc_a
+        JOIN vc cb ON cb.doc_id = pp.doc_b
+WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
+      >= 0.7
 """
 
 
@@ -5022,6 +5111,47 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         media_audio_multioffset_fn, AUDIO_PAIRS_MULTIOFFSET_DUCK
     )
 
+    # the SHIPPED production video gate, driver-checked end-to-end
+    # (r13 verdict item 2's capstone): BOTH fingerprint tiers from ONE
+    # decode (video_union_fingerprints — tier-tagged 8-byte rows),
+    # per-tier capped fuzzy gates unioned with n_shared = greatest
+    # over fired tiers.  This is the query examples/media_curation.py
+    # and video_ingest_stream(fingerprints='union') cite; the measured
+    # recall story (tools/video_recall.py): sampled-fuzzy ∪
+    # shots-fuzzy = 1.0 on every edit class where each tier alone
+    # fails a disjoint one.
+    def media_video_union_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_union_fingerprints(
+            _mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        return _mm.video_neardup_pairs_union(
+            sigs, "doc_id", min_shared=2, max_hamming=3,
+            max_hash_df=10_000)
+
+    out["media_video_neardups_union"] = QuerySpec(
+        media_video_union_fn, VIDEO_PAIRS_UNION_DUCK
+    )
+
+    # SHORT-IN-LONG audio containment (r13 verdict next-item 5,
+    # registered same-round): windowed fingerprints (decode once, one
+    # 8-byte row per full 260-sample window — windows are the audio
+    # analog of the video tier's frames) through the shared capped
+    # containment machinery.  A clip sampled from a longer track
+    # matches ~all of ITS windows while covering few of the track's —
+    # exactly what the symmetric whole-clip gate cannot see, and
+    # sampling/clipping is the dominant real-world audio edit.
+    def media_audio_containment_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        fps = _mm.audio_fingerprints_windows(
+            _mm.synthesize_fixture_audio(docs),
+            window_samples=260).localCheckpoint()
+        return _mm.audio_containment_pairs(
+            fps, min_frac=0.7, max_hamming=3, max_fp_df=10_000)
+
+    out["media_audio_containment"] = QuerySpec(
+        media_audio_containment_fn, AUDIO_CONTAINMENT_DUCK
+    )
+
     # end-to-end media dedup outcome: connected components over the
     # pHash near-dup graph, keeper = minimum doc_id, emit the surviving
     # media set — the media twin of corpus_neardup_filtered /
@@ -5404,6 +5534,8 @@ _VERIFY_FIRST = [
     "media_video_shots",
     "media_audio_fp_offsets",
     "media_audio_multioffset",
+    "media_video_neardups_union",
+    "media_audio_containment",
     # r14 changed-oracle (image fixture de-aliased with the r*c cross
     # term — all five image-query oracles changed; they must re-prove
     # under the driver this round):
@@ -5453,8 +5585,6 @@ _VERIFY_FIRST = [
     "corpus_pack_sequences",  # r10
     "doc_boilerplate_ngrams",  # r10
     "corpus_contamination",  # r10
-    "corpus_ingest_jsonl",  # r10
-    "corpus_ingest_jsonl_rejects",  # r10
 ]
 
 

@@ -1082,7 +1082,7 @@ WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
             # r·c cross term: the r14 de-aliased video fixture form
             return (f"((base*7919 + f*401 + r*(131 + base % 89) "
                     f"+ c*(17 + base % 101) + r*c*(7 + base % 13) "
-                    f"+ {ch}*59 + pert) % 251)")
+                    f"+ c*f*(3 + base % 17) + {ch}*59 + pert) % 251)")
 
         pack = ("CAST(SUM(CASE WHEN bit = 1 AND b = 63 "
                 "THEN -9223372036854775808 "

@@ -274,6 +274,29 @@ def test_video_shots_single_arrow_stage(spark, registry):
     assert "Exchange" not in plan
 
 
+def test_video_union_plan_gate(spark, registry):
+    """The shipped union gate (r14): per-tier blocked passes over the
+    checkpointed tier-tagged rows — one decode (behind the barrier),
+    no nested-loop, no cartesian."""
+    df = registry["media_video_neardups_union"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "bit_count" in plan
+
+
+def test_audio_containment_plan_gate(spark, registry):
+    """Audio containment (r14): the shared capped containment shape —
+    equi joins only, no re-decode past the barrier."""
+    df = registry["media_audio_containment"].spark_fn(spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "bit_count" in plan
+
+
 def test_audio_multioffset_plan_gate(spark, registry):
     """Multi-offset audio pairs (r14): ONE blocked pass over the
     stacked checkpointed rows (every offset combination probed by the

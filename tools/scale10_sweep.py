@@ -93,6 +93,8 @@ QUERIES = [
     "media_video_shots",
     "media_audio_fp_offsets",
     "media_audio_multioffset",
+    "media_video_neardups_union",
+    "media_audio_containment",
 ]
 
 
