@@ -5152,6 +5152,32 @@ FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
         media_audio_containment_fn, AUDIO_CONTAINMENT_DUCK
     )
 
+    # incremental VIDEO ingestion registered (the video twin of
+    # media_phash_incremental — image and audio had driver-checked
+    # incremental rows, video didn't): signature store for the settled
+    # 80% (doc_id % 10 < 8, the shared convention), fresh frame hashes
+    # for the landing batch, pairs touching the batch only, global
+    # stop-hash cap over store ∪ batch.  Oracle = the full capped
+    # shared-frame-hash derivation restricted to batch-touching pairs;
+    # the incremental path must equal exactly that slice.
+    def media_video_incr_fn(spark, sf_dir):
+        docs = _load(spark, sf_dir, "documents").select("doc_id")
+        sigs = _mm.video_fingerprints(
+            _mm.synthesize_fixture_videos(docs)).localCheckpoint()
+        store = sigs.where("doc_id % 10 < 8").select("doc_id", "fhash")
+        batch = sigs.where("doc_id % 10 >= 8").select("doc_id", "fhash")
+        return _mm.video_incremental_pairs(
+            store, batch, "doc_id", min_shared=2, max_hash_df=10_000)
+
+    out["media_video_incremental"] = QuerySpec(
+        media_video_incr_fn,
+        _video_pairs_duck(10_000).replace(
+            "HAVING COUNT(*) >= 2",
+            "HAVING COUNT(*) >= 2\n   AND (a.doc_id % 10 >= 8 "
+            "OR b.doc_id % 10 >= 8)",
+        ),
+    )
+
     # end-to-end media dedup outcome: connected components over the
     # pHash near-dup graph, keeper = minimum doc_id, emit the surviving
     # media set — the media twin of corpus_neardup_filtered /
@@ -5536,6 +5562,7 @@ _VERIFY_FIRST = [
     "media_audio_multioffset",
     "media_video_neardups_union",
     "media_audio_containment",
+    "media_video_incremental",
     # r14 changed-oracle (image fixture de-aliased with the r*c cross
     # term — all five image-query oracles changed; they must re-prove
     # under the driver this round):
@@ -5584,7 +5611,6 @@ _VERIFY_FIRST = [
     "corpus_train_split",  # r10
     "corpus_pack_sequences",  # r10
     "doc_boilerplate_ngrams",  # r10
-    "corpus_contamination",  # r10
 ]
 
 

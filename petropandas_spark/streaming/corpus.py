@@ -439,6 +439,69 @@ def video_ingest_stream(stream_df, store_path: str, pairs_path: str,
     )
 
 
+def read_containment_pairs(spark, pairs_path: str,
+                           id_type: str = "bigint"):
+    """Pinned-schema reader for :func:`containment_ingest_stream`
+    landings (a zero-hit run leaves no data files; inference would
+    raise)."""
+    return spark.read.schema(
+        f"doc_a {id_type}, doc_b {id_type}, n_matched_a BIGINT, "
+        f"n_matched_b BIGINT, containment DOUBLE, batch_id BIGINT"
+    ).parquet(pairs_path)
+
+
+def containment_ingest_stream(stream_df, store_path: str,
+                              pairs_path: str, checkpoint: str,
+                              modality: str = "video",
+                              min_frac: float = 0.8,
+                              max_hamming: int = 3,
+                              max_sig_df: int | None = None,
+                              window_samples: int = 260):
+    """Continuous SHORT-IN-LONG detection at ingest — the streaming
+    twin of :func:`...video_incremental_containment` /
+    :func:`...audio_incremental_containment` on the shared
+    exactly-once scaffold: each landing object is decoded once into
+    its per-frame hashes (``modality='video'``) or per-window
+    fingerprints (``modality='audio'``, ``window_samples``), the
+    containment pairs TOUCHING the batch land (is this clip cut/
+    sampled from a settled object, or vice versa?), and the batch's
+    8-byte signature rows append to the store.  Sampling/clipping is
+    the dominant real-world audio/video edit, so this is the
+    provenance gate a media landing zone runs ALONGSIDE the near-dup
+    stream (the two landings answer different questions: duplicate vs
+    derived).
+
+    Denominators are per-object capped signature counts over store ∪
+    batch at EACH trigger, so a landed containment value reflects the
+    corpus as of its batch — like the near-dup twins' stop-hash cap,
+    the landed union equals the full recompute only for objects whose
+    denominators are stable across the run (true away from the df
+    cap's boundary; pytest pins batch ≡ full-slice at each trigger).
+    ``max_sig_df`` follows :func:`video_ingest_stream`'s default-None
+    convention (opt into the cap explicitly under ingestion).  Read
+    back with :func:`read_containment_pairs`."""
+    from petropandas_spark.pipeline import multimodal as _mm
+
+    if modality == "video":
+        derive = _mm.video_fingerprints
+        candidates = lambda store, sigs: _mm.video_incremental_containment(  # noqa: E731
+            store, sigs, min_frac=min_frac, max_hamming=max_hamming,
+            max_hash_df=max_sig_df)
+    elif modality == "audio":
+        derive = lambda df: _mm.audio_fingerprints_windows(  # noqa: E731
+            df, window_samples=window_samples)
+        candidates = lambda store, sigs: _mm.audio_incremental_containment(  # noqa: E731
+            store, sigs, min_frac=min_frac, max_hamming=max_hamming,
+            max_fp_df=max_sig_df)
+    else:
+        raise ValueError(f"modality must be 'video' or 'audio', "
+                         f"got {modality!r}")
+    return _incremental_ingest_stream(
+        stream_df, store_path, pairs_path, checkpoint,
+        derive=derive, candidates=candidates,
+    )
+
+
 EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
 
 

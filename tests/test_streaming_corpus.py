@@ -666,6 +666,91 @@ def test_video_store_layout_guard_fails_loudly(spark, tmp_path):
         q2.processAllAvailable()
 
 
+def _containment_rows(df):
+    return {(r.doc_a, r.doc_b, r.n_matched_a, r.n_matched_b,
+             round(r.containment, 9)) for r in df.collect()}
+
+
+def test_containment_ingest_stream_video(spark, tmp_path):
+    """Per-batch landings of the video containment stream ≡ the full
+    containment gate over the corpus-so-far restricted to
+    batch-touching pairs (batch 0: batch alone; batch 1: full corpus
+    slice) — the ingest-time 'is this clip cut from a settled video?'
+    invariant."""
+    from pyspark.sql import functions as F
+
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "vc_landing")
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    vids = mm.synthesize_fixture_videos(ids)
+    vids.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    vids.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    q = sc.containment_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(path, "*"),
+                             max_files_per_trigger=1),
+        str(tmp_path / "vc_store"), str(tmp_path / "vc_pairs"),
+        str(tmp_path / "vc_ck"), modality="video", min_frac=0.7)
+    assert q.awaitTermination(180)
+    landed = sc.read_containment_pairs(spark, str(tmp_path / "vc_pairs"))
+    sigs = mm.video_fingerprints(
+        spark.read.parquet(os.path.join(path, "*"))).localCheckpoint()
+    # batch ids land in arrival order: 0 = even docs, 1 = odd docs
+    got0 = _containment_rows(
+        landed.where("batch_id = 0").drop("batch_id"))
+    expect0 = _containment_rows(mm.video_containment_pairs(
+        sigs.where("doc_id % 2 = 0"), min_frac=0.7, max_hash_df=None))
+    assert got0 == expect0
+    got1 = _containment_rows(
+        landed.where("batch_id = 1").drop("batch_id"))
+    full = mm.video_containment_pairs(
+        sigs, min_frac=0.7, max_hash_df=None)
+    expect1 = _containment_rows(full.where(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)))
+    assert got1 == expect1 and len(got1) > 0
+
+
+def test_containment_ingest_stream_audio(spark, tmp_path):
+    """The audio twin: windowed fingerprints (W=260, 4 windows per
+    fixture clip), batch-touching containment pairs land per trigger;
+    batch-1 landing ≡ the full gate's batch-touching slice."""
+    from pyspark.sql import functions as F
+
+    from petropandas_spark.pipeline import multimodal as mm
+
+    path = str(tmp_path / "ac_landing")
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    clips = mm.synthesize_fixture_audio(ids)
+    clips.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(path, "batch0"))
+    clips.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(path, "batch1"))
+    q = sc.containment_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(path, "*"),
+                             max_files_per_trigger=1),
+        str(tmp_path / "ac_store"), str(tmp_path / "ac_pairs"),
+        str(tmp_path / "ac_ck"), modality="audio", min_frac=0.7,
+        window_samples=260)
+    assert q.awaitTermination(180)
+    landed = sc.read_containment_pairs(spark, str(tmp_path / "ac_pairs"))
+    fps = mm.audio_fingerprints_windows(
+        spark.read.parquet(os.path.join(path, "*")),
+        window_samples=260).localCheckpoint()
+    got1 = _containment_rows(
+        landed.where("batch_id = 1").drop("batch_id"))
+    full = mm.audio_containment_pairs(
+        fps, min_frac=0.7, max_fp_df=None)
+    expect1 = _containment_rows(full.where(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)))
+    assert got1 == expect1 and len(got1) > 0
+    with pytest.raises(ValueError, match="modality"):
+        sc.containment_ingest_stream(
+            sc.read_media_stream(spark, os.path.join(path, "*")),
+            "x", "y", "z", modality="nope")
+
+
 def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
     """Compact the pHash signature store between two drains: the
     resumed stream keeps landing the same pairs it would have against

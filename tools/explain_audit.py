@@ -61,6 +61,12 @@ AUDIT = [
     "media_video_neardups",         # shared-frame-hash video pairs (r12)
     "media_video_stophash",         # stop-hash cap + black-frame fixture (r13)
     "media_phash_neardups_either",  # aHash/dHash union gate (r13)
+    "media_video_neardups_fuzzy",   # capped fuzzy frame-hash gate (r14)
+    "media_video_containment",      # short-in-long video gate (r14)
+    "media_video_shots",            # shot-anchored scan, zero-Exchange (r14)
+    "media_video_neardups_union",   # the SHIPPED union gate (r14)
+    "media_audio_multioffset",      # stacked-offset one-pass gate (r14)
+    "media_audio_containment",      # windowed audio containment (r14)
 ]
 
 

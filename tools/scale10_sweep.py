@@ -95,6 +95,7 @@ QUERIES = [
     "media_audio_multioffset",
     "media_video_neardups_union",
     "media_audio_containment",
+    "media_video_incremental",
 ]
 
 
