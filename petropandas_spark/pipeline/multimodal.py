@@ -1562,6 +1562,126 @@ def audio_fingerprints_windows(df: DataFrame,
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def audio_fingerprints_onsets(df: DataFrame,
+                              window_samples: int = 1040,
+                              frame_samples: int = 64,
+                              min_ratio: float = 4.0,
+                              min_energy: int = 1_000_000,
+                              content_col: str = "content",
+                              id_col: str = "doc_id",
+                              on_error: str = "raise") -> DataFrame:
+    """ONSET-ANCHORED audio fingerprints — the cut-robust containment
+    substrate, the audio twin of :func:`video_fingerprints_shots`.
+
+    :func:`audio_fingerprints_windows` places window starts at
+    multiples of ``window_samples`` FROM CLIP START, so a clip cut
+    mid-window from a longer track has every window straddling two of
+    the track's windows and the containment gate collapses
+    (``tools/audio_containment_recall.py``: recall 1.0 at aligned cuts
+    → 0.0 a quarter-window off).  Onset anchors are CONTENT-LOCKED
+    instead: frame f (of ``frame_samples`` samples) is an onset iff
+    its integer energy exceeds ``min_ratio`` × the previous frame's
+    AND ``min_energy`` (the standard energy-onset detector — an attack
+    transient), and each onset anchors one ``window_samples`` window
+    starting at a SAMPLE-EXACT refinement of the attack: the |s|-peak
+    sample within frames [f−1, f+2).  The refinement is what makes
+    the anchor cut-invariant — the detector's frame grid is laid from
+    CLIP start, so a cut at ``delta ∤ frame_samples`` shifts the grid
+    and a frame-quantized anchor would carry up to frame_samples−1
+    samples of residual misalignment, which this fingerprint does not
+    survive (``tools/audio_recall.py``: a HALF-frame shift alone is
+    recall 0; ``tools/audio_containment_recall.py`` measured the
+    frame-quantized variant at 0.0 for every unaligned cut).  The
+    peak sample is a property of the CONTENT, identical in clip and
+    track, so interior onsets yield sample-identical windows and
+    match at H=0 — exactly how shot anchors fixed the video trim
+    failure.  A clip with no detected onset falls back to its
+    middle-anchored window.  Anchors flush with the end when the
+    window would overrun (full windows only; a clip shorter than one
+    window emits no rows; an onset too close to the end to fit a full
+    window is DROPPED, not clamped — a flush-end window's start would
+    depend on clip length, not content, and could never match).
+    Output ``(id, anchor_idx, afp)`` rows —
+    anchor_idx is the refined sample position — feed the SAME
+    containment machinery (:func:`audio_containment_pairs` takes any
+    (id, afp) rows); ``on_error='quarantine'`` as everywhere."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', "
+                         f"got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    w, fr = int(window_samples), int(frame_samples)
+    if w <= 0 or fr <= 0:
+        raise ValueError("window_samples and frame_samples must be "
+                         "positive")
+    schema = f"{id_col} BIGINT, anchor_idx INT, afp BIGINT"
+    if quarantine:
+        schema += ", decode_error STRING"
+
+    def anchors_of(s: np.ndarray) -> list[int]:
+        """SAMPLE positions of the refined onset anchors."""
+        n = len(s) - len(s) % fr
+        if n < fr:
+            return [max(0, (len(s) - w) // 2)]
+        e = (s[:n].reshape(-1, fr).astype(np.int64) ** 2).sum(axis=1)
+        hits = [f for f in range(1, len(e))
+                if e[f] > min_ratio * e[f - 1] and e[f] > min_energy]
+        out = []
+        for f in hits:
+            lo, hi = max(0, (f - 1) * fr), min(len(s), (f + 2) * fr)
+            p0 = lo + int(np.abs(s[lo:hi]).argmax())
+            # re-center once: the detector's frame grid is laid from
+            # clip start, so the first range can clip the attack at an
+            # edge and the two sides of a cut would pick different
+            # peaks; a second argmax centered on the first converges
+            # both to the attack's true |s|-max (the attack is shorter
+            # than one detector frame, so the centered range covers it)
+            lo2, hi2 = max(0, p0 - fr), min(len(s), p0 + fr)
+            out.append(lo2 + int(np.abs(s[lo2:hi2]).argmax()))
+        return sorted(set(out)) or [max(0, (len(s) - w) // 2)]
+
+    def run(batches):
+        for pdf in batches:
+            ids, ais, fps, errs = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    x, _rate = decode_audio(
+                        bytes(blob) if blob is not None else b"")
+                    s = np.rint(
+                        (x if x.ndim == 1 else x.sum(axis=1))
+                        * 32768.0).astype(np.int64)
+                    if len(s) < w:
+                        continue
+                    pos_ok = [p_ for p_ in anchors_of(s)
+                              if p_ + w <= len(s)]
+                    # overrunning anchors are DROPPED, not clamped: a
+                    # flush-end window's start depends on the clip's
+                    # length, not its content, so it can never match
+                    # the track's window for the same onset — a clamped
+                    # row would just dilute the containment fraction
+                    if not pos_ok:
+                        pos_ok = [max(0, (len(s) - w) // 2)]
+                    for pos in pos_ok:
+                        ids.append(i)
+                        ais.append(pos)
+                        fps.append(audio_fingerprint64(
+                            x[pos:pos + w]))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not eaten
+                    if not quarantine:
+                        raise
+                    ids.append(i)
+                    ais.append(-1)
+                    fps.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {id_col: ids, "anchor_idx": ais,
+                   "afp": pd.array(fps, dtype="Int64")}
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 def audio_containment_pairs(fps: DataFrame, id_col: str = "doc_id",
                             min_frac: float = 0.8, max_hamming: int = 3,
                             max_fp_df: int | None =

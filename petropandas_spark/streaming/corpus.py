@@ -456,7 +456,8 @@ def containment_ingest_stream(stream_df, store_path: str,
                               min_frac: float = 0.8,
                               max_hamming: int = 3,
                               max_sig_df: int | None = None,
-                              window_samples: int = 260):
+                              window_samples: int = 260,
+                              audio_anchors: str = "onsets"):
     """Continuous SHORT-IN-LONG detection at ingest — the streaming
     twin of :func:`...video_incremental_containment` /
     :func:`...audio_incremental_containment` on the shared
@@ -479,7 +480,16 @@ def containment_ingest_stream(stream_df, store_path: str,
     cap's boundary; pytest pins batch ≡ full-slice at each trigger).
     ``max_sig_df`` follows :func:`video_ingest_stream`'s default-None
     convention (opt into the cap explicitly under ingestion).  Read
-    back with :func:`read_containment_pairs`."""
+    back with :func:`read_containment_pairs`.
+
+    ``audio_anchors``: ``"onsets"`` (default — sample-exact
+    content-locked anchors, :func:`...audio_fingerprints_onsets`;
+    ``tools/audio_containment_recall.py``: the fixed window grid is
+    recall 0.0 for ANY unaligned cut while onset anchors hold
+    0.92–0.97 with a zero false-positive floor, so onsets are the
+    measured production substrate) or ``"windows"`` (the fixed
+    ``window_samples`` grid — the registered-oracle spelling, exact
+    for boundary-aligned cuts)."""
     from petropandas_spark.pipeline import multimodal as _mm
 
     if modality == "video":
@@ -488,8 +498,14 @@ def containment_ingest_stream(stream_df, store_path: str,
             store, sigs, min_frac=min_frac, max_hamming=max_hamming,
             max_hash_df=max_sig_df)
     elif modality == "audio":
-        derive = lambda df: _mm.audio_fingerprints_windows(  # noqa: E731
-            df, window_samples=window_samples)
+        if audio_anchors == "onsets":
+            derive = lambda df: _mm.audio_fingerprints_onsets(df)  # noqa: E731
+        elif audio_anchors == "windows":
+            derive = lambda df: _mm.audio_fingerprints_windows(  # noqa: E731
+                df, window_samples=window_samples)
+        else:
+            raise ValueError(f"audio_anchors must be 'onsets' or "
+                             f"'windows', got {audio_anchors!r}")
         candidates = lambda store, sigs: _mm.audio_incremental_containment(  # noqa: E731
             store, sigs, min_frac=min_frac, max_hamming=max_hamming,
             max_fp_df=max_sig_df)

@@ -494,6 +494,85 @@ WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
         with pytest.raises(ValueError, match="window_samples"):
             mm.audio_fingerprints_windows(df, window_samples=0)
 
+    def test_onset_anchored_containment_survives_midwindow_cut(
+            self, spark):
+        """The measured failure + fix (tools/audio_containment_recall):
+        a clip cut mid-window from a longer track is MISSED by the
+        window-grid containment gate (every window straddles two track
+        windows) and FOUND by the onset-anchored gate (sample-exact
+        content-locked anchors; interior onsets give H=0 windows)."""
+        rng = np.random.default_rng(83)
+        w, fr = 1040, 64
+
+        def track_with_attacks(seed_off):
+            t = np.empty(8 * w)
+            r = np.random.default_rng(83 + seed_off)
+            for s in range(8):
+                base = r.uniform(300, 900)
+                seg = r.standard_normal(w) * base
+                # attack SHORTER than the detector frame (the anchor
+                # refinement's convergence radius): note/word attacks
+                # are transients, not sustained spans
+                seg[:32] *= 10.0
+                t[s * w:(s + 1) * w] = seg
+            return np.clip(np.rint(t), -30000, 30000)
+
+        def wav(v):
+            return bytearray(mm.encode_wav(
+                v.astype(np.float32) / 32767.0, 8000))
+
+        track = track_with_attacks(0)
+        clip = track[w + 137:w + 137 + 4 * w]     # mid-window cut
+        other = track_with_attacks(1)
+        df = spark.createDataFrame(
+            [(0, wav(track)), (1, wav(clip)), (2, wav(other))],
+            "doc_id LONG, content BINARY")
+        # window-grid gate: (0, 1) NOT found
+        wfps = mm.audio_fingerprints_windows(df, window_samples=w)
+        missed = {(r.doc_a, r.doc_b)
+                  for r in mm.audio_containment_pairs(
+                      wfps, min_frac=0.7).collect()}
+        assert (0, 1) not in missed
+        # onset-anchored gate: (0, 1) found, unrelated stays out
+        ofps = mm.audio_fingerprints_onsets(
+            df, window_samples=w).localCheckpoint()
+        got = {(r.doc_a, r.doc_b): r
+               for r in mm.audio_containment_pairs(
+                   ofps, min_frac=0.7).collect()}
+        assert (0, 1) in got and (0, 2) not in got and (1, 2) not in got
+        # interior onsets match at H=0: every matched clip anchor is
+        # sample-identical to the track's window for the same attack
+        rows = {(r.doc_id, r.anchor_idx, r.afp) for r in ofps.collect()}
+        t_sigs = {a for d, _, a in rows if d == 0}
+        c_sigs = [a for d, _, a in rows if d == 1]
+        assert sum(1 for a in c_sigs if a in t_sigs) \
+            >= 0.7 * len(set(c_sigs))
+
+    def test_onset_fingerprints_contracts(self, spark):
+        """Quarantine row (anchor −1), shorter-than-window clip emits
+        no rows, no-onset clip falls back to one middle anchor, and
+        end-overrunning onsets are dropped rather than clamped."""
+        quiet = (np.random.default_rng(5).standard_normal(2080)
+                 * 200.0)
+        df = spark.createDataFrame(
+            [(0, bytearray(mm.encode_wav(
+                np.clip(np.rint(quiet), -30000, 30000)
+                .astype(np.float32) / 32767.0, 8000))),
+             (1, bytearray(b"notwav")),
+             (2, bytearray(mm.encode_wav(
+                 (quiet[:500]).astype(np.float32) / 32767.0, 8000)))],
+            "doc_id LONG, content BINARY")
+        rows = mm.audio_fingerprints_onsets(
+            df, window_samples=1040, on_error="quarantine").collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, []).append(r)
+        assert len(by_id[0]) == 1 and by_id[0][0].anchor_idx == 520
+        assert by_id[1][0].anchor_idx == -1 and by_id[1][0].afp is None
+        assert 2 not in by_id
+        with pytest.raises(ValueError, match="positive"):
+            mm.audio_fingerprints_onsets(df, window_samples=0)
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(

@@ -732,7 +732,7 @@ def test_containment_ingest_stream_audio(spark, tmp_path):
                              max_files_per_trigger=1),
         str(tmp_path / "ac_store"), str(tmp_path / "ac_pairs"),
         str(tmp_path / "ac_ck"), modality="audio", min_frac=0.7,
-        window_samples=260)
+        window_samples=260, audio_anchors="windows")
     assert q.awaitTermination(180)
     landed = sc.read_containment_pairs(spark, str(tmp_path / "ac_pairs"))
     fps = mm.audio_fingerprints_windows(
@@ -749,6 +749,29 @@ def test_containment_ingest_stream_audio(spark, tmp_path):
         sc.containment_ingest_stream(
             sc.read_media_stream(spark, os.path.join(path, "*")),
             "x", "y", "z", modality="nope")
+    with pytest.raises(ValueError, match="audio_anchors"):
+        sc.containment_ingest_stream(
+            sc.read_media_stream(spark, os.path.join(path, "*")),
+            "x", "y", "z", modality="audio", audio_anchors="nope")
+    # the default ONSET substrate (the measured production spelling):
+    # batch-1 landing ≡ the full onset-anchored gate's slice
+    q2 = sc.containment_ingest_stream(
+        sc.read_media_stream(spark, os.path.join(path, "*"),
+                             max_files_per_trigger=1),
+        str(tmp_path / "ao_store"), str(tmp_path / "ao_pairs"),
+        str(tmp_path / "ao_ck"), modality="audio", min_frac=0.7)
+    assert q2.awaitTermination(180)
+    landed_o = sc.read_containment_pairs(
+        spark, str(tmp_path / "ao_pairs"))
+    ofps = mm.audio_fingerprints_onsets(
+        spark.read.parquet(os.path.join(path, "*"))).localCheckpoint()
+    got1o = _containment_rows(
+        landed_o.where("batch_id = 1").drop("batch_id"))
+    full_o = mm.audio_containment_pairs(
+        ofps, min_frac=0.7, max_fp_df=None)
+    expect1o = _containment_rows(full_o.where(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)))
+    assert got1o == expect1o
 
 
 def test_compact_ingest_store_mid_stream(spark, media_dir, tmp_path):
