@@ -573,6 +573,82 @@ WHERE greatest(CAST(na AS DOUBLE) / ca.n, CAST(nb AS DOUBLE) / cb.n)
         with pytest.raises(ValueError, match="positive"):
             mm.audio_fingerprints_onsets(df, window_samples=0)
 
+    def test_onset_anchor_cut_invariance_randomized(self, spark):
+        """Property: for tracks with STRONG attacks (detection cannot
+        be threshold-borderline), every interior onset anchor of a
+        clip cut at a RANDOM offset is sample-identical to the track's
+        anchor for the same attack — containment 1.0 at every cut, in
+        one Spark call over (track + 6 random-cut clips)."""
+        rng = np.random.default_rng(97)
+        w = 1040
+        t = np.empty(8 * w)
+        for s in range(8):
+            seg = rng.standard_normal(w) * rng.uniform(280, 320)
+            seg[:32] *= 20.0
+            t[s * w:(s + 1) * w] = seg
+        track = np.clip(np.rint(t), -30000, 30000)
+
+        def wav(v):
+            return bytearray(mm.encode_wav(
+                v.astype(np.float32) / 32767.0, 8000))
+
+        cuts = [int(c) for c in rng.integers(1, 3 * w, 6)]
+        rows = [(0, wav(track))] + [
+            (k + 1, wav(track[c:c + 4 * w]))
+            for k, c in enumerate(cuts)
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+        fps = mm.audio_fingerprints_onsets(df).localCheckpoint()
+        got = {(r.doc_a, r.doc_b): r.containment
+               for r in mm.audio_containment_pairs(
+                   fps, min_frac=0.99).collect()}
+        for k in range(len(cuts)):
+            assert got.get((0, k + 1), 0.0) >= 0.99, \
+                f"cut {cuts[k]} missed: {got}"
+
+    def test_union_gate_property_random_signatures(self, spark):
+        """Property: video_neardup_pairs_union over RANDOM tier-tagged
+        signature rows (planted per-tier twins) ≡ per-tier fuzzy gates
+        unioned with greatest-over-fired n_shared — the tier-isolation
+        contract on inputs with no fixture structure."""
+        for seed in (7, 23):
+            rng = np.random.default_rng(seed)
+            rows = []
+            for d in range(14):
+                for tier in (0, 1):
+                    k = 3 if tier == 0 else 5
+                    for idx, v in enumerate(
+                            rng.integers(-(1 << 62), 1 << 62, k,
+                                         dtype=np.int64)):
+                        rows.append((d, tier, idx, int(v)))
+            # plant: docs 10/11 share 2 tier-0 hashes (H<=1); docs
+            # 12/13 share 3 tier-1 hashes exactly
+            rows = [r for r in rows
+                    if not (r[0] in (10, 11) and r[1] == 0 and r[2] < 2)
+                    and not (r[0] in (12, 13) and r[1] == 1 and r[2] < 3)]
+            shared0 = rng.integers(-(1 << 62), 1 << 62, 2, dtype=np.int64)
+            shared1 = rng.integers(-(1 << 62), 1 << 62, 3, dtype=np.int64)
+            for i, v in enumerate(shared0):
+                rows.append((10, 0, i, int(v)))
+                rows.append((11, 0, i, int(v) ^ 1))
+            for i, v in enumerate(shared1):
+                rows.append((12, 1, i, int(v)))
+                rows.append((13, 1, i, int(v)))
+            sigs = spark.createDataFrame(
+                rows, "doc_id LONG, tier INT, idx INT, fhash LONG")
+            got = {(r.doc_a, r.doc_b, r.n_shared)
+                   for r in mm.video_neardup_pairs_union(
+                       sigs, min_shared=2).collect()}
+            expect: dict = {}
+            for t in (0, 1):
+                for r in mm.video_neardup_pairs_fuzzy(
+                        sigs.where(f"tier = {t}"),
+                        min_shared=2).collect():
+                    k = (r.doc_a, r.doc_b)
+                    expect[k] = max(expect.get(k, 0), r.n_shared)
+            assert got == {(a, b, n) for (a, b), n in expect.items()}
+            assert {(p[0], p[1]) for p in got} >= {(10, 11), (12, 13)}
+
     def test_multioffset_quarantine(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(mm.encode_wav(
