@@ -56,6 +56,17 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 NOTE: coalescePartitions.parallelismFirst=false (size-based
+        # AQE coalescing) was evaluated and REJECTED: it removed the
+        # near-empty 32-task stages of overhead-bound chains (fuzzy video
+        # gate 17.3 -> 6.6 s pre-spread) but serialized compute-dense
+        # small-byte stages — the multiprobe verify tiers coalesce their
+        # ~1 MB pair shuffles onto 1-2 tasks and the interpreted cosine
+        # work runs serially (semantic_neardup_multiprobe_h2 5.1 ->
+        # 10.7 s min-of-3, advisory 4m did not recover it).  After the
+        # _spread input fixes the overhead-bound chains no longer need
+        # it; the stock default keeps every compute-dense stage at full
+        # parallelism.
         # sf0.1 tables are single ~30-60 MB parquet files: at the 128 MB
         # default they scan as 1-3 input partitions while 32 cores idle
         # (the CPU-heavy mineral chains ran as one straggler task).

@@ -166,6 +166,23 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     return size if 0 <= size < (1 << 62) else None
 
 
+def _spread_cells(grid: DataFrame) -> DataFrame:
+    """Distribute chunk-grid cells across tasks BEFORE the quadratic
+    pair explosion (Generate output stays in its input's task, so a hot
+    bucket's whole cell grid would otherwise explode serially).
+
+    Deliberately a FIXED round-robin repartition, not an AQE
+    ``REBALANCE`` hint (r14: measured): rebalance coalesces by shuffle
+    BYTES, but a grid cell's cost is the quadratic Generate output —
+    bytes are the wrong proxy, and the multiprobe pair tiers regressed
+    2-2.4× when their compute-dense cell explosions coalesced onto a
+    couple of tasks (semantic_neardup_multiprobe_h2 5.1 → 12.4 s
+    min-of-3 interleaved A/B at sf0.1).  Cell COUNT is the honest work
+    proxy, and the fixed spread stays the unconditional scale guard."""
+    sess = grid.sparkSession
+    return grid.repartition(sess.sparkContext.defaultParallelism)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 groupBy keeping the lowest id per content hash."""
@@ -308,10 +325,9 @@ def _bucket_pairs_any(keyed: DataFrame, val_col: str, key_cols: list[str],
     # Generate output stays in its input's task otherwise, so a hot
     # bucket's whole cell grid would explode serially in one task.  For
     # normal corpora (one cell per bucket) this is one extra linear
-    # shuffle of the bucket arrays — the price of unconditional
-    # scale-safety.
-    spread = grid.repartition(
-        keyed.sparkSession.sparkContext.defaultParallelism)
+    # shuffle of the bucket arrays — the price of scale-safety (see
+    # _spread_cells for the AQE size-based form).
+    spread = _spread_cells(grid)
     tri = ("flatten(transform(c.ca, (x, i) -> "
            "transform(slice(c.ca, i + 2, size(c.ca)), "
            "y -> struct(x AS a, y AS b))))")
@@ -670,8 +686,7 @@ def _incremental_value_pairs(flagged: DataFrame, val_col: str,
         f"slice(ns, i * {mb} + 1, {mb}) AS ca, "
         f"slice(vs, j * {mb} + 1, {mb}) AS cb))))"
     )).alias("c"))
-    spread = grid.repartition(
-        flagged.sparkSession.sparkContext.defaultParallelism)
+    spread = _spread_cells(grid)
     cross = ("flatten(transform(c.ca, x -> "
              "transform(c.cb, y -> struct(x AS a, y AS b))))")
     return (

@@ -331,7 +331,12 @@ def synthesize_fixture_images(df: DataFrame,
     """mapInPandas: id → deterministic 16×16 fixture PPM bytes (see
     :func:`fixture_pixel_values`), through the real :func:`encode_ppm`.
     Output ``(id, content BINARY)`` — the input shape every media
-    operator takes."""
+    operator takes.
+
+    Id input ``_spread`` for scan parallelism, as in
+    :func:`synthesize_fixture_videos` (no-op at real scale)."""
+    from petropandas_spark.pipeline.dedup import _spread
+
     schema = f"{id_col} BIGINT, content BINARY"
 
     def run(batches):
@@ -343,7 +348,7 @@ def synthesize_fixture_images(df: DataFrame,
                 blobs.append(encode_ppm(arr))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -1283,7 +1288,15 @@ def synthesize_fixture_videos(df: DataFrame,
     bytes through the real :func:`encode_ppm_video`.  ``pixel_fn``
     selects the fixture family (default the base family;
     :func:`fixture_video_pixel_values_bf` plants the degenerate
-    black-frame class)."""
+    black-frame class).
+
+    The id input is ``_spread`` (r14): a single small parquet file
+    scans as ONE partition, which serialized the whole synth+decode
+    Python stage on one core (measured 5.5 → 3.4 s on the exact video
+    gate at sf0.1 with the spread); at real scale the source has many
+    splits and the spread is a no-op."""
+    from petropandas_spark.pipeline.dedup import _spread
+
     schema = f"{id_col} BIGINT, content BINARY"
 
     def run(batches):
@@ -1298,7 +1311,7 @@ def synthesize_fixture_videos(df: DataFrame,
                 blobs.append(encode_ppm_video(frames))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 # -- audio: REAL PCM WAV decode (stdlib wave + NumPy — no external libs) ----
@@ -1799,7 +1812,12 @@ def synthesize_fixture_audio(df: DataFrame,
                              id_col: str = "doc_id") -> DataFrame:
     """mapInPandas: id → deterministic fixture WAV bytes through the
     real :func:`encode_wav` (16-bit PCM; ``v/32767`` survives the
-    encode rint and the decode's ``/32768`` restores v exactly)."""
+    encode rint and the decode's ``/32768`` restores v exactly).
+
+    Id input ``_spread`` for scan parallelism, as in
+    :func:`synthesize_fixture_videos` (no-op at real scale)."""
+    from petropandas_spark.pipeline.dedup import _spread
+
     schema = f"{id_col} BIGINT, content BINARY"
 
     def run(batches):
@@ -1811,7 +1829,7 @@ def synthesize_fixture_audio(df: DataFrame,
                 blobs.append(encode_wav(s, FIXTURE_WAV_RATE))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def audio_features(df: DataFrame, content_col: str = "content",

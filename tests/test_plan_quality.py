@@ -267,11 +267,19 @@ def test_video_containment_plan_gate(spark, registry):
 def test_video_shots_single_arrow_stage(spark, registry):
     """Shot-anchored fingerprints (r14): the whole scan (parse →
     grid-diff → anchor dHashes) is ONE Arrow stage over the synth
-    stage — no shuffle at all in the signature derivation."""
+    stage — the signature DERIVATION itself never shuffles.  The one
+    allowed Exchange is the id-input ``_spread`` repartition BELOW the
+    synth stage (r14 optimization: a single small parquet file scans
+    as one partition, serializing the Python synth+hash work on one
+    core); media bytes still never cross an exchange."""
     df = registry["media_video_shots"].spark_fn(spark, SF)
     plan = _plan(df, "simple")
     assert plan.count("MapInPandas") == 2  # synth + fingerprint scan
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    # the exchange must sit BELOW both Arrow stages (it spreads the
+    # 8-byte id input, not the synthesized media bytes): in the printed
+    # top-down tree it appears after the LAST MapInPandas line
+    assert plan.index("Exchange") > plan.rindex("MapInPandas")
 
 
 def test_video_union_plan_gate(spark, registry):
