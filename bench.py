@@ -48,6 +48,17 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # The preloading worker daemon (petropandas_spark.daemon_preload) is
+    # spawned by the JVM, which only inherits the PROCESS environment —
+    # the driver's sys.path additions are shipped to workers by the
+    # worker protocol but never reach the daemon — so the package path
+    # must be on PYTHONPATH before the JVM starts.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.environ["PYTHONPATH"] = (
+        repo + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else repo
+    )
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -96,6 +107,28 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # Python worker-pool re-creation fix (r14, diagnosed via thread
+        # dumps + event-log task attribution + process sampling — full
+        # writeup in OPTIMIZATION_r14.md).  Spark's PythonWorkerFactory
+        # kills every idle pooled Python worker after a HARD-CODED
+        # one-minute idle window (MonitorThread / IDLE_WORKER_TIMEOUT_NS
+        # — not configurable in 4.1), so the first two-stage Arrow
+        # query after the registry's ~150-query JVM-only stretch must
+        # re-create its whole 64-worker complement; creations are
+        # serialized under the global SparkEnv lock, and over the stock
+        # TCP+auth handshake they trickled at ~4/s — a 26-71 s stall on
+        # the first audio query of EVERY cycle (all 32 tasks blocked;
+        # min-of-3 cannot remove a positional stall).  Unix-domain
+        # sockets (Spark 4.1) drop the per-creation connect/auth
+        # roundtrip (creation ~30+/s; measured 36-71 s -> 7.6 s on the
+        # same 175-query prefix), and the preload daemon imports
+        # numpy/pandas/pyarrow once so forked workers inherit them
+        # copy-on-write instead of cold-importing in their first task.
+        # Both are just as valid on a real cluster — the one-minute
+        # reaper fires whenever Python stages run >1 min apart.
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.python.daemon.module",
+                "petropandas_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -26,6 +26,15 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+    # same worker-pool session shape as bench.py (r14): the preload
+    # daemon is spawned by the JVM, so the package must be on the
+    # process PYTHONPATH before the JVM starts
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        repo + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else repo
+    )
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -38,6 +47,11 @@ def main() -> int:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # worker-pool re-creation fix, same as bench.py (see the r14
+        # note there): UDS transport + forkserver-preloading daemon
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.python.daemon.module",
+                "petropandas_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
