@@ -120,12 +120,20 @@ def main() -> None:
         # the first audio query of EVERY cycle (all 32 tasks blocked;
         # min-of-3 cannot remove a positional stall).  Unix-domain
         # sockets (Spark 4.1) drop the per-creation connect/auth
-        # roundtrip (creation ~30+/s; measured 36-71 s -> 7.6 s on the
-        # same 175-query prefix), and the preload daemon imports
-        # numpy/pandas/pyarrow once so forked workers inherit them
-        # copy-on-write instead of cold-importing in their first task.
-        # Both are just as valid on a real cluster — the one-minute
-        # reaper fires whenever Python stages run >1 min apart.
+        # roundtrip, and the preload daemon imports numpy/pandas/
+        # pyarrow once so forked workers inherit them copy-on-write
+        # instead of cold-importing in their first task.  Measured on
+        # the same 175-query prefix probe: 36-71 s stock -> 1.7-7.6 s
+        # with both (neither alone suffices: ~58 s each).  Both are
+        # just as valid on a real cluster — the one-minute reaper
+        # fires whenever Python stages run >1 min apart.  A RESIDUAL
+        # interaction remains OPEN (r15): with this session's
+        # ReservedCodeCacheSize=1g JVM flag the same probe still
+        # stalls 27-45 s (without the flag: 1.7-7.6 s; codegen-cache
+        # maxEntries=1000 did not recover it) — the flag is kept
+        # because dropping it reintroduces the measured interpreted-
+        # codegen tail (r8 note above), and the full matrix is in
+        # OPTIMIZATION_r14.md §4.
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.python.daemon.module",
                 "petropandas_spark.daemon_preload")
