@@ -1788,6 +1788,30 @@ def _star_components(nodes: DataFrame, edges: DataFrame,
     return out, rounds
 
 
+def _propagate_round(sym: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One min-label propagation round over a self-looped symmetric edge
+    set; references ``lbl`` exactly once (r14 — single join + aggregate).
+
+    ``prev`` (the node's label entering the round) is recovered from the
+    self-loop row inside the same aggregate, so the convergence check
+    needs no second join.  Edge endpoints that are NOT in ``nodes`` have
+    no self-loop → ``prev`` NULL → dropped, so stray endpoints never
+    appear in (or relay labels through) the output — identical
+    reachability semantics to the old labels-driven left join.
+    """
+    return (
+        sym.join(lbl, sym["dst"] == lbl["node"])
+        .groupBy("src")
+        .agg(
+            F.min("lab").alias("lab"),
+            F.min(F.when(F.col("dst") == F.col("src"),
+                         F.col("lab"))).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+        .withColumnRenamed("src", "node")
+    )
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
@@ -1821,39 +1845,50 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # symmetrize via a single-scan explode, NOT edges ∪ reverse(edges):
     # a union references the edge derivation twice, and when the edges
     # are a full LSH chain the un-reused branches plan (and race to
-    # compute) the whole derivation twice before the cache fills
+    # compute) the whole derivation twice before the cache fills.
+    #
+    # A SELF-LOOP per node is unioned in so that one propagation round
+    # is a single join + aggregate: new_lab(n) = min(lab over N(n) ∪
+    # {n}) — the previous label generation is referenced EXACTLY ONCE
+    # per round.  The old spelling (neighbour aggregate + keep-own-label
+    # left join) referenced it twice, which made fusing rounds per
+    # checkpoint a net loss (an uncheckpointed inner round is planned
+    # and executed once per reference — OPTIMIZATION_r14.md Rejected
+    # #4); single-reference rounds batch soundly (r14 §5).
     sym = edges.select(F.explode(F.array(
         F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
         F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
-    )).alias("e")).select("e.src", "e.dst")
+    )).alias("e")).select("e.src", "e.dst").unionByName(
+        nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+    )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lab")
     )
     sym = sym.persist()
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src").agg(F.min("lab").alias("nlab"))
-        )
-        # carry the previous label through the update so the convergence
-        # check is a filter on the SAME frame — one action per round, no
-        # extra join re-scanning both label generations.  localCheckpoint
-        # (eager), not persist: each round references the previous labels
-        # twice, so an un-truncated lineage doubles per round and a
-        # long-running propagation re-plans an exponentially growing tree
-        # (see _star_components).  The checkpoint also leaves the final
-        # generation materialized for the returned frame.
-        stepped = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
-            .select(
-                "node",
-                F.col("lab").alias("prev"),
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint()
-        )
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        return _propagate_round(sym, lbl)
+
+    # Per checkpoint+count action: ONE round for the first two
+    # iterations (tiny-diameter dedup cliques — the common case — exit
+    # after paying exactly the old cost), then TWO fused rounds, halving
+    # the per-round action floor for long-diameter graphs (the 9-10
+    # round semantic/phash pair graphs).  localCheckpoint (eager), not
+    # persist: an un-truncated lineage re-plans an exponentially growing
+    # tree (see _star_components), and the checkpoint leaves the final
+    # generation materialized for the returned frame.
+    done = 0
+    while done < max_iter:
+        batch = 1 if done < 2 else min(2, max_iter - done)
+        stepped = _step(labels)
+        if batch == 2:
+            stepped = _step(stepped.select("node", "lab"))
+        stepped = stepped.localCheckpoint()
+        done += batch
+        # ``prev`` is the label entering the LAST fused round; a full
+        # round that changes nothing is a fixed point, so checking only
+        # the last round is exact (propagation is monotone: an identity
+        # round can never be followed by a changing one).
         changed = stepped.filter(
             F.col("lab") != F.col("prev")
         ).limit(1).count()

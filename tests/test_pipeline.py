@@ -1709,6 +1709,36 @@ class TestComponents:
         }
         assert got == {3: 3, 9: 9}
 
+    def test_connected_components_long_chain_batched_rounds(self, spark):
+        """A 9-diameter chain exercises the batched (2-rounds-per-
+        checkpoint) propagation regime introduced in r14 — the fixpoint
+        must be exact even when convergence lands mid-batch."""
+        n = 10
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "doc_id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(nodes, edges).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_connected_components_stray_edge_endpoints_ignored(self, spark):
+        """Edge endpoints absent from ``nodes`` must neither appear in
+        the output nor relay labels between real nodes (the old labels-
+        driven join dropped them; the r14 self-loop join must too):
+        1-(2)-3 with 2 stray keeps 1 and 3 in separate components."""
+        nodes = spark.createDataFrame([(1,), (3,)], "doc_id long")
+        edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(nodes, edges).collect()
+        }
+        assert got == {1: 1, 3: 3}
+
     def test_star_components_match_label_propagation(self, spark):
         """Both algorithms agree on a mixed graph (chain + pair +
         singletons)."""
