@@ -82,6 +82,11 @@ def main() -> int:
     if preload:
         b = b.config("spark.python.daemon.module",
                      "petropandas_spark.daemon_preload")
+    # extra confs: PROBE_EXTRA_CONF="k1=v1;k2=v2"
+    for kv in os.environ.get("PROBE_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -98,6 +103,24 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
     prefix_wall = time.perf_counter() - t0
+
+    # PROBE_WARMPY=1: one single-task trivial Python stage between the
+    # prefix and the target (plus a short sleep).  If this removes the
+    # stall, the cost is re-warming cold daemon/library pages (one
+    # worker re-touches the shared pages for everyone), not per-worker
+    # re-creation.
+    warmpy = os.environ.get("PROBE_WARMPY", "0") == "1"
+    warmpy_wall = None
+    if warmpy:
+        def _ident(it):
+            for pdf in it:
+                yield pdf
+        tw = time.perf_counter()
+        spark.range(10).coalesce(1).mapInPandas(
+            _ident, "id long").write.format("noop").mode(
+            "overwrite").save()
+        warmpy_wall = round(time.perf_counter() - tw, 3)
+        time.sleep(1.0)
 
     pid = _jvm_pid()
     dumps: list[str] = []
@@ -117,6 +140,71 @@ def main() -> int:
                     time.sleep(2.0)
                 return
 
+    def ps_sampler(rep: int, stop: threading.Event) -> None:
+        """Sample python worker processes via /proc (tick-precision
+        utime+stime) every 0.5 s into /tmp/stall_ps_rep<rep>.log."""
+        tick = os.sysconf("SC_CLK_TCK")
+        with open(f"/tmp/stall_ps_rep{rep}.log", "w") as fh:
+            t0 = time.perf_counter()
+            while not stop.wait(0.5):
+                rows = []
+                for p in os.listdir("/proc"):
+                    if not p.isdigit():
+                        continue
+                    try:
+                        with open(f"/proc/{p}/cmdline", "rb") as cf:
+                            cmd = cf.read().replace(b"\0", b" ").decode(
+                                "utf-8", "replace")
+                        if "pyspark.worker" not in cmd and \
+                                "pyspark.daemon" not in cmd:
+                            continue
+                        if cmd.lstrip().startswith("/usr/lib/jvm"):
+                            continue
+                        with open(f"/proc/{p}/stat") as sf:
+                            st = sf.read().rsplit(")", 1)[1].split()
+                        # after comm: state=0, minflt=7, majflt=9,
+                        # utime=11, stime=12
+                        rows.append((int(p), int(st[11]) / tick,
+                                     int(st[12]) / tick, st[0],
+                                     int(st[7]), int(st[9])))
+                    except OSError:
+                        continue
+                try:
+                    with open("/proc/stat") as gf:
+                        g = gf.readline().split()  # cpu u n s idle iow irq sirq steal
+                    host = " ".join(g[1:9])
+                    psi = ""
+                    for res in ("cpu", "memory"):
+                        try:
+                            with open(f"/proc/pressure/{res}") as pf:
+                                psi += f" {res}:{pf.readline().strip()}"
+                        except OSError:
+                            pass
+                except OSError:
+                    host, psi = "", ""
+                fh.write(f"--- t={time.perf_counter()-t0:.2f}s "
+                         f"n={len(rows)} host={host}{psi}\n")
+                for pid, ut, stm, state, mnf, mjf in rows:
+                    fh.write(f"{pid} u={ut:.2f} s={stm:.2f} {state} "
+                             f"mnf={mnf} mjf={mjf}\n")
+                # kernel stacks of up to 6 running workers (root only;
+                # best-effort) — tells WHICH kernel path eats the stime
+                shown = 0
+                for pid, ut, stm, state, mnf, mjf in rows:
+                    if state != "R" or shown >= 6:
+                        continue
+                    try:
+                        with open(f"/proc/{pid}/stack") as kf:
+                            stk = kf.read().strip()
+                        with open(f"/proc/{pid}/status") as vf:
+                            sw = [ln.strip() for ln in vf
+                                  if "ctxt_switches" in ln]
+                        fh.write(f"## kstack {pid}: {' | '.join(stk.splitlines()[:6])} ({'; '.join(sw)})\n")
+                        shown += 1
+                    except OSError:
+                        continue
+                fh.flush()
+
     rep_times = []
     for rep in range(reps):
         stop = threading.Event()
@@ -126,6 +214,9 @@ def main() -> int:
             th = threading.Thread(target=watcher,
                                   args=(rep, started, stop), daemon=True)
             th.start()
+        if os.environ.get("PROBE_PS", "0") == "1":
+            threading.Thread(target=ps_sampler, args=(rep, stop),
+                             daemon=True).start()
         df = qs[target](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         rep_times.append(round(time.perf_counter() - started, 3))
@@ -135,6 +226,7 @@ def main() -> int:
     print(json.dumps({
         "flags": flags, "uds": uds, "preload": preload,
         "prefix_n": prefix_n, "prefix_wall": round(prefix_wall, 1),
+        "warmpy_wall": warmpy_wall,
         "target": target, "rep_times": rep_times, "dumps": dumps,
     }))
     spark.stop()
