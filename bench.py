@@ -48,21 +48,19 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    # The preloading worker daemon (petropandas_spark.daemon_preload) is
-    # spawned by the JVM, which only inherits the PROCESS environment —
-    # the driver's sys.path additions are shipped to workers by the
-    # worker protocol but never reach the daemon — so the package path
-    # must be on PYTHONPATH before the JVM starts.
     repo = os.path.dirname(os.path.abspath(__file__))
-    os.environ["PYTHONPATH"] = (
-        repo + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH") else repo
-    )
+    sys.path.insert(0, repo)
 
     from pyspark.sql import SparkSession
 
+    # engine-recommended worker-pool configs (UDS transport + preload
+    # daemon) now live in the library, not the bench — see
+    # petropandas_spark/session.py for the full r14 diagnosis note
+    from petropandas_spark.session import apply_worker_pool_confs
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        apply_worker_pool_confs(
+            SparkSession.builder.master(f"local[{cpus}]"))
         .appName("petropandas-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -107,42 +105,16 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
-        # Python worker-pool re-creation fix (r14, diagnosed via thread
-        # dumps + event-log task attribution + process sampling — full
-        # writeup in OPTIMIZATION_r14.md).  Spark's PythonWorkerFactory
-        # kills every idle pooled Python worker after a HARD-CODED
-        # one-minute idle window (MonitorThread / IDLE_WORKER_TIMEOUT_NS
-        # — not configurable in 4.1), so the first two-stage Arrow
-        # query after the registry's ~150-query JVM-only stretch must
-        # re-create its whole 64-worker complement; creations are
-        # serialized under the global SparkEnv lock, and over the stock
-        # TCP+auth handshake they trickled at ~4/s — a 26-71 s stall on
-        # the first audio query of EVERY cycle (all 32 tasks blocked;
-        # min-of-3 cannot remove a positional stall).  Unix-domain
-        # sockets (Spark 4.1) drop the per-creation connect/auth
-        # roundtrip, and the preload daemon imports numpy/pandas/
-        # pyarrow once so forked workers inherit them copy-on-write
-        # instead of cold-importing in their first task.  Measured on
-        # the same 175-query prefix probe: 36-71 s stock -> 1.7-7.6 s
-        # with both (neither alone suffices: ~58 s each).  Both are
-        # just as valid on a real cluster — the one-minute reaper
-        # fires whenever Python stages run >1 min apart.  A RESIDUAL
-        # interaction remains OPEN (r15): with this session's
-        # ReservedCodeCacheSize=1g JVM flag the same probe still
-        # stalls 27-45 s (without the flag: 1.7-7.6 s; codegen-cache
-        # maxEntries=1000 did not recover it) — the flag is kept
-        # because dropping it reintroduces the measured interpreted-
-        # codegen tail (r8 note above), and the full matrix is in
-        # OPTIMIZATION_r14.md §4.
-        .config("spark.python.unix.domain.socket.enabled", "true")
-        .config("spark.python.daemon.module",
-                "petropandas_spark.daemon_preload")
+        # The Python worker-pool re-creation fix (UDS transport +
+        # preload daemon) is applied by apply_worker_pool_confs above —
+        # engine-level session config since r15 (petropandas_spark/
+        # session.py holds the r14 diagnosis note; probe matrix in
+        # OPTIMIZATION_r14.md §4, residual closed in OPTIMIZATION_r15.md).
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -193,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": int(cpus),
     }
     # The driver captures only the LAST ~2000 chars of stdout; a
     # full-registry queries map (~5 KB for 135 queries) printed as the
@@ -202,18 +175,40 @@ def main() -> None:
     # (3) end with a compact line that always fits the capture window —
     # same schema, "queries" filled slowest-first with as many entries
     # as fit, plus a pointer to the full file.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full.json")
+    #
+    # Payload contract (r15, VERDICT item 3): the per-cpus file
+    # BENCH_full_c{cpus}.json is always written, so a 32-core and an
+    # 8-core scaling run coexist on disk and every per-query diff can
+    # use the full payload instead of the compact top-56 cut.
+    # BENCH_full.json stays for older readers but is NEVER clobbered by
+    # a run at a different core count (r14: the 8-core scaling run
+    # overwrote the 32-core payload, losing it beyond the top-56).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    tagged_name = f"BENCH_full_c{int(cpus)}.json"
+    queries_file: str | None = tagged_name
     try:
-        with open(full_path, "w") as fh:
+        with open(os.path.join(repo_dir, tagged_name), "w") as fh:
             json.dump(full, fh)
             fh.write("\n")
     except OSError:
-        full_path = None
+        queries_file = None
+    legacy_path = os.path.join(repo_dir, "BENCH_full.json")
+    legacy_cpus = None
+    try:
+        with open(legacy_path) as fh:
+            legacy_cpus = json.load(fh).get("cpus")
+    except (OSError, ValueError):
+        pass
+    if legacy_cpus is None or legacy_cpus == int(cpus):
+        try:
+            with open(legacy_path, "w") as fh:
+                json.dump(full, fh)
+                fh.write("\n")
+        except OSError:
+            pass
     print(json.dumps(full))
 
-    print(compact_line(total, sf, timings,
-                       "BENCH_full.json" if full_path else None))
+    print(compact_line(total, sf, timings, queries_file))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,8 @@ package can never take down the worker pool.
 # Preload order mirrors worker first-use: numpy underpins pandas and
 # our Arrow stages; pyspark.worker (the module the daemon forks into)
 # is imported by pyspark.daemon itself below.
+import gc
+
 import numpy  # noqa: F401
 import pandas  # noqa: F401
 import pyarrow  # noqa: F401
@@ -52,6 +54,20 @@ except ImportError:  # pragma: no cover - older pyarrow layouts
 # entry point (pyspark.worker by default) — importing it here keeps
 # that contract intact for the -m invocation.
 from pyspark.daemon import manager  # noqa: E402
+
+# Freeze the preloaded heap into CPython's permanent generation so the
+# forked workers' garbage collections skip it (r15).  Without this,
+# each worker's first full collection (pyspark.daemon runs gc.collect()
+# between reused-worker tasks, and allocation thresholds can trigger
+# one mid-task) writes to the PyGC_Head of EVERY tracked preloaded
+# object — copy-on-write-copying most of the shared heap per worker.
+# Measured on the r14 prefix probe (32-core, 64-worker re-creation):
+# the first post-reap Arrow stage spent ~170 CPU-s in kernel
+# page-fault handling (~850k minor faults at ~200 µs each under
+# cross-fork mmap contention); gc.freeze() is the standard pre-fork
+# mitigation for exactly this (the numbers after: OPTIMIZATION_r15.md).
+gc.collect()  # drop import-time garbage so it doesn't get frozen
+gc.freeze()
 
 if __name__ == "__main__":
     manager()

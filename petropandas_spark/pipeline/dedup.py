@@ -1834,6 +1834,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     The driver loop only coordinates; all data movement is
     shuffle-bounded joins on the id.  Returns (id_col, component).
+
+    Input contract (label path): node ids must be NON-NULL and unique.
+    A NULL-id node row has no usable self-loop (NULL never equi-joins),
+    so it is dropped from the output, and duplicate node rows collapse
+    to one output row — the r14 single-reference round deduplicates via
+    its groupBy where the old left-join formulation echoed input rows.
+    Edge endpoints absent from ``nodes`` never appear in (or relay
+    labels through) the output on either formulation (pinned by
+    test_connected_components_stray_edge_endpoints_ignored).
     """
     if algorithm == "star":
         out, _ = _star_components(nodes, edges, id_col, a_col, b_col,

@@ -35,6 +35,47 @@ MEDIA_SCHEMA = (
 )
 
 
+# -- Python-stage fusion (r15, guide §4) ------------------------------------
+#
+# Every media chain starts "content producer → content consumer": a
+# synthesize_fixture_* stage (standing in for the decode/transcode stage
+# a production pipeline runs) feeding a fingerprint stage.  Spelled as
+# two mapInPandas calls that is TWO Python workers per task — the
+# content bytes cross JVM→Python→JVM→Python, and a 32-task chain keeps
+# a 64-worker complement alive (the whole complement is re-forked
+# whenever Spark's hard-coded one-minute idle reaper has emptied the
+# pool — r14 §4; the re-fork's copy-on-write fault storm scales with
+# worker COUNT).  The producer tags its result with its own batch
+# transform; a consumer receiving that UNTOUCHED result composes the
+# two iterator transforms into ONE mapInPandas stage — content bytes
+# never leave the Python worker, half the workers, identical rows (the
+# composition is exactly what the two stages computed).  Any operation
+# between producer and consumer (checkpoint, filter, select) drops the
+# tag and the two-stage spelling runs unchanged.
+
+def _tag_content_fusion(out: DataFrame, src: DataFrame, run,
+                        id_col: str) -> DataFrame:
+    """Mark ``out = src.mapInPandas(run)`` as a fusable content producer
+    (``run`` yields ``(id_col, content)`` batches)."""
+    out._petro_content_fusion = (src, run, id_col)
+    return out
+
+
+def _content_map(df: DataFrame, id_col: str, content_col: str, run,
+                 schema: str) -> DataFrame:
+    """``df.select(id, content).mapInPandas(run, schema)``, fused with
+    ``df``'s producer stage when ``df`` is a tagged, untouched content
+    producer output."""
+    fusion = getattr(df, "_petro_content_fusion", None)
+    if fusion is not None and content_col == "content":
+        src, produce, synth_id = fusion
+        if synth_id == id_col:
+            def fused(batches, _produce=produce, _consume=run):
+                return _consume(_produce(batches))
+            return src.mapInPandas(fused, schema=schema)
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 def attach_media_metadata(df: DataFrame, content_col: str = "content",
                           kind: str = "image",
                           mime: str = "application/octet-stream") -> DataFrame:
@@ -174,7 +215,7 @@ def media_byte_stats(df: DataFrame, content_col: str = "content",
                 {id_col: ids, "n_bytes": sizes, "content_md5": digests}
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def luma_grid(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
@@ -274,7 +315,7 @@ def phash_images(df: DataFrame, content_col: str = "content",
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 # -- deterministic doc-id-derived fixture images ----------------------------
@@ -348,7 +389,9 @@ def synthesize_fixture_images(df: DataFrame,
                 blobs.append(encode_ppm(arr))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
+    src = _spread(df.select(id_col), id_col)
+    return _tag_content_fusion(
+        src.mapInPandas(run, schema=schema), src, run, id_col)
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -398,7 +441,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                 {id_col: ids, "width": ws, "height": hs, "resized": outs}
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def sample_frames(df: DataFrame, content_col: str = "content",
@@ -535,7 +578,7 @@ def video_fingerprints(df: DataFrame, content_col: str = "content",
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def video_fingerprints_shots(df: DataFrame, content_col: str = "content",
@@ -604,7 +647,7 @@ def video_fingerprints_shots(df: DataFrame, content_col: str = "content",
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 #: stop-hash document-frequency cap for the video pair tiers: a frame
@@ -917,7 +960,7 @@ def video_union_fingerprints(df: DataFrame, content_col: str = "content",
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def video_neardup_pairs_union(sigs: DataFrame, id_col: str = "doc_id",
@@ -1311,7 +1354,9 @@ def synthesize_fixture_videos(df: DataFrame,
                 blobs.append(encode_ppm_video(frames))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
+    src = _spread(df.select(id_col), id_col)
+    return _tag_content_fusion(
+        src.mapInPandas(run, schema=schema), src, run, id_col)
 
 
 # -- audio: REAL PCM WAV decode (stdlib wave + NumPy — no external libs) ----
@@ -1438,7 +1483,7 @@ def audio_fingerprints(df: DataFrame, content_col: str = "content",
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def audio_fingerprints_offsets(df: DataFrame,
@@ -1491,7 +1536,7 @@ def audio_fingerprints_offsets(df: DataFrame,
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def audio_neardup_pairs_multioffset(fps: DataFrame,
@@ -1572,7 +1617,7 @@ def audio_fingerprints_windows(df: DataFrame,
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def audio_fingerprints_onsets(df: DataFrame,
@@ -1692,7 +1737,7 @@ def audio_fingerprints_onsets(df: DataFrame,
                 out["decode_error"] = errs
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+    return _content_map(df, id_col, content_col, run, schema)
 
 
 def audio_containment_pairs(fps: DataFrame, id_col: str = "doc_id",
@@ -1829,7 +1874,9 @@ def synthesize_fixture_audio(df: DataFrame,
                 blobs.append(encode_wav(s, FIXTURE_WAV_RATE))
             yield pd.DataFrame({id_col: ids, "content": blobs})
 
-    return _spread(df.select(id_col), id_col).mapInPandas(run, schema=schema)
+    src = _spread(df.select(id_col), id_col)
+    return _tag_content_fusion(
+        src.mapInPandas(run, schema=schema), src, run, id_col)
 
 
 def audio_features(df: DataFrame, content_col: str = "content",

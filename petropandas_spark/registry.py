@@ -4608,6 +4608,13 @@ WHERE d.n_chars >= 250
     # minhash near-dup graph (Spark: iterative min-label propagation;
     # oracle: DuckDB recursive CTE — two genuinely different algorithms,
     # identical fixpoint).
+    #
+    # Known latent divergence (r14 advice, load-bearing): the recursive
+    # ``reach`` CTE relays labels through ANY endpoint appearing in
+    # pairs, while Spark's propagation drops endpoints absent from the
+    # node frame (no self-loop ⇒ never relayed).  They agree because
+    # every registered pair generator emits endpoints ⊆ documents; a
+    # pair generator emitting out-of-frame endpoints would break parity.
     def comps_fn(spark, sf_dir):
         docs = _load(spark, sf_dir, "documents")
         docs.createOrReplaceTempView("documents")

@@ -59,3 +59,41 @@ spark.stop()
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "SUM 9900" in res.stdout
+
+
+def test_session_helper_pins_worker_pool_confs():
+    """The engine session helper (r15: the worker-pool fix belongs to
+    the library, not the bench) carries exactly the two configs the r14
+    probe matrix proved are BOTH needed, bench.py consumes the helper
+    instead of spelling raw configs, and the PYTHONPATH export makes
+    the daemon module resolvable by the JVM-spawned daemon."""
+    from petropandas_spark import session as ps_session
+
+    assert ps_session.WORKER_POOL_CONFS == {
+        "spark.python.unix.domain.socket.enabled": "true",
+        "spark.python.daemon.module":
+            "petropandas_spark.daemon_preload",
+    }
+
+    # the builder helper applies every conf and exports the PYTHONPATH
+    class FakeBuilder:
+        def __init__(self):
+            self.confs = {}
+
+        def config(self, k, v):
+            self.confs[k] = v
+            return self
+
+    b = ps_session.apply_worker_pool_confs(FakeBuilder())
+    assert b.confs == ps_session.WORKER_POOL_CONFS
+    repo = os.path.dirname(os.path.dirname(
+        os.path.abspath(ps_session.__file__)))
+    assert repo in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+    # bench.py (and the subset bench) consume the helper, not raw confs
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in ("bench.py", os.path.join("tools", "bench_subset.py")):
+        with open(os.path.join(root, rel)) as fh:
+            src = fh.read()
+        assert "apply_worker_pool_confs" in src, rel
+        assert "unix.domain.socket" not in src, rel

@@ -1636,6 +1636,41 @@ class TestMultimodal:
         row = feats.collect()[0]
         assert len(row.feat) == 8
 
+    def test_content_fusion_single_stage_and_identical_rows(self, spark):
+        """r15 producer→consumer Python-stage fusion: a fingerprint fn
+        receiving an UNTOUCHED synthesize_fixture_* output runs as ONE
+        MapInPandas (content never crosses the JVM boundary, one worker
+        per task instead of two); any intervening op drops the tag and
+        the classic two-stage spelling runs — rows identical."""
+        docs = spark.range(12).selectExpr("id as doc_id")
+
+        def n_map(df):
+            plan = df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+            return plan.count("MapInPandas")
+
+        fused = multimodal.audio_fingerprints(
+            multimodal.synthesize_fixture_audio(docs))
+        assert n_map(fused) == 1
+        # breaking the chain (select) falls back to two stages
+        synth = multimodal.synthesize_fixture_audio(docs)
+        unfused = multimodal.audio_fingerprints(
+            synth.select("doc_id", "content"))
+        assert n_map(unfused) == 2
+        a = sorted((r.doc_id, r.afp) for r in fused.collect())
+        b = sorted((r.doc_id, r.afp) for r in unfused.collect())
+        assert a == b
+        # image and video producers fuse identically
+        assert n_map(multimodal.phash_images(
+            multimodal.synthesize_fixture_images(docs))) == 1
+        assert n_map(multimodal.video_fingerprints(
+            multimodal.synthesize_fixture_videos(docs))) == 1
+        # a non-default content column never fuses
+        renamed = synth.withColumnRenamed("content", "blob")
+        assert n_map(multimodal.audio_fingerprints(
+            renamed, content_col="blob")) == 2
+
     def test_media_byte_stats(self, spark):
         import hashlib
 
@@ -1729,7 +1764,15 @@ class TestComponents:
         """Edge endpoints absent from ``nodes`` must neither appear in
         the output nor relay labels between real nodes (the old labels-
         driven join dropped them; the r14 self-loop join must too):
-        1-(2)-3 with 2 stray keeps 1 and 3 in separate components."""
+        1-(2)-3 with 2 stray keeps 1 and 3 in separate components.
+
+        NOTE this pins a semantics DIVERGENCE from the registry's DuckDB
+        oracle CTEs (e.g. dedup_components): the recursive ``reach`` CTE
+        relays labels through ANY endpoint appearing in pairs, stray or
+        not.  The two agree today only because every registered pair
+        generator emits endpoints that are a subset of the node frame —
+        a future pair generator that emits out-of-frame endpoints would
+        silently break oracle parity."""
         nodes = spark.createDataFrame([(1,), (3,)], "doc_id long")
         edges = spark.createDataFrame([(1, 2), (2, 3)],
                                       "doc_a long, doc_b long")

@@ -183,14 +183,16 @@ def test_phash_pairs_blocked_equi_join(spark, registry):
     """Perceptual-hash near-dup pairs must join on the 16-bit pigeonhole
     quarter block (the SimHash machinery): equi join with the Hamming
     distance as a JVM-side post-filter — never a cartesian image
-    compare — and the synth + decode/hash python work in exactly two
-    narrow Arrow stages before the block shuffle."""
+    compare — and the synth + decode/hash python work FUSED into
+    exactly one narrow Arrow stage before the block shuffle (r15:
+    producer→consumer Python-stage fusion — one worker per task
+    instead of two, content bytes never cross the boundary)."""
     df = registry["media_phash_neardups"].spark_fn(spark, SF)
     plan = _plan(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "bit_count" in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
 
 
 def test_audio_pairs_blocked_equi_join(spark, registry):
@@ -200,7 +202,7 @@ def test_audio_pairs_blocked_equi_join(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "bit_count" in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
 
 
 def test_video_pairs_hash_equijoin(spark, registry):
@@ -265,20 +267,21 @@ def test_video_containment_plan_gate(spark, registry):
 
 
 def test_video_shots_single_arrow_stage(spark, registry):
-    """Shot-anchored fingerprints (r14): the whole scan (parse →
-    grid-diff → anchor dHashes) is ONE Arrow stage over the synth
-    stage — the signature DERIVATION itself never shuffles.  The one
-    allowed Exchange is the id-input ``_spread`` repartition BELOW the
-    synth stage (r14 optimization: a single small parquet file scans
-    as one partition, serializing the Python synth+hash work on one
-    core); media bytes still never cross an exchange."""
+    """Shot-anchored fingerprints: the whole synth → parse → grid-diff
+    → anchor-dHash pipeline is ONE fused Arrow stage (r15
+    producer→consumer fusion; r14 had two adjacent stages) — the
+    signature DERIVATION itself never shuffles and the synthesized
+    media bytes never leave the Python worker.  The one allowed
+    Exchange is the id-input ``_spread`` repartition BELOW the fused
+    stage (r14: a single small parquet file scans as one partition,
+    serializing the Python synth+hash work on one core)."""
     df = registry["media_video_shots"].spark_fn(spark, SF)
     plan = _plan(df, "simple")
-    assert plan.count("MapInPandas") == 2  # synth + fingerprint scan
+    assert plan.count("MapInPandas") == 1  # fused synth+fingerprint
     assert plan.count("Exchange") == 1
-    # the exchange must sit BELOW both Arrow stages (it spreads the
+    # the exchange must sit BELOW the Arrow stage (it spreads the
     # 8-byte id input, not the synthesized media bytes): in the printed
-    # top-down tree it appears after the LAST MapInPandas line
+    # top-down tree it appears after the MapInPandas line
     assert plan.index("Exchange") > plan.rindex("MapInPandas")
 
 

@@ -26,19 +26,19 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    # same worker-pool session shape as bench.py (r14): the preload
-    # daemon is spawned by the JVM, so the package must be on the
-    # process PYTHONPATH before the JVM starts
+    # same worker-pool session shape as bench.py — the engine helper
+    # applies the UDS + preload-daemon configs and the PYTHONPATH the
+    # JVM-spawned daemon needs (petropandas_spark/session.py)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    os.environ["PYTHONPATH"] = (
-        repo + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH") else repo
-    )
+    sys.path.insert(0, repo)
 
     from pyspark.sql import SparkSession
 
+    from petropandas_spark.session import apply_worker_pool_confs
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        apply_worker_pool_confs(
+            SparkSession.builder.master(f"local[{cpus}]"))
         .appName("petropandas-spark-bench-subset")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -47,17 +47,11 @@ def main() -> int:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
-        # worker-pool re-creation fix, same as bench.py (see the r14
-        # note there): UDS transport + forkserver-preloading daemon
-        .config("spark.python.unix.domain.socket.enabled", "true")
-        .config("spark.python.daemon.module",
-                "petropandas_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as e
 
     qs = e.queries()
