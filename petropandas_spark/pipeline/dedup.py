@@ -897,13 +897,33 @@ def pair_shingle_stats(df: DataFrame, pairs: DataFrame,
     if _broadcastable_ids(pairs, "doc_a", "doc_b", broadcast_ids_max):
         cand_ids = F.broadcast(cand_ids)
     cand_docs = df.join(cand_ids, id_col, "semi")
-    sh = (
-        _exploded_shingles(
-            cand_docs.select(id_col, text_col), text_col, id_col, shingle, 1, None
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("shingles"))
+    exploded = _exploded_shingles(
+        cand_docs.select(id_col, text_col), text_col, id_col, shingle, 1,
+        None,
     )
+    # Shingles ≤ 3 chars pack BIJECTIVELY into one long (r15, guide
+    # §2.3 "narrower types"): per character slot, 21 bits of
+    # (codepoint + 1) — the +1 and the per-slot length gate keep the
+    # map injective across short shingles, embedded NULs and the
+    # empty-string shingle of a zero-length doc ('' → 0; absent slot 0
+    # vs NUL char 1).  Every downstream value is a COUNT (inter, n_a,
+    # n_b), and counts are invariant under an injective recode, so
+    # jaccard/containment/verdict outputs are bit-identical (pinned by
+    # test + the driver oracles) — while the collect_set, its exchange,
+    # the broadcast build and array_intersect all work on 8-byte longs
+    # instead of 3-char strings (interleaved A/B min-of-4 at sf0.1:
+    # pair stats 4.50 → 3.59 s, stats rows identical).  Wider shingles
+    # keep the exact string path.
+    if shingle <= 3:
+        slots = " + ".join(
+            f"shiftleft(IF(length(sh) >= {i + 1}, "
+            f"cast(ascii(substr(sh, {i + 1}, 1)) as bigint) + 1, 0), "
+            f"{21 * (shingle - 1 - i)})"
+            for i in range(shingle)
+        )
+        exploded = exploded.select(id_col, F.expr(slots).alias("sh"))
+    sh = exploded.groupBy(id_col).agg(
+        F.collect_set("sh").alias("shingles"))
     # join strategy deliberately un-hinted: the shingle-set side is
     # "LSH survivors only" — usually tiny (AQE converts to broadcast at
     # runtime), but it CAN be a large fraction of the corpus in a

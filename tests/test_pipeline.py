@@ -410,6 +410,41 @@ class TestDedup:
                 assert r.containment_a == con[k].containment_a
                 assert r.containment_b == con[k].containment_b
 
+    def test_packed_shingle_stats_exact_on_edge_texts(self, spark):
+        """r15: pair_shingle_stats packs ≤3-char shingles bijectively
+        into longs.  The encoding must stay injective on the edge
+        classes a byte-exact recode can get wrong: embedded NUL chars,
+        docs shorter than the shingle, empty text, non-ASCII
+        codepoints.  Counts are checked against a brute-force python
+        computation of the same distinct-3-gram sets."""
+        texts = {
+            1: "ab",                 # shorter than the shingle
+            2: "ab\x00",             # 'ab' + NUL ≠ 'ab'
+            3: "",                   # empty text → one '' shingle
+            4: "\x00",               # single NUL ≠ ''
+            5: "héllo€",             # codepoints past 8 and 16 bits
+            6: "héllo€",             # exact duplicate of 5
+            7: "abcab",
+        }
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        import itertools
+        ids = sorted(texts)
+        pairs = spark.createDataFrame(pd.DataFrame(
+            [(a, b) for a, b in itertools.combinations(ids, 2)],
+            columns=["doc_a", "doc_b"]))
+
+        def grams(s):
+            if len(s) <= 3:
+                return {s}
+            return {s[i:i + 3] for i in range(len(s) - 2)}
+
+        got = {(r.doc_a, r.doc_b): (r.inter, r.n_a, r.n_b)
+               for r in dedup.pair_shingle_stats(docs, pairs).collect()}
+        for a, b in itertools.combinations(ids, 2):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            assert got[(a, b)] == (len(ga & gb), len(ga), len(gb)), (a, b)
+
     def test_repeated_span_pairs_finds_planted_copy_paste(self, spark):
         """Span-level exact duplication: a 60-char passage pasted into
         two otherwise-unrelated documents must surface as a pair (the

@@ -1,6 +1,6 @@
 """Capture the physical plan of ONE connected-components propagation
 round — the r14 before/after evidence for the single-reference rewrite
-(``plans/r14/cc_round_{before,after}.txt``).
+(``plans/r15/cc_round_{before,after}.txt``).
 
 The per-round plan is invisible in a registry query's ``explain`` (the
 in-loop ``localCheckpoint`` truncates lineage), so this builds the round
@@ -53,7 +53,7 @@ def main() -> int:
             .fromString("formatted")
         )
 
-    out_dir = os.path.join(repo, "plans", "r14")
+    out_dir = os.path.join(repo, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- AFTER: the shipped round (self-loop union, single reference)
@@ -121,7 +121,7 @@ def main() -> int:
                  "was a net loss pre-rewrite ===\n")
         fh.write(fmt(before_2))
 
-    print("wrote plans/r14/cc_round_{before,after}.txt")
+    print("wrote plans/r15/cc_round_{before,after}.txt")
     spark.stop()
     return 0
 
